@@ -1,0 +1,234 @@
+"""Canonical events table: schema, ingest (S1), replay reads (R1/R4),
+deletes (D1-D3), distinct streams (A8), export/import (S3/S4).
+
+Reference parity (see SURVEY.md §2.1-2.2, citations into /root/reference):
+
+- S1 ingest stamps server ``event_time`` (ms) and a globally monotonic
+  ``order_id = epoch_ms*1000 + n`` with n in [0, 999]
+  (src/photon/streams.clj:288-308).
+- R1 cold replay = ordered scan with ``from``/``limit``
+  (src/photon/streams.clj:340-366).
+- R4 point lookup by (stream_name, order_id) (src/photon/streams.clj:322).
+- D1-D3 deletes (src/photon/streams.clj:323-324, src/photon/api.clj:131-147).
+- S3/S4 export to gzipped JSON-lines / import from JSON
+  (src/photon/api.clj:103-186).
+
+Scale design: the table is parquet **partitioned by** ``stream_name`` so
+per-stream reads prune partitions, and each partition is written sorted by
+``order_id`` so parquet row-group min/max stats make time-range scans
+(``order_id >= from``) skip files. Both predicates therefore reach the scan
+as PushedFilters — verified in tests via ``explain``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ALL_STREAMS = "__all__"
+CONFIG_STREAM = "__config__"
+SECURITY_STREAM = "__security__"
+UNVERSIONED = "__unversioned__"
+
+#: Envelope schema (SURVEY.md §1.4; doc/schemas.md:32-43 in the reference).
+PROVENANCE_TYPE = T.StructType([
+    T.StructField("service_id", T.StringType()),
+    T.StructField("local_id", T.StringType()),
+    T.StructField("relationship_type", T.StringType()),
+])
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("stream_name", T.StringType(), False),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("service_id", T.StringType()),
+    T.StructField("local_id", T.StringType()),
+    T.StructField("schema_tag", T.StringType()),
+    T.StructField("provenance", PROVENANCE_TYPE),
+    T.StructField("payload", T.StringType()),           # free-form JSON
+    T.StructField("event_time", T.TimestampType()),     # server-stamped
+    T.StructField("order_id", T.LongType()),            # ts_ms*1000 + n
+])
+
+_CLIENT_FIELDS = ["stream_name", "event_type", "service_id", "local_id",
+                  "schema_tag", "provenance", "payload"]
+
+
+def stamp_events(df: DataFrame, base_order_id: int = 0) -> DataFrame:
+    """Assign ``event_time`` + monotonic unique ``order_id`` to a batch.
+
+    order_id = unix_millis(event_time) * 1000 + (per-ms counter mod 1000),
+    mirroring the reference encoding (streams.clj:298-301) which caps ingest
+    at 1000 events/ms of server clock. For batches denser than that we spill
+    the counter forward into later-ms slots (monotonicity and uniqueness are
+    preserved; the ms prefix then slightly leads the wall clock, which the
+    reference accepts too — its counter wraps within one ms).
+
+    ``base_order_id``: max order_id already in the table, so appended batches
+    stay globally monotonic across micro-batches (driver-side bookkeeping in
+    the streaming ingest path, SURVEY.md §4 custom-work #2).
+
+    Scale note: the window is a single global ordering — acceptable because
+    ingest batches are micro-batches (bounded), not the 100 TB table itself.
+    """
+    now = F.current_timestamp()
+    df = df.withColumn("event_time", now)
+    # One global sequence per batch: row_number over arrival order.
+    w = Window.orderBy(F.monotonically_increasing_id())
+    seq = F.row_number().over(w).cast("long") - F.lit(1)
+    base_ms = (F.unix_millis(F.col("event_time")) * 1000)
+    candidate = base_ms + seq
+    df = df.withColumn(
+        "order_id",
+        F.greatest(candidate, F.lit(base_order_id + 1) + seq),
+    )
+    return df.select(*[F.col(c) for c in _CLIENT_FIELDS], "event_time", "order_id")
+
+
+class EventStore:
+    """Append-only event store over a partitioned parquet directory.
+
+    The write path is parquet for portability (Delta is not available in the
+    test container); the layout (partition by stream_name, sort by order_id)
+    is what a Delta/Iceberg table would ZORDER to at 100 TB.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---------------------------------------------------------------- write
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path))
+
+    def max_order_id(self) -> int:
+        if not self._exists():
+            return 0
+        row = self.read_all().agg(F.max("order_id").alias("m")).first()
+        return row["m"] or 0
+
+    def ingest(self, df: DataFrame) -> int:
+        """S1: validate envelope, stamp event_time/order_id, append.
+
+        Returns the number of events written. Missing envelope columns are
+        filled with NULL; ``stream_name`` is required (streams.clj:295,
+        EventTemplate validation api.clj:36).
+        """
+        cols = set(df.columns)
+        if "stream_name" not in cols:
+            raise ValueError("event batch must carry stream_name")
+        for c in _CLIENT_FIELDS:
+            if c not in cols:
+                typ = PROVENANCE_TYPE if c == "provenance" else T.StringType()
+                df = df.withColumn(c, F.lit(None).cast(typ))
+        stamped = stamp_events(df.select(_CLIENT_FIELDS), self.max_order_id())
+        (stamped
+         .repartition("stream_name")
+         .sortWithinPartitions("order_id")
+         .write.mode("append")
+         .partitionBy("stream_name")
+         .parquet(self.path))
+        return stamped.count()
+
+    # ----------------------------------------------------------------- read
+    def read_all(self) -> DataFrame:
+        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+        # partitionBy writes stream_name as a directory column; enforce
+        # canonical column order.
+        return df.select([f.name for f in EVENT_SCHEMA.fields])
+
+    def read_cold(self, stream_name: str = ALL_STREAMS, from_: int = 0,
+                  limit: int | None = None) -> DataFrame:
+        """R1 cold replay: ordered scan of one stream (or __all__) from a
+        lower order_id bound, optional limit (streams.clj:340-366).
+
+        ``from_`` accepts epoch-ms (coerced to the order_id space, as the
+        reference's extract-date does, streams.clj:60-64) or a raw order_id.
+        """
+        df = self.read_all()
+        if stream_name != ALL_STREAMS:
+            df = df.where(F.col("stream_name") == stream_name)
+        if from_:
+            df = df.where(F.col("order_id") >= int(from_))
+        df = df.orderBy("order_id")
+        if limit is not None:
+            df = df.limit(int(limit))
+        return df
+
+    def event(self, stream_name: str, order_id: int):
+        """R4 point lookup → Row or None (streams.clj:322, api.clj:17-18)."""
+        return (self.read_all()
+                .where((F.col("stream_name") == stream_name)
+                       & (F.col("order_id") == int(order_id)))
+                .first())
+
+    def streams(self) -> list[str]:
+        """A8 distinct stream names (streams.clj:163-165)."""
+        return sorted(r[0] for r in
+                      self.read_all().select("stream_name").distinct().collect())
+
+    # --------------------------------------------------------------- delete
+    def _rewrite(self, keep_predicate) -> None:
+        """Rewrite the table keeping rows matching the predicate.
+
+        Parquet has no DELETE; with Delta/Iceberg this is a metadata-level
+        ``DELETE WHERE`` (partition drop for whole streams — SURVEY.md §2.5
+        deliberately does NOT reproduce the reference's delete-in-a-loop,
+        api.clj:131-147).
+        """
+        tmp = self.path.rstrip("/") + f".__rewrite__{uuid.uuid4().hex[:8]}"
+        (self.read_all().where(keep_predicate)
+         .repartition("stream_name").sortWithinPartitions("order_id")
+         .write.mode("overwrite").partitionBy("stream_name").parquet(tmp))
+        import shutil
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+
+    def delete_event(self, stream_name: str, order_id: int) -> None:
+        """D1 (streams.clj:323)."""
+        self._rewrite(~((F.col("stream_name") == stream_name)
+                        & (F.col("order_id") == int(order_id))))
+
+    def delete_stream(self, stream_name: str) -> None:
+        """D2: one predicate delete, not the reference's scan-and-loop."""
+        self._rewrite(F.col("stream_name") != stream_name)
+
+    def clean(self) -> None:
+        """D3 delete-all (streams.clj:324)."""
+        import shutil
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # -------------------------------------------------------- export/import
+    def export_stream(self, stream_name: str, out_path: str) -> int:
+        """S3: cold-replay a stream into gzipped JSON-lines (api.clj:103-129).
+
+        Returns number of exported events; file line count equals the cold
+        count (export_test.clj:43-58 golden behavior).
+        """
+        df = self.read_cold(stream_name)
+        n = df.count()
+        (df.coalesce(1)
+         .write.mode("overwrite").option("compression", "gzip")
+         .json(out_path))
+        return n
+
+    def import_stream(self, in_path: str, stream_name: str | None = None) -> str:
+        """S4: ingest a JSON/JSON-lines (optionally gzipped) file as a new
+        stream; dedupe name collisions as name, name-0, name-1, ...
+        (api.clj:149-186 find-name)."""
+        df = self.spark.read.json(in_path)
+        name = stream_name or os.path.splitext(os.path.basename(in_path))[0]
+        existing = set(self.streams()) if self._exists() else set()
+        if name in existing:
+            i = 0
+            while f"{name}-{i}" in existing:
+                i += 1
+            name = f"{name}-{i}"
+        df = df.withColumn("stream_name", F.lit(name))
+        drop = [c for c in ("event_time", "order_id") if c in df.columns]
+        self.ingest(df.drop(*drop))
+        return name

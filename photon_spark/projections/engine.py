@@ -1,0 +1,342 @@
+"""Projection engine: continuous ordered folds over event streams.
+
+Reference parity (SURVEY.md §2.4, citations into /root/reference):
+
+- A1 register-query!: compile a reducer, fold events **in order_id order,
+  sequentially** over a stream (default __all__), resumable from the last
+  folded event (src/photon/streams.clj:241-274, 125-145).
+- A2 fold-step metrics: processed, incremental avg_time, rate-limited state
+  size measurement (streams.clj:99-145).
+- A3 failure semantics: user-fn exception ⇒ status=failed, last_error
+  captured, fold stops, state remains queryable (streams.clj:84-97).
+- A4 unregister / delete-protected defaults (streams.clj:276-286,
+  core.clj:102-107).
+- U1/U4: the projection language is Python source (replacing Clojure/JS,
+  exec.clj:16-24); initial value parsed from JSON (exec.clj:177-182).
+
+Scale design — three reducer tiers (SURVEY.md §4 custom-work #1):
+
+1. ``NativeReducer`` — named built-ins (count/sum/avg/min/max/...) compile to
+   Catalyst aggregates: fully parallel, map-side partial aggregation, no
+   Python in the hot path. This is the 100 TB path and covers every reducer
+   photon's own tests exercise (count-folds, sum-folds).
+2. ``AssociativeReducer`` — user fold + user merge: per-partition folds run
+   distributed over range-partitioned order_id spans, partials merged in
+   order on the driver. O(partitions) driver work.
+3. ``PyReducer`` — arbitrary non-commutative ``f(state, event) → state``: a
+   single total order fundamentally serializes (photon serializes too —
+   parallel *across* projections, serial per projection,
+   streams.clj:410-420). We stream Arrow batches of the ordered scan through
+   the driver (constant memory), never ``collect()``.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.events import ALL_STREAMS, EventStore
+
+DEFAULT_PROJECTIONS = ("__streams__", "__security-state__")
+
+
+# --------------------------------------------------------------------------
+# Reducers
+# --------------------------------------------------------------------------
+
+@dataclass
+class NativeReducer:
+    """Built-in reducer compiled to a native Catalyst aggregate.
+
+    ``kind`` ∈ {count, sum, avg, min, max, count_distinct}; ``expr`` is a SQL
+    expression string over the event columns (e.g. a payload field via
+    ``get_json_object(payload, '$.k')``).
+    """
+    kind: str
+    expr: str | None = None
+
+    _AGGS = {
+        "count": lambda c: F.count(F.lit(1)),
+        "sum": lambda c: F.sum(F.expr(c)),
+        "avg": lambda c: F.avg(F.expr(c)),
+        "min": lambda c: F.min(F.expr(c)),
+        "max": lambda c: F.max(F.expr(c)),
+        "count_distinct": lambda c: F.count_distinct(F.expr(c)),
+    }
+
+    def aggregate(self, df: DataFrame) -> Any:
+        if self.kind not in self._AGGS:
+            raise ValueError(f"unknown native reducer: {self.kind}")
+        row = df.agg(self._AGGS[self.kind](self.expr).alias("v")).first()
+        return row["v"]
+
+
+@dataclass
+class AssociativeReducer:
+    """User fold with a user-supplied associative merge.
+
+    ``fold(state, event_dict) → state``; ``merge(left_state, right_state) →
+    state``; ``zero`` is the identity. Partition partials fold in parallel;
+    ordered merge preserves left-to-right semantics.
+    """
+    fold: Callable[[Any, dict], Any]
+    merge: Callable[[Any, Any], Any]
+    zero: Any = None
+
+
+@dataclass
+class PyReducer:
+    """Arbitrary ordered fold ``f(state, event_dict) → state``.
+
+    ``source`` keeps the persisted source string (photon persists reducer
+    source for restart replay, exec.clj:18-24 ``:persist``).
+    """
+    fn: Callable[[Any, dict], Any]
+    source: str | None = None
+
+    @classmethod
+    def from_source(cls, source: str) -> "PyReducer":
+        """U1: compile Python source (an expression evaluating to a callable,
+        e.g. ``"lambda prev, ev: prev + 1"``) — the PySpark-native
+        substitute for photon's Clojure/JS reducer compilation."""
+        fn = eval(compile(source, "<projection>", "eval"), {"json": json})  # noqa: S307
+        if not callable(fn):
+            raise ValueError("projection source must evaluate to a callable")
+        return cls(fn=fn, source=source)
+
+
+Reducer = NativeReducer | AssociativeReducer | PyReducer
+
+
+# --------------------------------------------------------------------------
+# Descriptor
+# --------------------------------------------------------------------------
+
+@dataclass
+class Projection:
+    """Registered projection descriptor + runtime state
+    (streams.clj:216-232; doc/schemas.md:63-71,113-123)."""
+    projection_name: str
+    reducer: Reducer
+    stream_name: str = ALL_STREAMS
+    language: str = "python"
+    initial_value: Any = None
+    # runtime
+    current_value: Any = None
+    processed: int = 0
+    init_time: float = field(default_factory=time.time)
+    last_event: int = 0              # order_id of last folded event (resume pt)
+    last_error: str | None = None
+    avg_time: float = 0.0            # incremental mean, ms/event
+    mem_used: int = 0                # pickled state size, rate-limited
+    status: str = "running"          # running | failed | finished
+
+    def descriptor(self) -> dict:
+        """API view (F4 strips heavy fields — api.clj:38-49)."""
+        return {
+            "projection-name": self.projection_name,
+            "stream-name": self.stream_name,
+            "language": self.language,
+            "processed": self.processed,
+            "status": self.status,
+            "last-error": self.last_error,
+            "avg-time": self.avg_time,
+            "last-event": self.last_event,
+            "init-time": self.init_time,
+            "mem-used": self.mem_used,
+        }
+
+
+# --------------------------------------------------------------------------
+# Engine
+# --------------------------------------------------------------------------
+
+_MEASURE_RATE = 1000  # measure state size every N events (measure.rate)
+
+
+class ProjectionEngine:
+    """Registry + batch fold executor over an EventStore.
+
+    Batch mode folds everything currently persisted (photon's cold phase);
+    calling :meth:`advance` again folds only events newer than ``last_event``
+    — exactly photon's resume-from-last-event semantics
+    (streams.clj:255-259). The streaming wrapper
+    (photon_spark.streaming.stateful) drives the same fold per micro-batch.
+    """
+
+    def __init__(self, store: EventStore):
+        self.store = store
+        self.registry: dict[str, Projection] = {}
+
+    # ------------------------------------------------------------ registry
+    def register(self, name: str, reducer: Reducer | str,
+                 stream_name: str = ALL_STREAMS, initial_value: Any = None,
+                 language: str = "python") -> Projection:
+        """A1: register (replace-if-exists, streams.clj:331-335)."""
+        if isinstance(reducer, str):
+            reducer = PyReducer.from_source(reducer)
+        if name in self.registry:
+            self.registry.pop(name)
+        proj = Projection(projection_name=name, reducer=reducer,
+                          stream_name=stream_name, language=language,
+                          initial_value=initial_value,
+                          current_value=initial_value)
+        self.registry[name] = proj
+        return proj
+
+    def unregister(self, name: str) -> bool:
+        """A4: default projections are delete-protected (core.clj:102-107)."""
+        if name in DEFAULT_PROJECTIONS:
+            return False
+        return self.registry.pop(name, None) is not None
+
+    def projection(self, name: str) -> Projection | None:
+        return self.registry.get(name)
+
+    def projection_keys(self) -> list[str]:
+        return sorted(self.registry)
+
+    def value(self, name: str, query_key: str | None = None) -> Any:
+        """F5 keyed lookup into a projection's current value
+        (api.clj:61-64)."""
+        proj = self.registry.get(name)
+        if proj is None:
+            return None
+        v = proj.current_value
+        if query_key is None:
+            return v
+        if isinstance(v, dict):
+            return v.get(query_key)
+        return None
+
+    # ---------------------------------------------------------------- fold
+    def advance(self, name: str, emit_states: bool = False) -> Projection:
+        """Fold all events newer than the projection's resume point.
+
+        Returns the updated descriptor. With ``emit_states`` the successive
+        state values (the projection's *virtual stream*,
+        streams.clj:182-200) are recorded on ``proj.emitted``.
+        """
+        proj = self.registry[name]
+        if proj.status == "failed":
+            return proj
+        df = self.store.read_cold(proj.stream_name, from_=proj.last_event + 1)
+        return self._fold_df(proj, df, emit_states=emit_states)
+
+    def _fold_df(self, proj: Projection, df: DataFrame,
+                 emit_states: bool = False) -> Projection:
+        reducer = proj.reducer
+        if isinstance(reducer, NativeReducer):
+            # 100 TB path: one Catalyst aggregate, no Python per event.
+            bounds = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("order_id").alias("mx")).first()
+            if bounds["n"]:
+                val = reducer.aggregate(df)
+                prev = proj.current_value
+                proj.current_value = _combine_native(reducer.kind, prev, val,
+                                                     proj.processed, bounds["n"])
+                proj.processed += bounds["n"]
+                proj.last_event = bounds["mx"]
+            return proj
+
+        if isinstance(reducer, AssociativeReducer):
+            return self._fold_associative(proj, df)
+
+        return self._fold_serial(proj, df, emit_states=emit_states)
+
+    # -- tier 3: arbitrary ordered fold, driver-streamed ------------------
+    def _fold_serial(self, proj: Projection, df: DataFrame,
+                     emit_states: bool = False) -> Projection:
+        reducer: PyReducer = proj.reducer  # type: ignore[assignment]
+        cols = df.columns
+        emitted = [] if emit_states else None
+        state = proj.current_value
+        # toLocalIterator on an ordered plan preserves global order and keeps
+        # only one partition in driver memory at a time.
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            ev = dict(zip(cols, row))
+            t0 = time.perf_counter()
+            try:
+                state = reducer.fn(state, ev)
+            except Exception as exc:  # A3 failure capture
+                import traceback
+                proj.last_error = f"{exc}\n{traceback.format_exc(limit=5)}"
+                proj.status = "failed"
+                return proj
+            dt = (time.perf_counter() - t0) * 1000.0
+            proj.processed += 1
+            # incremental mean (streams.clj:99-106 next-avg)
+            proj.avg_time += (dt - proj.avg_time) / proj.processed
+            proj.last_event = ev.get("order_id") or proj.last_event
+            if proj.processed % _MEASURE_RATE == 0:
+                proj.mem_used = len(pickle.dumps(state))
+            if emitted is not None:
+                emitted.append(state)
+        proj.current_value = state
+        if emitted is not None:
+            proj.emitted = emitted  # type: ignore[attr-defined]
+        return proj
+
+    # -- tier 2: distributed partial folds + ordered merge ----------------
+    def _fold_associative(self, proj: Projection, df: DataFrame) -> Projection:
+        reducer: AssociativeReducer = proj.reducer  # type: ignore[assignment]
+        fold, zero = reducer.fold, reducer.zero
+        cols = [c for c in df.columns]
+
+        def fold_partition(iterator):
+            import pandas as pd
+            state, lo, n, mx = zero, None, 0, 0
+            for pdf in iterator:
+                for rec in pdf.to_dict("records"):
+                    if lo is None:
+                        lo = rec["order_id"]
+                    mx = rec["order_id"]
+                    state = fold(state, rec)
+                    n += 1
+            if n:
+                yield pd.DataFrame({"lo": [lo], "mx": [mx], "n": [n],
+                                    "blob": [pickle.dumps(state)]})
+
+        # Range-partition so each partition is a contiguous, sorted order_id
+        # span → partials merge left-to-right correctly.
+        parts = (df.repartitionByRange("order_id")
+                   .sortWithinPartitions("order_id")
+                   .mapInPandas(fold_partition,
+                                schema="lo long, mx long, n long, blob binary")
+                   .collect())
+        parts.sort(key=lambda r: r["lo"])
+        state = proj.current_value if proj.processed else (
+            proj.current_value if proj.current_value is not None else zero)
+        for p in parts:
+            state = reducer.merge(state, pickle.loads(p["blob"]))
+            proj.processed += p["n"]
+            proj.last_event = max(proj.last_event, p["mx"])
+        proj.current_value = state
+        return proj
+
+
+def _combine_native(kind: str, prev: Any, new: Any, prev_n: int, new_n: int) -> Any:
+    """Merge a fresh native-aggregate value into the running projection value
+    (incremental advance across batches)."""
+    if prev is None or prev_n == 0:
+        return new
+    if new is None:
+        return prev
+    if kind in ("count", "sum"):
+        return prev + new
+    if kind == "avg":
+        return (prev * prev_n + new * new_n) / (prev_n + new_n)
+    if kind == "min":
+        return min(prev, new)
+    if kind == "max":
+        return max(prev, new)
+    # count_distinct is not incrementally mergeable without state; recompute
+    # callers should re-advance from 0 (documented limitation).
+    return new

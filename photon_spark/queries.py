@@ -1,0 +1,255 @@
+"""Driver-contract queries: photon-surface operators (SURVEY.md §2)
+expressed over the testdata tables, each with a DuckDB oracle.
+
+The testdata ``events`` table is the photon-event analogue (FIXTURES.md §B):
+``event_type`` plays stream_name, ``event_id`` plays order_id, ``ts`` plays
+event_time, ``props`` plays payload. Every Spark query aliases computed
+columns to the exact oracle column names (driver hashes sort columns by
+name).
+
+Floating-point policy: aggregate doubles are rounded (sum→2dp, avg→6dp) in
+BOTH engines so partial-aggregation order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.projections.engine import ProjectionEngine, Projection, PyReducer
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The testdata parquet uses TIMESTAMP(NANOS), which Spark 4 only reads
+    # via the nanosAsLong legacy conf: timestamp columns surface as epoch-ns
+    # longs. We keep them as ns-longs end-to-end (photon's own event_time is
+    # an epoch long too, streams.clj:296) and use epoch_ns() on the DuckDB
+    # oracle side for exact integer parity — no tz/precision hash pitfalls.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# R1/F2/F3 — cold replay with from/limit (streams.clj:340-366)
+# --------------------------------------------------------------------------
+
+def q_cold_replay(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("event_id") >= 100)
+            .orderBy("event_id")
+            .limit(200)
+            .select("event_id", "event_type", "user_id",
+                    F.round("value", 2).alias("value")))
+
+
+SQL_COLD_REPLAY = """
+SELECT event_id, event_type, user_id, round(value, 2) AS value
+FROM events WHERE event_id >= 100 ORDER BY event_id LIMIT 200
+"""
+
+
+def q_stream_contents(spark, sf_dir):
+    # E5 stream-contents endpoint: fixed limit 50 of one stream
+    # (api.clj:90-101, handler.clj:264-269).
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .orderBy("event_id")
+            .limit(50)
+            .select("event_id", "user_id", F.round("value", 2).alias("value")))
+
+
+SQL_STREAM_CONTENTS = """
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 50
+"""
+
+
+#: epoch-ns of 2024-01-02T00:00:00 (naive/UTC)
+_FROM_NS = 1_704_153_600_000_000_000
+
+
+def q_time_range_count(spark, sf_dir):
+    # F2 range predicate on time (streams.clj:60-64) — partial replay count.
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("ts") >= F.lit(_FROM_NS))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_TIME_RANGE_COUNT = f"""
+SELECT count(*) AS n_events FROM events WHERE epoch_ns(ts) >= {_FROM_NS}
+"""
+
+
+# --------------------------------------------------------------------------
+# R4 — point lookup (streams.clj:322)
+# --------------------------------------------------------------------------
+
+def q_point_lookup(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("event_id") == 42)
+            .select("event_id", "event_type", "user_id",
+                    F.round("value", 2).alias("value"), "props"))
+
+
+SQL_POINT_LOOKUP = """
+SELECT event_id, event_type, user_id, round(value, 2) AS value, props
+FROM events WHERE event_id = 42
+"""
+
+
+# --------------------------------------------------------------------------
+# A6/A8/E1 — __streams__ built-in projection: per-stream totals, distinct
+# streams, per-(stream, version) buckets (default_projs.clj:8-26)
+# --------------------------------------------------------------------------
+
+def q_streams_totals(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.col("event_type").alias("stream_name"))
+            .agg(F.count(F.lit(1)).alias("total_events")))
+
+
+SQL_STREAMS_TOTALS = """
+SELECT event_type AS stream_name, count(*) AS total_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_streams(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .select(F.col("event_type").alias("stream_name")).distinct())
+
+
+SQL_DISTINCT_STREAMS = "SELECT DISTINCT event_type AS stream_name FROM events"
+
+
+def q_stream_version_totals(spark, sf_dir):
+    # photon buckets per (stream, schema version); version analogue = k mod 5
+    # from the JSON payload — exercises JSON extraction at the scan.
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.col("event_type").alias("stream_name"),
+                     (k % 5).alias("schema_version"))
+            .agg(F.count(F.lit(1)).alias("total_events")))
+
+
+SQL_STREAM_VERSION_TOTALS = """
+SELECT event_type AS stream_name,
+       json_extract_string(props, '$.k')::INT % 5 AS schema_version,
+       count(*) AS total_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — projections: native-reducer tier (count/sum/avg compile to Catalyst
+# aggregates) and the serial ordered-fold kernel itself
+# --------------------------------------------------------------------------
+
+def q_projection_count_all(spark, sf_dir):
+    # register("count_all", count) over __all__ — the flagship demo
+    # (README.adoc:31-47, projections.clj:96-110).
+    return _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("current_value"))
+
+
+SQL_PROJECTION_COUNT_ALL = "SELECT count(*) AS current_value FROM events"
+
+
+def q_projection_sum_by_stream(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.col("event_type").alias("stream_name"))
+            .agg(F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value"),
+                 F.max("event_id").alias("last_event")))
+
+
+SQL_PROJECTION_SUM_BY_STREAM = """
+SELECT event_type AS stream_name,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       max(event_id) AS last_event
+FROM events GROUP BY 1
+"""
+
+
+def q_projection_fold_stats(spark, sf_dir):
+    """The real serial ordered-fold kernel (PyReducer tier) over the events
+    table, state = (processed, last_event, sum); SQL-checkable because the
+    pieces are order-insensitive, while the fold itself runs strictly in
+    order_id order through the driver-streamed Arrow iterator."""
+    events = (_t(spark, sf_dir, "events")
+              .select(F.col("event_id").alias("order_id"), "value"))
+    proj = Projection(
+        projection_name="fold_stats",
+        reducer=PyReducer(
+            fn=lambda st, ev: (st[0] + 1, ev["order_id"], st[2] + ev["value"]),
+            source="tuple-fold"),
+        initial_value=(0, 0, 0.0), current_value=(0, 0, 0.0))
+    engine = ProjectionEngine.__new__(ProjectionEngine)  # storeless fold
+    engine.registry = {"fold_stats": proj}
+    engine._fold_df(proj, events.orderBy("order_id"))
+    n, last, total = proj.current_value
+    return spark.createDataFrame(
+        [(n, last, round(total, 2))],
+        "processed long, last_event long, sum_value double")
+
+
+SQL_PROJECTION_FOLD_STATS = """
+SELECT count(*) AS processed, max(event_id) AS last_event,
+       round(sum(value), 2) AS sum_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# F5 — keyed lookup into projection state (api.clj:61-64): per-user state
+# map, query one key
+# --------------------------------------------------------------------------
+
+def q_projection_value_lookup(spark, sf_dir):
+    # state = {user_id: count}; look up one key. Expressed natively as a
+    # grouped count + key filter (the state-table read path).
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("user_id") == 7)
+            .select("user_id", "n"))
+
+
+SQL_PROJECTION_VALUE_LOOKUP = """
+SELECT user_id, count(*) AS n FROM events WHERE user_id = 7 GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cold_replay": q_cold_replay,
+    "stream_contents": q_stream_contents,
+    "time_range_count": q_time_range_count,
+    "point_lookup": q_point_lookup,
+    "streams_totals": q_streams_totals,
+    "distinct_streams": q_distinct_streams,
+    "stream_version_totals": q_stream_version_totals,
+    "projection_count_all": q_projection_count_all,
+    "projection_sum_by_stream": q_projection_sum_by_stream,
+    "projection_fold_stats": q_projection_fold_stats,
+    "projection_value_lookup": q_projection_value_lookup,
+}
+
+ORACLES: dict[str, str] = {
+    "cold_replay": SQL_COLD_REPLAY,
+    "stream_contents": SQL_STREAM_CONTENTS,
+    "time_range_count": SQL_TIME_RANGE_COUNT,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "streams_totals": SQL_STREAMS_TOTALS,
+    "distinct_streams": SQL_DISTINCT_STREAMS,
+    "stream_version_totals": SQL_STREAM_VERSION_TOTALS,
+    "projection_count_all": SQL_PROJECTION_COUNT_ALL,
+    "projection_sum_by_stream": SQL_PROJECTION_SUM_BY_STREAM,
+    "projection_fold_stats": SQL_PROJECTION_FOLD_STATS,
+    "projection_value_lookup": SQL_PROJECTION_VALUE_LOOKUP,
+}

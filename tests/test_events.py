@@ -1,0 +1,139 @@
+"""Event store tests — mirror the reference's component/integration facts
+(SURVEY.md §5): ingest round-trip, order_id monotonicity, cold-replay counts,
+replay determinism, export line-count parity, point lookup, deletes."""
+
+import gzip
+import glob
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.events import EventStore
+
+CHATTER = {
+    "id": "dbd6eecf-8f5c-42aa-8aa8-1b2172d53c71",
+    "text": "substitutable",
+    "textanalysis": {
+        "aggregateSentiment": 40,
+        "keyphrases": [{"phrase": "substitutable", "count": 1}],
+    },
+}
+
+
+def make_events(spark, n, stream="chatter"):
+    rows = [(stream, "chatter-event", "request://chatter", f"local-{i}",
+             None, json.dumps(CHATTER)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "stream_name string, event_type string, service_id string, "
+              "local_id string, schema_tag string, payload string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "events"))
+
+
+def test_ingest_roundtrip_and_order_id(store, spark):
+    # integration_test.clj:31-41 — payload intact, event_time ≈ now,
+    # order_id ≈ now*1000*1000 (epoch-ms * 1000).
+    before_ms = int(time.time() * 1000)
+    assert store.ingest(make_events(spark, 4)) == 4
+    rows = store.read_cold("chatter").collect()
+    assert len(rows) == 4
+    payload = json.loads(rows[0]["payload"])
+    assert payload == CHATTER
+    oids = [r["order_id"] for r in rows]
+    assert oids == sorted(oids) and len(set(oids)) == 4
+    assert oids[0] >= before_ms * 1000
+
+    # monotonic across batches
+    store.ingest(make_events(spark, 2))
+    oids2 = [r["order_id"] for r in store.read_cold("chatter").collect()]
+    assert oids2 == sorted(oids2) and len(set(oids2)) == 6
+
+
+def test_cold_replay_counts_and_determinism(store, spark):
+    # integration_test.clj:42-64 — counts advance; stream_test.clj:77-101 —
+    # two identical replays agree.
+    store.ingest(make_events(spark, 4))
+    assert store.read_cold().count() == 4
+    store.ingest(make_events(spark, 9))
+    assert store.read_cold().count() == 13
+    assert store.read_cold().count() == store.read_cold().count()
+
+
+def test_from_and_limit(store, spark):
+    store.ingest(make_events(spark, 10))
+    rows = store.read_cold("chatter").collect()
+    mid = rows[5]["order_id"]
+    tail = store.read_cold("chatter", from_=mid).collect()
+    assert [r["order_id"] for r in tail] == [r["order_id"] for r in rows[5:]]
+    assert store.read_cold("chatter", limit=3).count() == 3
+
+
+def test_stream_isolation_and_all(store, spark):
+    # projections.clj:111-112 — stream-scoped reads see no foreign events.
+    store.ingest(make_events(spark, 3, stream="a"))
+    store.ingest(make_events(spark, 5, stream="b"))
+    assert store.read_cold("a").count() == 3
+    assert store.read_cold("b").count() == 5
+    assert store.read_cold().count() == 8
+    assert store.streams() == ["a", "b"]
+
+
+def test_pushdown_reaches_scan(store, spark):
+    # Scale check: stream + order_id predicates must prune at the source.
+    store.ingest(make_events(spark, 20, stream="a"))
+    store.ingest(make_events(spark, 20, stream="b"))
+    plan = (store.read_cold("a", from_=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan or "stream_name" in plan
+    assert "PushedFilters" in plan and "order_id" in plan
+
+
+def test_point_lookup(store, spark):
+    store.ingest(make_events(spark, 5))
+    rows = store.read_cold("chatter").collect()
+    target = rows[2]
+    got = store.event("chatter", target["order_id"])
+    assert got is not None and got["local_id"] == target["local_id"]
+    assert store.event("chatter", 1) is None
+
+
+def test_export_line_count(store, spark, tmp_path):
+    # export_test.clj:40-58 — 10 stored events ⇒ 10 gzipped JSON lines.
+    store.ingest(make_events(spark, 10))
+    out = str(tmp_path / "export")
+    assert store.export_stream("chatter", out) == 10
+    lines = []
+    for part in glob.glob(out + "/part-*.json.gz"):
+        with gzip.open(part, "rt") as fh:
+            lines += [ln for ln in fh if ln.strip()]
+    assert len(lines) == 10
+    assert json.loads(json.loads(lines[0])["payload"]) == CHATTER
+
+
+def test_import_with_name_dedupe(store, spark, tmp_path):
+    store.ingest(make_events(spark, 3, stream="imported"))
+    src = tmp_path / "imported.json"
+    src.write_text("\n".join(json.dumps({"payload": json.dumps(CHATTER),
+                                         "event_type": "chatter-event"})
+                             for _ in range(4)))
+    name = store.import_stream(str(src))
+    assert name == "imported-0"
+    assert store.read_cold("imported-0").count() == 4
+
+
+def test_deletes(store, spark):
+    store.ingest(make_events(spark, 4, stream="a"))
+    store.ingest(make_events(spark, 2, stream="b"))
+    victim = store.read_cold("a").collect()[0]
+    store.delete_event("a", victim["order_id"])
+    assert store.read_cold("a").count() == 3
+    assert store.event("a", victim["order_id"]) is None
+    store.delete_stream("a")
+    assert store.streams() == ["b"]
+    store.clean()
+    assert not store._exists()

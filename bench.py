@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every driver-contract query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with .collect() (result sets are small by
+design); timings exclude session startup but include full plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from photon_spark.session import get_spark
+    from photon_spark import queries as q
+
+    spark = get_spark("photon_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths with a trivial action so query 1 doesn't
+    # absorb one-time startup cost.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in q.QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            rows = fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        except Exception as exc:
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "photon_spark_total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each variant at 100 TB):
+
+- **exact**: hash-groupBy on a content digest — one shuffle on a short key,
+  map-side partial aggregation; never shuffles document bodies.
+- **MinHash+LSH**: per-doc signatures are computed scan-side (no shuffle);
+  candidate generation shuffles only (band_key, doc_id) pairs; the
+  verification join touches candidate pairs, not the O(n²) cross product.
+- **SimHash**: one 16-bit signature per doc; near-dup candidates = equal
+  signature buckets (or banded sub-keys) — again no cross product.
+- **n-gram Jaccard**: exact verification on candidate pairs; the inverted
+  shingle index bounds the pair space by co-occurrence.
+
+All signature math is md5-based so every step has an exact DuckDB
+equivalent (md5 agrees across engines; Spark xxhash64 does not exist in
+DuckDB). md5 hex strings compare lexicographically the same everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.functions.text import normalize_text, tokens
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case normalization):
+    one row per duplicated fingerprint with group size and the keeper
+    (min id). Only the digest + id shuffle."""
+    return (df.select(F.md5(normalize_text(text_col)).alias("fingerprint"),
+                      F.col(id_col))
+              .groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("n_dups"),
+                   F.min(id_col).alias("keep_id"))
+              .where(F.col("n_dups") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per normalized-text fingerprint."""
+    w = (df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp")))
+    keep = w.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(F.broadcast(keep.select(id_col)), on=id_col, how="inner")
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles (distinct) from a token-array column.
+
+    Built from offset slices zipped with concat — O(tokens) array ops per
+    row, no per-element `element_at` (higher-order functions run in the
+    interpreted evaluator, where every `element_at(toks, i)` re-evaluates
+    the whole `toks` child expression; slices evaluate it once per row).
+    Pass an *attribute* column (materialize tokens in a prior select) so the
+    token split itself isn't re-evaluated per slice.
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    m = F.size(t)
+    width = m - (n - 1)
+    grams = F.slice(t, 1, width)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(t, j + 1, width),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(m < n, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(grams))
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles (distinct) of the normalized text: tokens
+    t[0..m-1] → t[i] || ' ' || .. || t[i+n-1] for i in 0..m-n."""
+    return shingles_from_tokens(F.split(normalize_text(col), " "), n)
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) with the token split materialized in its own projection —
+    the projection boundary keeps the non-cheap split from being inlined
+    into every downstream shingle/hash expression (CollapseProject keeps
+    multi-referenced non-cheap aliases)."""
+    from photon_spark.functions._util import spread
+    toked = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("_toks"))
+    return (toked.select("id", shingles_from_tokens("_toks", n).alias("sh"))
+                 .where(F.size("sh") > 0))
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode shingles → self-join on shingle (the only
+    shuffle, keyed by shingle) → count common shingles per pair → Jaccard
+    via |A∩B| / (|A| + |B| - |A∩B|). Pairs are (lo_id < hi_id).
+    """
+    sh = _shingled(df, text_col, id_col, n).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                     & (F.col("a.id") < F.col("b.id")))
+                .groupBy(F.col("a.id").alias("lo_id"),
+                         F.col("b.id").alias("hi_id"),
+                         F.col("a.n_sh").alias("n_a"),
+                         F.col("b.n_sh").alias("n_b"))
+                .agg(F.count(F.lit(1)).alias("n_common")))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (common.withColumn("jaccard", F.round(jac, 6))
+                  .where(F.col("jaccard") >= threshold)
+                  .select("lo_id", "hi_id", "n_common", "jaccard"))
+
+
+# ------------------------------------------------------------------- MinHash
+
+def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3):
+    """MinHash signature: for seed s, min(md5(s || shingle)) over the
+    shingle set. md5 hex min is a valid uniform min-hash and is portable to
+    the SQL oracle. Returns array<string> of length num_hashes (empty-shingle
+    docs get NULL sentinel mins)."""
+    sh = shingles(col, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda g: F.md5(F.concat(F.lit(f"{s}:"), g))))
+        for s in range(num_hashes)])
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs agreeing on any full band are candidates.
+
+    Shuffle is keyed by (band_idx, band_hash) — short digests, never text.
+    Returns distinct (lo_id, hi_id) candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    # Materialize shingles ONCE as a column, then derive the 16 min-hashes
+    # from the column reference — inlining the shingle expression into every
+    # hash (and unioning per-band scans) blows up codegen and recomputes the
+    # tokenize+distinct pipeline num_hashes*bands times per row.
+    sh = _shingled(df, text_col, id_col, shingle_n)
+
+    def _min_for_seed(s: int):
+        # NB: the seed must be closed over OUTSIDE the lambda — a
+        # `lambda g, s=s:` two-parameter signature makes PySpark bind the
+        # second param to the array INDEX column, not the seed.
+        prefix = F.lit(f"{s}:")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda g: F.md5(F.concat(prefix, g))))
+
+    sig = sh.select("id", F.array(*[
+        _min_for_seed(s) for s in range(num_hashes)]).alias("sig"))
+    # One row per (doc, band) via a single explode — one scan, not `bands`.
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1,
+                                                rows_per_band))).alias("bucket"))
+        for b in range(bands)])
+    buckets = (sig.select("id", F.explode(band_arr).alias("bb"))
+                  .select("id", F.col("bb.band").alias("band"),
+                          F.col("bb.bucket").alias("bucket")))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("lo_id"), F.col("b.id").alias("hi_id"))
+             .distinct())
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 16,
+                            bands: int = 4, shingle_n: int = 3,
+                            threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verification
+    (only on candidates) → pairs with jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                   shingle_n)
+    sh = _shingled(df, text_col, id_col, shingle_n)
+    j = (cands
+         .join(sh.select(F.col("id").alias("lo_id"), F.col("sh").alias("sh_a")),
+               "lo_id")
+         .join(sh.select(F.col("id").alias("hi_id"), F.col("sh").alias("sh_b")),
+               "hi_id"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (j.select("lo_id", "hi_id",
+                     F.round(inter / F.greatest(union, F.lit(1)), 6)
+                      .alias("jaccard"))
+             .where(F.col("jaccard") >= threshold))
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash16(col):
+    """16-bit SimHash over word tokens: bit j is the sign of the sum over
+    tokens of ±1 according to hex digit j of md5(token) being >= '8'.
+
+    Hex-digit comparison is portable to the oracle ('8'..'f' sorts above
+    '0'..'7' in ASCII for both engines). Returns an int in [0, 65535].
+    """
+    toks = F.transform(tokens(col), lambda t: F.md5(F.lower(t)))
+    out = F.lit(0)
+    for j in range(16):
+        votes = F.aggregate(
+            toks, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1))
+        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(0)
+    return out.cast("long")
+
+
+def simhash16_from_hashes(h):
+    """16-bit SimHash from a materialized array<md5-hex> column — the 16
+    per-bit votes each reference the array attribute instead of re-hashing
+    every token 16 times."""
+    h = F.col(h) if isinstance(h, str) else h
+    out = F.lit(0)
+    for j in range(16):
+        votes = F.aggregate(
+            h, F.lit(0),
+            lambda acc, x: acc + F.when(
+                F.substring(x, j + 1, 1) >= "8", 1).otherwise(-1))
+        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(0)
+    return out.cast("long")
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup groups = equal 16-bit simhash buckets (size > 1). At scale,
+    banding the 16 bits into sub-keys catches hamming-distance-1 pairs; the
+    exact-bucket variant is the SQL-checkable core."""
+    from photon_spark.functions._util import spread
+    hashed = spread(df).select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.md5(F.lower(t))).alias("_h"))
+    return (hashed.select(id_col, simhash16_from_hashes("_h").alias("simhash"))
+              .groupBy("simhash")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.min(id_col).alias("keep_id"))
+              .where(F.col("n_docs") > 1))
+
+
+# -------------------------------------------------- embedding near-duplicate
+
+def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold.
+
+    Brute-force O(n²) verification baseline (correctness oracle); the scale
+    path buckets by an LSH sign-signature first (similarity.lsh_topk).
+
+    Per-row work (float64 cast + L2 norm) is materialized BEFORE the join so
+    each pair only pays one zip_with dot product; the streamed side is
+    spread across cores (a tiny broadcast-nested-loop join otherwise runs
+    all O(n²) pairs in a single task).
+    """
+    from photon_spark.functions.similarity import dot, norm
+    from photon_spark.functions._util import spread
+    v = (spread(df)
+         .select(F.col(id_col).alias("id"),
+                 F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                 .alias("v"))
+         .select("id", "v", norm(F.col("v")).alias("nv")))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+    return (pairs.select(F.col("a.id").alias("lo_id"),
+                         F.col("b.id").alias("hi_id"),
+                         F.round(cos, 6).alias("cosine"))
+                 .where(F.col("cosine") >= threshold))

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector — one
+  scan, no shuffle for the distance computation, TakeOrdered for the top-k.
+  The correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH bucketing — candidates share the
+  query's signature prefix; distance is computed only for candidates. The
+  100 TB path: the scan prunes to matching buckets (partition the table by
+  signature prefix at write time to get partition pruning).
+- ``ivf_topk``: IVF-style coarse quantization with deterministic centroid
+  selection — probes the nearest cells only.
+
+All vector math uses built-in higher-order functions (zip_with/aggregate),
+computed in float64; no Python in the distance loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity in float64 (elements cast up before multiply)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int):
+    row = df.where(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise ValueError(f"query vector {query_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_query: bool = True) -> DataFrame:
+    """Exact top-k by cosine. ``query_vec`` is a literal vector or an id to
+    look up. Plan: scan → per-row cosine (codegen) → TakeOrderedAndProject
+    (k rows per partition reduced at the driver — no full sort, no shuffle
+    of the table)."""
+    qid = None
+    if isinstance(query_vec, int):
+        qid = query_vec
+        query_vec = _query_vector(df, id_col, vec_col, query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+    if exclude_query and qid is not None:
+        out = out.where(F.col(id_col) != qid)
+    # Deterministic tie-break on id so the oracle's ORDER BY agrees.
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ----------------------------------------------------------------- LSH (RP)
+
+def _plane_coeff(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    derived from md5(plane:dim) — reproducible across engines and runs,
+    no RNG state."""
+    h = F.md5(F.lit(f"{plane}:{dim}"))
+    # first 8 hex chars → uint32 → scale to [-1, 1)
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return u / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def rp_signature(vec_col, n_planes: int = 8) -> Column:
+    """Random-hyperplane sign signature (int bitmask, n_planes bits)."""
+    v = F.transform(vec_col if isinstance(vec_col, Column) else F.col(vec_col),
+                    lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    sig = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            idx, F.lit(0.0),
+            lambda acc, i: acc + F.element_at(v, (i + 1).cast("int"))
+            * _rand_from_idx(p, i))
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
+    return sig
+
+
+def _rand_from_idx(plane: int, i: Column) -> Column:
+    """Coefficient for (plane, dim i) computed from md5 — engine-portable."""
+    h = F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return u / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 6, probe_hamming: int = 2) -> DataFrame:
+    """Approximate top-k: restrict the scan to rows whose RP signature is
+    within ``probe_hamming`` bits of the query's, then exact cosine on the
+    survivors. With B buckets this touches ~n/B * (1 + planes) rows.
+
+    At 100 TB the signature is a persisted partition column → bucket probe
+    = partition pruning, not a scan."""
+    qid = None
+    if isinstance(query_vec, int):
+        qid = query_vec
+        query_vec = _query_vector(df, id_col, vec_col, query_vec)
+
+    # Query signature computed driver-side with the same md5 coefficients.
+    import hashlib
+    qsig = 0
+    for p in range(n_planes):
+        proj = 0.0
+        for i, x in enumerate(query_vec):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            coeff = int(h[:8], 16) / 2147483648.0 - 1.0
+            proj += float(x) * coeff
+        if proj >= 0:
+            qsig |= 1 << p
+    probe = {qsig}
+    if probe_hamming >= 1:
+        probe |= {qsig ^ (1 << p) for p in range(n_planes)}
+    if probe_hamming >= 2:
+        probe |= {qsig ^ (1 << p) ^ (1 << r)
+                  for p in range(n_planes) for r in range(p + 1, n_planes)}
+    probe = sorted(probe)
+
+    sigged = df.withColumn("_sig", rp_signature(F.col(vec_col), n_planes))
+    cand = sigged.where(F.col("_sig").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = cand.select(F.col(id_col),
+                      F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+    if qid is not None:
+        out = out.where(F.col(id_col) != qid)
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------- IVF
+
+def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: coarse centroids are the embeddings of the ``n_cells``
+    lowest-id rows (deterministic "training"); every row is assigned to its
+    nearest centroid (one broadcast join); the query probes the ``n_probe``
+    nearest cells.
+
+    At scale: write the table partitioned/bucketed by ``cell`` so a probe
+    reads n_probe/n_cells of the data; centroids come from a real k-means
+    over a sample (MLlib) — the plumbing is identical.
+    """
+    qid = None
+    if isinstance(query_vec, int):
+        qid = query_vec
+        query_vec = _query_vector(df, id_col, vec_col, query_vec)
+
+    cents = (df.orderBy(id_col).limit(n_cells)
+               .select(F.col(id_col).alias("cell_id"),
+                       F.col(vec_col).alias("cent")))
+    # Assign: broadcast the centroid table, argmin distance per row.
+    assigned = (df.crossJoin(F.broadcast(cents))
+                  .withColumn("d", cosine(F.col(vec_col), F.col("cent")))
+                  .withColumn("rn", F.row_number().over(
+                      Window.partitionBy(id_col)
+                      .orderBy(F.col("d").desc(), F.col("cell_id"))))
+                  .where(F.col("rn") == 1)
+                  .select(id_col, vec_col, "cell_id"))
+
+    # Probe cells: nearest centroids to the query (driver-side, tiny).
+    import math
+    crows = cents.collect()
+
+    def cos_py(a, b):
+        da = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return da / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(crows, key=lambda r: (-cos_py([float(x) for x in r["cent"]],
+                                                  query_vec), r["cell_id"]))
+    probe_cells = [r["cell_id"] for r in ranked[:n_probe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = (assigned.where(F.col("cell_id").isin(probe_cells))
+                   .select(F.col(id_col),
+                           F.round(cosine(F.col(vec_col), q), 6).alias("cosine")))
+    if qid is not None:
+        out = out.where(F.col(id_col) != qid)
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -226,6 +226,8 @@ SELECT user_id, count(*) AS n FROM events WHERE user_id = 7 GROUP BY user_id
 # Registry
 # --------------------------------------------------------------------------
 
+from photon_spark import queries_northstar as _ns  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cold_replay": q_cold_replay,
     "stream_contents": q_stream_contents,
@@ -253,3 +255,6 @@ ORACLES: dict[str, str] = {
     "projection_fold_stats": SQL_PROJECTION_FOLD_STATS,
     "projection_value_lookup": SQL_PROJECTION_VALUE_LOOKUP,
 }
+
+QUERIES.update(_ns.QUERIES)
+ORACLES.update(_ns.ORACLES)

@@ -1,0 +1,298 @@
+"""North-star queries (BASELINE.json): dedup, similarity search, text
+analysis over the documents/embeddings tables — each with an exact DuckDB
+oracle (md5-based signatures are engine-portable; regex/array semantics
+mirrored with the 'g' flag on the DuckDB side).
+
+Approximate-by-design operators (LSH top-k, IVF top-k) ship without an
+oracle (driver records a rows-only check); their recall against the exact
+brute force is pinned in tests/test_northstar.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.functions import dedup, multimodal, similarity, text
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -------------------------------------------------------------- shared SQL
+
+#: DuckDB fragments mirroring photon_spark.functions.text exactly.
+_SQL_TOKS = ("CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+             "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_GRAMS = ("list_distinct(list_transform(generate_series(1, len(t)-2), "
+              "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))")
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.EN_STOPWORDS) + "]"
+
+
+# ------------------------------------------------------------ text profile
+
+def q_text_profile(spark, sf_dir):
+    return text.text_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _lang_case() -> str:
+    hits = {lang: ("len(list_filter(lt, x -> list_contains(["
+                   + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+                   + "], x)))")
+            for lang in sorted(text.LANG_MARKERS)}
+    g = "greatest(" + ", ".join(hits[l] for l in sorted(hits)) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und'"
+    for lang in sorted(hits):
+        case += f" WHEN {hits[lang]} = {g} THEN '{lang}'"
+    return case + " END"
+
+
+SQL_TEXT_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t,
+         lower(text) IS NOT NULL AS _x
+  FROM documents
+), c AS (
+  SELECT doc_id, text, t,
+         list_transform(t, x -> lower(x)) AS lt,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+         len(t) AS n_tokens
+  FROM base
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       (ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
+        + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\\s]+'),
+                          s -> s != '')))::BIGINT AS n_bpe_tokens,
+       round(n_alpha * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+       round(CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE len(list_filter(lt, x -> list_contains({_STOPWORDS_SQL}, x)))
+                  * 1.0 / n_tokens END, 6) AS stopword_ratio,
+       round(0.5 * (n_alpha * 1.0 / greatest(n_chars, 1))
+             + 0.3 * least((n_alpha * 1.0 / greatest(n_tokens, 1)) / 8.0, 1.0)
+             + 0.2 * (1.0 - least((n_punct * 1.0 / greatest(n_chars, 1)) * 5,
+                                  1.0)), 6) AS quality,
+       {_lang_case()} AS lang_pred,
+       md5({_SQL_NORM}) AS fingerprint
+FROM c
+ORDER BY doc_id
+"""
+
+
+def q_lang_quality_by_source(spark, sf_dir):
+    # Grouped text analytics: per declared lang, doc counts + mean quality +
+    # token mass — one scan + one short-key shuffle.
+    d = _docs(spark, sf_dir)
+    prof = text.text_profile(d).join(d.select("doc_id", "lang"), "doc_id")
+    return (prof.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.avg("quality"), 6).alias("avg_quality"),
+                     F.sum("n_tokens").alias("total_tokens")))
+
+
+SQL_LANG_QUALITY_BY_SOURCE = f"""
+WITH prof AS ({SQL_TEXT_PROFILE})
+SELECT d.lang, count(*) AS n_docs,
+       round(avg(p.quality), 6) AS avg_quality,
+       sum(p.n_tokens) AS total_tokens
+FROM prof p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+def q_dedup_exact_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(text.fingerprint("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(text.fingerprint("text")))
+        .alias("n_exact_dups"))
+
+
+SQL_DEDUP_EXACT_STATS = f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5({_SQL_NORM})) AS n_unique,
+       count(*) - count(DISTINCT md5({_SQL_NORM})) AS n_exact_dups
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, len(g) AS n_sh, unnest(g) AS gr FROM grams WHERE len(g) > 0
+), common AS (
+  SELECT a.doc_id AS lo_id, b.doc_id AS hi_id, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT lo_id, hi_id, n_common,
+       round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+FROM common
+WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.8
+"""
+
+_NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    return dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=0.7)
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(g, x -> md5('{s}:' || x)), 'min')"
+        for s in range(_NUM_HASHES))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(array_to_string(sig[{b * _ROWS_PER_BAND + 1}:"
+        f"{(b + 1) * _ROWS_PER_BAND}], '|')) AS bucket FROM sigs"
+        for b in range(_BANDS))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), sigs AS (
+  SELECT doc_id, g, [{mins}] AS sig FROM grams WHERE len(g) > 0
+), buckets AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS lo_id, b.doc_id AS hi_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.lo_id, c.hi_id,
+       round(len(list_intersect(ga.g, gb.g)) * 1.0 /
+             greatest(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)),
+                      1), 6) AS jaccard
+FROM cands c
+JOIN grams ga ON ga.doc_id = c.lo_id
+JOIN grams gb ON gb.doc_id = c.hi_id
+WHERE round(len(list_intersect(ga.g, gb.g)) * 1.0 /
+            greatest(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)),
+                     1), 6) >= 0.7
+"""
+
+
+SQL_MINHASH_NEAR_DUPS = _sql_minhash()
+
+
+def q_simhash_buckets(spark, sf_dir):
+    return dedup.simhash_duplicates(_docs(spark, sf_dir))
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> substring(x, {j + 1}, 1) >= '8'))"
+        f" - len(h) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(t, x -> md5(lower(x))) AS h FROM toks
+), sh AS (
+  SELECT doc_id, ({terms})::BIGINT AS simhash FROM hs
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM sh GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+SQL_SIMHASH_BUCKETS = _sql_simhash()
+
+
+# -------------------------------------------------------------- similarity
+
+_TOPK, _QUERY_ID = 10, 0
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK)
+
+
+SQL_ANN_TOPK_BRUTEFORCE = f"""
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings b,
+     (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) q
+WHERE b.vec_id != {_QUERY_ID}
+ORDER BY cosine DESC, b.vec_id
+LIMIT {_TOPK}
+"""
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    return dedup.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.35)
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = """
+SELECT a.vec_id AS lo_id, b.vec_id AS hi_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    # Approximate — no SQL oracle (rows-only); recall vs brute force pinned
+    # in tests/test_northstar.py.
+    return similarity.lsh_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK)
+
+
+def q_media_stats(spark, sf_dir):
+    # Multimodal plumbing demo on the synthetic media table (no testdata
+    # media table exists) — rows-only check.
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.media_stats(media)
+
+
+QUERIES = {
+    "text_profile": q_text_profile,
+    "lang_quality_by_source": q_lang_quality_by_source,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_buckets": q_simhash_buckets,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "media_stats": q_media_stats,
+}
+
+ORACLES = {
+    "text_profile": SQL_TEXT_PROFILE,
+    "lang_quality_by_source": SQL_LANG_QUALITY_BY_SOURCE,
+    "dedup_exact_stats": SQL_DEDUP_EXACT_STATS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "simhash_buckets": SQL_SIMHASH_BUCKETS,
+    "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
+    "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    # ann_topk_lsh, media_stats: intentionally no oracle (approximate /
+    # synthetic-input operators → rows-only driver check).
+}

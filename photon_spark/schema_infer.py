@@ -1,0 +1,115 @@
+"""A6 — sampled JSON schema inference per (stream, schema version).
+
+Reference behavior (default_projs.clj:8-26, schema_test.clj:38-71): the
+built-in __streams__ projection infers a schema per (stream-name, schema
+version) bucket — ALWAYS from the first 10 events of a version, then a 2%
+sample; events without a ``schema`` tag land in the ``__unversioned__``
+bucket. The inferred record maps field-path → {type, mode
+required/optional, count}.
+
+Spark-first design: the sampling filter is pure Catalyst (window row_number
+for the first-10 rule + a deterministic hash-based 2% rule — xxhash64, not
+rand(), so inference is reproducible); only the sampled rows (≤10 + 2%)
+cross into Python, where per-group schema maps merge in applyInPandas. At
+100 TB the Python cost is bounded by the sample, not the table.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from photon_spark.events import UNVERSIONED
+
+FIRST_N = 10
+SAMPLE_ONE_IN = 50  # 2%
+
+SCHEMA_RESULT = ("stream_name string, schema_tag string, n_samples long, "
+                 "schema_json string")
+
+
+def _merge_value(schema: dict, path: str, value) -> None:
+    if isinstance(value, dict):
+        for k, v in value.items():
+            _merge_value(schema, f"{path}.{k}" if path else k, v)
+        return
+    if isinstance(value, list):
+        entry = schema.setdefault(path or "$", {"types": set(), "count": 0})
+        entry["types"].add("array")
+        entry["count"] += 1
+        for v in value[:5]:  # bounded element sampling
+            _merge_value(schema, f"{path}[]", v)
+        return
+    t = ("null" if value is None else
+         "boolean" if isinstance(value, bool) else
+         "long" if isinstance(value, int) else
+         "double" if isinstance(value, float) else "string")
+    entry = schema.setdefault(path or "$", {"types": set(), "count": 0})
+    entry["types"].add(t)
+    entry["count"] += 1
+
+
+def infer_schemas(events: DataFrame, payload_col: str = "payload",
+                  stream_col: str = "stream_name",
+                  version_col: str = "schema_tag",
+                  order_col: str = "order_id") -> DataFrame:
+    """→ DataFrame[stream_name, schema_tag, n_samples, schema_json].
+
+    schema_json: {field_path: {"type": ..., "mode": "required"|"optional",
+    "count": n}} — mode is "required" iff the field appeared in every
+    sampled document of the bucket (the reference's required/optional
+    semantics, schema_test.clj:41-71).
+    """
+    version = F.coalesce(F.col(version_col), F.lit(UNVERSIONED))
+    w = Window.partitionBy(stream_col, version).orderBy(order_col)
+    sampled = (events
+               .withColumn("_ver", version)
+               .withColumn("_rn", F.row_number().over(w))
+               .where((F.col("_rn") <= FIRST_N)
+                      | (F.pmod(F.xxhash64(order_col), SAMPLE_ONE_IN) == 0))
+               .select(F.col(stream_col).alias("stream_name"),
+                       F.col("_ver").alias("schema_tag"),
+                       F.col(payload_col).alias("payload")))
+
+    def merge_group(pdf):
+        import pandas as pd
+        schema: dict = {}
+        n = 0
+        for payload in pdf["payload"]:
+            if payload is None:
+                continue
+            try:
+                doc = json.loads(payload)
+            except (ValueError, TypeError):
+                continue
+            n += 1
+            _merge_value(schema, "", doc)
+        out = {
+            path: {
+                "type": sorted(e["types"] - {"null"})[0]
+                        if e["types"] - {"null"} else "null",
+                "mode": "required" if e["count"] >= n and "[]" not in path
+                        else "optional",
+                "count": e["count"],
+            }
+            for path, e in schema.items()
+        }
+        return pd.DataFrame({
+            "stream_name": [pdf["stream_name"].iloc[0]],
+            "schema_tag": [pdf["schema_tag"].iloc[0]],
+            "n_samples": [n],
+            "schema_json": [json.dumps(out, sort_keys=True)],
+        })
+
+    return (sampled.groupBy("stream_name", "schema_tag")
+            .applyInPandas(merge_group, schema=SCHEMA_RESULT))
+
+
+def get_schema(events: DataFrame, stream_name: str) -> dict:
+    """E6 GET /schema/:stream-name (handler.clj:256-263): version → schema
+    map for one stream."""
+    rows = (infer_schemas(events.where(F.col("stream_name") == stream_name))
+            .collect())
+    return {r["schema_tag"]: json.loads(r["schema_json"]) for r in rows}

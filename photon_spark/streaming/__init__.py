@@ -1,0 +1,4 @@
+from photon_spark.streaming.replay import read_hot, read_hot_cold
+from photon_spark.streaming.stateful import StreamingProjectionRunner
+
+__all__ = ["read_hot", "read_hot_cold", "StreamingProjectionRunner"]

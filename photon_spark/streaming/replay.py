@@ -1,0 +1,45 @@
+"""R2/R3 — hot and hot-cold replay as Structured Streaming.
+
+Reference semantics (streams.clj:368-405): ``hot`` tails the live feed only;
+``hot-cold`` replays history from ``from`` then switches to live without gap
+or duplicate. Photon needs a fragile catch-up loop for the switch
+(streams.clj:374-391, re-polling the DB until the lazy seq is exhausted);
+a Structured Streaming file source over the append-only events table IS
+hot-cold natively — every already-present file is processed first, new
+files as they land, exactly-once via checkpoint. Hot-only = hot-cold with
+``from`` = the current max order_id (subscription instant).
+
+Backpressure: ``maxFilesPerTrigger`` bounds micro-batch size — no silent
+drop-oldest (photon's sliding-buffer 1 drops events for slow hot
+subscribers, streams.clj:70-72; we deliberately do not reproduce that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.events import ALL_STREAMS, EVENT_SCHEMA, EventStore
+
+
+def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
+                  from_: int = 0, max_files_per_trigger: int | None = None
+                  ) -> DataFrame:
+    """R3: streaming DataFrame that replays all persisted events (from the
+    ``from_`` bound) then keeps tailing new appends."""
+    reader = (store.spark.readStream
+              .schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger or 64))
+    df = reader.parquet(store.path)
+    if stream_name != ALL_STREAMS:
+        df = df.where(F.col("stream_name") == stream_name)
+    if from_:
+        df = df.where(F.col("order_id") >= int(from_))
+    return df
+
+
+def read_hot(store: EventStore, stream_name: str = ALL_STREAMS) -> DataFrame:
+    """R2: live tail only — hot-cold from the current high-water mark
+    (streams.clj:399-405)."""
+    return read_hot_cold(store, stream_name,
+                         from_=store.max_order_id() + 1)

@@ -1,0 +1,152 @@
+"""North-star operator tests: text analysis, dedup, similarity, multimodal
+plumbing. Correctness vs DuckDB is covered by tools/check_correctness.py;
+these pin behaviors the oracle can't express (recall, batch shapes,
+stub seams)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("  ",), ("one",), (" a  b   c ",)], "text string")
+    got = [r[0] for r in df.select(text.token_count("text")).collect()]
+    assert got == [0, 0, 1, 3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",),
+         ("el perro de la casa que ladra los dias",),
+         ("xyzzy qwerty 12345",)], "text string")
+    got = [r[0] for r in df.select(text.lang_id("text")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), (" HELLO WORLD ",)],
+        "text string")
+    fps = [r[0] for r in df.select(text.fingerprint("text")).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_quality_score_range(docs):
+    rows = docs.select(text.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup_removes_planted_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "Alpha  Beta gamma"), (3, "other")],
+        "doc_id long, text string")
+    kept = dedup.dedup_exact(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2
+
+
+def test_shingles_small_inputs(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    got = [r[0] for r in df.select(dedup.shingles("text", 3)).collect()]
+    assert got[0] == []
+    assert sorted(got[1]) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(docs):
+    # LSH with 4 bands of 4 over jaccard>=0.8 pairs: near-certain recall
+    # (p = 1-(1-j^4)^4 ≈ 0.996 at j=0.8; planted pairs are j≈0.99).
+    exact = {(r["lo_id"], r["hi_id"])
+             for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r["lo_id"], r["hi_id"])
+           for r in dedup.minhash_near_duplicates(docs, threshold=0.7).collect()}
+    assert exact, "testdata should contain planted near-dups"
+    assert exact <= lsh  # every high-jaccard pair is caught
+
+
+def test_simhash_collides_near_dups(docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.9).limit(5).collect()
+    sh = docs.select("doc_id", dedup.simhash16("text").alias("s"))
+    sig = {r["doc_id"]: r["s"] for r in sh.collect()}
+    same = sum(1 for p in pairs if sig[p["lo_id"]] == sig[p["hi_id"]])
+    assert same >= len(pairs) * 0.6  # most ~identical docs share a simhash
+
+
+# -------------------------------------------------------------- similarity
+
+def test_lsh_topk_recall(emb):
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_topk(emb, 0, k=10).collect()]
+    # Hamming-2 probe of 22/64 buckets: partial recall by design (the data's
+    # max cosine is ~0.48, i.e. ~60° angles — far neighbors for RP-LSH).
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_topk_recall(emb):
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(emb, 0, k=10, n_cells=8, n_probe=4).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_brute_force_topk_no_shuffle_sort(emb):
+    # Plan check: top-k must be TakeOrderedAndProject, not a global sort.
+    plan = (similarity.brute_force_topk(emb, 0, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_image_features_batch_shape(spark):
+    media = multimodal.synthesize_media(spark, n=20)
+    feats = multimodal.image_features(media, target_size=32)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert set(feats.columns) == {"media_id", "n_bytes", "mean_luma",
+                                  "resized_w", "resized_h"}
+    assert all(max(r["resized_w"], r["resized_h"]) == 32 for r in rows)
+    assert all(0 <= r["mean_luma"] <= 255 for r in rows)
+
+
+def test_frame_sampling_one_to_many(spark):
+    media = multimodal.synthesize_media(spark, n=6, kind="video")
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=8)
+    rows = frames.collect()
+    assert len(rows) > 6  # 1:N expansion
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_id.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+
+
+def test_decode_stub_raises_on_null(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(None, 4, 4)
+
+
+def test_media_stats_prunes_blobs(spark):
+    media = multimodal.synthesize_media(spark, n=16)
+    stats = multimodal.media_stats(media).collect()
+    assert stats[0]["n_items"] == 16

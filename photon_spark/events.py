@@ -125,6 +125,10 @@ class EventStore:
             if c not in cols:
                 typ = PROVENANCE_TYPE if c == "provenance" else T.StringType()
                 df = df.withColumn(c, F.lit(None).cast(typ))
+        # Count the INPUT once — re-counting the stamped plan would re-run
+        # the whole stamping pipeline (with a fresh current_timestamp) just
+        # to return N.
+        n = df.count()
         stamped = stamp_events(df.select(_CLIENT_FIELDS), self.max_order_id())
         (stamped
          .repartition("stream_name")
@@ -132,7 +136,7 @@ class EventStore:
          .write.mode("append")
          .partitionBy("stream_name")
          .parquet(self.path))
-        return stamped.count()
+        return n
 
     # ----------------------------------------------------------------- read
     def read_all(self) -> DataFrame:
@@ -146,14 +150,20 @@ class EventStore:
         """R1 cold replay: ordered scan of one stream (or __all__) from a
         lower order_id bound, optional limit (streams.clj:340-366).
 
-        ``from_`` accepts epoch-ms (coerced to the order_id space, as the
-        reference's extract-date does, streams.clj:60-64) or a raw order_id.
+        ``from_`` accepts epoch-ms (coerced to the order_id space by ×1000,
+        mirroring the reference's extract-date, streams.clj:60-64) or a raw
+        order_id. The two spaces are 1000× apart, so the coercion threshold
+        (10^14, i.e. ~year 5138 in ms, ~1973 in order_id space) is
+        unambiguous for any realistic timestamp.
         """
         df = self.read_all()
         if stream_name != ALL_STREAMS:
             df = df.where(F.col("stream_name") == stream_name)
         if from_:
-            df = df.where(F.col("order_id") >= int(from_))
+            from_ = int(from_)
+            if 10_000_000_000 <= from_ < 100_000_000_000_000:
+                from_ *= 1000  # epoch-ms → order_id space
+            df = df.where(F.col("order_id") >= from_)
         df = df.orderBy("order_id")
         if limit is not None:
             df = df.limit(int(limit))

@@ -19,6 +19,7 @@ DuckDB). md5 hex strings compare lexicographically the same everywhere.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -229,11 +230,92 @@ def simhash16_from_hashes(h):
     return out.cast("long")
 
 
+def simhash64(texts):
+    """64-bit SimHash over word tokens as an Arrow-batched pandas UDF.
+
+    64 JVM-side ``F.aggregate`` passes over the token array would be 64
+    interpreted folds per row; one vectorized numpy pass (md5 digest →
+    unpackbits → column sums) is the right engineering for a 64-bit sketch.
+    Tokenization matches :func:`photon_spark.functions.text.tokens`
+    (whitespace split of the trimmed text), hashing matches the 16-bit
+    variant (md5 of the lowercased token).
+    """
+
+    @F.pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            bits = np.frombuffer(
+                b"".join(hashlib.md5(tok.lower().encode()).digest()[:8]
+                         for tok in toks),
+                dtype=np.uint8).reshape(len(toks), 8)
+            ones = np.unpackbits(bits, axis=1).sum(axis=0)
+            sig = 0
+            for j, c in enumerate(ones):
+                if 2 * int(c) > len(toks):
+                    sig |= 1 << (63 - j)
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sim(F.col(texts) if isinstance(texts, str) else texts)
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", hamming: int = 3,
+                           bands: int = 4) -> DataFrame:
+    """Near-dup pairs within a Hamming radius of the 64-bit simhash.
+
+    Banded probe: the 64-bit signature splits into ``bands`` sub-keys
+    (16 bits each at the default); a pair within Hamming ≤ bands-1 MUST
+    agree on at least one full band (pigeonhole), so equal-band buckets are
+    a lossless candidate generator for ``hamming <= bands - 1``. Exact
+    verification = ``bit_count(xor) <= hamming`` on candidates only — no
+    cross product, shuffle keyed by (band, 16-bit key).
+
+    At 100 TB: band keys are persisted partition columns; candidate
+    generation is a per-bucket join, verification touches candidates only.
+    """
+    assert hamming <= bands - 1, "banded probe is lossless only for h <= bands-1"
+    width = 64 // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash64(text_col).alias("sig"))
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 (F.shiftrightunsigned("sig", b * width)
+                  .bitwiseAND(F.lit((1 << width) - 1))).alias("key"))
+        for b in range(bands)])
+    buckets = (sig.select("id", "sig", F.explode(band_arr).alias("bb"))
+                  .select("id", "sig", F.col("bb.band").alias("band"),
+                          F.col("bb.key").alias("key")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("lo_id"),
+                      F.col("b.id").alias("hi_id"),
+                      F.col("a.sig").alias("sig_a"),
+                      F.col("b.sig").alias("sig_b"))
+              .distinct())
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cands.select("lo_id", "hi_id", dist.alias("hamming"))
+                 .where(F.col("hamming") <= hamming))
+
+
 def simhash_duplicates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """Near-dup groups = equal 16-bit simhash buckets (size > 1). At scale,
-    banding the 16 bits into sub-keys catches hamming-distance-1 pairs; the
-    exact-bucket variant is the SQL-checkable core."""
+    """Near-dup groups = equal 16-bit simhash buckets (size > 1). The
+    SQL-checkable core; the scale/recall path is
+    :func:`simhash_near_dup_pairs` (64-bit + banded Hamming probe)."""
     from photon_spark.functions._util import spread
     hashed = spread(df).select(
         F.col(id_col),

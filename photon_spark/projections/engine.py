@@ -170,9 +170,22 @@ class ProjectionEngine:
     (photon_spark.streaming.stateful) drives the same fold per micro-batch.
     """
 
-    def __init__(self, store: EventStore):
+    def __init__(self, store: EventStore | None = None):
         self.store = store
         self.registry: dict[str, Projection] = {}
+
+    @classmethod
+    def fold_dataframe(cls, reducer: "Reducer", df: DataFrame,
+                       initial_value: Any = None,
+                       name: str = "adhoc") -> Projection:
+        """Fold an arbitrary ordered DataFrame through a reducer without an
+        EventStore (ad-hoc / driver-contract use). Returns the descriptor."""
+        engine = cls(store=None)
+        proj = Projection(projection_name=name, reducer=reducer,
+                          initial_value=initial_value,
+                          current_value=initial_value)
+        engine.registry[name] = proj
+        return engine._fold_df(proj, df)
 
     # ------------------------------------------------------------ registry
     def register(self, name: str, reducer: Reducer | str,
@@ -254,31 +267,52 @@ class ProjectionEngine:
     # -- tier 3: arbitrary ordered fold, driver-streamed ------------------
     def _fold_serial(self, proj: Projection, df: DataFrame,
                      emit_states: bool = False) -> Projection:
+        """Ordered fold with executor-side record packing.
+
+        Per-row Python deserialization is the old bottleneck (~85k rows/s
+        through ``toLocalIterator``). Instead: range-partition on order_id,
+        convert each Arrow batch to plain dicts IN PARALLEL on executors,
+        ship them to the driver as one pickled blob per batch, and stream
+        blobs in order through ``toLocalIterator`` (constant driver memory —
+        one blob at a time). The driver loop then runs only the user fn.
+        """
         reducer: PyReducer = proj.reducer  # type: ignore[assignment]
-        cols = df.columns
         emitted = [] if emit_states else None
         state = proj.current_value
-        # toLocalIterator on an ordered plan preserves global order and keeps
-        # only one partition in driver memory at a time.
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            ev = dict(zip(cols, row))
+        for brow in _pack_ordered(df).toLocalIterator(prefetchPartitions=True):
+            recs = pickle.loads(brow["blob"])
             t0 = time.perf_counter()
-            try:
-                state = reducer.fn(state, ev)
-            except Exception as exc:  # A3 failure capture
-                import traceback
-                proj.last_error = f"{exc}\n{traceback.format_exc(limit=5)}"
-                proj.status = "failed"
-                return proj
-            dt = (time.perf_counter() - t0) * 1000.0
-            proj.processed += 1
-            # incremental mean (streams.clj:99-106 next-avg)
-            proj.avg_time += (dt - proj.avg_time) / proj.processed
-            proj.last_event = ev.get("order_id") or proj.last_event
-            if proj.processed % _MEASURE_RATE == 0:
-                proj.mem_used = len(pickle.dumps(state))
-            if emitted is not None:
-                emitted.append(state)
+            for i, ev in enumerate(recs):
+                try:
+                    state = reducer.fn(state, ev)
+                except Exception as exc:  # A3 failure capture
+                    import traceback
+                    proj.last_error = f"{exc}\n{traceback.format_exc(limit=5)}"
+                    proj.status = "failed"
+                    # keep metrics and queryable state consistent: state is
+                    # the value BEFORE the failing event (streams.clj:84-97
+                    # keeps the last good state queryable on failure).
+                    proj.processed += i
+                    if i:
+                        proj.last_event = recs[i - 1].get("order_id") \
+                            or proj.last_event
+                    proj.current_value = state
+                    if emitted is not None:
+                        proj.emitted = emitted  # type: ignore[attr-defined]
+                    return proj
+                if emitted is not None:
+                    emitted.append(state)
+            n = len(recs)
+            if n:
+                dt_ms = (time.perf_counter() - t0) * 1000.0
+                # incremental mean ms/event (streams.clj:99-106 next-avg),
+                # batch-amortized: all n events share this batch's mean.
+                proj.avg_time += ((dt_ms / n) - proj.avg_time) * n \
+                    / (proj.processed + n)
+                if (proj.processed % _MEASURE_RATE) + n >= _MEASURE_RATE:
+                    proj.mem_used = len(pickle.dumps(state))
+                proj.processed += n
+                proj.last_event = recs[-1].get("order_id") or proj.last_event
         proj.current_value = state
         if emitted is not None:
             proj.emitted = emitted  # type: ignore[attr-defined]
@@ -320,6 +354,41 @@ class ProjectionEngine:
             proj.last_event = max(proj.last_event, p["mx"])
         proj.current_value = state
         return proj
+
+
+def _pack_ordered(df: DataFrame) -> DataFrame:
+    """→ DataFrame[lo long, blob binary]: the input rows as pickled lists of
+    plain-Python dicts, one blob per Arrow batch, ordered by first order_id.
+
+    Range-partitioning on order_id gives disjoint contiguous spans in
+    ascending partition order, so sorting the (tiny) blob rows by
+    (partition_index, chunk_index) reconstructs the exact total order.
+    numpy scalars are converted executor-side so user reducers see plain
+    ints/floats.
+    """
+    if "order_id" in df.columns:
+        df = (df.repartitionByRange("order_id")
+                .sortWithinPartitions("order_id"))
+    else:  # no order key: preserve the plan's own order in one partition
+        df = df.coalesce(1)
+
+    def pack(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for idx, pdf in enumerate(batches):
+            if pdf.empty:
+                continue
+            recs = [
+                {k: (v.item() if hasattr(v, "item") else v)
+                 for k, v in r.items()}
+                for r in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({"lo": [(pid << 24) + idx],
+                                "blob": [pickle.dumps(recs, protocol=4)]})
+
+    return (df.mapInPandas(pack, schema="lo long, blob binary")
+              .orderBy("lo"))
 
 
 def _combine_native(kind: str, prev: Any, new: Any, prev_n: int, new_n: int) -> Any:

@@ -13,12 +13,13 @@ BOTH engines so partial-aggregation order cannot flip the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from photon_spark.projections.engine import ProjectionEngine, Projection, PyReducer
+from photon_spark.projections.engine import ProjectionEngine, PyReducer
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -180,15 +181,12 @@ def q_projection_fold_stats(spark, sf_dir):
     order_id order through the driver-streamed Arrow iterator."""
     events = (_t(spark, sf_dir, "events")
               .select(F.col("event_id").alias("order_id"), "value"))
-    proj = Projection(
-        projection_name="fold_stats",
-        reducer=PyReducer(
+    proj = ProjectionEngine.fold_dataframe(
+        PyReducer(
             fn=lambda st, ev: (st[0] + 1, ev["order_id"], st[2] + ev["value"]),
             source="tuple-fold"),
-        initial_value=(0, 0, 0.0), current_value=(0, 0, 0.0))
-    engine = ProjectionEngine.__new__(ProjectionEngine)  # storeless fold
-    engine.registry = {"fold_stats": proj}
-    engine._fold_df(proj, events.orderBy("order_id"))
+        events.orderBy("order_id"),
+        initial_value=(0, 0, 0.0), name="fold_stats")
     n, last, total = proj.current_value
     return spark.createDataFrame(
         [(n, last, round(total, 2))],
@@ -199,6 +197,64 @@ SQL_PROJECTION_FOLD_STATS = """
 SELECT count(*) AS processed, max(event_id) AS last_event,
        round(sum(value), 2) AS sum_value
 FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 streaming — the hot path: StreamingProjectionRunner folds the events
+# (ingested into a real EventStore) through a Structured Streaming
+# subscription; the order-sensitive checksum pins the exact fold order
+# (streams.clj:241-274 continuous projections; :368-397 hot-cold)
+# --------------------------------------------------------------------------
+
+def q_projection_streaming_fold(spark, sf_dir):
+    """Ingest the testdata events into an EventStore (order_id stamped in
+    event_id order), then fold them via the streaming runner. State =
+    (processed, first, last, sum(rank*event_id)) — the rank-weighted
+    checksum changes under ANY deviation from total event_id order, so a
+    hash match proves the streaming fold ran in order with no gap/dup."""
+    import shutil
+    import tempfile
+    from photon_spark.events import EventStore
+    from photon_spark.streaming.stateful import StreamingProjectionRunner
+
+    base = tempfile.mkdtemp(prefix="photon_spark_streamq_")
+    try:
+        store = EventStore(spark, os.path.join(base, "events"))
+        src = (_t(spark, sf_dir, "events")
+               .orderBy("event_id")
+               .select(F.col("event_type").alias("stream_name"),
+                       F.col("event_id").cast("string").alias("local_id")))
+        store.ingest(src)
+
+        def fold(st, ev):
+            eid = int(ev["local_id"])
+            n = st[0] + 1
+            return (n, st[1] if st[0] else eid, eid, st[3] + n * eid)
+
+        engine = ProjectionEngine(store)
+        engine.register("stream_fold", PyReducer(fn=fold, source="stream_fold"),
+                        initial_value=(0, 0, 0, 0))
+        runner = StreamingProjectionRunner(
+            engine, checkpoint_dir=os.path.join(base, "ckpt"))
+        runner.run(available_now=True)
+        n, first, last, checksum = engine.value("stream_fold")
+        return spark.createDataFrame(
+            [(int(n), int(first), int(last), int(checksum))],
+            "processed long, first_event long, last_event long, "
+            "order_checksum long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_PROJECTION_STREAMING_FOLD = """
+SELECT count(*) AS processed,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event,
+       sum(rn * event_id) AS order_checksum
+FROM (SELECT event_id,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM events)
 """
 
 
@@ -239,6 +295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "projection_count_all": q_projection_count_all,
     "projection_sum_by_stream": q_projection_sum_by_stream,
     "projection_fold_stats": q_projection_fold_stats,
+    "projection_streaming_fold": q_projection_streaming_fold,
     "projection_value_lookup": q_projection_value_lookup,
 }
 
@@ -253,6 +310,7 @@ ORACLES: dict[str, str] = {
     "projection_count_all": SQL_PROJECTION_COUNT_ALL,
     "projection_sum_by_stream": SQL_PROJECTION_SUM_BY_STREAM,
     "projection_fold_stats": SQL_PROJECTION_FOLD_STATS,
+    "projection_streaming_fold": SQL_PROJECTION_STREAMING_FOLD,
     "projection_value_lookup": SQL_PROJECTION_VALUE_LOOKUP,
 }
 

@@ -93,16 +93,23 @@ def q_lang_quality_by_source(spark, sf_dir):
     # token mass — one scan + one short-key shuffle.
     d = _docs(spark, sf_dir)
     prof = text.text_profile(d).join(d.select("doc_id", "lang"), "doc_id")
+    # avg over EXACT integers (quality is 6dp-rounded, so quality*1e6 is
+    # integral): float avg() is partial-aggregation-order dependent in the
+    # last ulp and round(.,6) sits on the boundary — the r1 flaky hash.
+    # Integer sum → one double division → identical on both engines.
+    q_int = F.round(F.col("quality") * 1e6).cast("long")
     return (prof.groupBy("lang")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.round(F.avg("quality"), 6).alias("avg_quality"),
+                     F.round(F.sum(q_int) / F.count(F.lit(1)) / 1e6, 6)
+                      .alias("avg_quality"),
                      F.sum("n_tokens").alias("total_tokens")))
 
 
 SQL_LANG_QUALITY_BY_SOURCE = f"""
 WITH prof AS ({SQL_TEXT_PROFILE})
 SELECT d.lang, count(*) AS n_docs,
-       round(avg(p.quality), 6) AS avg_quality,
+       round(sum(CAST(round(p.quality * 1000000) AS BIGINT)) * 1.0
+             / count(*) / 1000000, 6) AS avg_quality,
        sum(p.n_tokens) AS total_tokens
 FROM prof p JOIN documents d USING (doc_id)
 GROUP BY d.lang

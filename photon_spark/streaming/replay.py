@@ -12,6 +12,10 @@ files as they land, exactly-once via checkpoint. Hot-only = hot-cold with
 Backpressure: ``maxFilesPerTrigger`` bounds micro-batch size — no silent
 drop-oldest (photon's sliding-buffer 1 drops events for slow hot
 subscribers, streams.clj:70-72; we deliberately do not reproduce that).
+It is OFF by default: splitting one ingest's files (hash-partitioned by
+stream) across triggers can interleave order_ids across micro-batches,
+which would break the ordered-fold guarantee of
+photon_spark.streaming.stateful — see that module's docstring.
 """
 
 from __future__ import annotations
@@ -27,9 +31,9 @@ def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
                   ) -> DataFrame:
     """R3: streaming DataFrame that replays all persisted events (from the
     ``from_`` bound) then keeps tailing new appends."""
-    reader = (store.spark.readStream
-              .schema(EVENT_SCHEMA)
-              .option("maxFilesPerTrigger", max_files_per_trigger or 64))
+    reader = store.spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(store.path)
     if stream_name != ALL_STREAMS:
         df = df.where(F.col("stream_name") == stream_name)

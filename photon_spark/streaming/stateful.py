@@ -1,0 +1,136 @@
+"""Streaming projection runner — the hot path (R2/R3 + A1 streaming).
+
+Reference semantics (citations into /root/reference):
+
+- Continuous projections fold every new event, in order_id order, into the
+  registered reducers (src/photon/streams.clj:241-274 register,
+  :125-145 fold step).
+- Hot-cold handoff: replay history, then switch to the live feed with no
+  gap and no duplicate (src/photon/streams.clj:368-397 — photon needs a
+  fragile catch-up loop re-polling the DB; a Structured Streaming file
+  source over the append-only events table gets the same guarantee from the
+  source itself: already-present files first, new files as they land,
+  exactly-once offsets in the checkpoint).
+- Resume: a projection continues from its ``last_event`` order_id
+  (streams.clj:255-259); re-running the same runner/checkpoint folds only
+  events that arrived since.
+
+Ordering guarantee (the one real constraint): micro-batches must not
+interleave order_ids. That holds by construction for a single-writer store —
+``EventStore.ingest`` stamps each append strictly above the previous max
+order_id and the file source processes files in arrival order, taking *all*
+new files per trigger when ``maxFilesPerTrigger`` is unset (the default
+here). Setting ``maxFilesPerTrigger`` trades that guarantee for bounded
+micro-batches: one ingest's files are hash-partitioned by stream and may
+split across triggers out of order. Use it only for hot-only tails where
+each trigger's files come from distinct ingest calls.
+
+Scale notes: the per-batch work is ``ProjectionEngine._fold_df`` — native
+reducers stay Catalyst aggregates (distributed, no Python), the PyReducer
+tier packs records executor-side and folds driver-side (photon is likewise
+serial per projection, parallel across projections, streams.clj:410-420).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from photon_spark.events import ALL_STREAMS
+from photon_spark.projections.engine import ProjectionEngine
+from photon_spark.streaming.replay import read_hot_cold
+
+
+class StreamingProjectionRunner:
+    """Drives every registered projection of a :class:`ProjectionEngine`
+    from a Structured Streaming subscription on the events table.
+
+    ``run(available_now=True)`` processes everything currently persisted and
+    stops (the test/batch-catch-up mode); ``available_now=False`` returns
+    the live ``StreamingQuery`` (the continuous hot path) — stop it with
+    ``.stop()``.
+    """
+
+    def __init__(self, engine: ProjectionEngine, checkpoint_dir: str | None = None,
+                 max_files_per_trigger: int | None = None):
+        self.engine = engine
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+            prefix="photon_spark_ckpt_")
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batches = 0
+        #: virtual-stream capture: successive state snapshots per projection,
+        #: one per micro-batch that touched it (streams.clj:182-200 — every
+        #: new state value is itself a subscribable stream).
+        self.history: list[tuple[int, str, object]] = []
+
+    # ------------------------------------------------------------ per batch
+    def _apply_batch(self, batch_df, batch_id: int) -> None:
+        """Fold one micro-batch into every running projection.
+
+        Per projection: filter to its stream, drop anything at or below its
+        resume point (no-dup on restart replay), sort by order_id (ordered
+        fold within the batch), then reuse the engine's tiered fold.
+        """
+        batch_df = batch_df.persist()
+        try:
+            for name, proj in list(self.engine.registry.items()):
+                if proj.status == "failed":
+                    continue
+                df = batch_df
+                if proj.stream_name != ALL_STREAMS:
+                    df = df.where(F.col("stream_name") == proj.stream_name)
+                df = df.where(F.col("order_id") > proj.last_event)
+                before = proj.processed
+                self.engine._fold_df(proj, df.orderBy("order_id"))
+                if proj.processed != before:
+                    self.history.append((batch_id, name, proj.current_value))
+        finally:
+            batch_df.unpersist()
+        self.batches += 1
+
+    # ----------------------------------------------------------------- run
+    def _stream_writer(self):
+        stream = read_hot_cold(
+            self.engine.store,
+            max_files_per_trigger=self.max_files_per_trigger)
+        return (stream.writeStream
+                .foreachBatch(self._apply_batch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .queryName("photon_spark_projections"))
+
+    def run(self, available_now: bool = True, timeout_sec: float = 300.0):
+        """Start the subscription.
+
+        ``available_now=True``: hot-cold catch-up — fold all currently
+        persisted (uncommitted-to-checkpoint) events, then stop; returns the
+        total processed count across projections. ``available_now=False``:
+        returns the live StreamingQuery immediately.
+        """
+        if not available_now:
+            return self._stream_writer().start()
+        query = (self._stream_writer()
+                 .trigger(availableNow=True)
+                 .start())
+        try:
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"availableNow projection run exceeded {timeout_sec}s")
+        finally:
+            if query.isActive:
+                query.stop()
+        return sum(p.processed for p in self.engine.registry.values())
+
+    def await_processed(self, name: str, target: int,
+                        timeout_sec: float = 60.0) -> bool:
+        """Poll until a projection has folded ``target`` events (live-mode
+        test helper; photon's tests sleep-poll :processed the same way,
+        test/photon/current/projections.clj:100-105)."""
+        deadline = time.time() + timeout_sec
+        while time.time() < deadline:
+            proj = self.engine.projection(name)
+            if proj is not None and proj.processed >= target:
+                return True
+            time.sleep(0.1)
+        return False

@@ -81,11 +81,34 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(docs):
 
 
 def test_simhash_collides_near_dups(docs):
-    pairs = dedup.jaccard_pairs(docs, threshold=0.9).limit(5).collect()
-    sh = docs.select("doc_id", dedup.simhash16("text").alias("s"))
-    sig = {r["doc_id"]: r["s"] for r in sh.collect()}
-    same = sum(1 for p in pairs if sig[p["lo_id"]] == sig[p["hi_id"]])
-    assert same >= len(pairs) * 0.6  # most ~identical docs share a simhash
+    # The shipped near-dup operator (64-bit simhash + banded Hamming<=3
+    # probe) catches most jaccard>=0.9 pairs; the 16-bit bucket variant is
+    # only the SQL-oracle core and is not expected to have this recall.
+    pairs = dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    assert pairs, "testdata should contain planted near-dups"
+    caught = {(r["lo_id"], r["hi_id"])
+              for r in dedup.simhash_near_dup_pairs(docs, hamming=3).collect()}
+    hits = sum(1 for p in pairs if (p["lo_id"], p["hi_id"]) in caught)
+    assert hits >= len(pairs) * 0.6
+
+
+def test_simhash_banded_probe_is_lossless(docs):
+    # Pigeonhole guarantee: 4 bands of 16 bits can't all be corrupted by
+    # <=3 bit flips, so the banded candidates reproduce the brute-force
+    # hamming<=3 pair set EXACTLY.
+    sig = {r["doc_id"]: r["s"] for r in
+           docs.select("doc_id", dedup.simhash64("text").alias("s")).collect()}
+    ids = sorted(sig)
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & mask).count("1")
+
+    brute = {(a, b, ham(a, b)) for i, a in enumerate(ids)
+             for b in ids[i + 1:] if ham(a, b) <= 3}
+    got = {(r["lo_id"], r["hi_id"], r["hamming"])
+           for r in dedup.simhash_near_dup_pairs(docs, hamming=3).collect()}
+    assert got == brute
 
 
 # -------------------------------------------------------------- similarity

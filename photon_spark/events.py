@@ -57,7 +57,8 @@ _CLIENT_FIELDS = ["stream_name", "event_type", "service_id", "local_id",
                   "schema_tag", "provenance", "payload"]
 
 
-def stamp_events(df: DataFrame, base_order_id: int = 0) -> DataFrame:
+def stamp_events(df: DataFrame, base_order_id: int = 0,
+                 partition_offsets: dict[int, int] | None = None) -> DataFrame:
     """Assign ``event_time`` + monotonic unique ``order_id`` to a batch.
 
     order_id = unix_millis(event_time) * 1000 + (per-ms counter mod 1000),
@@ -71,14 +72,29 @@ def stamp_events(df: DataFrame, base_order_id: int = 0) -> DataFrame:
     stay globally monotonic across micro-batches (driver-side bookkeeping in
     the streaming ingest path, SURVEY.md §4 custom-work #2).
 
-    Scale note: the window is a single global ordering — acceptable because
-    ingest batches are micro-batches (bounded), not the 100 TB table itself.
+    Sequence assignment: with ``partition_offsets`` (cumulative row offsets
+    per input partition id, as :meth:`EventStore.ingest` computes from one
+    counting pass over the cached batch) the global sequence is
+    per-partition row_number + offset — fully parallel, the scale path. A
+    global dense sequence fundamentally needs that one counting pass;
+    without offsets we fall back to a single-partition window (fine for
+    small ad-hoc batches only).
     """
     now = F.current_timestamp()
     df = df.withColumn("event_time", now)
-    # One global sequence per batch: row_number over arrival order.
-    w = Window.orderBy(F.monotonically_increasing_id())
-    seq = F.row_number().over(w).cast("long") - F.lit(1)
+    if partition_offsets is not None:
+        # pid/mono MUST be materialized before the window shuffle: evaluated
+        # after it they would describe the post-shuffle layout.
+        df = (df.withColumn("_pid", F.spark_partition_id())
+                .withColumn("_mono", F.monotonically_increasing_id()))
+        w = Window.partitionBy("_pid").orderBy("_mono")
+        off = F.create_map(*[F.lit(x) for pid in sorted(partition_offsets)
+                             for x in (pid, partition_offsets[pid])])
+        seq = (F.row_number().over(w).cast("long") - F.lit(1)
+               + off[F.col("_pid")])
+    else:
+        w = Window.orderBy(F.monotonically_increasing_id())
+        seq = F.row_number().over(w).cast("long") - F.lit(1)
     base_ms = (F.unix_millis(F.col("event_time")) * 1000)
     candidate = base_ms + seq
     df = df.withColumn(
@@ -99,6 +115,9 @@ class EventStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        #: A9 global incoming counter (since construction, mirroring
+        #: photon's since-boot atom, streams.clj:290-303).
+        self.ingested = 0
 
     # ---------------------------------------------------------------- write
     def _exists(self) -> bool:
@@ -125,17 +144,29 @@ class EventStore:
             if c not in cols:
                 typ = PROVENANCE_TYPE if c == "provenance" else T.StringType()
                 df = df.withColumn(c, F.lit(None).cast(typ))
-        # Count the INPUT once — re-counting the stamped plan would re-run
-        # the whole stamping pipeline (with a fresh current_timestamp) just
-        # to return N.
-        n = df.count()
-        stamped = stamp_events(df.select(_CLIENT_FIELDS), self.max_order_id())
-        (stamped
-         .repartition("stream_name")
-         .sortWithinPartitions("order_id")
-         .write.mode("append")
-         .partitionBy("stream_name")
-         .parquet(self.path))
+        # One counting pass over the cached batch yields both N (photon
+        # returns it) and per-partition offsets for the parallel global
+        # sequence — no single-partition window, no double execution.
+        src = df.select(_CLIENT_FIELDS).persist()
+        try:
+            counts = (src.groupBy(F.spark_partition_id().alias("pid"))
+                         .agg(F.count(F.lit(1)).alias("cnt")).collect())
+            offsets, acc = {}, 0
+            for r in sorted(counts, key=lambda r: r["pid"]):
+                offsets[r["pid"]] = acc
+                acc += r["cnt"]
+            n = acc
+            stamped = stamp_events(src, self.max_order_id(),
+                                   partition_offsets=offsets)
+            (stamped
+             .repartition("stream_name")
+             .sortWithinPartitions("order_id")
+             .write.mode("append")
+             .partitionBy("stream_name")
+             .parquet(self.path))
+        finally:
+            src.unpersist()
+        self.ingested += n
         return n
 
     # ----------------------------------------------------------------- read
@@ -146,7 +177,7 @@ class EventStore:
         return df.select([f.name for f in EVENT_SCHEMA.fields])
 
     def read_cold(self, stream_name: str = ALL_STREAMS, from_: int = 0,
-                  limit: int | None = None) -> DataFrame:
+                  limit: int | None = None, ordered: bool = True) -> DataFrame:
         """R1 cold replay: ordered scan of one stream (or __all__) from a
         lower order_id bound, optional limit (streams.clj:340-366).
 
@@ -164,7 +195,10 @@ class EventStore:
             if 10_000_000_000 <= from_ < 100_000_000_000_000:
                 from_ *= 1000  # epoch-ms → order_id space
             df = df.where(F.col("order_id") >= from_)
-        df = df.orderBy("order_id")
+        # ordered=False lets order-insensitive consumers (the fold engine
+        # re-orders via its own range partitioning) skip the global sort.
+        if ordered or limit is not None:
+            df = df.orderBy("order_id")
         if limit is not None:
             df = df.limit(int(limit))
         return df

@@ -16,7 +16,7 @@ computed in float64; no Python in the distance loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -75,12 +75,34 @@ def _plane_coeff(plane: int, dim: int) -> Column:
     return u / F.lit(2147483648.0) - F.lit(1.0)
 
 
-def rp_signature(vec_col, n_planes: int = 8) -> Column:
-    """Random-hyperplane sign signature (int bitmask, n_planes bits)."""
+def _coeff_py(plane: int, i: int) -> float:
+    """Driver-side twin of :func:`_rand_from_idx` — identical md5-derived
+    coefficient values, computed once instead of per element per row."""
+    import hashlib
+    h = hashlib.md5(f"{plane}:{i}".encode()).hexdigest()
+    return int(h[:8], 16) / 2147483648.0 - 1.0
+
+
+def rp_signature(vec_col, n_planes: int = 8, dim: int | None = None) -> Column:
+    """Random-hyperplane sign signature (int bitmask, n_planes bits).
+
+    With ``dim`` (the vector length, usually known from the query vector)
+    the hyperplane coefficients become literal arrays and each plane is a
+    single multiply-add fold; without it the coefficients are derived
+    per element with md5 in the plan (engine-portable but ~10× slower —
+    only for schema-unknown callers).
+    """
     v = F.transform(vec_col if isinstance(vec_col, Column) else F.col(vec_col),
                     lambda x: x.cast("double"))
-    idx = F.sequence(F.lit(0), F.size(v) - 1)
     sig = F.lit(0)
+    if dim is not None:
+        for p in range(n_planes):
+            coeffs = F.array(*[F.lit(_coeff_py(p, i)) for i in range(dim)])
+            proj = F.aggregate(F.zip_with(v, coeffs, lambda x, c: x * c),
+                               F.lit(0.0), lambda acc, t: acc + t)
+            sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
+        return sig
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
     for p in range(n_planes):
         proj = F.aggregate(
             idx, F.lit(0.0),
@@ -112,14 +134,10 @@ def lsh_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
         query_vec = _query_vector(df, id_col, vec_col, query_vec)
 
     # Query signature computed driver-side with the same md5 coefficients.
-    import hashlib
     qsig = 0
     for p in range(n_planes):
-        proj = 0.0
-        for i, x in enumerate(query_vec):
-            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
-            coeff = int(h[:8], 16) / 2147483648.0 - 1.0
-            proj += float(x) * coeff
+        proj = sum(float(x) * _coeff_py(p, i)
+                   for i, x in enumerate(query_vec))
         if proj >= 0:
             qsig |= 1 << p
     probe = {qsig}
@@ -130,7 +148,8 @@ def lsh_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
                   for p in range(n_planes) for r in range(p + 1, n_planes)}
     probe = sorted(probe)
 
-    sigged = df.withColumn("_sig", rp_signature(F.col(vec_col), n_planes))
+    sigged = df.withColumn(
+        "_sig", rp_signature(F.col(vec_col), n_planes, dim=len(query_vec)))
     cand = sigged.where(F.col("_sig").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = cand.select(F.col(id_col),
@@ -146,44 +165,56 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-style ANN: coarse centroids are the embeddings of the ``n_cells``
-    lowest-id rows (deterministic "training"); every row is assigned to its
-    nearest centroid (one broadcast join); the query probes the ``n_probe``
-    nearest cells.
+    lowest-id rows (deterministic "training"); the query probes the
+    ``n_probe`` nearest cells.
+
+    Assignment plan: the centroids are a tiny driver-side list, so each row
+    computes its argmax-similarity cell as ONE projection — an array of
+    (sim, -cell_id) structs against centroid literals reduced with
+    ``array_max`` (lexicographic struct order ⇒ max sim, ties to the lowest
+    cell_id). No crossJoin (the r1 version amplified the scan n_cells×), no
+    window (no shuffle): scan → project → filter.
 
     At scale: write the table partitioned/bucketed by ``cell`` so a probe
-    reads n_probe/n_cells of the data; centroids come from a real k-means
-    over a sample (MLlib) — the plumbing is identical.
+    reads n_probe/n_cells of the data via partition pruning; centroids come
+    from a real k-means over a sample (MLlib) — the plumbing is identical.
     """
+    import math
+
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
         query_vec = _query_vector(df, id_col, vec_col, query_vec)
 
-    cents = (df.orderBy(id_col).limit(n_cells)
-               .select(F.col(id_col).alias("cell_id"),
-                       F.col(vec_col).alias("cent")))
-    # Assign: broadcast the centroid table, argmin distance per row.
-    assigned = (df.crossJoin(F.broadcast(cents))
-                  .withColumn("d", cosine(F.col(vec_col), F.col("cent")))
-                  .withColumn("rn", F.row_number().over(
-                      Window.partitionBy(id_col)
-                      .orderBy(F.col("d").desc(), F.col("cell_id"))))
-                  .where(F.col("rn") == 1)
-                  .select(id_col, vec_col, "cell_id"))
+    crows = df.orderBy(id_col).limit(n_cells) \
+              .select(F.col(id_col).alias("cell_id"), F.col(vec_col)).collect()
+    cents = [(int(r["cell_id"]), [float(x) for x in r[vec_col]])
+             for r in crows]
+
+    def norm_py(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    # Per-row argmax cell over centroid literals: one projection, no join.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), F.col(vec_col), vd.alias("_v")) \
+             .withColumn("_nv", norm(F.col("_v")))
+    entries = []
+    for cell_id, cvec in cents:
+        clit = F.array(*[F.lit(x) for x in cvec])
+        sim = dot(F.col("_v"), clit) / (F.col("_nv") * F.lit(norm_py(cvec)))
+        entries.append(F.struct(sim.alias("sim"),
+                                F.lit(-cell_id).alias("negcell")))
+    assigned = base.withColumn(
+        "cell_id", -F.array_max(F.array(*entries))["negcell"])
 
     # Probe cells: nearest centroids to the query (driver-side, tiny).
-    import math
-    crows = cents.collect()
-
     def cos_py(a, b):
-        da = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return da / (na * nb) if na and nb else 0.0
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = norm_py(a), norm_py(b)
+        return d / (na * nb) if na and nb else 0.0
 
-    ranked = sorted(crows, key=lambda r: (-cos_py([float(x) for x in r["cent"]],
-                                                  query_vec), r["cell_id"]))
-    probe_cells = [r["cell_id"] for r in ranked[:n_probe]]
+    ranked = sorted(cents, key=lambda c: (-cos_py(c[1], query_vec), c[0]))
+    probe_cells = [c[0] for c in ranked[:n_probe]]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (assigned.where(F.col("cell_id").isin(probe_cells))

@@ -239,7 +239,8 @@ class ProjectionEngine:
         proj = self.registry[name]
         if proj.status == "failed":
             return proj
-        df = self.store.read_cold(proj.stream_name, from_=proj.last_event + 1)
+        df = self.store.read_cold(proj.stream_name, from_=proj.last_event + 1,
+                                  ordered=False)
         return self._fold_df(proj, df, emit_states=emit_states)
 
     def _fold_df(self, proj: Projection, df: DataFrame,

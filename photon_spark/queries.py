@@ -144,6 +144,71 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# A6 (inference half) — sampled JSON schema inference per (stream, version)
+# (default_projs.clj:8-26; pinned semantics schema_test.clj:38-71):
+# first-10-per-bucket + deterministic md5 ~2% sample, per-field type/mode/
+# count. The version analogue is derived from the payload (k mod 3, with
+# the 0 bucket left untagged to exercise __unversioned__).
+# --------------------------------------------------------------------------
+
+def q_schema_inference(spark, sf_dir):
+    from photon_spark.schema_infer import infer_schema_fields
+    k = F.get_json_object("props", "$.k").cast("int")
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("event_type").alias("stream_name"),
+                  F.when(k % 3 == 0, F.lit(None))
+                   .otherwise(F.concat(F.lit("v"), (k % 3).cast("string")))
+                   .alias("schema_tag"),
+                  F.col("event_id").alias("order_id"),
+                  F.col("props").alias("payload")))
+    return infer_schema_fields(ev)
+
+
+SQL_SCHEMA_INFERENCE = """
+WITH tagged AS (
+  SELECT event_type AS stream_name,
+         CASE WHEN (json_extract_string(props, '$.k')::INT % 3) = 0
+              THEN '__unversioned__'
+              ELSE 'v' || (json_extract_string(props, '$.k')::INT % 3)
+         END AS schema_tag,
+         event_id AS order_id, props AS payload
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY stream_name, schema_tag
+                               ORDER BY order_id) AS rn
+  FROM tagged
+), sampled AS (
+  SELECT * FROM ranked
+  WHERE rn <= 10 OR substring(md5(CAST(order_id AS VARCHAR)), 1, 2) < '05'
+), buckets AS (
+  SELECT stream_name, schema_tag, count(*) AS n_samples
+  FROM sampled GROUP BY 1, 2
+), fields AS (
+  SELECT stream_name, schema_tag, payload,
+         unnest(json_keys(payload)) AS field_path
+  FROM sampled
+), typed AS (
+  SELECT stream_name, schema_tag, field_path,
+         CASE json_type(payload, '$.' || field_path)
+              WHEN 'UBIGINT' THEN 'long' WHEN 'BIGINT' THEN 'long'
+              WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+              WHEN 'BOOLEAN' THEN 'boolean' WHEN 'OBJECT' THEN 'object'
+              WHEN 'ARRAY' THEN 'array' ELSE 'null' END AS t
+  FROM fields
+)
+SELECT t.stream_name, t.schema_tag, t.field_path,
+       coalesce(min(t.t) FILTER (WHERE t.t <> 'null'), 'null') AS field_type,
+       count(*) AS n_present,
+       CASE WHEN count(*) >= b.n_samples THEN 'required' ELSE 'optional'
+       END AS mode,
+       b.n_samples
+FROM typed t
+JOIN buckets b USING (stream_name, schema_tag)
+GROUP BY t.stream_name, t.schema_tag, t.field_path, b.n_samples
+"""
+
+
+# --------------------------------------------------------------------------
 # A1 — projections: native-reducer tier (count/sum/avg compile to Catalyst
 # aggregates) and the serial ordered-fold kernel itself
 # --------------------------------------------------------------------------
@@ -185,7 +250,7 @@ def q_projection_fold_stats(spark, sf_dir):
         PyReducer(
             fn=lambda st, ev: (st[0] + 1, ev["order_id"], st[2] + ev["value"]),
             source="tuple-fold"),
-        events.orderBy("order_id"),
+        events,  # order established by the fold's own range partitioning
         initial_value=(0, 0, 0.0), name="fold_stats")
     n, last, total = proj.current_value
     return spark.createDataFrame(
@@ -292,6 +357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streams_totals": q_streams_totals,
     "distinct_streams": q_distinct_streams,
     "stream_version_totals": q_stream_version_totals,
+    "schema_inference": q_schema_inference,
     "projection_count_all": q_projection_count_all,
     "projection_sum_by_stream": q_projection_sum_by_stream,
     "projection_fold_stats": q_projection_fold_stats,
@@ -307,6 +373,7 @@ ORACLES: dict[str, str] = {
     "streams_totals": SQL_STREAMS_TOTALS,
     "distinct_streams": SQL_DISTINCT_STREAMS,
     "stream_version_totals": SQL_STREAM_VERSION_TOTALS,
+    "schema_inference": SQL_SCHEMA_INFERENCE,
     "projection_count_all": SQL_PROJECTION_COUNT_ALL,
     "projection_sum_by_stream": SQL_PROJECTION_SUM_BY_STREAM,
     "projection_fold_stats": SQL_PROJECTION_FOLD_STATS,

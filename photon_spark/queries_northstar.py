@@ -139,23 +139,35 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+#: Mirrors dedup.jaccard_pairs exactly: Jaccard over the capped
+#: ("informative") shingle space — shingles with document frequency >
+#: MAX_SHINGLE_DF are dropped from both the inverted index and the per-doc
+#: set sizes.
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH norm AS (
   SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
 ), grams AS (
   SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
 ), ex AS (
-  SELECT doc_id, len(g) AS n_sh, unnest(g) AS gr FROM grams WHERE len(g) > 0
+  SELECT doc_id, unnest(g) AS gr FROM grams WHERE len(g) > 0
+), exr AS (
+  SELECT doc_id, gr FROM (
+    SELECT doc_id, gr, count(*) OVER (PARTITION BY gr) AS df_g FROM ex)
+  WHERE df_g <= {dedup.MAX_SHINGLE_DF}
+), n_sh AS (
+  SELECT doc_id, count(*) AS n_sh FROM exr GROUP BY doc_id
 ), common AS (
-  SELECT a.doc_id AS lo_id, b.doc_id AS hi_id, a.n_sh AS n_a, b.n_sh AS n_b,
-         count(*) AS n_common
-  FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+  SELECT a.doc_id AS lo_id, b.doc_id AS hi_id, count(*) AS n_common
+  FROM exr a JOIN exr b ON a.gr = b.gr AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT lo_id, hi_id, n_common,
-       round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
-FROM common
-WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.8
+SELECT c.lo_id, c.hi_id, c.n_common,
+       round(c.n_common * 1.0 / (na.n_sh + nb.n_sh - c.n_common), 6)
+         AS jaccard
+FROM common c
+JOIN n_sh na ON na.doc_id = c.lo_id
+JOIN n_sh nb ON nb.doc_id = c.hi_id
+WHERE round(c.n_common * 1.0 / (na.n_sh + nb.n_sh - c.n_common), 6) >= 0.8
 """
 
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
@@ -271,11 +283,29 @@ def q_ann_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    # Approximate (probes 4/16 cells) — rows-only driver check; recall vs
+    # brute force pinned in tests/test_northstar.py.
+    return similarity.ivf_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK,
+                               n_cells=16, n_probe=4)
+
+
 def q_media_stats(spark, sf_dir):
-    # Multimodal plumbing demo on the synthetic media table (no testdata
-    # media table exists) — rows-only check.
+    # Multimodal plumbing on the deterministic synthetic media table (no
+    # testdata media table exists). The table is seeded by media_id, so the
+    # aggregate has exact literal expectations — hash-gated via a VALUES
+    # oracle instead of the r1 rows-only check.
     media = multimodal.synthesize_media(spark, n=64)
     return multimodal.media_stats(media)
+
+
+#: synthesize_media(n=64, kind="image"): blob length 256+(i%5)*64,
+#: duration 1000*(1+i%10) — closed-form totals.
+SQL_MEDIA_STATS = """
+SELECT 'image' AS kind, 'image/fake' AS mime, 64::BIGINT AS n_items,
+       24448::BIGINT AS total_bytes, 382.0::DOUBLE AS avg_bytes,
+       10000::BIGINT AS max_duration_ms
+"""
 
 
 QUERIES = {
@@ -288,6 +318,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "media_stats": q_media_stats,
 }
 
@@ -300,6 +331,7 @@ ORACLES = {
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
-    # ann_topk_lsh, media_stats: intentionally no oracle (approximate /
-    # synthetic-input operators → rows-only driver check).
+    "media_stats": SQL_MEDIA_STATS,
+    # ann_topk_lsh, ann_topk_ivf: intentionally no oracle (approximate
+    # operators → rows-only driver check; recall floors pinned in pytest).
 }

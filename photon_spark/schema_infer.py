@@ -8,10 +8,12 @@ bucket. The inferred record maps field-path → {type, mode
 required/optional, count}.
 
 Spark-first design: the sampling filter is pure Catalyst (window row_number
-for the first-10 rule + a deterministic hash-based 2% rule — xxhash64, not
-rand(), so inference is reproducible); only the sampled rows (≤10 + 2%)
-cross into Python, where per-group schema maps merge in applyInPandas. At
-100 TB the Python cost is bounded by the sample, not the table.
+for the first-10 rule + a deterministic hash-based ~2% rule — the first two
+hex chars of md5(order_id) below '05', i.e. 5/256 ≈ 1.95%; md5 rather than
+xxhash64/rand so the rule is reproducible AND portable to the DuckDB
+oracle); only the sampled rows (≤10 + ~2%) cross into Python, where
+per-group schema maps merge in applyInPandas. At 100 TB the Python cost is
+bounded by the sample, not the table.
 """
 
 from __future__ import annotations
@@ -24,10 +26,20 @@ from pyspark.sql import functions as F
 from photon_spark.events import UNVERSIONED
 
 FIRST_N = 10
-SAMPLE_ONE_IN = 50  # 2%
+SAMPLE_HEX_LT = "05"  # md5 prefix rule: 5/256 ≈ 2%
 
 SCHEMA_RESULT = ("stream_name string, schema_tag string, n_samples long, "
                  "schema_json string")
+
+FIELDS_RESULT = ("stream_name string, schema_tag string, field_path string, "
+                 "field_type string, n_present long, mode string, "
+                 "n_samples long")
+
+
+def _sample_filter(order_col: str):
+    """The deterministic ~2% rule shared by both inference surfaces."""
+    return (F.substring(F.md5(F.col(order_col).cast("string")), 1, 2)
+            < SAMPLE_HEX_LT)
 
 
 def _merge_value(schema: dict, path: str, value) -> None:
@@ -67,8 +79,7 @@ def infer_schemas(events: DataFrame, payload_col: str = "payload",
     sampled = (events
                .withColumn("_ver", version)
                .withColumn("_rn", F.row_number().over(w))
-               .where((F.col("_rn") <= FIRST_N)
-                      | (F.pmod(F.xxhash64(order_col), SAMPLE_ONE_IN) == 0))
+               .where((F.col("_rn") <= FIRST_N) | _sample_filter(order_col))
                .select(F.col(stream_col).alias("stream_name"),
                        F.col("_ver").alias("schema_tag"),
                        F.col(payload_col).alias("payload")))
@@ -105,6 +116,71 @@ def infer_schemas(events: DataFrame, payload_col: str = "payload",
 
     return (sampled.groupBy("stream_name", "schema_tag")
             .applyInPandas(merge_group, schema=SCHEMA_RESULT))
+
+
+def infer_schema_fields(events: DataFrame, payload_col: str = "payload",
+                        stream_col: str = "stream_name",
+                        version_col: str = "schema_tag",
+                        order_col: str = "order_id") -> DataFrame:
+    """Flat per-field inference view, one row per
+    (stream, version, top-level field):
+
+    → DataFrame[stream_name, schema_tag, field_path, field_type, n_present,
+    mode, n_samples] — the SQL-checkable form of :func:`infer_schemas`
+    (same sampling, same merge semantics; types use the portable vocabulary
+    long/double/string/boolean/object/array/null with the
+    alphabetically-first non-null type winning on mixed fields, exactly as
+    ``_merge_value``'s reduction does).
+    """
+    version = F.coalesce(F.col(version_col), F.lit(UNVERSIONED))
+    w = Window.partitionBy(stream_col, version).orderBy(order_col)
+    sampled = (events
+               .withColumn("_ver", version)
+               .withColumn("_rn", F.row_number().over(w))
+               .where((F.col("_rn") <= FIRST_N) | _sample_filter(order_col))
+               .select(F.col(stream_col).alias("stream_name"),
+                       F.col("_ver").alias("schema_tag"),
+                       F.col(payload_col).alias("payload")))
+
+    def flat_fields(pdf):
+        fields: dict = {}
+        n = 0
+        for payload in pdf["payload"]:
+            if payload is None:
+                continue
+            try:
+                doc = json.loads(payload)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(doc, dict):
+                continue
+            n += 1
+            for k, v in doc.items():
+                t = ("null" if v is None else
+                     "boolean" if isinstance(v, bool) else
+                     "long" if isinstance(v, int) else
+                     "double" if isinstance(v, float) else
+                     "object" if isinstance(v, dict) else
+                     "array" if isinstance(v, list) else "string")
+                e = fields.setdefault(k, {"types": set(), "count": 0})
+                e["types"].add(t)
+                e["count"] += 1
+        rows = []
+        for k, e in sorted(fields.items()):
+            non_null = sorted(e["types"] - {"null"})
+            rows.append((pdf["stream_name"].iloc[0],
+                         pdf["schema_tag"].iloc[0], k,
+                         non_null[0] if non_null else "null",
+                         e["count"],
+                         "required" if e["count"] >= n else "optional",
+                         n))
+        import pandas as pd
+        return pd.DataFrame(rows, columns=[
+            "stream_name", "schema_tag", "field_path", "field_type",
+            "n_present", "mode", "n_samples"])
+
+    return (sampled.groupBy("stream_name", "schema_tag")
+            .applyInPandas(flat_fields, schema=FIELDS_RESULT))
 
 
 def get_schema(events: DataFrame, stream_name: str) -> dict:

@@ -70,8 +70,10 @@ class StreamingProjectionRunner:
         """Fold one micro-batch into every running projection.
 
         Per projection: filter to its stream, drop anything at or below its
-        resume point (no-dup on restart replay), sort by order_id (ordered
-        fold within the batch), then reuse the engine's tiered fold.
+        resume point (no-dup on restart replay), then reuse the engine's
+        tiered fold — each tier establishes order_id order itself (the
+        PyReducer pack range-partitions + sorts; native aggregates are
+        order-free), so no extra sort here.
         """
         batch_df = batch_df.persist()
         try:
@@ -83,7 +85,7 @@ class StreamingProjectionRunner:
                     df = df.where(F.col("stream_name") == proj.stream_name)
                 df = df.where(F.col("order_id") > proj.last_event)
                 before = proj.processed
-                self.engine._fold_df(proj, df.orderBy("order_id"))
+                self.engine._fold_df(proj, df)
                 if proj.processed != before:
                     self.history.append((batch_id, name, proj.current_value))
         finally:

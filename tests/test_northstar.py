@@ -111,6 +111,17 @@ def test_simhash_banded_probe_is_lossless(docs):
     assert got == brute
 
 
+def test_embedding_blocked_miner_equals_bruteforce(emb):
+    # The shipped blocked-GEMM pair miner must reproduce the all-pairs
+    # oracle EXACTLY (ids and 6dp cosines).
+    brute = {(r["lo_id"], r["hi_id"], r["cosine"]) for r in
+             dedup.embedding_near_duplicates_bruteforce(
+                 emb, threshold=0.35).collect()}
+    blocked = {(r["lo_id"], r["hi_id"], r["cosine"]) for r in
+               dedup.embedding_near_duplicates(emb, threshold=0.35).collect()}
+    assert brute and blocked == brute
+
+
 # -------------------------------------------------------------- similarity
 
 def test_lsh_topk_recall(emb):

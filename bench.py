@@ -15,6 +15,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -29,9 +31,18 @@ def main():
     spark = get_spark("photon_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths with a trivial action so query 1 doesn't
-    # absorb one-time startup cost.
+    # Warm the JVM/codegen paths and the Python UDF worker pool so query 1
+    # doesn't absorb one-time process-spawn cost.
     spark.range(1000).count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    warm_df = spark.range(10000).repartition(int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "32")))
+    warm_df.select(_warm("id")).count()
+    warm_df.mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in q.QUERIES.items():

@@ -148,12 +148,19 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     two per-doc-size joins. Document bodies and shingle arrays never
     shuffle — only (shingle, id) pairs.
     """
+    # The exploded postings feed three consumers (df-cap agg, both
+    # self-join sides); persist them once — at scale this is the standard
+    # materialize-postings-then-join dedup shape (MEMORY_AND_DISK, evicted
+    # LRU when the query's plans are gone).
     sh = _shingled(df, text_col, id_col, n)
-    ex = sh.select("id", F.explode("sh").alias("g"))
-    rare = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
-              .where(F.col("df_g") <= max_shingle_df)
+    ex = sh.select("id", F.explode("sh").alias("g")).persist()
+    # The cap anti-joins against the STOP set (df > cap) — the Zipf-head
+    # complement, orders of magnitude smaller than the rare set; AQE turns
+    # it into a broadcast anti-join whenever it fits.
+    stop = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+              .where(F.col("df_g") > max_shingle_df)
               .select("g"))
-    exr = ex.join(rare, "g")
+    exr = ex.join(stop, "g", "left_anti")
     n_sh = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = exr.alias("a"), exr.alias("b")
     common = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -190,7 +197,8 @@ def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3):
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 4, shingle_n: int = 3,
+                           _shingled_df: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band are candidates.
 
@@ -202,7 +210,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # from the column reference — inlining the shingle expression into every
     # hash (and unioning per-band scans) blows up codegen and recomputes the
     # tokenize+distinct pipeline num_hashes*bands times per row.
-    sh = _shingled(df, text_col, id_col, shingle_n)
+    sh = (_shingled_df if _shingled_df is not None
+          else _shingled(df, text_col, id_col, shingle_n))
 
     def _min_for_seed(s: int):
         # NB: the seed must be closed over OUTSIDE the lambda — a
@@ -236,10 +245,13 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             bands: int = 4, shingle_n: int = 3,
                             threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verification
-    (only on candidates) → pairs with jaccard ≥ threshold."""
+    (only on candidates) → pairs with jaccard ≥ threshold.
+
+    The shingled relation feeds the signature branch and both verification
+    joins; persisted once (same rationale as jaccard_pairs)."""
+    sh = _shingled(df, text_col, id_col, shingle_n).persist()
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                   shingle_n)
-    sh = _shingled(df, text_col, id_col, shingle_n)
+                                   shingle_n, _shingled_df=sh)
     j = (cands
          .join(sh.select(F.col("id").alias("lo_id"), F.col("sh").alias("sh_a")),
                "lo_id")

@@ -286,8 +286,10 @@ def q_projection_streaming_fold(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="photon_spark_streamq_")
     try:
         store = EventStore(spark, os.path.join(base, "events"))
+        # Arrival order = parquet file order = event_id order (single sorted
+        # file); ingest stamps order_id in arrival order, and the checksum
+        # oracle below fails loudly if that order is ever violated.
         src = (_t(spark, sf_dir, "events")
-               .orderBy("event_id")
                .select(F.col("event_type").alias("stream_name"),
                        F.col("event_id").cast("string").alias("local_id")))
         store.ingest(src)

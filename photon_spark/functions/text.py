@@ -135,14 +135,17 @@ def fingerprint(col) -> Column:
     return F.md5(normalize_text(col))
 
 
-def text_profile(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Per-document profile: counts, ratios, quality, lang, fingerprint.
+def text_profile_catalyst(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document profile, pure-Catalyst form: counts, ratios, quality,
+    lang, fingerprint.
 
     Two chained projections over the scan — no shuffle: the first
     materializes the lowercased token array once, the second derives every
     token-based metric from that attribute (the char-class metrics are plain
-    regexp/length codegen over the text column)."""
+    regexp/length codegen over the text column). Kept as the no-Python
+    reference implementation and the cross-check for :func:`text_profile`
+    (tests pin value equality)."""
     cc = char_classes(text_col)
     base = spread(df).select(
         df["*"],
@@ -159,3 +162,88 @@ def text_profile(df: DataFrame, text_col: str = "text",
         lang_id_from_tokens("_lt").alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document profile as ONE Arrow-batched map pass (no shuffle).
+
+    Value-identical to :func:`text_profile_catalyst` (pinned in tests) but
+    one compiled-regex pass per document instead of ~10 interpreted
+    column expressions. Parity rules that make it bit-exact with both the
+    Catalyst form and the DuckDB oracle:
+
+    - character classes use Java's ASCII ``\\s`` (explicit class, not
+      Python's unicode ``\\s``);
+    - ratios are one float64 division, quality is the same left-associated
+      formula, and rounding is decimal HALF_UP (what Spark's ``round`` does
+      via BigDecimal) — Python's builtin half-even ``round`` would diverge
+      on exact 7-digit boundaries.
+    """
+    import hashlib
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    non_alnum = re.compile(r"[^A-Za-z0-9]")
+    non_alpha = re.compile(r"[^A-Za-z]")
+    non_punct = re.compile(r"[^.,;:!?'\"()-]")
+    punct_split = re.compile(r"[A-Za-z0-9 \t\n\x0b\f\r]+")
+    strip_chars = " \t\n\x0b\f\r"
+    stop = frozenset(EN_STOPWORDS)
+    markers = [(lang, frozenset(LANG_MARKERS[lang]))
+               for lang in sorted(LANG_MARKERS)]
+    q6 = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        # Decimal(repr(x)), not Decimal(x): Spark's round goes through
+        # BigDecimal.valueOf = Double.toString = the SHORTEST decimal repr
+        # (so 0.77031249999...944 rounds as "0.7703125" → 0.770313), and
+        # Python's repr implements the same shortest-round-trip contract.
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                t = getattr(rec, text_col) or ""
+                doc_id = getattr(rec, id_col)
+                n_chars = len(t)
+                n_alpha = len(non_alpha.sub("", t))
+                n_punct = len(non_punct.sub("", t))
+                trimmed = t.strip(strip_chars)
+                toks = ws.split(trimmed) if trimmed else []
+                lt = [x.lower() for x in toks]
+                n_tokens = len(lt)
+                n_bpe = (math.ceil(len(non_alnum.sub("", t)) / 4.0)
+                         + sum(1 for s in punct_split.split(t) if s != ""))
+                nc = max(n_chars, 1)
+                alpha_ratio = n_alpha / nc
+                sw_ratio = (0.0 if n_tokens == 0
+                            else sum(1 for x in lt if x in stop) / n_tokens)
+                mean_tok = n_alpha / max(n_tokens, 1)
+                quality = (0.5 * alpha_ratio
+                           + 0.3 * min(mean_tok / 8.0, 1.0)
+                           + 0.2 * (1.0 - min((n_punct / nc) * 5, 1.0)))
+                best_lang, best = "und", 0
+                for lang, mk in markers:
+                    hits = sum(1 for x in lt if x in mk)
+                    if hits > best:
+                        best_lang, best = lang, hits
+                norm = ws.sub(" ", t.lower()).strip(strip_chars)
+                fp = hashlib.md5(norm.encode("utf-8")).hexdigest()
+                rows.append((doc_id, n_chars, n_tokens, n_bpe,
+                             r6(alpha_ratio), r6(sw_ratio), r6(quality),
+                             best_lang, fp))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_chars", "n_tokens", "n_bpe_tokens", "alpha_ratio",
+                "stopword_ratio", "quality", "lang_pred", "fingerprint"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(f"{id_col} long, n_chars long, n_tokens long, "
+                "n_bpe_tokens long, alpha_ratio double, "
+                "stopword_ratio double, quality double, lang_pred string, "
+                "fingerprint string"))

@@ -50,6 +50,15 @@ def test_quality_score_range(docs):
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
 
 
+def test_text_profile_fast_equals_catalyst(docs):
+    # The shipped Arrow-batched profile must be bit-identical to the
+    # pure-Catalyst reference implementation (including HALF_UP rounding on
+    # shortest-repr boundaries).
+    fast = sorted(tuple(r) for r in text.text_profile(docs).collect())
+    cat = sorted(tuple(r) for r in text.text_profile_catalyst(docs).collect())
+    assert fast == cat
+
+
 # ------------------------------------------------------------------ dedup
 
 def test_exact_dedup_removes_planted_dup(spark):

@@ -134,8 +134,16 @@ class Projection:
     last_event: int = 0              # order_id of last folded event (resume pt)
     last_error: str | None = None
     avg_time: float = 0.0            # incremental mean, ms/event
+    avg_global_time: float = 0.0     # wall-clock ms since init / processed
     mem_used: int = 0                # pickled state size, rate-limited
     status: str = "running"          # running | failed | finished
+
+    def touch_global_time(self) -> None:
+        """A2: avg-global-time = wall-clock per processed event
+        (streams.clj:141-143)."""
+        if self.processed:
+            self.avg_global_time = ((time.time() - self.init_time) * 1000.0
+                                    / self.processed)
 
     def descriptor(self) -> dict:
         """API view (F4 strips heavy fields — api.clj:38-49)."""
@@ -147,6 +155,7 @@ class Projection:
             "status": self.status,
             "last-error": self.last_error,
             "avg-time": self.avg_time,
+            "avg-global-time": self.avg_global_time,
             "last-event": self.last_event,
             "init-time": self.init_time,
             "mem-used": self.mem_used,
@@ -258,6 +267,7 @@ class ProjectionEngine:
                                                      proj.processed, bounds["n"])
                 proj.processed += bounds["n"]
                 proj.last_event = bounds["mx"]
+                proj.touch_global_time()
             return proj
 
         if isinstance(reducer, AssociativeReducer):
@@ -315,6 +325,7 @@ class ProjectionEngine:
                 proj.processed += n
                 proj.last_event = recs[-1].get("order_id") or proj.last_event
         proj.current_value = state
+        proj.touch_global_time()
         if emitted is not None:
             proj.emitted = emitted  # type: ignore[attr-defined]
         return proj
@@ -354,6 +365,7 @@ class ProjectionEngine:
             proj.processed += p["n"]
             proj.last_event = max(proj.last_event, p["mx"])
         proj.current_value = state
+        proj.touch_global_time()
         return proj
 
 

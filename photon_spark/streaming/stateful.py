@@ -54,7 +54,8 @@ class StreamingProjectionRunner:
     """
 
     def __init__(self, engine: ProjectionEngine, checkpoint_dir: str | None = None,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 state_path: str | None = None):
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="photon_spark_ckpt_")
@@ -64,6 +65,36 @@ class StreamingProjectionRunner:
         #: one per micro-batch that touched it (streams.clj:182-200 — every
         #: new state value is itself a subscribable stream).
         self.history: list[tuple[int, str, object]] = []
+        #: append-only parquet state table — the durable, *subscribable*
+        #: form of the virtual stream (photon exposes each projection's
+        #: successive states as a stream endpoint, streams.clj:182-200,
+        #: muon.clj:91-103). None disables persistence.
+        self.state_path = state_path
+
+    STATE_SCHEMA = ("batch_id long, projection_name string, "
+                    "stream_name string, processed long, last_event long, "
+                    "status string, value_json string")
+
+    def _persist_snapshots(self, snaps: list[tuple]) -> None:
+        if not snaps or self.state_path is None:
+            return
+        (self.engine.store.spark.createDataFrame(snaps, self.STATE_SCHEMA)
+         .coalesce(1)
+         .write.mode("append").parquet(self.state_path))
+
+    # -------------------------------------------------- virtual stream read
+    def state_table(self):
+        """Batch view of every persisted state snapshot (E2/E3 over Spark)."""
+        return self.engine.store.spark.read.parquet(self.state_path)
+
+    def subscribe_projection(self, name: str):
+        """R2 over a virtual stream: a streaming DataFrame of a projection's
+        successive state snapshots."""
+        from pyspark.sql import functions as SF
+        return (self.engine.store.spark.readStream
+                .schema(self.STATE_SCHEMA)
+                .parquet(self.state_path)
+                .where(SF.col("projection_name") == name))
 
     # ------------------------------------------------------------ per batch
     def _apply_batch(self, batch_df, batch_id: int) -> None:
@@ -75,6 +106,9 @@ class StreamingProjectionRunner:
         PyReducer pack range-partitions + sorts; native aggregates are
         order-free), so no extra sort here.
         """
+        import json
+
+        snaps = []
         batch_df = batch_df.persist()
         try:
             for name, proj in list(self.engine.registry.items()):
@@ -88,8 +122,16 @@ class StreamingProjectionRunner:
                 self.engine._fold_df(proj, df)
                 if proj.processed != before:
                     self.history.append((batch_id, name, proj.current_value))
+                    try:
+                        value_json = json.dumps(proj.current_value)
+                    except (TypeError, ValueError):
+                        value_json = json.dumps(repr(proj.current_value))
+                    snaps.append((int(batch_id), name, proj.stream_name,
+                                  proj.processed, proj.last_event,
+                                  proj.status, value_json))
         finally:
             batch_df.unpersist()
+        self._persist_snapshots(snaps)
         self.batches += 1
 
     # ----------------------------------------------------------------- run

@@ -1,0 +1,94 @@
+"""A6/E6 — schema inference semantics, mirroring the reference's pinned
+behaviors (/root/reference/test/photon/current/schema_test.clj:35-71):
+unversioned vs versioned buckets, per-field type/mode/count, nested paths.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.schema_infer import (
+    get_schema, infer_schema_fields, infer_schemas)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = []
+    # stream "chatter": 6 unversioned events with a nested payload (the
+    # chatter fixture shape, common.clj:15-35), 3 tagged "0.0.1" whose
+    # payload adds a field.
+    for i in range(6):
+        rows.append(("chatter", None, i + 1, json.dumps({
+            "service-id": "request://chatter",
+            "text": f"msg {i}",
+            "textanalysis": {"aggregateSentiment": 40 + i,
+                             "keyphrases": [{"phrase": "x", "count": 1}]},
+        })))
+    for i in range(3):
+        rows.append(("chatter", "0.0.1", 100 + i, json.dumps({
+            "service-id": "request://chatter",
+            "extra": True,
+        })))
+    # a second stream, sometimes missing a field (mode=optional)
+    for i in range(4):
+        payload = {"a": 1.5} if i % 2 else {"a": 2.5, "b": "x"}
+        rows.append(("other", None, 200 + i, json.dumps(payload)))
+    return spark.createDataFrame(
+        rows, "stream_name string, schema_tag string, order_id long, "
+              "payload string")
+
+
+def test_version_buckets(events):
+    got = {(r["stream_name"], r["schema_tag"]): r
+           for r in infer_schemas(events).collect()}
+    assert set(got) == {("chatter", "__unversioned__"), ("chatter", "0.0.1"),
+                        ("other", "__unversioned__")}
+    assert got[("chatter", "__unversioned__")]["n_samples"] == 6
+    assert got[("chatter", "0.0.1")]["n_samples"] == 3
+
+
+def test_nested_field_inference(events):
+    row = (infer_schemas(events)
+           .where((F.col("stream_name") == "chatter")
+                  & (F.col("schema_tag") == "__unversioned__"))
+           .first())
+    schema = json.loads(row["schema_json"])
+    # schema_test.clj:41-71 analogue: service-id is a required string seen
+    # in every sampled doc
+    assert schema["service-id"] == {
+        "type": "string", "mode": "required", "count": 6}
+    assert schema["textanalysis.aggregateSentiment"]["type"] == "long"
+    assert schema["textanalysis.keyphrases"]["type"] == "array"
+    assert schema["textanalysis.keyphrases[].phrase"]["type"] == "string"
+
+
+def test_required_vs_optional(events):
+    row = (infer_schemas(events)
+           .where(F.col("stream_name") == "other").first())
+    schema = json.loads(row["schema_json"])
+    assert schema["a"]["mode"] == "required" and schema["a"]["count"] == 4
+    assert schema["b"]["mode"] == "optional" and schema["b"]["count"] == 2
+
+
+def test_flat_fields_view(events):
+    flat = {(r["stream_name"], r["schema_tag"], r["field_path"]): r
+            for r in infer_schema_fields(events).collect()}
+    r = flat[("chatter", "0.0.1", "extra")]
+    assert r["field_type"] == "boolean"
+    assert r["mode"] == "required"
+    assert r["n_present"] == 3 == r["n_samples"]
+    assert flat[("other", "__unversioned__", "b")]["mode"] == "optional"
+
+
+def test_get_schema_endpoint(events):
+    """E6 GET /schema/:stream-name (handler.clj:256-263)."""
+    by_version = get_schema(events, "chatter")
+    assert set(by_version) == {"__unversioned__", "0.0.1"}
+    assert by_version["0.0.1"]["extra"]["type"] == "boolean"
+
+
+def test_inference_is_deterministic(events):
+    a = sorted(tuple(r) for r in infer_schemas(events).collect())
+    b = sorted(tuple(r) for r in infer_schemas(events).collect())
+    assert a == b

@@ -19,7 +19,22 @@ from typing import Any
 
 from photon_spark.events import ALL_STREAMS, CONFIG_STREAM, EventStore
 from photon_spark.projections.engine import (
-    DEFAULT_PROJECTIONS, NativeReducer, ProjectionEngine)
+    AssociativeReducer, DEFAULT_PROJECTIONS, ProjectionEngine)
+
+
+def _streams_fold(state: dict | None, ev: dict) -> dict:
+    """__streams__ per-stream total-events fold (default_projs.clj:8-26)."""
+    state = dict(state or {})
+    s = ev.get("stream_name") or ""
+    state[s] = state.get(s, 0) + 1
+    return state
+
+
+def _streams_merge(a: dict | None, b: dict | None) -> dict:
+    out = dict(a or {})
+    for k, v in (b or {}).items():
+        out[k] = out.get(k, 0) + v
+    return out
 
 
 class Catalog:
@@ -35,9 +50,14 @@ class Catalog:
     def _register_defaults(self) -> None:
         """default_projs.clj:41-51 — __streams__ (per-stream totals +
         schema inference) and __security-state__ exist from boot and are
-        delete-protected."""
-        self.engine.register("__streams__", NativeReducer("count"),
-                             stream_name=ALL_STREAMS)
+        delete-protected. The per-stream counting fold is associative, so
+        it runs on the distributed tier (range-partitioned partial folds,
+        ordered merge)."""
+        self.engine.register(
+            "__streams__",
+            AssociativeReducer(fold=_streams_fold, merge=_streams_merge,
+                               zero={}),
+            stream_name=ALL_STREAMS, initial_value={})
         self.engine.register(
             "__security-state__",
             "lambda st, ev: __import__('photon_spark.catalog', "

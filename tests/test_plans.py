@@ -1,0 +1,83 @@
+"""Physical-plan pins — the scale properties the operators promise.
+
+Each test asserts the plan SHAPE (pushdown, partial aggregation, no
+shuffle, top-k instead of global sort), not timings: these are the
+properties that decide whether an operator survives a 100× scale-up.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    # other modules cache the same paths — a cache hit would replace the
+    # FileScan under inspection with an InMemoryTableScan
+    spark.catalog.clearCache()
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    spark.catalog.clearCache()
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_text_profile_is_map_only(docs):
+    # One Arrow map pass over the scan: no Exchange anywhere.
+    plan = _plan(text.text_profile(docs))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_text_profile_prunes_scan_columns(docs):
+    # The profile reads only (doc_id, text) even though the table has more.
+    plan = _plan(text.text_profile(docs))
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_exact_dedup_partial_aggregation(docs):
+    # digest groupBy must map-side combine: two HashAggregate nodes around
+    # one Exchange, and only digest+id columns shuffle (never text).
+    plan = _plan(dedup.exact_duplicates(docs))
+    assert plan.count("HashAggregate") >= 2
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines and all("text" not in ln for ln in exchange_lines)
+
+
+def test_ivf_assignment_no_shuffle_no_window(emb):
+    plan = _plan(similarity.ivf_topk(emb, 0, k=10))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # scan -> project -> filter -> TakeOrdered: the only wide op is top-k
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_brute_force_topk_take_ordered(emb):
+    plan = _plan(similarity.brute_force_topk(emb, 0, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort
+
+
+def test_simhash_pairs_no_cross_product(docs):
+    plan = _plan(dedup.simhash_near_dup_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_shuffles_only_postings(docs):
+    # The shingle self-join shuffles (id, shingle) pairs — document text
+    # and shingle arrays never appear in an exchange.
+    plan = _plan(dedup.jaccard_pairs(docs))
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln and "sh#" not in ln

@@ -1,4 +1,6 @@
+from photon_spark.streaming.ingest import StreamingIngest
 from photon_spark.streaming.replay import read_hot, read_hot_cold
 from photon_spark.streaming.stateful import StreamingProjectionRunner
 
-__all__ = ["read_hot", "read_hot_cold", "StreamingProjectionRunner"]
+__all__ = ["read_hot", "read_hot_cold", "StreamingProjectionRunner",
+           "StreamingIngest"]

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from photon_spark.events import EventStore
 from photon_spark.projections.engine import (
     NativeReducer, ProjectionEngine, PyReducer)
-from photon_spark.streaming import StreamingProjectionRunner, read_hot_cold
+from photon_spark.streaming import (
+    StreamingIngest, StreamingProjectionRunner, read_hot_cold)
 
 
 def _mk_store(spark, tmp_path, name="events"):
@@ -217,6 +218,56 @@ def test_virtual_stream_state_table(spark, tmp_path):
 
     sub = runner.subscribe_projection("c")
     assert sub.isStreaming
+
+
+def test_streaming_ingest_drop_dir(spark, tmp_path):
+    """S1 streaming: JSON-lines dropped into a directory land in the events
+    table stamped and ordered; a second drain is incremental (checkpoint)
+    and order_ids stay monotonic across micro-batches."""
+    import json
+
+    drop = os.path.join(str(tmp_path), "drop")
+    os.makedirs(drop)
+    store = _mk_store(spark, tmp_path)
+    ingest = StreamingIngest(
+        store, drop, checkpoint_dir=os.path.join(str(tmp_path), "ickpt"))
+
+    def drop_file(name, events):
+        with open(os.path.join(drop, name), "w") as f:
+            for ev in events:
+                f.write(json.dumps(ev) + "\n")
+
+    drop_file("a.json", [{"stream_name": "s", "local_id": str(i)}
+                         for i in range(10)])
+    assert ingest.run() == 10
+    drop_file("b.json", [{"stream_name": "s", "local_id": str(10 + i)}
+                         for i in range(5)])
+    assert ingest.run() == 15  # incremental: only b.json processed
+
+    rows = store.read_cold("s").collect()
+    assert len(rows) == 15
+    oids = [r["order_id"] for r in rows]
+    assert oids == sorted(oids) and len(set(oids)) == 15
+
+
+def test_ingest_to_projection_end_to_end(spark, tmp_path):
+    """Kitchen sink: streaming ingest -> streaming projection fold; the
+    count projection converges on everything dropped."""
+    import json
+
+    drop = os.path.join(str(tmp_path), "drop")
+    os.makedirs(drop)
+    store = _mk_store(spark, tmp_path)
+    with open(os.path.join(drop, "x.json"), "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"stream_name": "s", "local_id": str(i)}) + "\n")
+    StreamingIngest(store, drop,
+                    checkpoint_dir=os.path.join(str(tmp_path), "ic")).run()
+    engine = ProjectionEngine(store)
+    engine.register("c", NativeReducer("count"), initial_value=0)
+    StreamingProjectionRunner(
+        engine, checkpoint_dir=os.path.join(str(tmp_path), "pc")).run()
+    assert engine.value("c") == 8
 
 
 def test_backup_restore_roundtrip(spark, tmp_path):

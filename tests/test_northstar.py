@@ -78,6 +78,26 @@ def test_shingles_small_inputs(spark):
     assert sorted(got[1]) == ["a b c", "b c d"]
 
 
+def test_jaccard_prefix_filter_is_lossless(docs):
+    # The PPJoin prefix filter must find EXACTLY the pairs a naive
+    # all-pairs pass over the same (capped) shingle space finds.
+    sh = {r["id"]: set(r["sh"]) for r in
+          dedup._shingled(docs, "text", "doc_id", 3).collect()}
+    ids = sorted(sh)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            if round(inter / union, 6) >= 0.8:
+                expected.add((a, b, inter))
+    got = {(r["lo_id"], r["hi_id"], r["n_common"])
+           for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert expected and got == expected
+
+
 def test_minhash_lsh_finds_exact_jaccard_pairs(docs):
     # LSH with 4 bands of 4 over jaccard>=0.8 pairs: near-certain recall
     # (p = 1-(1-j^4)^4 ≈ 0.996 at j=0.8; planted pairs are j≈0.99).

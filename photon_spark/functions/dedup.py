@@ -381,16 +381,48 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                  .where(F.col("hamming") <= hamming))
 
 
+def simhash16_udf(texts):
+    """Vectorized twin of :func:`simhash16`: identical md5-hex-digit votes
+    (bit j set iff more tokens have hex digit j >= '8' than below), one
+    Python pass instead of 16 interpreted aggregate folds. Tokenization
+    matches text.tokens (Java-ASCII whitespace split of the trimmed
+    text)."""
+
+    @F.pandas_udf("long")
+    def _sim(col: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        out = []
+        for t in col:
+            trimmed = (t or "").strip(" \t\n\x0b\f\r")
+            toks = ws.split(trimmed) if trimmed else []
+            sig = 0
+            if toks:
+                votes = [0] * 16
+                for tok in toks:
+                    h = hashlib.md5(tok.lower().encode("utf-8")).hexdigest()
+                    for j in range(16):
+                        votes[j] += 1 if h[j] >= "8" else -1
+                for j in range(16):
+                    if votes[j] > 0:
+                        sig |= 1 << j
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sim(F.col(texts) if isinstance(texts, str) else texts)
+
+
 def simhash_duplicates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Near-dup groups = equal 16-bit simhash buckets (size > 1). The
-    SQL-checkable core; the scale/recall path is
-    :func:`simhash_near_dup_pairs` (64-bit + banded Hamming probe)."""
+    SQL-checkable core (computed by the vectorized UDF, value-identical to
+    the Catalyst :func:`simhash16` — pinned in tests); the scale/recall
+    path is :func:`simhash_near_dup_pairs` (64-bit + banded Hamming
+    probe)."""
     from photon_spark.functions._util import spread
-    hashed = spread(df).select(
-        F.col(id_col),
-        F.transform(tokens(text_col), lambda t: F.md5(F.lower(t))).alias("_h"))
-    return (hashed.select(id_col, simhash16_from_hashes("_h").alias("simhash"))
+    return (spread(df)
+              .select(F.col(id_col), simhash16_udf(text_col).alias("simhash"))
               .groupBy("simhash")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.min(id_col).alias("keep_id"))

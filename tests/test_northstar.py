@@ -121,6 +121,13 @@ def test_simhash_collides_near_dups(docs):
     assert hits >= len(pairs) * 0.6
 
 
+def test_simhash16_udf_equals_catalyst(docs):
+    # the vectorized 16-bit simhash must match the Catalyst expression form
+    rows = docs.select(dedup.simhash16("text").alias("a"),
+                       dedup.simhash16_udf("text").alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+
+
 def test_simhash_banded_probe_is_lossless(docs):
     # Pigeonhole guarantee: 4 bands of 16 bits can't all be corrupted by
     # <=3 bit flips, so the banded candidates reproduce the brute-force

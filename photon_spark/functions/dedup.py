@@ -285,21 +285,6 @@ def simhash16(col):
     return out.cast("long")
 
 
-def simhash16_from_hashes(h):
-    """16-bit SimHash from a materialized array<md5-hex> column — the 16
-    per-bit votes each reference the array attribute instead of re-hashing
-    every token 16 times."""
-    h = F.col(h) if isinstance(h, str) else h
-    out = F.lit(0)
-    for j in range(16):
-        votes = F.aggregate(
-            h, F.lit(0),
-            lambda acc, x: acc + F.when(
-                F.substring(x, j + 1, 1) >= "8", 1).otherwise(-1))
-        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(0)
-    return out.cast("long")
-
-
 def simhash64(texts):
     """64-bit SimHash over word tokens as an Arrow-batched pandas UDF.
 

@@ -83,15 +83,15 @@ def stamp_events(df: DataFrame, base_order_id: int = 0,
     now = F.current_timestamp()
     df = df.withColumn("event_time", now)
     if partition_offsets is not None:
-        # pid/mono MUST be materialized before the window shuffle: evaluated
-        # after it they would describe the post-shuffle layout.
-        df = (df.withColumn("_pid", F.spark_partition_id())
-                .withColumn("_mono", F.monotonically_increasing_id()))
-        w = Window.partitionBy("_pid").orderBy("_mono")
+        # monotonically_increasing_id = (partitionId << 33) | row-in-
+        # partition with consecutive row numbers, so the global sequence is
+        # pure projection arithmetic: partition offset + low 33 bits. No
+        # window, no sort, no shuffle — the stamp stays map-side.
         off = F.create_map(*[F.lit(x) for pid in sorted(partition_offsets)
                              for x in (pid, partition_offsets[pid])])
-        seq = (F.row_number().over(w).cast("long") - F.lit(1)
-               + off[F.col("_pid")])
+        mono = F.monotonically_increasing_id()
+        seq = off[F.spark_partition_id()] \
+            + mono.bitwiseAND(F.lit((1 << 33) - 1))
     else:
         w = Window.orderBy(F.monotonically_increasing_id())
         seq = F.row_number().over(w).cast("long") - F.lit(1)

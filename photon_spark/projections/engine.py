@@ -99,6 +99,10 @@ class PyReducer:
     """
     fn: Callable[[Any, dict], Any]
     source: str | None = None
+    #: optional column-pruning hint: the event-dict keys the fold reads.
+    #: When set, the pack path ships only these (+ order_id) to the driver —
+    #: map/timestamp columns are the expensive Arrow→Python conversions.
+    columns: tuple[str, ...] | None = None
 
     @classmethod
     def from_source(cls, source: str) -> "PyReducer":
@@ -288,6 +292,11 @@ class ProjectionEngine:
         one blob at a time). The driver loop then runs only the user fn.
         """
         reducer: PyReducer = proj.reducer  # type: ignore[assignment]
+        if reducer.columns is not None:
+            keep = list(dict.fromkeys(
+                [*reducer.columns,
+                 *(["order_id"] if "order_id" in df.columns else [])]))
+            df = df.select(*keep)
         emitted = [] if emit_states else None
         state = proj.current_value
         for brow in _pack_ordered(df).toLocalIterator(prefetchPartitions=True):
@@ -400,8 +409,14 @@ def _pack_ordered(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"lo": [(pid << 24) + idx],
                                 "blob": [pickle.dumps(recs, protocol=4)]})
 
+    # NOT orderBy("lo"): a global sort adds a range-sampling job that
+    # re-executes the whole pack pipeline a second time. The blob relation
+    # is tiny (one row per Arrow batch), so a round-robin shuffle into one
+    # partition + in-partition sort reconstructs the total order with no
+    # sampling pass and keeps toLocalIterator streaming in order.
     return (df.mapInPandas(pack, schema="lo long, blob binary")
-              .orderBy("lo"))
+              .repartition(1)
+              .sortWithinPartitions("lo"))
 
 
 def _combine_native(kind: str, prev: Any, new: Any, prev_n: int, new_n: int) -> Any:

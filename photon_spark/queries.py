@@ -300,7 +300,9 @@ def q_projection_streaming_fold(spark, sf_dir):
             return (n, st[1] if st[0] else eid, eid, st[3] + n * eid)
 
         engine = ProjectionEngine(store)
-        engine.register("stream_fold", PyReducer(fn=fold, source="stream_fold"),
+        engine.register("stream_fold",
+                        PyReducer(fn=fold, source="stream_fold",
+                                  columns=("local_id",)),
                         initial_value=(0, 0, 0, 0))
         runner = StreamingProjectionRunner(
             engine, checkpoint_dir=os.path.join(base, "ckpt"))

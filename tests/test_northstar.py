@@ -98,6 +98,22 @@ def test_jaccard_prefix_filter_is_lossless(docs):
     assert expected and got == expected
 
 
+def test_minhash_sig_udf_equals_catalyst(docs):
+    # The shipped vectorized signature must be value-identical to the
+    # Catalyst reference form (same seeds, md5-of-UTF8, min over shingles).
+    from photon_spark.functions.dedup import _shingled, minhash_sig_udf
+    sh = _shingled(docs.limit(200), "text", "doc_id", 3)
+    fast = {r["id"]: r["s"] for r in
+            sh.select("id", minhash_sig_udf("sh", 8).alias("s")).collect()}
+    def _min_for_seed(s):
+        p = F.lit(f"{s}:")  # closed over OUTSIDE the 1-arg lambda
+        return F.array_min(F.transform("sh", lambda g: F.md5(F.concat(p, g))))
+    cat = {r["id"]: r["s"] for r in
+           sh.select("id", F.array(*[
+               _min_for_seed(s) for s in range(8)]).alias("s")).collect()}
+    assert fast == cat and fast
+
+
 def test_minhash_lsh_finds_exact_jaccard_pairs(docs):
     # LSH with 4 bands of 4 over jaccard>=0.8 pairs: near-certain recall
     # (p = 1-(1-j^4)^4 ≈ 0.996 at j=0.8; planted pairs are j≈0.99).

@@ -387,3 +387,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES.update(_ns.QUERIES)
 ORACLES.update(_ns.ORACLES)
+
+from photon_spark import queries_pipeline as _pl  # noqa: E402
+
+QUERIES.update(_pl.QUERIES)
+ORACLES.update(_pl.ORACLES)

@@ -1,0 +1,213 @@
+"""Pipeline-analytics queries: sessionization, event-time windowing,
+stratified sampling, vocabulary heavy-hitters — the operations a
+large-scale training-data pipeline runs over an event log / document
+corpus, each with an exact DuckDB oracle.
+
+Parity rules (see queries.py floating-point policy): averages are single
+divisions of exactly-aggregated integers rounded to 6dp on both engines;
+time arithmetic stays in integer epoch-ns (double division of an epoch-ns
+long loses precision past 2^53); sampling membership is an md5-hex
+comparison, identical across Spark/DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from photon_spark.functions import text
+from photon_spark.functions.sessions import session_bounds
+
+HOUR_NS = 3_600_000_000_000
+GAP_NS = 24 * 3600 * 1_000_000_000
+
+
+def _events(spark, sf_dir):
+    from photon_spark.queries import _t
+    return _t(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------- sessionization
+
+def q_events_sessionize(spark, sf_dir):
+    """Per-stream session stats over (event_type, user_id) with a 24 h gap.
+
+    Plan: one keyed shuffle for the shared window spec (lag + running sum),
+    a map-side-collapsed per-session aggregate, then a 5-row final
+    aggregate — the sessionize scale shape (functions/sessions.py).
+    """
+    e = _events(spark, sf_dir).select("event_type", "user_id", "ts",
+                                      "event_id")
+    s = session_bounds(e, ["event_type", "user_id"], ts_col="ts",
+                       tiebreak_col="event_id", gap_ns=GAP_NS)
+    span = F.col("end_ts") - F.col("start_ts")
+    return (s.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_sessions"),
+                  F.sum("n_events").alias("n_events"),
+                  F.round(F.sum("n_events") / F.count(F.lit(1)), 6)
+                   .alias("avg_session_events"),
+                  F.max("n_events").alias("max_session_events"),
+                  F.round(F.sum(span) / F.count(F.lit(1)) / F.lit(1.0e9), 6)
+                   .alias("avg_session_span_sec")))
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH o AS (
+  SELECT event_type, user_id, epoch_ns(ts) AS tns, event_id FROM events
+), m AS (
+  SELECT *, CASE WHEN tns - lag(tns) OVER w IS NULL
+                   OR tns - lag(tns) OVER w > {GAP_NS} THEN 1 ELSE 0 END
+            AS is_new
+  FROM o WINDOW w AS (PARTITION BY event_type, user_id
+                      ORDER BY tns, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY event_type, user_id
+                              ORDER BY tns, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+), g AS (
+  SELECT event_type, user_id, session_idx, count(*) AS c,
+         max(tns) - min(tns) AS span
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_type, count(*) AS n_sessions, sum(c) AS n_events,
+       round(sum(c) * 1.0 / count(*), 6) AS avg_session_events,
+       max(c) AS max_session_events,
+       round(sum(span) * 1.0 / count(*) / 1000000000.0, 6)
+         AS avg_session_span_sec
+FROM g GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------- event-time window
+
+def q_events_rate_window(spark, sf_dir):
+    """Tumbling 1 h event-time windows per stream: counts + value sums.
+
+    window_start_ns = ts - ts % 3.6e12 is a pure map-side key derivation —
+    the plan is scan → partial agg → one short-key shuffle → final agg,
+    identical at any scale. The same bucket expression drives a Structured
+    Streaming groupBy over readStream (the hot-path form of this query);
+    batch and stream share the semantics, per the windowing model of the
+    Dataflow paper.
+    """
+    e = _events(spark, sf_dir)
+    bucket = (F.col("ts") - F.col("ts") % F.lit(HOUR_NS)) \
+        .alias("window_start_ns")
+    return (e.groupBy(bucket, "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+SQL_EVENTS_RATE_WINDOW = f"""
+SELECT epoch_ns(ts) - epoch_ns(ts) % {HOUR_NS} AS window_start_ns,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ stratified sample
+
+#: md5-hex threshold: hashes lexicographically below this are sampled
+#: (26/256 ≈ 10.2%). Deterministic, engine-portable, seedable by prefix.
+SAMPLE_HEX_LT = "1a"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sample audit: totals, sampled counts,
+    rates, and the sampled char mass (pins exact membership, not just
+    cardinality).
+
+    Membership = md5('strat:' || doc_id) < '1a' — map-side, shuffle-free;
+    the only exchange is the 5-row final aggregate. The same rule sharded
+    over 100 TB needs no coordination (no sort, no reservoir) and any
+    stratum rate is tunable per key by choosing the threshold.
+    """
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    picked = h < F.lit(SAMPLE_HEX_LT)
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.when(picked, 1).otherwise(0)).alias("n_sampled"),
+                  F.round(F.sum(F.when(picked, 1).otherwise(0))
+                          / F.count(F.lit(1)), 6).alias("sample_rate"),
+                  F.sum(F.when(picked, F.col("n_chars")).otherwise(0))
+                   .alias("sampled_chars")))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN md5('strat:' || doc_id::VARCHAR) < '{SAMPLE_HEX_LT}'
+                THEN 1 ELSE 0 END) AS n_sampled,
+       round(sum(CASE WHEN md5('strat:' || doc_id::VARCHAR)
+                           < '{SAMPLE_HEX_LT}' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS sample_rate,
+       sum(CASE WHEN md5('strat:' || doc_id::VARCHAR) < '{SAMPLE_HEX_LT}'
+                THEN n_chars ELSE 0 END) AS sampled_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------------ vocabulary top-k
+
+TOPK = 10
+
+
+def q_token_topk(spark, sf_dir):
+    """Top-10 tokens per language by frequency (deterministic tie-break on
+    the token itself) — the exact heavy-hitter baseline.
+
+    Plan: explode → (lang, token) hash-agg with map-side partials (the
+    explosion never shuffles raw text, only token+count pairs), then a
+    per-lang window over the distinct-token relation. The window partition
+    is one language's vocabulary — bounded (≈10⁶ entries) regardless of
+    corpus size, so the plan survives 100×; for unbounded key spaces swap
+    the window for a per-partition top-k + merge.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_occurrences"),
+                                           F.asc("tok"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOPK))
+
+
+SQL_TOKEN_TOPK = f"""
+WITH toks AS (
+  SELECT lang, lower(unnest({{toks}})) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS n_occurrences FROM toks GROUP BY 1, 2
+)
+SELECT lang, tok, n_occurrences,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY n_occurrences DESC, tok ASC) AS rank
+FROM counts
+QUALIFY rank <= {TOPK}
+"""
+
+
+def _sql_token_topk() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return SQL_TOKEN_TOPK.replace("{toks}", _SQL_TOKS)
+
+
+QUERIES = {
+    "events_sessionize": q_events_sessionize,
+    "events_rate_window": q_events_rate_window,
+    "stratified_sample": q_stratified_sample,
+    "token_topk": q_token_topk,
+}
+
+ORACLES = {
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_rate_window": SQL_EVENTS_RATE_WINDOW,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "token_topk": _sql_token_topk(),
+}

@@ -1,0 +1,84 @@
+"""Pipeline-analytics operator tests: sessionize semantics, window-key
+exactness, sampling determinism, top-k tie-breaks. Oracle parity is covered
+by tools/check_correctness.py; these pin behaviors and plan shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions.sessions import session_bounds, sessionize
+
+NS = 1_000_000_000
+
+
+@pytest.fixture(scope="module")
+def clicks(spark):
+    # user 1: events at t=0s, 10s, 1000s (gap 990s splits at gap_ns=100s)
+    # user 2: single event
+    rows = [(1, 0 * NS, 1), (1, 10 * NS, 2), (1, 1000 * NS, 3),
+            (2, 5 * NS, 4)]
+    return spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+
+
+def test_sessionize_splits_on_gap(clicks):
+    s = sessionize(clicks, ["user_id"], ts_col="ts", tiebreak_col="event_id",
+                   gap_ns=100 * NS)
+    got = {r["event_id"]: r["session_idx"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_bounds(clicks):
+    b = session_bounds(clicks, ["user_id"], ts_col="ts",
+                       tiebreak_col="event_id", gap_ns=100 * NS)
+    got = {(r["user_id"], r["session_idx"]): (r["n_events"], r["start_ts"],
+                                              r["end_ts"])
+           for r in b.collect()}
+    assert got == {(1, 1): (2, 0, 10 * NS), (1, 2): (1, 1000 * NS, 1000 * NS),
+                   (2, 1): (1, 5 * NS, 5 * NS)}
+
+
+def test_sessionize_one_shuffle_one_sort(clicks):
+    # lag + running sum share partitioning and ordering → the two Window
+    # operators run over ONE Exchange + ONE Sort (no re-shuffle/re-sort).
+    plan = sessionize(clicks, ["user_id"], ts_col="ts",
+                      tiebreak_col="event_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort ") == 1
+
+
+def test_tumbling_bucket_is_integer_exact(spark):
+    # epoch-ns of 2024+ exceeds 2^53: double math would mis-bucket edges.
+    from photon_spark.queries_pipeline import HOUR_NS
+    ts = 1_704_067_200_000_000_000 + HOUR_NS - 1  # last ns of an hour
+    df = spark.createDataFrame([(ts,), (ts + 1,)], "ts long")
+    got = sorted(r[0] for r in df.select(
+        (F.col("ts") - F.col("ts") % F.lit(HOUR_NS)).alias("w")).collect())
+    assert got == [1_704_067_200_000_000_000,
+                   1_704_067_200_000_000_000 + HOUR_NS]
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from photon_spark.queries_pipeline import q_stratified_sample
+    import os
+    a = sorted(map(tuple, q_stratified_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_stratified_sample(spark, sf_dir).collect()))
+    assert a == b
+    # rate is near the 26/256 design point in every stratum
+    for row in a:
+        assert 0.02 <= row[3] <= 0.25
+
+
+def test_token_topk_ties_deterministic(spark):
+    import photon_spark.queries_pipeline as qp
+    df = spark.createDataFrame(
+        [("en", "b b a a c"), ("en", "d")], "lang string, text string")
+    toks = df.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.desc("n_occurrences"),
+                                           F.asc("tok"))
+    top = (counts.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= 3).collect())
+    got = [(r["tok"], r["rank"]) for r in sorted(top, key=lambda r: r["rank"])]
+    assert got == [("a", 1), ("b", 2), ("c", 3)]  # count desc, token asc

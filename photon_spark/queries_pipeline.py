@@ -198,11 +198,75 @@ def _sql_token_topk() -> str:
     return SQL_TOKEN_TOPK.replace("{toks}", _SQL_TOKS)
 
 
+# -------------------------------------------------- corpus-statistics join
+
+#: a token is "rare" when its document frequency is below this.
+RARE_DF = 5
+
+
+def q_rare_token_rate(spark, sf_dir):
+    """Per-language rare-token occurrence rate — the OOV/perplexity-ish
+    quality signal: what share of a doc's tokens come from the long tail of
+    the corpus vocabulary (document frequency < RARE_DF).
+
+    This is the corpus-statistics JOIN shape: a self-derived vocabulary
+    dimension (distinct doc×token → per-token df) joined back onto the
+    token stream. The vocabulary is orders of magnitude smaller than the
+    corpus (bounded by language), so AQE broadcasts it here; at 100 TB it
+    degrades to a keyed join on the token — still linear, and the token
+    stream never carries text bodies, only (doc_id, token) pairs.
+
+    Float policy: the per-doc ratio is ONE division rounded to integer
+    millionths; the per-language average divides exactly-summed longs —
+    no double ever re-associates across partitions.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "lang", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    vocab = (toks.select("doc_id", "tok").distinct()
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("df_t")))
+    per_doc = (toks.join(vocab, "tok")
+                   .groupBy("doc_id", "lang")
+                   .agg(F.count(F.lit(1)).alias("n_tok"),
+                        F.sum(F.when(F.col("df_t") < RARE_DF, 1).otherwise(0))
+                         .alias("n_rare")))
+    ratio_int = F.round(F.col("n_rare") / F.col("n_tok") * 1e6).cast("long")
+    return (per_doc.where(F.col("n_tok") > 0)
+            .select("doc_id", "lang", "n_rare", ratio_int.alias("ri"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_rare").alias("rare_occurrences"),
+                 F.round(F.sum("ri") / F.count(F.lit(1)) / 1e6, 6)
+                  .alias("avg_rare_ratio")))
+
+
+def _sql_rare_token_rate() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, lower(unnest({_SQL_TOKS})) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS df_t
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+), per_doc AS (
+  SELECT t.doc_id, t.lang, count(*) AS n_tok,
+         sum(CASE WHEN v.df_t < {RARE_DF} THEN 1 ELSE 0 END) AS n_rare
+  FROM toks t JOIN vocab v USING (tok)
+  GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs, sum(n_rare) AS rare_occurrences,
+       round(sum(CAST(round(n_rare * 1.0 / n_tok * 1000000) AS BIGINT))
+             * 1.0 / count(*) / 1000000, 6) AS avg_rare_ratio
+FROM per_doc WHERE n_tok > 0 GROUP BY lang
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
     "stratified_sample": q_stratified_sample,
     "token_topk": q_token_topk,
+    "rare_token_rate": q_rare_token_rate,
 }
 
 ORACLES = {
@@ -210,4 +274,5 @@ ORACLES = {
     "events_rate_window": SQL_EVENTS_RATE_WINDOW,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "token_topk": _sql_token_topk(),
+    "rare_token_rate": _sql_rare_token_rate(),
 }

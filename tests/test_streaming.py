@@ -270,6 +270,47 @@ def test_ingest_to_projection_end_to_end(spark, tmp_path):
     assert engine.value("c") == 8
 
 
+def test_windowed_agg_stream_matches_batch(spark, sf_dir):
+    """The tumbling-window aggregate (queries_pipeline.q_events_rate_window)
+    run as a Structured Streaming job — readStream + event-time watermark +
+    window() + availableNow — emits exactly the batch result for every
+    CLOSED window (append mode withholds windows the 1 h watermark hasn't
+    passed; the watermark advances to max(event_time) - 1 h after the single
+    availableNow batch, so only the trailing window(s) are open)."""
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import HOUR_NS, q_events_rate_window
+
+    schema = _t(spark, sf_dir, "events").schema
+    # integer seconds → timestamp: truncation is monotone and window
+    # boundaries are whole seconds, so assignment matches the ns buckets
+    # (double division would ROUND and could hop a boundary).
+    tcol = F.expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
+    agg = (spark.readStream.schema(schema)
+           .parquet(f"{sf_dir}/events.par*")  # glob: file source wants a
+                                              # dir/pattern, not a bare file
+           .withColumn("etime", tcol)
+           .withWatermark("etime", "1 hour")
+           .groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (agg.select((F.unix_timestamp("w.start") * F.lit(1_000_000_000))
+                    .alias("window_start_ns"), "event_type", "n_events")
+         .writeStream.format("memory").queryName("win_agg")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window_start_ns"], r["event_type"]): r["n_events"]
+           for r in spark.sql("select * from win_agg").collect()}
+
+    batch = {(r["window_start_ns"], r["event_type"]): r["n_events"]
+             for r in q_events_rate_window(spark, sf_dir).collect()}
+    cutoff = max(k[0] for k in batch)  # open windows the watermark holds back
+    closed = {k: v for k, v in batch.items()
+              if k[0] < cutoff - HOUR_NS}
+    assert got.items() >= closed.items()
+    extra = set(got) - set(batch)
+    assert not extra  # stream never invents windows
+    assert all(got[k] == batch[k] for k in got)  # emitted counts exact
+
+
 def test_backup_restore_roundtrip(spark, tmp_path):
     """S6: backup = export __all__ cold; restore = import into a fresh
     store; every event round-trips and counts match

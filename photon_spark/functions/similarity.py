@@ -16,6 +16,8 @@ computed in float64; no Python in the distance loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -168,12 +170,14 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     lowest-id rows (deterministic "training"); the query probes the
     ``n_probe`` nearest cells.
 
-    Assignment plan: the centroids are a tiny driver-side list, so each row
-    computes its argmax-similarity cell as ONE projection — an array of
-    (sim, -cell_id) structs against centroid literals reduced with
-    ``array_max`` (lexicographic struct order ⇒ max sim, ties to the lowest
-    cell_id). No crossJoin (the r1 version amplified the scan n_cells×), no
-    window (no shuffle): scan → project → filter.
+    Assignment plan: the centroids are a tiny driver-side list shipped in
+    the UDF closure, so each row computes its argmax-similarity cell in one
+    Arrow-batched numpy GEMM — (batch × dim) @ (dim × n_cells), map-only.
+    No crossJoin (the r1 version amplified the scan n_cells×), no window
+    (no shuffle): scan → project → filter. Assignment is a *screening*
+    step, so GEMM re-association is acceptable (ties/boundaries only move
+    vectors between cells — recall is pinned in tests); the final scoring
+    of probed candidates is the exact sequential Catalyst cosine.
 
     At scale: write the table partitioned/bucketed by ``cell`` so a probe
     reads n_probe/n_cells of the data via partition pruning; centroids come
@@ -194,18 +198,22 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     def norm_py(v):
         return math.sqrt(sum(x * x for x in v))
 
-    # Per-row argmax cell over centroid literals: one projection, no join.
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), F.col(vec_col), vd.alias("_v")) \
-             .withColumn("_nv", norm(F.col("_v")))
-    entries = []
-    for cell_id, cvec in cents:
-        clit = F.array(*[F.lit(x) for x in cvec])
-        sim = dot(F.col("_v"), clit) / (F.col("_nv") * F.lit(norm_py(cvec)))
-        entries.append(F.struct(sim.alias("sim"),
-                                F.lit(-cell_id).alias("negcell")))
-    assigned = base.withColumn(
-        "cell_id", -F.array_max(F.array(*entries))["negcell"])
+    # (dim × n_cells) centroid matrix; cents are id-sorted, so np.argmax's
+    # first-max tie-break = lowest cell_id (same rule as the struct-max
+    # formulation this replaces).
+    cmat = np.array([c[1] for c in cents], dtype=np.float64).T
+    cnorm = np.linalg.norm(cmat, axis=0)
+    cell_arr = np.array([c[0] for c in cents], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _assign(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        sims = (m @ cmat) / (np.linalg.norm(m, axis=1, keepdims=True)
+                             * cnorm + 1e-300)
+        return pd.Series(cell_arr[np.argmax(sims, axis=1)])
+
+    assigned = df.select(F.col(id_col), F.col(vec_col)) \
+                 .withColumn("cell_id", _assign(F.col(vec_col)))
 
     # Probe cells: nearest centroids to the query (driver-side, tiny).
     def cos_py(a, b):

@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the invariant-heavy kernels.
+
+Each example drives real Spark jobs, so example counts are deliberately
+small — the strategies still cover the interesting boundaries (empty
+partitions, dense per-ms batches, gap ties) far better than fixed fixtures.
+"""
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from photon_spark.events import EventStore
+from photon_spark.functions.sessions import sessionize
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@settings(**_SETTINGS)
+@given(sizes=st.lists(st.integers(min_value=1, max_value=40),
+                      min_size=1, max_size=4),
+       parts=st.integers(min_value=1, max_value=5))
+def test_ingest_order_ids_dense_unique_monotonic(spark, tmp_path_factory,
+                                                 sizes, parts):
+    """Across any batch sizes and input partitioning: order_ids are unique,
+    strictly increasing batch-over-batch, and each batch's ids form one
+    dense consecutive run (the reference's per-ms counter semantics,
+    streams.clj:298-301)."""
+    store = EventStore(spark, os.path.join(
+        str(tmp_path_factory.mktemp("prop")), "events"))
+    prev_max = 0
+    for b, n in enumerate(sizes):
+        df = (spark.createDataFrame(
+            [(f"s{i % 3}", str(b * 1000 + i)) for i in range(n)],
+            "stream_name string, local_id string")
+            .repartition(parts))
+        assert store.ingest(df) == n
+        ids = sorted(r["order_id"] for r in
+                     store.read_all().where(
+                         F.col("local_id").cast("long") >= b * 1000)
+                     .select("order_id").collect())
+        assert len(set(ids)) == n
+        assert ids[0] > prev_max
+        assert ids[-1] - ids[0] == n - 1  # dense consecutive run
+        prev_max = ids[-1]
+
+
+@settings(**_SETTINGS)
+@given(gaps=st.lists(st.integers(min_value=0, max_value=200),
+                     min_size=1, max_size=30),
+       gap_ns=st.integers(min_value=1, max_value=150))
+def test_sessionize_matches_python_fold(spark, gaps, gap_ns):
+    """session_idx equals the trivial sequential fold: increment exactly
+    when the inter-event gap exceeds gap_ns (boundary: gap == gap_ns stays
+    in-session)."""
+    ts, t = [], 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    df = spark.createDataFrame(
+        [(1, t_, i) for i, t_ in enumerate(ts)],
+        "user_id long, ts long, event_id long")
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, ["user_id"], ts_col="ts",
+                               tiebreak_col="event_id",
+                               gap_ns=gap_ns).collect()}
+    expect, sid, prev = {}, 0, None
+    for i, t_ in enumerate(ts):
+        if prev is None or t_ - prev > gap_ns:
+            sid += 1
+        expect[i] = sid
+        prev = t_
+    assert got == expect

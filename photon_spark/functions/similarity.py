@@ -231,3 +231,61 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     if qid is not None:
         out = out.where(F.col(id_col) != qid)
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------- quantization
+
+def quantize_error_cols(vec_col, max_q: int = 127):
+    """Per-vector int8 symmetric-quantization audit columns.
+
+    q_i = round(x_i / scale) with scale = max|x| / max_q — the standard
+    symmetric int8 scheme that cuts embedding storage 4× at 100 TB. Returns
+    (scale, max_abs_err, n_saturated); n_saturated counts elements at full
+    scale (|q| ≥ max_q) — the max-|x| element always is, so ≥ 1 per vector;
+    larger values flag distributions a symmetric scheme clips. Every reduction is order-insensitive
+    (max / integer count), and every float op (widen, divide, round,
+    multiply, subtract) is a single IEEE-exact step with a bit-identical
+    DuckDB spelling — so the audit is hash-gateable, unlike a float sum.
+
+    Spark round(double) == DuckDB round(double): BigDecimal HALF_UP on the
+    shortest decimal repr and C round() both mean "nearest, ties away from
+    zero" on the same binary value.
+    """
+    v = F.transform(vec_col if not isinstance(vec_col, str)
+                    else F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = mx / F.lit(float(max_q))
+    err = F.transform(
+        v, lambda x: F.abs(F.round(x / scale) * scale - x))
+    max_err = F.aggregate(err, F.lit(0.0), lambda a, e: F.greatest(a, e))
+    sat = F.aggregate(
+        v, F.lit(0).cast("long"),
+        lambda a, x: a + F.when(F.abs(F.round(x / scale)) >= max_q, 1)
+                          .otherwise(0))
+    zero = mx == F.lit(0.0)
+    return (F.struct(
+        scale.alias("scale"),
+        F.when(zero, F.lit(0.0)).otherwise(max_err).alias("max_abs_err"),
+        F.when(zero, F.lit(0).cast("long")).otherwise(sat)
+         .alias("n_saturated")))
+
+
+def quantize_stats(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", max_q: int = 127) -> DataFrame:
+    """Corpus-level int8 quantization audit: vector count, saturation
+    total, worst and average per-vector max reconstruction error.
+
+    Plan: one map-side projection per vector + a single global aggregate of
+    short numeric columns — no shuffle of the embeddings themselves. The
+    average uses the integer-millionths trick (sum of longs, one final
+    division) so partial-aggregation order can't flip the hash.
+    """
+    qa = df.select(quantize_error_cols(vec_col, max_q).alias("q"))
+    ri = F.round(F.col("q.max_abs_err") * 1e6).cast("long")
+    return qa.select(F.col("q.max_abs_err").alias("me"),
+                     F.col("q.n_saturated").alias("ns"), ri.alias("ri")) \
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.sum("ns").alias("total_saturated"),
+                  F.round(F.max("me"), 6).alias("worst_max_abs_err"),
+                  F.round(F.sum("ri") / F.count(F.lit(1)) / 1e6, 6)
+                   .alias("avg_max_abs_err"))

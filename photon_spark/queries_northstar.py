@@ -290,6 +290,39 @@ def q_ann_topk_ivf(spark, sf_dir):
                                n_cells=16, n_probe=4)
 
 
+def q_embedding_quantize_stats(spark, sf_dir):
+    # int8 storage-path audit: map-only per-vector error columns + one
+    # global aggregate of order-insensitive reductions (max / long sums) —
+    # see similarity.quantize_stats for the hash-parity analysis.
+    return similarity.quantize_stats(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_QUANTIZE_STATS = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+), per AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN 0.0
+              ELSE list_max(list_transform(
+                     v, x -> abs(round(x / scale) * scale - x))) END AS me,
+         CASE WHEN scale = 0 THEN 0
+              ELSE len(list_filter(
+                     v, x -> abs(round(x / scale)) >= 127)) END AS ns
+  FROM sc
+)
+SELECT count(*) AS n_vectors, sum(ns) AS total_saturated,
+       round(max(me), 6) AS worst_max_abs_err,
+       round(sum(CAST(round(me * 1000000) AS BIGINT)) * 1.0
+             / count(*) / 1000000, 6) AS avg_max_abs_err
+FROM per
+"""
+
+
 def q_media_stats(spark, sf_dir):
     # Multimodal plumbing on the deterministic synthetic media table (no
     # testdata media table exists). The table is seeded by media_id, so the
@@ -319,6 +352,7 @@ QUERIES = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "embedding_quantize_stats": q_embedding_quantize_stats,
     "media_stats": q_media_stats,
 }
 
@@ -332,6 +366,7 @@ ORACLES = {
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "media_stats": SQL_MEDIA_STATS,
+    "embedding_quantize_stats": SQL_EMBEDDING_QUANTIZE_STATS,
     # ann_topk_lsh, ann_topk_ivf: intentionally no oracle (approximate
     # operators → rows-only driver check; recall floors pinned in pytest).
 }

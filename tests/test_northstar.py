@@ -195,6 +195,20 @@ def test_ivf_topk_recall(emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_quantize_error_bounded_by_half_scale(emb):
+    # symmetric int8: reconstruction error of any element is ≤ scale/2
+    # (+1 ulp headroom); exactly the max-|x| element(s) reach full scale
+    # (|q| = 127), so n_saturated ≥ 1 and stays tiny.
+    from photon_spark.functions.similarity import quantize_error_cols
+    rows = emb.limit(300).select(
+        quantize_error_cols("embedding").alias("q")).collect()
+    assert rows
+    for r in rows:
+        q = r["q"]
+        assert q["max_abs_err"] <= q["scale"] / 2 * (1 + 1e-12)
+        assert 1 <= q["n_saturated"] <= 4
+
+
 def test_brute_force_topk_no_shuffle_sort(emb):
     # Plan check: top-k must be TakeOrderedAndProject, not a global sort.
     plan = (similarity.brute_force_topk(emb, 0, k=10)

@@ -261,12 +261,83 @@ FROM per_doc WHERE n_tok > 0 GROUP BY lang
 """
 
 
+# ------------------------------------------------------- decontamination
+
+#: docs with doc_id % BENCH_MOD == 0 play the held-out benchmark set.
+BENCH_MOD = 211
+#: n-gram width for overlap (13 is the common LLM figure; 8 fits the
+#: shorter synthetic docs while exercising the identical plan).
+CONTAM_N = 8
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-decontamination audit: which corpus docs share ≥ 1 word
+    {CONTAM_N}-gram with the probe ("benchmark") set, per source.
+
+    The probe side is tiny (real benchmark suites are), so its distinct
+    n-grams broadcast and the corpus side is a map-side LEFT SEMI join on
+    the gram — the scan never shuffles, only (doc_id) survivors do. This is
+    the standard decontamination shape at 100 TB: probe grams in memory on
+    every executor, one pass over the corpus.
+    """
+    from photon_spark.functions.dedup import _shingled
+    d = _docs(spark, sf_dir)
+    sh = _shingled(d, "text", "doc_id", CONTAM_N)
+    is_bench = F.col("id") % BENCH_MOD == 0
+    bench_g = (sh.where(is_bench)
+                 .select(F.explode("sh").alias("g")).distinct())
+    corpus = sh.where(~is_bench).select("id", F.explode("sh").alias("g"))
+    hits = (corpus.join(bench_g, "g", "left_semi")
+                  .select("id").distinct())
+    per_doc = (d.where(F.col("doc_id") % BENCH_MOD != 0)
+                .join(hits.withColumnRenamed("id", "doc_id")
+                          .withColumn("hit", F.lit(1)), "doc_id", "left"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  .alias("n_contaminated"),
+                 F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                         / F.count(F.lit(1)), 6)
+                  .alias("contamination_rate")))
+
+
+def _sql_contamination_check() -> str:
+    from photon_spark.queries_northstar import _SQL_NORM
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(CONTAM_N))
+    grams = (f"list_distinct(list_transform("
+             f"generate_series(1, len(t)-{CONTAM_N - 1}), i -> {gram}))")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {grams} AS g FROM norm WHERE len(t) >= {CONTAM_N}
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gr FROM grams
+  WHERE doc_id % {BENCH_MOD} = 0
+), hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(g) AS gr FROM grams
+    WHERE doc_id % {BENCH_MOD} != 0)
+  WHERE gr IN (SELECT gr FROM bench)
+)
+SELECT d.source, count(*) AS n_docs,
+       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_contaminated,
+       round(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS contamination_rate
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {BENCH_MOD} != 0
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
     "stratified_sample": q_stratified_sample,
     "token_topk": q_token_topk,
     "rare_token_rate": q_rare_token_rate,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES = {
@@ -275,4 +346,5 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "token_topk": _sql_token_topk(),
     "rare_token_rate": _sql_rare_token_rate(),
+    "contamination_check": _sql_contamination_check(),
 }

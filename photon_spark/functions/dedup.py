@@ -562,3 +562,54 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 
     return block_pairs.mapInPandas(
         gemm, schema="lo_id long, hi_id long, cosine double")
+
+
+# ------------------------------------------------------ cluster assignment
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over a (lo_id, hi_id) duplicate-pair relation:
+    → DataFrame[id, cluster_id] with cluster_id = min doc id reachable —
+    the keeper-selection step every dedup pipeline runs after pair mining.
+
+    Iterative min-label propagation: label(v) ← min(label(v), labels of
+    neighbours), repeated to fixpoint (≤ diameter rounds; near-dup
+    components are short chains, so this converges in a handful). Each
+    round is one keyed join + one aggregate; `localCheckpoint` truncates
+    the lineage so the plan doesn't grow with iterations — the standard
+    Spark shape for iterative graph algorithms (Pregel-style, as in
+    GraphX/GraphFrames' connected components).
+
+    At 100 TB the pair relation is orders of magnitude smaller than the
+    corpus (it only contains duplicates), so the loop runs on the small
+    derived table; convergence is detected with a count of changed labels
+    (one cheap action per round).
+    """
+    edges = (pairs.select(F.col("lo_id").alias("src"),
+                          F.col("hi_id").alias("dst"))
+             .union(pairs.select(F.col("hi_id").alias("src"),
+                                 F.col("lo_id").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        neigh_min = (edges.join(labels.withColumnRenamed("id", "dst")
+                                      .withColumnRenamed("cluster_id", "nl"),
+                                "dst")
+                     .groupBy(F.col("src").alias("id"))
+                     .agg(F.min("nl").alias("nmin")))
+        updated = (labels.join(neigh_min, "id", "left")
+                   .select("id", F.least(
+                       F.col("cluster_id"),
+                       F.coalesce(F.col("nmin"), F.col("cluster_id")))
+                       .alias("cluster_id"))
+                   .localCheckpoint())
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+                   .count())
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")

@@ -170,6 +170,35 @@ JOIN n_sh nb ON nb.doc_id = c.hi_id
 WHERE round(c.n_common * 1.0 / (na.n_sh + nb.n_sh - c.n_common), 6) >= 0.8
 """
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact jaccard pairs → per-cluster
+    sizes (keeper = min doc_id = the cluster id). Iterative label
+    propagation on Spark; recursive-CTE transitive closure on DuckDB."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    labels = dedup.dup_clusters(pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE jacc AS ({{jaccard}}),
+edges AS (
+  SELECT lo_id AS s, hi_id AS d FROM jacc
+  UNION
+  SELECT hi_id AS s, lo_id AS d FROM jacc
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id
+"""
+
+
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
 
 
@@ -346,6 +375,7 @@ QUERIES = {
     "lang_quality_by_source": q_lang_quality_by_source,
     "dedup_exact_stats": q_dedup_exact_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_buckets": q_simhash_buckets,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -361,6 +391,7 @@ ORACLES = {
     "lang_quality_by_source": SQL_LANG_QUALITY_BY_SOURCE,
     "dedup_exact_stats": SQL_DEDUP_EXACT_STATS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS.replace("{jaccard}", SQL_NGRAM_JACCARD_PAIRS),
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,

@@ -125,6 +125,16 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(docs):
     assert exact <= lsh  # every high-jaccard pair is caught
 
 
+def test_dup_clusters_known_graph(spark):
+    # components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair order and
+    # direction must not matter.
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 9), (5, 7)], "lo_id long, hi_id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
 def test_simhash_collides_near_dups(docs):
     # The shipped near-dup operator (64-bit simhash + banded Hamming<=3
     # probe) catches most jaccard>=0.9 pairs; the 16-bit bucket variant is

@@ -311,6 +311,53 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir):
     assert all(got[k] == batch[k] for k in got)  # emitted counts exact
 
 
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
+    """Streaming gap-sessions via the built-in session_window (the state-
+    store-backed hot form) produce the same per-key session count and
+    event counts as the batch sessionize fold, for every watermark-closed
+    session. Boundary note: sessionize starts a new session when gap >
+    gap_ns while session_window merges only gap < gap — they agree unless
+    a gap is EXACTLY the gap size (none in the testdata's microsecond
+    timestamps)."""
+    from photon_spark.functions.sessions import session_bounds
+    from photon_spark.queries import _t
+
+    gap_s = 24 * 3600
+    schema = _t(spark, sf_dir, "events").schema
+    tcol = F.expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
+    q = (spark.readStream.schema(schema).parquet(f"{sf_dir}/events.par*")
+         .withColumn("etime", tcol)
+         .withWatermark("etime", "0 seconds")
+         .groupBy(F.session_window("etime", f"{gap_s} seconds").alias("w"),
+                  "event_type", "user_id")
+         .agg(F.count(F.lit(1)).alias("n_events"))
+         .writeStream.format("memory").queryName("sess_win")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    stream = {(r["event_type"], r["user_id"],
+               int(r["w"]["start"].timestamp())): r["n_events"]
+              for r in spark.sql("select * from sess_win").collect()}
+
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type", "user_id",
+                 (F.col("ts") - F.col("ts") % F.lit(1_000_000_000))
+                 .alias("tsec"), "event_id"))
+    batch = {(r["event_type"], r["user_id"], r["start_ts"] // 1_000_000_000):
+             r["n_events"]
+             for r in session_bounds(
+                 e, ["event_type", "user_id"], ts_col="tsec",
+                 tiebreak_col="event_id",
+                 gap_ns=gap_s * 1_000_000_000).collect()}
+    # watermark = max event time ⇒ every session whose window closed before
+    # it is emitted; the trailing open session per key is withheld.
+    assert stream and set(stream) <= set(batch)
+    assert all(batch[k] == v for k, v in stream.items())
+    # closed-session coverage: all but (at most) one open session per key
+    open_per_key = len(batch) - len(stream)
+    keys = {(t, u) for t, u, _ in batch}
+    assert open_per_key <= len(keys)
+
+
 def test_backup_restore_roundtrip(spark, tmp_path):
     """S6: backup = export __all__ cold; restore = import into a fresh
     store; every event round-trips and counts match

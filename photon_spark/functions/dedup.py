@@ -566,29 +566,57 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 
 # ------------------------------------------------------ cluster assignment
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 25,
+                 local_threshold: int = 500_000) -> DataFrame:
     """Connected components over a (lo_id, hi_id) duplicate-pair relation:
     → DataFrame[id, cluster_id] with cluster_id = min doc id reachable —
     the keeper-selection step every dedup pipeline runs after pair mining.
 
-    Iterative min-label propagation: label(v) ← min(label(v), labels of
-    neighbours), repeated to fixpoint (≤ diameter rounds; near-dup
-    components are short chains, so this converges in a handful). Each
-    round is one keyed join + one aggregate; `localCheckpoint` truncates
-    the lineage so the plan doesn't grow with iterations — the standard
-    Spark shape for iterative graph algorithms (Pregel-style, as in
-    GraphX/GraphFrames' connected components).
-
-    At 100 TB the pair relation is orders of magnitude smaller than the
-    corpus (it only contains duplicates), so the loop runs on the small
-    derived table; convergence is detected with a count of changed labels
-    (one cheap action per round).
+    Adaptive execution (the same small-side switch Spark itself makes for
+    broadcast joins): the deduped edge relation is counted once, and when
+    it fits comfortably on the driver (≤ ``local_threshold`` edges) the
+    components come from an in-memory union-find — a duplicate-pair graph
+    is orders of magnitude smaller than its corpus, so this is the common
+    case even at large scale. Above the threshold: iterative min-label
+    propagation — label(v) ← min(label(v), labels of neighbours) to
+    fixpoint (≤ diameter rounds), one keyed join + one aggregate per
+    round, with `localCheckpoint` truncating the lineage so the plan
+    doesn't grow (the Pregel shape GraphX/GraphFrames use). Both paths
+    produce identical labels (pinned in tests, which force the
+    distributed path with ``local_threshold=0``).
     """
-    edges = (pairs.select(F.col("lo_id").alias("src"),
-                          F.col("hi_id").alias("dst"))
-             .union(pairs.select(F.col("hi_id").alias("src"),
-                                 F.col("lo_id").alias("dst")))
+    # symmetrize in ONE pass (a union of two selects would execute the
+    # upstream pair-mining plan twice)
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col("lo_id").alias("src"),
+                         F.col("hi_id").alias("dst")),
+                F.struct(F.col("hi_id").alias("src"),
+                         F.col("lo_id").alias("dst")))).alias("e"))
+             .select("e.src", "e.dst")
              .distinct().localCheckpoint())
+    if edges.count() <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toLocalIterator():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min so the root IS the min id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "id long, cluster_id long")
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id"))

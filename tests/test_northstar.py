@@ -127,12 +127,18 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(docs):
 
 def test_dup_clusters_known_graph(spark):
     # components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair order and
-    # direction must not matter.
+    # direction must not matter. Both the local union-find and the
+    # distributed label-propagation path (forced via local_threshold=0)
+    # must produce identical labels.
     pairs = spark.createDataFrame(
         [(2, 3), (1, 2), (3, 9), (5, 7)], "lo_id long, hi_id long")
-    got = {r["id"]: r["cluster_id"]
-           for r in dedup.dup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    expect = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    local = {r["id"]: r["cluster_id"]
+             for r in dedup.dup_clusters(pairs).collect()}
+    dist = {r["id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(pairs,
+                                        local_threshold=0).collect()}
+    assert local == expect and dist == expect
 
 
 def test_simhash_collides_near_dups(docs):

@@ -59,7 +59,6 @@ def test_tumbling_bucket_is_integer_exact(spark):
 
 def test_stratified_sample_deterministic(spark, sf_dir):
     from photon_spark.queries_pipeline import q_stratified_sample
-    import os
     a = sorted(map(tuple, q_stratified_sample(spark, sf_dir).collect()))
     b = sorted(map(tuple, q_stratified_sample(spark, sf_dir).collect()))
     assert a == b
@@ -69,7 +68,6 @@ def test_stratified_sample_deterministic(spark, sf_dir):
 
 
 def test_token_topk_ties_deterministic(spark):
-    import photon_spark.queries_pipeline as qp
     df = spark.createDataFrame(
         [("en", "b b a a c"), ("en", "d")], "lang string, text string")
     toks = df.select("lang", F.explode(F.split("text", " ")).alias("tok"))

@@ -81,3 +81,25 @@ def test_jaccard_shuffles_only_postings(docs):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text" not in ln and "sh#" not in ln
+
+
+def test_lsh_signature_partition_pruning(spark, emb, tmp_path):
+    # The "100 TB path" the lsh_topk docstring promises: embeddings written
+    # partitioned by RP-signature make a bucket probe PARTITION PRUNING,
+    # not a scan. Pin that the probe's FileScan reads only the matching
+    # partition directories.
+    import os
+    dim = len(emb.first()["embedding"])
+    path = os.path.join(str(tmp_path), "emb_by_sig")
+    (emb.limit(400)
+        .withColumn("sig", similarity.rp_signature("embedding", 3, dim=dim))
+        .write.partitionBy("sig").parquet(path))
+    spark.catalog.clearCache()
+    probed = spark.read.parquet(path).where(F.col("sig").isin(1, 3))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+    # and the probe actually touches fewer files than the full table scan
+    full = spark.read.parquet(path)
+    n_part = full.select("sig").distinct().count()
+    assert n_part > 2  # several buckets exist, so pruning is meaningful
+    assert probed.count() + 1 <= full.count()  # strict subset of the rows

@@ -158,9 +158,14 @@ class EventStore:
             n = acc
             stamped = stamp_events(src, self.max_order_id(),
                                    partition_offsets=offsets)
+            # sort includes the partition column: the dynamic-partition
+            # writer re-sorts any task holding >1 stream by partition col
+            # (unstably), which would silently break the per-file order_id
+            # sort; pre-sorting by (stream, order) satisfies the writer's
+            # required ordering so no destructive re-sort happens.
             (stamped
              .repartition("stream_name")
-             .sortWithinPartitions("order_id")
+             .sortWithinPartitions("stream_name", "order_id")
              .write.mode("append")
              .partitionBy("stream_name")
              .parquet(self.path))
@@ -226,7 +231,8 @@ class EventStore:
         """
         tmp = self.path.rstrip("/") + f".__rewrite__{uuid.uuid4().hex[:8]}"
         (self.read_all().where(keep_predicate)
-         .repartition("stream_name").sortWithinPartitions("order_id")
+         .repartition("stream_name")
+         .sortWithinPartitions("stream_name", "order_id")
          .write.mode("overwrite").partitionBy("stream_name").parquet(tmp))
         import shutil
         shutil.rmtree(self.path, ignore_errors=True)
@@ -245,6 +251,38 @@ class EventStore:
         """D3 delete-all (streams.clj:324)."""
         import shutil
         shutil.rmtree(self.path, ignore_errors=True)
+
+    # ---------------------------------------------------------- maintenance
+    def expire(self, before: int) -> int:
+        """Retention: drop every event below a cutoff (epoch-ms or raw
+        order_id, same coercion rule as :meth:`read_cold`). Returns the
+        number of events removed.
+
+        Streaming appends make this the standard log-retention pattern; on
+        parquet it is a partition-parallel rewrite, on Delta/Iceberg the
+        identical predicate is a metadata DELETE.
+        """
+        before = int(before)
+        if 10_000_000_000 <= before < 100_000_000_000_000:
+            before *= 1000  # epoch-ms → order_id space
+        removed = self.read_all().where(F.col("order_id") < before).count()
+        if removed:
+            self._rewrite(F.col("order_id") >= before)
+        return removed
+
+    def compact(self) -> int:
+        """Compact each stream partition into one order_id-sorted file and
+        return the data-file count afterwards.
+
+        Streaming ingest appends one file per micro-batch per stream; the
+        small-file population degrades scan/listing cost over time. The
+        rewrite shuffles each stream wholly into one task (so one sorted
+        file per stream — the layout :meth:`ingest` targets), which is the
+        OPTIMIZE/compaction maintenance op of a Delta/Iceberg table.
+        """
+        self._rewrite(F.lit(True))
+        return sum(1 for _, _, files in os.walk(self.path)
+                   for f in files if f.endswith(".parquet"))
 
     # -------------------------------------------------------- export/import
     def export_stream(self, stream_name: str, out_path: str) -> int:

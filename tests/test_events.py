@@ -137,3 +137,44 @@ def test_deletes(store, spark):
     assert store.streams() == ["b"]
     store.clean()
     assert not store._exists()
+
+
+def test_expire_retention(spark, tmp_path):
+    import os
+    from photon_spark.events import EventStore
+    store = EventStore(spark, os.path.join(str(tmp_path), "ev"))
+    df = spark.createDataFrame([("s1", str(i)) for i in range(30)],
+                               "stream_name string, local_id string")
+    store.ingest(df)
+    ids = sorted(r["order_id"] for r in store.read_all().collect())
+    cutoff = ids[10]  # raw order_id cutoff drops exactly the first 10
+    assert store.expire(cutoff) == 10
+    left = sorted(r["order_id"] for r in store.read_all().collect())
+    assert left == ids[10:]
+    assert store.expire(cutoff) == 0  # idempotent
+
+
+def test_compact_one_file_per_stream(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as SF
+    from photon_spark.events import EventStore
+    store = EventStore(spark, os.path.join(str(tmp_path), "ev"))
+    for b in range(4):  # 4 micro-batch appends over 2 streams
+        store.ingest(spark.createDataFrame(
+            [(f"s{i % 2}", str(b * 100 + i)) for i in range(10)],
+            "stream_name string, local_id string"))
+    before = sorted((r["stream_name"], r["local_id"], r["order_id"])
+                    for r in store.read_all().collect())
+    n_files_before = sum(1 for _, _, fs in os.walk(store.path)
+                         for f in fs if f.endswith(".parquet"))
+    assert n_files_before > 2  # one append each = small-file population
+    assert store.compact() == 2  # one file per stream partition
+    after = sorted((r["stream_name"], r["local_id"], r["order_id"])
+                   for r in store.read_all().collect())
+    assert after == before  # byte-for-byte event survival
+    # compacted files are order_id-sorted within each stream
+    for s in ("s0", "s1"):
+        got = [r["order_id"] for r in
+               store.spark.read.parquet(store.path)
+               .where(SF.col("stream_name") == s).collect()]
+        assert got == sorted(got)

@@ -279,6 +279,12 @@ class EventStore:
         rewrite shuffles each stream wholly into one task (so one sorted
         file per stream — the layout :meth:`ingest` targets), which is the
         OPTIMIZE/compaction maintenance op of a Delta/Iceberg table.
+
+        NOT safe under an active file-source subscription (R2/R3): the
+        Structured Streaming file source tracks seen FILES, so a rewrite
+        re-delivers every event as new files. Run between streaming
+        sessions (fresh checkpoint), or use a transactional table format
+        where OPTIMIZE preserves streaming offsets.
         """
         self._rewrite(F.lit(True))
         return sum(1 for _, _, files in os.walk(self.path)

@@ -170,22 +170,28 @@ JOIN n_sh nb ON nb.doc_id = c.hi_id
 WHERE round(c.n_common * 1.0 / (na.n_sh + nb.n_sh - c.n_common), 6) >= 0.8
 """
 
+
 def q_dedup_clusters(spark, sf_dir):
-    """Connected components over the exact jaccard pairs → per-cluster
-    sizes (keeper = min doc_id = the cluster id). Iterative label
-    propagation on Spark; recursive-CTE transitive closure on DuckDB."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    """Connected components over the MinHash-LSH near-dup pairs →
+    per-cluster sizes (keeper = min doc_id = the cluster id). LSH is the
+    pair source because it is the miner that scales (candidate generation
+    is banded, not all-pairs) — clustering its output is exactly the 100 TB
+    dedup pipeline. Adaptive union-find/label-propagation on Spark;
+    recursive-CTE transitive closure on DuckDB."""
+    pairs = dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=0.7)
     labels = dedup.dup_clusters(pairs)
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"))
 
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE jacc AS ({{jaccard}}),
+WITH RECURSIVE pairs_src AS ({{pairs}}),
 edges AS (
-  SELECT lo_id AS s, hi_id AS d FROM jacc
+  SELECT lo_id AS s, hi_id AS d FROM pairs_src
   UNION
-  SELECT hi_id AS s, lo_id AS d FROM jacc
+  SELECT hi_id AS s, lo_id AS d FROM pairs_src
 ),
 reach(s, d) AS (
   SELECT s, d FROM edges
@@ -391,7 +397,7 @@ ORACLES = {
     "lang_quality_by_source": SQL_LANG_QUALITY_BY_SOURCE,
     "dedup_exact_stats": SQL_DEDUP_EXACT_STATS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
-    "dedup_clusters": SQL_DEDUP_CLUSTERS.replace("{jaccard}", SQL_NGRAM_JACCARD_PAIRS),
+    "dedup_clusters": SQL_DEDUP_CLUSTERS.replace("{pairs}", SQL_MINHASH_NEAR_DUPS),
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,

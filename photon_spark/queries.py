@@ -19,7 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from photon_spark.projections.engine import ProjectionEngine, PyReducer
+from photon_spark.projections.engine import (AssociativeReducer,
+                                             ProjectionEngine, PyReducer)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -239,6 +240,52 @@ FROM events GROUP BY 1
 """
 
 
+def q_projection_assoc_fold(spark, sf_dir):
+    """Associative reducer tier (the distributed user-fold path): per-stream
+    (count, cent-sum) dict folded in parallel partition partials, merged in
+    partition order on the driver. Value parity: each event's cents are
+    rounded independently (Decimal(repr(v*100)) HALF_UP == DuckDB
+    round(v*100) — the shortest-repr rule), so the integer sums are
+    associative and the hash cannot depend on partition order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    events = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("order_id"),
+        F.col("event_type").alias("stream_name"), "value")
+
+    def fold(st, ev):
+        cents = int(Decimal(repr(ev["value"] * 100))
+                    .quantize(Decimal("1"), ROUND_HALF_UP))
+        n, c = st.get(ev["stream_name"], (0, 0))
+        st = dict(st)
+        st[ev["stream_name"]] = (n + 1, c + cents)
+        return st
+
+    def merge(a, b):
+        out = dict(a)
+        for k, (n, c) in b.items():
+            n0, c0 = out.get(k, (0, 0))
+            out[k] = (n0 + n, c0 + c)
+        return out
+
+    proj = ProjectionEngine.fold_dataframe(
+        AssociativeReducer(fold=fold, merge=merge, zero={}),
+        events, initial_value={}, name="assoc_fold")
+    rows = [(k, v[0], v[1]) for k, v in sorted(proj.current_value.items())]
+    out = spark.createDataFrame(
+        rows, "stream_name string, n_events long, sum_cents long")
+    return out.select(
+        "stream_name", "n_events",
+        F.round(F.col("sum_cents") / F.lit(100.0), 2).alias("sum_value"))
+
+
+SQL_PROJECTION_ASSOC_FOLD = """
+SELECT event_type AS stream_name, count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_projection_fold_stats(spark, sf_dir):
     """The real serial ordered-fold kernel (PyReducer tier) over the events
     table, state = (processed, last_event, sum); SQL-checkable because the
@@ -364,6 +411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_inference": q_schema_inference,
     "projection_count_all": q_projection_count_all,
     "projection_sum_by_stream": q_projection_sum_by_stream,
+    "projection_assoc_fold": q_projection_assoc_fold,
     "projection_fold_stats": q_projection_fold_stats,
     "projection_streaming_fold": q_projection_streaming_fold,
     "projection_value_lookup": q_projection_value_lookup,
@@ -380,6 +428,7 @@ ORACLES: dict[str, str] = {
     "schema_inference": SQL_SCHEMA_INFERENCE,
     "projection_count_all": SQL_PROJECTION_COUNT_ALL,
     "projection_sum_by_stream": SQL_PROJECTION_SUM_BY_STREAM,
+    "projection_assoc_fold": SQL_PROJECTION_ASSOC_FOLD,
     "projection_fold_stats": SQL_PROJECTION_FOLD_STATS,
     "projection_streaming_fold": SQL_PROJECTION_STREAMING_FOLD,
     "projection_value_lookup": SQL_PROJECTION_VALUE_LOOKUP,

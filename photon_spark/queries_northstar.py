@@ -376,6 +376,37 @@ SELECT 'image' AS kind, 'image/fake' AS mime, 64::BIGINT AS n_items,
 """
 
 
+def q_frame_sample_stats(spark, sf_dir):
+    """Multimodal 1:N plumbing under the hash gate: sample frames from the
+    deterministic synthetic video table and aggregate blob-free stats. The
+    oracle derives the same numbers independently in SQL from the synthesis
+    formulas (media i: blob len 256+(i%5)*64, duration 1000*(1+i%10); frame
+    k of n is the strided slice content[k::n][:64], so its length is
+    min(64, ceil((len-k)/n)))."""
+    media = multimodal.synthesize_media(spark, n=64, kind="video")
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=8)
+    return frames.agg(
+        F.count_distinct("media_id").alias("n_media"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_frame_bytes"),
+        F.max("frame_idx").cast("long").alias("max_frame_idx"))
+
+
+SQL_FRAME_SAMPLE_STATS = """
+WITH m AS (
+  SELECT i, 256 + (i % 5) * 64 AS len, least(8, 1 + i % 10) AS n
+  FROM generate_series(0, 63) t(i)
+), fr AS (
+  SELECT i, unnest(generate_series(0, n - 1)) AS k, len, n FROM m
+)
+SELECT count(DISTINCT i) AS n_media, count(*) AS n_frames,
+       sum(least(64, CAST(ceil((len - k) * 1.0 / n) AS BIGINT)))
+         AS total_frame_bytes,
+       max(k)::BIGINT AS max_frame_idx
+FROM fr
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -390,6 +421,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_quantize_stats": q_embedding_quantize_stats,
     "media_stats": q_media_stats,
+    "frame_sample_stats": q_frame_sample_stats,
 }
 
 ORACLES = {
@@ -404,6 +436,7 @@ ORACLES = {
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "media_stats": SQL_MEDIA_STATS,
     "embedding_quantize_stats": SQL_EMBEDDING_QUANTIZE_STATS,
+    "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
     # ann_topk_lsh, ann_topk_ivf: intentionally no oracle (approximate
     # operators → rows-only driver check; recall floors pinned in pytest).
 }

@@ -176,6 +176,8 @@ class EventStore:
 
     # ----------------------------------------------------------------- read
     def read_all(self) -> DataFrame:
+        if not self._exists():  # empty store reads as an empty relation
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
         # partitionBy writes stream_name as a directory column; enforce
         # canonical column order.

@@ -38,7 +38,9 @@ _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.EN_STOPWORDS) + "]"
 # ------------------------------------------------------------ text profile
 
 def q_text_profile(spark, sf_dir):
-    return text.text_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+    # no orderBy: the gate hash is order-insensitive and a global sort of
+    # every profiled row is exactly the shuffle this operator avoids.
+    return text.text_profile(_docs(spark, sf_dir))
 
 
 def _lang_case() -> str:
@@ -84,7 +86,6 @@ SELECT doc_id,
        {_lang_case()} AS lang_pred,
        md5({_SQL_NORM}) AS fingerprint
 FROM c
-ORDER BY doc_id
 """
 
 

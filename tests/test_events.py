@@ -178,3 +178,13 @@ def test_compact_one_file_per_stream(spark, tmp_path):
                store.spark.read.parquet(store.path)
                .where(SF.col("stream_name") == s).collect()]
         assert got == sorted(got)
+
+
+def test_empty_store_reads(spark, tmp_path):
+    import os
+    from photon_spark.events import EventStore
+    store = EventStore(spark, os.path.join(str(tmp_path), "none"))
+    assert store.max_order_id() == 0
+    assert store.read_cold().count() == 0
+    assert store.streams() == []
+    assert store.expire(10**15) == 0  # no data → nothing to expire

@@ -1,0 +1,58 @@
+"""Distributed keyed stateful streaming fold (applyInPandasWithState).
+
+The serial :class:`~photon_spark.streaming.stateful.StreamingProjectionRunner`
+mirrors photon's per-projection total-order fold (streams.clj:241-274,
+410-420). This module is the Spark-FIRST escalation for reducers that are
+per-key independent (the per-stream built-ins like `__streams__` counts,
+default_projs.clj:8-26): state lives in the executors' state store, keyed
+by stream — updates run in parallel across keys, state survives restarts
+through the checkpoint, and no event ever reaches the driver.
+
+Scale: this is the shape that holds at 100 TB/day — per-key state is
+O(keys) not O(events), each micro-batch touches only the keys it contains,
+and the shuffle is the single groupBy(key) exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("stream_name string, n_events long, sum_local long, "
+                 "max_order_id long")
+STATE_SCHEMA = "n long, s long, mx long"
+
+
+def keyed_running_totals(events: DataFrame) -> DataFrame:
+    """Per-stream running (count, sum(local_id as long), max order_id) over
+    a STREAMING events DataFrame; emits the updated state row for every key
+    touched by each micro-batch (photon's queryable projection value, in
+    update mode).
+
+    The int sums keep the fold associative and restart-exact: replaying a
+    checkpoint resumes from the stored state, never recounts.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s, mx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pd.to_numeric(pdf["local_id"]).sum())
+            if len(pdf):
+                mx = max(mx, int(pdf["order_id"].max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame({"stream_name": [key[0]], "n_events": [n],
+                            "sum_local": [s], "max_order_id": [mx]})
+
+    return (events
+            .groupBy("stream_name")
+            .applyInPandasWithState(
+                update,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

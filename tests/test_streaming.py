@@ -358,6 +358,43 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
     assert open_per_key <= len(keys)
 
 
+def test_keyed_stateful_fold_resumes_from_state_store(spark, tmp_path):
+    """applyInPandasWithState keyed fold: per-stream running totals live in
+    the executor state store, update in parallel across keys, and RESUME
+    from the checkpoint on a second availableNow run — the second run folds
+    only the new batch (no recount), matching the batch aggregate exactly."""
+    from photon_spark.streaming.keyed import keyed_running_totals
+
+    store = _mk_store(spark, tmp_path)
+    _post(store, "a", 20, start=0)
+    _post(store, "b", 10, start=100)
+
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def run_once(qname):
+        got = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                got[r["stream_name"]] = (r["n_events"], r["sum_local"])
+
+        q = (keyed_running_totals(read_hot_cold(store))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return got
+
+    first = run_once("keyed1")
+    assert first == {"a": (20, sum(range(20))),
+                     "b": (10, sum(range(100, 110)))}
+
+    _post(store, "a", 5, start=1000)  # only stream a advances
+    second = run_once("keyed2")
+    # update mode emits only touched keys; 'a' reflects cumulative state
+    assert second == {"a": (25, sum(range(20)) + sum(range(1000, 1005)))}
+
+
 def test_backup_restore_roundtrip(spark, tmp_path):
     """S6: backup = export __all__ cold; restore = import into a fresh
     store; every event round-trips and counts match

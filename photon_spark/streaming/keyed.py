@@ -41,7 +41,8 @@ def keyed_running_totals(events: DataFrame) -> DataFrame:
         n, s, mx = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += int(pd.to_numeric(pdf["local_id"]).sum())
+            s += int(pd.to_numeric(pdf["local_id"], errors="coerce")
+                     .fillna(0).sum())
             if len(pdf):
                 mx = max(mx, int(pdf["order_id"].max()))
         state.update((n, s, mx))

@@ -42,6 +42,30 @@ def _sample_filter(order_col: str):
             < SAMPLE_HEX_LT)
 
 
+def _sampled(events: DataFrame, payload_col: str, stream_col: str,
+             version_col: str, order_col: str) -> DataFrame:
+    """→ (stream_name, schema_tag, payload) rows passing first-N-or-sample.
+
+    Two branches instead of one windowed OR-filter: a bare
+    ``row_number() <= N`` predicate gets the rank-limit pushdown
+    (WindowGroupLimit keeps ≤N rows per group per map partition BEFORE the
+    exchange), while the OR-form forces every row through the full
+    shuffle+sort. The md5 branch is map-side only; the overlap between the
+    branches is removed by a key dedup over the (tiny) sampled relation.
+    """
+    version = F.coalesce(F.col(version_col), F.lit(UNVERSIONED))
+    base = events.withColumn("_ver", version)
+    w = Window.partitionBy(stream_col, "_ver").orderBy(order_col)
+    first_n = (base.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= FIRST_N).drop("_rn"))
+    sampled = base.where(_sample_filter(order_col))
+    return (first_n.unionByName(sampled)
+            .dropDuplicates([stream_col, "_ver", order_col])
+            .select(F.col(stream_col).alias("stream_name"),
+                    F.col("_ver").alias("schema_tag"),
+                    F.col(payload_col).alias("payload")))
+
+
 def _merge_value(schema: dict, path: str, value) -> None:
     if isinstance(value, dict):
         for k, v in value.items():
@@ -74,15 +98,8 @@ def infer_schemas(events: DataFrame, payload_col: str = "payload",
     sampled document of the bucket (the reference's required/optional
     semantics, schema_test.clj:41-71).
     """
-    version = F.coalesce(F.col(version_col), F.lit(UNVERSIONED))
-    w = Window.partitionBy(stream_col, version).orderBy(order_col)
-    sampled = (events
-               .withColumn("_ver", version)
-               .withColumn("_rn", F.row_number().over(w))
-               .where((F.col("_rn") <= FIRST_N) | _sample_filter(order_col))
-               .select(F.col(stream_col).alias("stream_name"),
-                       F.col("_ver").alias("schema_tag"),
-                       F.col(payload_col).alias("payload")))
+    sampled = _sampled(events, payload_col, stream_col, version_col,
+                       order_col)
 
     def merge_group(pdf):
         import pandas as pd
@@ -132,15 +149,8 @@ def infer_schema_fields(events: DataFrame, payload_col: str = "payload",
     alphabetically-first non-null type winning on mixed fields, exactly as
     ``_merge_value``'s reduction does).
     """
-    version = F.coalesce(F.col(version_col), F.lit(UNVERSIONED))
-    w = Window.partitionBy(stream_col, version).orderBy(order_col)
-    sampled = (events
-               .withColumn("_ver", version)
-               .withColumn("_rn", F.row_number().over(w))
-               .where((F.col("_rn") <= FIRST_N) | _sample_filter(order_col))
-               .select(F.col(stream_col).alias("stream_name"),
-                       F.col("_ver").alias("schema_tag"),
-                       F.col(payload_col).alias("payload")))
+    sampled = _sampled(events, payload_col, stream_col, version_col,
+                       order_col)
 
     def flat_fields(pdf):
         fields: dict = {}

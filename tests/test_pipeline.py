@@ -67,6 +67,38 @@ def test_stratified_sample_deterministic(spark, sf_dir):
         assert 0.02 <= row[3] <= 0.25
 
 
+def test_training_pipeline_end_to_end(spark, sf_dir):
+    """The composed curation pipeline a real corpus runs: profile → quality
+    floor → exact dedup → near-dup clustering (keep cluster keepers) →
+    stratified sample. Pins that the stages compose, survivors shrink
+    monotonically, and the whole chain is deterministic run-over-run."""
+    from photon_spark.functions import dedup, text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run():
+        prof = text.text_profile(docs).select("doc_id", "quality")
+        floor = prof.agg(F.expr("percentile(quality, 0.25)")).first()[0]
+        kept = docs.join(prof.where(F.col("quality") >= floor), "doc_id")
+        exact = dedup.dedup_exact(kept)
+        pairs = dedup.minhash_near_duplicates(exact, threshold=0.7)
+        losers = (dedup.dup_clusters(pairs)
+                  .where(F.col("id") != F.col("cluster_id"))
+                  .select(F.col("id").alias("doc_id")))
+        uniq = exact.join(losers, "doc_id", "left_anti")
+        sample = uniq.where(
+            F.md5(F.concat(F.lit("strat:"),
+                           F.col("doc_id").cast("string"))) < "80")
+        return (docs.count(), kept.count(), exact.count(), uniq.count(),
+                sorted(r["doc_id"] for r in sample.select("doc_id").collect()))
+
+    n_docs, n_kept, n_exact, n_uniq, sample_ids = run()
+    assert n_docs >= n_kept >= n_exact >= n_uniq > 0
+    assert n_uniq < n_docs  # the corpus has planted dups, so curation bites
+    assert 0 < len(sample_ids) < n_uniq
+    assert run() == (n_docs, n_kept, n_exact, n_uniq, sample_ids)
+
+
 def test_token_topk_ties_deterministic(spark):
     df = spark.createDataFrame(
         [("en", "b b a a c"), ("en", "d")], "lang string, text string")

@@ -139,6 +139,10 @@ def test_dup_clusters_known_graph(spark):
             for r in dedup.dup_clusters(pairs,
                                         local_threshold=0).collect()}
     assert local == expect and dist == expect
+    # empty pair relation → empty labels on both paths
+    empty = spark.createDataFrame([], "lo_id long, hi_id long")
+    assert dedup.dup_clusters(empty).count() == 0
+    assert dedup.dup_clusters(empty, local_threshold=0).count() == 0
 
 
 def test_simhash_collides_near_dups(docs):

@@ -270,3 +270,15 @@ def test_media_stats_prunes_blobs(spark):
     media = multimodal.synthesize_media(spark, n=16)
     stats = multimodal.media_stats(media).collect()
     assert stats[0]["n_items"] == 16
+
+
+def test_quantize_np_twin_bit_exact(emb):
+    # the shipped vectorized audit must be BIT-identical to the Catalyst
+    # reference form (same IEEE op sequence; round-half-away floor trick).
+    from photon_spark.functions.similarity import (quantize_error_cols,
+                                                   quantize_error_cols_np)
+    cat = sorted(tuple(r["q"]) for r in emb.select(
+        quantize_error_cols("embedding").alias("q")).collect())
+    fast = sorted(tuple(r["q"]) for r in emb.select(
+        quantize_error_cols_np("embedding").alias("q")).collect())
+    assert cat == fast and cat

@@ -163,10 +163,11 @@ def q_token_topk(spark, sf_dir):
 
     Plan: explode → (lang, token) hash-agg with map-side partials (the
     explosion never shuffles raw text, only token+count pairs), then a
-    per-lang window over the distinct-token relation. The window partition
-    is one language's vocabulary — bounded (≈10⁶ entries) regardless of
-    corpus size, so the plan survives 100×; for unbounded key spaces swap
-    the window for a per-partition top-k + merge.
+    per-lang rank over the distinct-token relation. The rank ≤ k predicate
+    gets Catalyst's WindowGroupLimit pushdown (Partial before the
+    exchange, Final after — pinned in tests/test_plans.py), i.e. the
+    per-partition top-k + merge shape: only ≤ k rows per group per map
+    partition ever shuffle, so the plan survives unbounded key spaces.
     """
     d = _docs(spark, sf_dir)
     toks = d.select("lang", F.explode(

@@ -103,3 +103,15 @@ def test_lsh_signature_partition_pruning(spark, emb, tmp_path):
     n_part = full.select("sig").distinct().count()
     assert n_part > 2  # several buckets exist, so pruning is meaningful
     assert probed.count() + 1 <= full.count()  # strict subset of the rows
+
+
+def test_token_topk_rank_limit_pushdown(spark, sf_dir):
+    # The heavy-hitter query's rank <= k filter must compile to the
+    # two-stage WindowGroupLimit (Partial before the exchange, Final
+    # after) — the per-partition top-k + merge shape that bounds shuffle
+    # volume on unbounded key spaces.
+    import photon_spark.queries_pipeline as qp
+    plan = qp.q_token_topk(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan

@@ -112,3 +112,19 @@ def test_token_topk_ties_deterministic(spark):
                  .where(F.col("rank") <= 3).collect())
     got = [(r["tok"], r["rank"]) for r in sorted(top, key=lambda r: r["rank"])]
     assert got == [("a", 1), ("b", 2), ("c", 3)]  # count desc, token asc
+
+
+def test_approx_distinct_sketch_error_bound(spark, sf_dir):
+    # Sketch tier for cardinality at scale: HLL++ (approx_count_distinct)
+    # per stream vs the exact distinct — relative error within 3x the
+    # requested rsd. The sketch is the 100 TB path (fixed-size state,
+    # mergeable partials); the exact form is the oracle-gated default.
+    from photon_spark.queries import _t
+    e = _t(spark, sf_dir, "events")
+    rows = (e.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("exact"),
+                 F.approx_count_distinct("user_id", rsd=0.02).alias("approx"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.06 * r["exact"])

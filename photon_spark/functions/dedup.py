@@ -20,7 +20,7 @@ DuckDB). md5 hex strings compare lexicographically the same everywhere.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from photon_spark.functions.text import normalize_text, tokens
@@ -142,9 +142,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     1000+ docs). The SQL oracle mirrors the same rule, so the correctness
     gate is deterministic either way.
 
-    Shuffles: one hash-agg on the shingle key for the df counts, the
-    postings join + capped self-join (all keyed on the shingle — the
-    identical sub-plans share shuffle exchanges), and one pair-keyed count.
+    Shuffles: the postings exchange on the shingle key (shared by the
+    windowed df-cap and the self-join — identical sub-plans reuse the
+    exchange), one tiny per-doc-size agg, and one pair-keyed count.
     Document bodies and shingle arrays never shuffle — only (shingle, id)
     pairs.
 
@@ -154,22 +154,22 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sf0.1 corpus). Carrying the sizes through the pair aggregation also
     removes the two per-doc-size joins the verification step used to need.
     """
-    # The exploded postings feed three consumers (df-cap agg, both
-    # self-join sides); persist them once — at scale this is the standard
+    # The exploded postings feed the cap filter and both self-join sides;
+    # persist them once — at scale this is the standard
     # materialize-postings-then-join dedup shape (MEMORY_AND_DISK, evicted
     # LRU when the query's plans are gone).
     sh = _shingled(df, text_col, id_col, n)
     ex = sh.select("id", F.explode("sh").alias("g")).persist()
-    # The cap anti-joins against the STOP set (df > cap) — the Zipf-head
-    # complement, orders of magnitude smaller than the rare set; AQE turns
-    # it into a broadcast anti-join whenever it fits.
-    stop = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
-              .where(F.col("df_g") > max_shingle_df)
-              .select("g"))
+    # The df cap as a windowed count over the shingle key: one exchange on
+    # g (which the self-join needs anyway) instead of a separate agg +
+    # anti-join pass; the in-partition sort on g is work the sort-merge
+    # self-join repeats at scale regardless.
+    wg = Window.partitionBy("g")
+    exr = (ex.withColumn("_df_g", F.count(F.lit(1)).over(wg))
+             .where(F.col("_df_g") <= max_shingle_df).drop("_df_g"))
     # Sizes are measured over the capped space, so count AFTER the cap;
-    # the (id, n_sh) relation is one row per doc — AQE broadcasts it onto
+    # the (id, deg) relation is one row per doc — AQE broadcasts it onto
     # the postings (at 10^9 docs it degrades to a keyed join, still linear).
-    exr = ex.join(stop, "g", "left_anti")
     deg = exr.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     exs = exr.join(deg, "id")
     a, b = exs.alias("a"), exs.alias("b")

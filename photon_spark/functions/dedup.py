@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 from photon_spark.functions.text import normalize_text, tokens
 
 
+# ---------------------------------------------------------------- cache mgmt
+
+def _own_cache(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Attach persisted upstream relations to ``result`` so callers can
+    free them with :func:`release_cache` after their action has run. The
+    persisted blocks are MEMORY_AND_DISK and LRU-evicted under pressure,
+    but long-lived sessions issuing many dedup calls should release
+    explicitly."""
+    result._photon_cached = cached  # type: ignore[attr-defined]
+    return result
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the intermediate relations a dedup operator cached on
+    ``df`` (no-op for DataFrames without cached dependencies)."""
+    for c in getattr(df, "_photon_cached", []):
+        c.unpersist()
+
+
 # --------------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -96,7 +115,10 @@ def shingles_udf(col, n: int = 3):
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in texts:
-            t = ws.sub(" ", (t or "").lower()).strip()
+            # spaces-only strip: after ws.sub the only ASCII whitespace
+            # left is spaces, and a no-arg strip would also eat Unicode
+            # whitespace that Catalyst trim/normalize_text keeps
+            t = ws.sub(" ", (t or "").lower()).strip(" ")
             toks = t.split(" ") if t else []
             if len(toks) < n:
                 out.append([])
@@ -156,8 +178,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     # The exploded postings feed the cap filter and both self-join sides;
     # persist them once — at scale this is the standard
-    # materialize-postings-then-join dedup shape (MEMORY_AND_DISK, evicted
-    # LRU when the query's plans are gone).
+    # materialize-postings-then-join dedup shape (MEMORY_AND_DISK). The
+    # cached relation is attached to the result: call release_cache(result)
+    # after the action to free it deterministically.
     sh = _shingled(df, text_col, id_col, n)
     ex = sh.select("id", F.explode("sh").alias("g")).persist()
     # The df cap as a windowed count over the shingle key: one exchange on
@@ -190,9 +213,11 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                .agg(F.count(F.lit(1)).alias("n_common")))
     jac = F.round(F.col("n_common")
                   / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
-    return (common.select("lo_id", "hi_id", F.col("n_common").cast("long"),
-                          jac.alias("jaccard"))
-                  .where(F.col("jaccard") >= threshold))
+    return _own_cache(
+        common.select("lo_id", "hi_id", F.col("n_common").cast("long"),
+                      jac.alias("jaccard"))
+              .where(F.col("jaccard") >= threshold),
+        [ex])
 
 
 # ------------------------------------------------------------------- MinHash
@@ -274,7 +299,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     (only on candidates) → pairs with jaccard ≥ threshold.
 
     The shingled relation feeds the signature branch and both verification
-    joins; persisted once (same rationale as jaccard_pairs)."""
+    joins; persisted once (same rationale as jaccard_pairs — call
+    :func:`release_cache` on the result to free it deterministically)."""
     sh = _shingled(df, text_col, id_col, shingle_n).persist()
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
                                    shingle_n, _shingled_df=sh)
@@ -285,10 +311,12 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                "hi_id"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (j.select("lo_id", "hi_id",
-                     F.round(inter / F.greatest(union, F.lit(1)), 6)
-                      .alias("jaccard"))
-             .where(F.col("jaccard") >= threshold))
+    return _own_cache(
+        j.select("lo_id", "hi_id",
+                 F.round(inter / F.greatest(union, F.lit(1)), 6)
+                  .alias("jaccard"))
+         .where(F.col("jaccard") >= threshold),
+        [sh])
 
 
 # ------------------------------------------------------------------- SimHash
@@ -325,12 +353,19 @@ def simhash64(texts):
     @F.pandas_udf("long")
     def _sim(texts: pd.Series) -> pd.Series:
         import hashlib
+        import re
 
         import numpy as np
 
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in texts:
-            toks = (t or "").split()
+            # identical tokenization contract to text.tokens: spaces-only
+            # trim then ASCII-\s+ split (Python's no-arg str.split would
+            # split on Unicode whitespace and drop empty tokens — a
+            # different signature for edge-whitespace docs)
+            trimmed = (t or "").strip(" ")
+            toks = ws.split(trimmed) if trimmed else []
             if not toks:
                 out.append(0)
                 continue
@@ -406,7 +441,10 @@ def simhash16_udf(texts):
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in col:
-            trimmed = (t or "").strip(" \t\n\x0b\f\r")
+            # spaces-only trim, exactly like text.tokens (Spark/DuckDB trim
+            # strips the space character only) — a leading tab yields the
+            # same leading empty token as the Catalyst form
+            trimmed = (t or "").strip(" ")
             toks = ws.split(trimmed) if trimmed else []
             sig = 0
             if toks:

@@ -175,6 +175,10 @@ def text_profile(df: DataFrame, text_col: str = "text",
 
     - character classes use Java's ASCII ``\\s`` (explicit class, not
       Python's unicode ``\\s``);
+    - tokenization trims SPACES ONLY before the split, exactly like the
+      Catalyst form (Spark ``trim`` and DuckDB ``trim`` both strip the
+      space character, nothing else) — a leading tab/newline therefore
+      yields the same leading empty token on every engine;
     - ratios are one float64 division, quality is the same left-associated
       formula, and rounding is decimal HALF_UP (what Spark's ``round`` does
       via BigDecimal) — Python's builtin half-even ``round`` would diverge
@@ -190,7 +194,6 @@ def text_profile(df: DataFrame, text_col: str = "text",
     non_alpha = re.compile(r"[^A-Za-z]")
     non_punct = re.compile(r"[^.,;:!?'\"()-]")
     punct_split = re.compile(r"[A-Za-z0-9 \t\n\x0b\f\r]+")
-    strip_chars = " \t\n\x0b\f\r"
     stop = frozenset(EN_STOPWORDS)
     markers = [(lang, frozenset(LANG_MARKERS[lang]))
                for lang in sorted(LANG_MARKERS)]
@@ -213,7 +216,7 @@ def text_profile(df: DataFrame, text_col: str = "text",
                 n_chars = len(t)
                 n_alpha = len(non_alpha.sub("", t))
                 n_punct = len(non_punct.sub("", t))
-                trimmed = t.strip(strip_chars)
+                trimmed = t.strip(" ")
                 toks = ws.split(trimmed) if trimmed else []
                 lt = [x.lower() for x in toks]
                 n_tokens = len(lt)
@@ -232,7 +235,9 @@ def text_profile(df: DataFrame, text_col: str = "text",
                     hits = sum(1 for x in lt if x in mk)
                     if hits > best:
                         best_lang, best = lang, hits
-                norm = ws.sub(" ", t.lower()).strip(strip_chars)
+                # after ws.sub the only whitespace left is spaces, so a
+                # spaces-only strip == Catalyst trim(regexp_replace(..))
+                norm = ws.sub(" ", t.lower()).strip(" ")
                 fp = hashlib.md5(norm.encode("utf-8")).hexdigest()
                 rows.append((doc_id, n_chars, n_tokens, n_bpe,
                              r6(alpha_ratio), r6(sw_ratio), r6(quality),

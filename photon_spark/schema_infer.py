@@ -95,8 +95,9 @@ def infer_schemas(events: DataFrame, payload_col: str = "payload",
 
     schema_json: {field_path: {"type": ..., "mode": "required"|"optional",
     "count": n}} — mode is "required" iff the field appeared in every
-    sampled document of the bucket (the reference's required/optional
-    semantics, schema_test.clj:41-71).
+    sampled ROW of the bucket (null/unparseable payloads count toward the
+    denominator, matching the SQL oracle; the reference's required/optional
+    semantics otherwise, schema_test.clj:41-71).
     """
     sampled = _sampled(events, payload_col, stream_col, version_col,
                        order_col)
@@ -104,7 +105,10 @@ def infer_schemas(events: DataFrame, payload_col: str = "payload",
     def merge_group(pdf):
         import pandas as pd
         schema: dict = {}
-        n = 0
+        # same denominator rule as infer_schema_fields: every sampled row
+        # counts (parse failures included), keeping both inference surfaces
+        # and the SQL oracle in agreement on n_samples/mode.
+        n = len(pdf)
         for payload in pdf["payload"]:
             if payload is None:
                 continue
@@ -112,7 +116,6 @@ def infer_schemas(events: DataFrame, payload_col: str = "payload",
                 doc = json.loads(payload)
             except (ValueError, TypeError):
                 continue
-            n += 1
             _merge_value(schema, "", doc)
         out = {
             path: {
@@ -154,7 +157,12 @@ def infer_schema_fields(events: DataFrame, payload_col: str = "payload",
 
     def flat_fields(pdf):
         fields: dict = {}
-        n = 0
+        # n_samples counts EVERY sampled row of the bucket — including
+        # null / malformed / non-object payloads — matching the oracle's
+        # buckets CTE (which counts sampled rows before any JSON parsing).
+        # A field is therefore "required" only if present in every sampled
+        # ROW, not just every parseable document.
+        n = len(pdf)
         for payload in pdf["payload"]:
             if payload is None:
                 continue
@@ -164,7 +172,6 @@ def infer_schema_fields(events: DataFrame, payload_col: str = "payload",
                 continue
             if not isinstance(doc, dict):
                 continue
-            n += 1
             for k, v in doc.items():
                 t = ("null" if v is None else
                      "boolean" if isinstance(v, bool) else

@@ -59,6 +59,30 @@ def test_text_profile_fast_equals_catalyst(docs):
     assert fast == cat
 
 
+EDGE_WS_DOCS = ["\tfoo bar", "foo bar\n", "\t", "", "  ", " x ", "a\xa0b",
+                "\x0bx", "the cat\tand the dog\n", "  mixed \t ws \n doc  "]
+
+
+def test_text_profile_edge_whitespace_parity(spark):
+    # Tokenization trims SPACES ONLY before the ASCII-\s+ split (Spark trim
+    # == DuckDB trim == strip(' ')), so '\tfoo bar' yields a leading empty
+    # token and 'foo bar\n' a trailing one on BOTH paths; NBSP (\xa0) is
+    # not whitespace anywhere; \x0b IS Java/Python-ASCII whitespace (the
+    # DuckDB RE2 gap on \x0b is pinned in test_parity_rules).
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_WS_DOCS)],
+        "doc_id long, text string")
+    fast = sorted(tuple(r) for r in text.text_profile(df).collect())
+    cat = sorted(tuple(r) for r in text.text_profile_catalyst(df).collect())
+    assert fast == cat
+    by_id = {t[0]: t for t in fast}
+    assert by_id[0][2] == 3  # '\tfoo bar' → ['', 'foo', 'bar']
+    assert by_id[1][2] == 3  # 'foo bar\n' → ['foo', 'bar', '']
+    assert by_id[2][2] == 2  # '\t' → ['', '']
+    assert by_id[3][2] == 0  # '' → []
+    assert by_id[6][2] == 1  # NBSP does not split
+
+
 # ------------------------------------------------------------------ dedup
 
 def test_exact_dedup_removes_planted_dup(spark):
@@ -145,6 +169,20 @@ def test_dup_clusters_known_graph(spark):
     assert dedup.dup_clusters(empty, local_threshold=0).count() == 0
 
 
+def test_release_cache_unpersists_intermediates(docs):
+    # jaccard_pairs / minhash_near_duplicates persist an intermediate
+    # relation; the caller releases it via release_cache once the action
+    # has run (library sessions must not accumulate cached blocks).
+    res = dedup.jaccard_pairs(docs, threshold=0.8)
+    res.count()
+    cached = getattr(res, "_photon_cached", [])
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    dedup.release_cache(res)
+    assert all(not c.storageLevel.useMemory for c in cached)
+    # no-op on DataFrames without cached dependencies
+    dedup.release_cache(docs)
+
+
 def test_simhash_collides_near_dups(docs):
     # The shipped near-dup operator (64-bit simhash + banded Hamming<=3
     # probe) catches most jaccard>=0.9 pairs; the 16-bit bucket variant is
@@ -162,6 +200,29 @@ def test_simhash16_udf_equals_catalyst(docs):
     rows = docs.select(dedup.simhash16("text").alias("a"),
                        dedup.simhash16_udf("text").alias("b")).collect()
     assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_simhash16_udf_equals_catalyst_edge_whitespace(spark):
+    # same pin on the edge-whitespace docs (leading tab → empty token whose
+    # md5('') votes must agree between the UDF and the Catalyst fold)
+    df = spark.createDataFrame([(t,) for t in EDGE_WS_DOCS], "text string")
+    rows = df.select(dedup.simhash16("text").alias("a"),
+                     dedup.simhash16_udf("text").alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_simhash64_ascii_tokenization_contract(spark):
+    # simhash64 tokenizes like text.tokens: ASCII \s+ split of the
+    # spaces-trimmed text. 'a\xa0b' is ONE token (NBSP is not ASCII
+    # whitespace), so its signature is exactly the top 8 md5 bytes of the
+    # single token — Python's no-arg str.split() would have made two.
+    import hashlib
+    sig = spark.createDataFrame([("a\xa0b",)], "text string").select(
+        dedup.simhash64("text").alias("s")).first()["s"]
+    want = int.from_bytes(hashlib.md5("a\xa0b".encode()).digest()[:8], "big")
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert sig == want
 
 
 def test_simhash_banded_probe_is_lossless(docs):

@@ -88,6 +88,29 @@ def test_get_schema_endpoint(events):
     assert by_version["0.0.1"]["extra"]["type"] == "boolean"
 
 
+def test_null_payload_counts_toward_denominator(spark):
+    # n_samples counts EVERY sampled row — including null / malformed
+    # payloads — matching the oracle's buckets CTE (which counts sampled
+    # rows before any JSON parsing). A field present in all parseable docs
+    # but not all rows is therefore optional.
+    rows = [("s", None, 1, json.dumps({"a": 1})),
+            ("s", None, 2, json.dumps({"a": 2})),
+            ("s", None, 3, None),
+            ("s", None, 4, "not json {{")]
+    ev = spark.createDataFrame(
+        rows, "stream_name string, schema_tag string, order_id long, "
+              "payload string")
+    flat = infer_schema_fields(ev).collect()
+    assert len(flat) == 1
+    r = flat[0]
+    assert r["n_samples"] == 4
+    assert r["n_present"] == 2
+    assert r["mode"] == "optional"
+    nested = infer_schemas(ev).first()
+    assert nested["n_samples"] == 4
+    assert json.loads(nested["schema_json"])["a"]["mode"] == "optional"
+
+
 def test_inference_is_deterministic(events):
     a = sorted(tuple(r) for r in infer_schemas(events).collect())
     b = sorted(tuple(r) for r in infer_schemas(events).collect())

@@ -3,7 +3,11 @@
 same sf, compare row count, sorted column names, and an
 order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json PATH] [sf_dir] [query ...]
+
+``--json PATH`` additionally writes the per-query results in the driver's
+CORRECTNESS_r{N}.json shape, so a stale round artifact can be regenerated
+from HEAD.
 """
 
 from __future__ import annotations
@@ -48,8 +52,13 @@ def value_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     import __spark_entry__ as entry_mod
@@ -64,6 +73,7 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,6 +84,10 @@ def main():
             sql = oracles.get(name)
             if sql is None:
                 print(f"  ~ {name}: rows-only check, {len(srows)} rows")
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(srows),
+                    "oracle_rows": None, "err": "no_oracle"}
                 continue
             ddf = con.sql(sql)
             drows = ddf.fetchall()
@@ -87,6 +101,10 @@ def main():
             print(f"  {mark} {name}: rows {len(srows)}/{len(drows)} "
                   f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
                   f"hash {sh}/{dh}")
+            results[name] = {
+                "rows_match": ok_n, "schema_match": ok_cols,
+                "hash_match": sh == dh, "spark_rows": len(srows),
+                "oracle_rows": len(drows), "err": None}
             if not ok:
                 failures += 1
                 if not ok_cols or sh != dh:
@@ -99,6 +117,15 @@ def main():
         except Exception as exc:
             failures += 1
             print(f"  ERROR {name}: {exc}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:500]}
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path}")
     print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from photon_spark.functions import dedup, multimodal, similarity, text
+from photon_spark.functions import (dedup, multimodal, quality, similarity,
+                                    text)
 
 
 def _docs(spark, sf_dir):
@@ -359,6 +360,119 @@ FROM per
 """
 
 
+# ------------------------------------------------------- quality signals
+
+def q_repetition_profile(spark, sf_dir):
+    # Gopher-style repetition filters as one map-only Arrow pass (no
+    # shuffle): distinct-token fraction, top word-bigram + its mass,
+    # duplicate-trigram fraction.
+    return quality.repetition_profile(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_PROFILE = f"""
+WITH norm AS (
+  SELECT doc_id, {_SQL_NORM} AS nt FROM documents
+), toks AS (
+  SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), base AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM base, unnest(generate_series(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 2
+), bic AS (
+  SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2
+), topbi AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+    FROM bic)
+  WHERE rn = 1
+)
+SELECT b.doc_id, b.n AS n_tokens,
+       CASE WHEN b.n = 0 THEN 0.0
+            ELSE round(len(list_distinct(b.t)) * 1.0 / b.n, 6)
+       END AS distinct_frac,
+       tb.g AS top_bigram,
+       CASE WHEN b.n < 2 THEN 0.0
+            ELSE round(tb.c * 1.0 / (b.n - 1), 6) END AS top_bigram_frac,
+       CASE WHEN b.n < 3 THEN 0.0
+            ELSE round((b.n - 2 - len(list_distinct(list_transform(
+                   generate_series(1, b.n - 2),
+                   i -> b.t[i] || ' ' || b.t[i+1] || ' ' || b.t[i+2]))))
+                 * 1.0 / (b.n - 2), 6)
+       END AS dup_trigram_frac
+FROM base b LEFT JOIN topbi tb USING (doc_id)
+"""
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    # Winnowing rolling-hash fingerprints → df-capped inverted-index
+    # self-join → pairs sharing >= 15 selected hashes (verbatim-span
+    # overlap that token-level Jaccard dilutes away).
+    return quality.winnow_overlap_pairs(_docs(spark, sf_dir))
+
+
+SQL_WINNOW_OVERLAP_PAIRS = f"""
+WITH norm AS (
+  SELECT doc_id, {_SQL_NORM} AS nt FROM documents
+), grams AS (
+  SELECT doc_id, i, md5(substring(nt, i, {quality.WINNOW_K})) AS h
+  FROM norm, unnest(generate_series(1, length(nt) - {quality.WINNOW_K - 1}))
+       t(i)
+  WHERE length(nt) >= {quality.WINNOW_K}
+), mins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {quality.WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+), ex AS (
+  SELECT DISTINCT doc_id, fp FROM mins
+  WHERE i <= ng - {quality.WINNOW_W - 1}
+), capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM ex)
+  WHERE df <= {quality.MAX_FP_DF}
+)
+SELECT a.doc_id AS lo_id, b.doc_id AS hi_id, count(*) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 15
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    # Vocabulary-dim join + rank-limited window: top-3 TF-IDF terms/doc.
+    return quality.tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != ''
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(n.n_docs * 1.0 / d.df), 6) AS score
+  FROM tf t JOIN dfreq d USING (term), n
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 def q_media_stats(spark, sf_dir):
     # Multimodal plumbing on the deterministic synthetic media table (no
     # testdata media table exists). The table is seeded by media_id, so the
@@ -423,6 +537,9 @@ QUERIES = {
     "embedding_quantize_stats": q_embedding_quantize_stats,
     "media_stats": q_media_stats,
     "frame_sample_stats": q_frame_sample_stats,
+    "repetition_profile": q_repetition_profile,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -438,6 +555,9 @@ ORACLES = {
     "media_stats": SQL_MEDIA_STATS,
     "embedding_quantize_stats": SQL_EMBEDDING_QUANTIZE_STATS,
     "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
+    "repetition_profile": SQL_REPETITION_PROFILE,
+    "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     # ann_topk_lsh, ann_topk_ivf: intentionally no oracle (approximate
     # operators → rows-only driver check; recall floors pinned in pytest).
 }

@@ -86,6 +86,22 @@ def test_duckdb_re2_vertical_tab_gap():
         ["a\fb"]).fetchone()[0] == ["a", "b"]
 
 
+def test_python_log_equals_duckdb_ln_bitwise():
+    # Python's math.log and DuckDB's ln are the same glibc libm call —
+    # bitwise equal on every N/df ratio the tf-idf operators produce.
+    # (java.lang.Math.log is NOT: it differs by 1 ulp on some arguments,
+    # which is why quality.tfidf_top_terms computes idf Python-side.)
+    import math
+    import struct
+    for n in (500, 5000):
+        duck = [r[0] for r in duckdb.sql(
+            f"SELECT ln({n} * 1.0 / i) "
+            f"FROM generate_series(1, {n}) t(i)").fetchall()]
+        py = [math.log(n * 1.0 / i) for i in range(1, n + 1)]
+        assert all(struct.pack("d", a) == struct.pack("d", b)
+                   for a, b in zip(py, duck))
+
+
 def test_text_profile_duckdb_parity_edge_whitespace(spark):
     # Full-profile three-way check on edge-whitespace docs: the shipped
     # mapInPandas profile == the SQL_TEXT_PROFILE oracle, row for row

@@ -315,16 +315,95 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    # Approximate — no SQL oracle (rows-only); recall vs brute force pinned
-    # in tests/test_northstar.py.
+    # Approximate *by design*, but fully deterministic: the hyperplanes are
+    # md5-derived (similarity._plane_coeff), so the DuckDB oracle recomputes
+    # the identical signatures and the probe set "Hamming ≤ 2 of the query
+    # signature" becomes bit_count(xor(sig, qsig)) <= 2. Recall vs brute
+    # force additionally pinned in tests/test_northstar.py.
     return similarity.lsh_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK)
 
 
+# Oracle twin of similarity.lsh_topk(n_planes=6, probe_hamming=2): the
+# per-plane projection is a sequential left-to-right fold on both engines
+# (Spark F.aggregate over zip_with ≡ DuckDB list_dot_product — bit-identical,
+# pinned in tests/test_parity_rules.py), so the sign bits agree exactly.
+SQL_ANN_TOPK_LSH = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), planes AS (
+  SELECT p.range AS p,
+         list_transform(range(d.dim),
+           i -> CAST(('0x' || substr(md5(p.range::VARCHAR || ':' ||
+                                         i::VARCHAR), 1, 8)) AS BIGINT)
+                / 2147483648.0 - 1.0) AS c
+  FROM range(6) p, (SELECT len(embedding) AS dim
+                    FROM embeddings LIMIT 1) d
+), sigs AS (
+  SELECT b.vec_id,
+         SUM(CASE WHEN list_dot_product(b.v, p.c) >= 0
+                  THEN (1 << p.p) ELSE 0 END)::BIGINT AS sig
+  FROM base b CROSS JOIN planes p
+  GROUP BY b.vec_id
+)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.v, q.v), 6) AS cosine
+FROM base b
+JOIN sigs s ON s.vec_id = b.vec_id,
+     (SELECT v FROM base WHERE vec_id = {_QUERY_ID}) q,
+     (SELECT sig AS qsig FROM sigs WHERE vec_id = {_QUERY_ID}) qs
+WHERE bit_count(xor(s.sig, qs.qsig)) <= 2 AND b.vec_id != {_QUERY_ID}
+ORDER BY cosine DESC, b.vec_id
+LIMIT {_TOPK}
+"""
+
+
 def q_ann_topk_ivf(spark, sf_dir):
-    # Approximate (probes 4/16 cells) — rows-only driver check; recall vs
-    # brute force pinned in tests/test_northstar.py.
+    # Approximate (probes 4/16 cells) but deterministic: centroids are the
+    # 16 lowest-id embeddings, assignment is argmax-cosine with
+    # lowest-cell-id tie-break — both reproducible in SQL, so the driver
+    # hash-gates this too. Recall floor pinned in tests/test_northstar.py.
     return similarity.ivf_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK,
                                n_cells=16, n_probe=4)
+
+
+# Oracle twin of similarity.ivf_topk(n_cells=16, n_probe=4). The Spark side
+# assigns cells with an Arrow-batched numpy GEMM; cell choice only differs
+# from the SQL cosine if a vector's best-vs-second-best centroid margin is
+# within float reassociation error (~1e-13) — margins at this corpus are
+# pinned far larger in tests/test_northstar.py.
+SQL_ANN_TOPK_IVF = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT b.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c) WHERE rn = 1
+), probe AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(c.cv, q.v) DESC, c.cell_id
+           ) AS rn
+    FROM cents c, (SELECT v FROM base WHERE vec_id = {_QUERY_ID}) q)
+  WHERE rn <= 4
+)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.v, q.v), 6) AS cosine
+FROM base b
+JOIN assign a ON a.vec_id = b.vec_id,
+     (SELECT v FROM base WHERE vec_id = {_QUERY_ID}) q
+WHERE a.cell_id IN (SELECT cell_id FROM probe) AND b.vec_id != {_QUERY_ID}
+ORDER BY cosine DESC, b.vec_id
+LIMIT {_TOPK}
+"""
 
 
 def q_embedding_quantize_stats(spark, sf_dir):
@@ -558,6 +637,8 @@ ORACLES = {
     "repetition_profile": SQL_REPETITION_PROFILE,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
-    # ann_topk_lsh, ann_topk_ivf: intentionally no oracle (approximate
-    # operators → rows-only driver check; recall floors pinned in pytest).
+    # ANN oracles: approximate operators, but their randomness is
+    # md5-derived / first-k deterministic, so DuckDB reproduces them exactly.
+    "ann_topk_lsh": SQL_ANN_TOPK_LSH,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
 }

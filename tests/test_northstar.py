@@ -290,6 +290,66 @@ def test_quantize_error_bounded_by_half_scale(emb):
         assert 1 <= q["n_saturated"] <= 4
 
 
+def test_lsh_signature_parity_duckdb(emb, sf_dir):
+    # The ann_topk_lsh oracle recomputes RP signatures in DuckDB; this pins
+    # that every per-vector signature is bit-identical across engines (the
+    # per-plane projection is a sequential left fold on both sides).
+    import duckdb
+    dim = len(emb.select("embedding").first()[0])
+    got = {r["vec_id"]: r["sig"] for r in emb.select(
+        "vec_id",
+        similarity.rp_signature(F.col("embedding"), 6, dim=dim).alias("sig")
+    ).collect()}
+    want = dict(duckdb.sql(f"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM read_parquet('{sf_dir}/embeddings.parquet')
+        ), planes AS (
+          SELECT p.range AS p,
+                 list_transform(range({dim}),
+                   i -> CAST(('0x' || substr(md5(p.range::VARCHAR || ':' ||
+                                                 i::VARCHAR), 1, 8)) AS BIGINT)
+                        / 2147483648.0 - 1.0) AS c
+          FROM range(6) p
+        )
+        SELECT b.vec_id,
+               SUM(CASE WHEN list_dot_product(b.v, p.c) >= 0
+                        THEN (1 << p.p) ELSE 0 END)::BIGINT
+        FROM base b CROSS JOIN planes p GROUP BY b.vec_id
+    """).fetchall())
+    assert got == want
+
+
+def test_ivf_assignment_margins_dominate_float_error(emb):
+    # The ann_topk_ivf oracle assigns cells with SQL cosines while Spark
+    # uses a numpy GEMM; they can only disagree if a vector's best-vs-second
+    # centroid margin is within reassociation error. Pin the margins (and
+    # GEMM-vs-sequential agreement) so the hash gate can't go flaky.
+    import numpy as np
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c = m[:16]
+    sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ \
+           (c / np.linalg.norm(c, axis=1, keepdims=True)).T
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    margins = top2[:, 1] - top2[:, 0]
+    assert margins.min() > 1e-9
+    seq = []
+    for v in m:
+        best, arg = -2.0, -1
+        nv = float(np.sqrt(sum(x * x for x in v)))
+        for j, cv in enumerate(c):
+            d = 0.0
+            for x, y in zip(v, cv):
+                d += x * y
+            s = d / (nv * float(np.sqrt(sum(x * x for x in cv))))
+            if s > best:
+                best, arg = s, j
+        seq.append(arg)
+    assert list(np.argmax(sims, axis=1)) == seq
+
+
 def test_brute_force_topk_no_shuffle_sort(emb):
     # Plan check: top-k must be TakeOrderedAndProject, not a global sort.
     plan = (similarity.brute_force_topk(emb, 0, k=10)

@@ -441,3 +441,8 @@ from photon_spark import queries_pipeline as _pl  # noqa: E402
 
 QUERIES.update(_pl.QUERIES)
 ORACLES.update(_pl.ORACLES)
+
+from photon_spark import queries_curation as _cu  # noqa: E402
+
+QUERIES.update(_cu.QUERIES)
+ORACLES.update(_cu.ORACLES)

@@ -1,0 +1,185 @@
+"""Corpus-shaping queries: context-window chunking, training-sequence
+packing, and semantic (k-means) clustering — the post-filter/post-dedup
+stage of an LLM data pipeline, each with an exact DuckDB oracle.
+
+Parity rules (queries.py float policy): chunking is pure integer/string
+work; packing divides exactly-summed longs once per row; k-means makes the
+*only* cross-partition float reduction (the centroid mean) order-free by
+integer-quantizing coordinates before summing, and every distance is the
+same sequential left-fold association on both engines
+(F.aggregate ≡ list_dot_product — pinned in tests/test_parity_rules.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.functions import text
+from photon_spark.functions.chunking import chunk_docs, pack_sequences
+from photon_spark.functions.clustering import kmeans_cluster_profile
+
+#: context-window chunking: 200-char windows, 40-char overlap (stride 160)
+CHUNK_SIZE, CHUNK_OVERLAP = 200, 40
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+#: training-sequence token budget
+PACK_BUDGET = 512
+
+#: semantic clustering: 8 cells, 2 Lloyd iterations
+KM_K, KM_ITERS = 8, 2
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- chunking
+
+def q_doc_chunking(spark, sf_dir):
+    """Every document split into overlapping context windows; the md5 of
+    each chunk pins exact content. Map-side explode — no shuffle at any
+    scale (functions/chunking.py)."""
+    return chunk_docs(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_OVERLAP)
+
+
+SQL_DOC_CHUNKING = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+), n AS (
+  SELECT doc_id, text,
+         CASE WHEN L <= {CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((L - {CHUNK_SIZE}) / {_STRIDE}.0) AS BIGINT) + 1
+         END AS nc
+  FROM d
+), e AS (
+  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n
+)
+SELECT doc_id, chunk_idx, chunk_idx * {_STRIDE} AS chunk_start,
+       length(substr(text, chunk_idx * {_STRIDE} + 1, {CHUNK_SIZE}))
+         AS chunk_len,
+       md5(substr(text, chunk_idx * {_STRIDE} + 1, {CHUNK_SIZE}))
+         AS chunk_md5
+FROM e
+"""
+
+
+# -------------------------------------------------------------- packing
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing audit over whitespace token counts: which
+    training sequence(s) each document lands in under a {PACK_BUDGET}-token
+    budget, documents laid end-to-end in doc_id order.
+
+    The running total uses the bucketed two-pass prefix sum
+    (functions/chunking.py) — no global single-partition window; the
+    oracle's plain windowed cumsum checks the bucketing is invisible."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(d, PACK_BUDGET, "n_tokens")
+
+
+def _sql_sequence_packing() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens FROM documents
+), nz AS (
+  SELECT * FROM toks WHERE n_tokens > 0
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM nz
+)
+SELECT doc_id, n_tokens, cum AS cum_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS first_seq,
+       CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS last_seq,
+       CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+         != CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT)
+         AS spans_boundary
+FROM c
+"""
+
+
+# ------------------------------------------------------------- clustering
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Per-cluster size + inertia after {KM_ITERS} deterministic Lloyd
+    iterations (functions/clustering.py — quantized order-free centroid
+    means, sequential-fold distances)."""
+    return kmeans_cluster_profile(_emb(spark, sf_dir), k=KM_K,
+                                  iters=KM_ITERS)
+
+
+def _km_assign_sql(cent_cte: str) -> str:
+    """Assignment CTE body: argmin |c|² - 2·v·c, ties → lowest cluster."""
+    return f"""
+  SELECT vec_id, cl FROM (
+    SELECT b.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(b.v, c.cv) ASC, c.cl ASC
+           ) AS rn
+    FROM base b CROSS JOIN {cent_cte} c) WHERE rn = 1"""
+
+
+def _km_update_sql(assign_cte: str, prev_cte: str) -> str:
+    """Quantized-mean centroid update; empty clusters keep the previous."""
+    return f"""
+  SELECT p.cl, COALESCE(m.cv2, p.cv) AS cv
+  FROM {prev_cte} p LEFT JOIN (
+    SELECT cl, list(s * 1.0 / c / {1_000_000}.0 ORDER BY pos) AS cv2
+    FROM (
+      SELECT cl, pos, SUM(CAST(round(x * {1_000_000}) AS BIGINT)) AS s,
+             COUNT(*) AS c
+      FROM (SELECT a.cl AS cl, unnest(b.v) AS x,
+                   unnest(range(1, len(b.v) + 1)) AS pos
+            FROM {assign_cte} a JOIN base b ON a.vec_id = b.vec_id)
+      GROUP BY cl, pos)
+    GROUP BY cl) m ON p.cl = m.cl"""
+
+
+def _sql_kmeans_embeddings() -> str:
+    q = 1_000_000
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {KM_K})
+), a0 AS ({_km_assign_sql('init')}
+), c1 AS ({_km_update_sql('a0', 'init')}
+), a1 AS ({_km_assign_sql('c1')}
+), c2 AS ({_km_update_sql('a1', 'c1')}
+), a2 AS ({_km_assign_sql('c2')}
+), fin AS (
+  SELECT a.cl AS cluster_id,
+         CAST(round(((list_dot_product(b.v, b.v)
+                      - 2 * list_dot_product(b.v, c.cv))
+                     + list_dot_product(c.cv, c.cv)) * {q}) AS BIGINT) AS ri
+  FROM a2 a JOIN base b ON a.vec_id = b.vec_id JOIN c2 c ON a.cl = c.cl
+)
+SELECT cluster_id, COUNT(*) AS n_members,
+       round(SUM(ri) / {q}.0, 6) AS inertia,
+       round(SUM(ri) * 1.0 / COUNT(*) / {q}.0, 6) AS avg_dist2
+FROM fin GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+QUERIES = {
+    "doc_chunking": q_doc_chunking,
+    "sequence_packing": q_sequence_packing,
+    "kmeans_embeddings": q_kmeans_embeddings,
+}
+
+ORACLES = {
+    "doc_chunking": SQL_DOC_CHUNKING,
+    "sequence_packing": _sql_sequence_packing(),
+    "kmeans_embeddings": _sql_kmeans_embeddings(),
+}

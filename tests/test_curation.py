@@ -1,0 +1,157 @@
+"""Corpus-shaping operators: chunking, sequence packing, k-means."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions import text
+from photon_spark.functions.chunking import (chunk_docs, cumulative_by_bucket,
+                                             pack_sequences)
+from photon_spark.functions.clustering import (assign_cells,
+                                               kmeans_cluster_profile,
+                                               kmeans_fit)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# -------------------------------------------------------------- chunking
+
+def test_chunk_covers_text_exactly(spark):
+    txt = "abcdefghij" * 7  # 70 chars
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    rows = sorted(chunk_docs(df, 30, 10, id_col="doc_id").collect(),
+                  key=lambda r: r["chunk_idx"])
+    # stride 20: starts 0,20,40 → last chunk reaches char 70
+    assert [r["chunk_start"] for r in rows] == [0, 20, 40]
+    assert [r["chunk_len"] for r in rows] == [30, 30, 30]
+    # adjacent chunks overlap by exactly `overlap` chars
+    assert txt[20:30] == txt[20:50][:10]
+    # full coverage: every char position falls inside some chunk
+    covered = set()
+    for r in rows:
+        covered.update(range(r["chunk_start"],
+                             r["chunk_start"] + r["chunk_len"]))
+    assert covered == set(range(70))
+
+
+def test_chunk_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, "x" * 200), (4, "x" * 201)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_idx"]): r
+           for r in chunk_docs(df, 200, 40).collect()}
+    # empty and short docs → exactly one chunk
+    assert got[(1, 0)]["chunk_len"] == 0
+    assert got[(2, 0)]["chunk_len"] == 5
+    assert got[(3, 0)]["chunk_len"] == 200
+    assert len([k for k in got if k[0] == 3]) == 1
+    # one char past the window → a second (overlapping) chunk
+    assert len([k for k in got if k[0] == 4]) == 2
+    assert got[(4, 1)]["chunk_start"] == 160
+    assert got[(4, 1)]["chunk_len"] == 41
+
+
+def test_chunking_plan_is_map_only(docs):
+    plan = (chunk_docs(docs, 200, 40)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_cumsum_independent_of_bucket_width(docs):
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("v"))
+    a = {r["doc_id"]: r["cum"] for r in
+         cumulative_by_bucket(d, "v", "doc_id", 7).collect()}
+    b = {r["doc_id"]: r["cum"] for r in
+         cumulative_by_bucket(d, "v", "doc_id", 1000).collect()}
+    assert a == b
+    # spot-check against a serial prefix sum
+    rows = sorted(d.collect(), key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        acc += r["v"]
+        assert a[r["doc_id"]] == acc
+
+
+def test_pack_sequences_budget_invariants(docs):
+    d = docs.select("doc_id",
+                    F.size(text.tokens("text")).cast("long")
+                     .alias("n_tokens"))
+    rows = sorted(pack_sequences(d, 256, "n_tokens").collect(),
+                  key=lambda r: r["doc_id"])
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    n_seqs = rows[-1]["last_seq"] + 1
+    assert n_seqs == -(-total // 256)  # ceil
+    prev_cum = 0
+    for r in rows:
+        assert r["cum_tokens"] == prev_cum + r["n_tokens"]
+        prev_cum = r["cum_tokens"]
+        assert r["first_seq"] <= r["last_seq"]
+        assert r["spans_boundary"] == (r["first_seq"] != r["last_seq"])
+        # a doc smaller than the budget spans at most 2 sequences
+        if r["n_tokens"] <= 256:
+            assert r["last_seq"] - r["first_seq"] <= 1
+
+
+# --------------------------------------------------------------- k-means
+
+def test_kmeans_partitions_all_vectors(emb):
+    prof = kmeans_cluster_profile(emb, k=8, iters=2).collect()
+    assert sum(r["n_members"] for r in prof) == emb.count()
+    assert {r["cluster_id"] for r in prof} <= set(range(8))
+    for r in prof:
+        assert r["inertia"] >= 0
+        assert abs(r["avg_dist2"] * r["n_members"] - r["inertia"]) \
+            < 1e-3 * max(1.0, r["inertia"])
+
+
+def test_kmeans_update_reduces_inertia(emb):
+    # One Lloyd update must not increase total inertia (up to the 1e-6
+    # centroid quantization): compare inertia under init centroids vs
+    # after one update, both measured with the same exact rule.
+    import photon_spark.functions.clustering as cl
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def total_inertia(cents):
+        c = np.array(cents)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    c0 = [list(map(float, v)) for v in m[:8]]
+    _, c1 = cl.kmeans_fit(emb, k=8, iters=1)
+    assert total_inertia(c1) <= total_inertia(c0) + 1e-3
+
+
+def test_kmeans_assignment_margins_dominate_float_error(emb):
+    # Oracle-parity guard (same argument as ann_topk_ivf): Spark assigns
+    # with a numpy GEMM, the oracle with sequential dots; they can only
+    # disagree within ~1e-12 reassociation error, so pin that every
+    # best-vs-second-best margin across both iterations is far larger.
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = [list(map(float, v)) for v in m[:8]]
+    import photon_spark.functions.clustering as cl
+    for _ in range(3):  # init + the two updated generations
+        c = np.array(cents)
+        scores = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+        top2 = np.sort(scores, axis=1)[:, :2]
+        assert (top2[:, 1] - top2[:, 0]).min() > 1e-9
+        assigned = assign_cells(emb, cents)
+        cents = cl._update_centroids(assigned, cents, "embedding")
+
+
+def test_kmeans_deterministic_across_runs(emb):
+    a = kmeans_cluster_profile(emb.repartition(7), k=8, iters=2).collect()
+    b = kmeans_cluster_profile(emb.repartition(3), k=8, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -280,26 +280,33 @@ def q_contamination_check(spark, sf_dir):
     the gram — the scan never shuffles, only (doc_id) survivors do. This is
     the standard decontamination shape at 100 TB: probe grams in memory on
     every executor, one pass over the corpus.
+
+    The exploded (id, gram) postings feed BOTH join sides, so they are
+    shingled once and persisted (call dedup.release_cache on the result to
+    free them) — without the persist the n-gram pandas UDF runs twice over
+    the whole corpus.
     """
-    from photon_spark.functions.dedup import _shingled
+    from photon_spark.functions.dedup import _own_cache, _shingled
     d = _docs(spark, sf_dir)
     sh = _shingled(d, "text", "doc_id", CONTAM_N)
+    ex = sh.select("id", F.explode("sh").alias("g")).persist()
     is_bench = F.col("id") % BENCH_MOD == 0
-    bench_g = (sh.where(is_bench)
-                 .select(F.explode("sh").alias("g")).distinct())
-    corpus = sh.where(~is_bench).select("id", F.explode("sh").alias("g"))
+    bench_g = ex.where(is_bench).select("g").distinct()
+    corpus = ex.where(~is_bench)
     hits = (corpus.join(bench_g, "g", "left_semi")
                   .select("id").distinct())
     per_doc = (d.where(F.col("doc_id") % BENCH_MOD != 0)
                 .join(hits.withColumnRenamed("id", "doc_id")
                           .withColumn("hit", F.lit(1)), "doc_id", "left"))
-    return (per_doc.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                  .alias("n_contaminated"),
-                 F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                         / F.count(F.lit(1)), 6)
-                  .alias("contamination_rate")))
+    return _own_cache(
+        per_doc.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                     .alias("n_contaminated"),
+                    F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                            / F.count(F.lit(1)), 6)
+                     .alias("contamination_rate")),
+        [ex])
 
 
 def _sql_contamination_check() -> str:

@@ -446,3 +446,8 @@ from photon_spark import queries_curation as _cu  # noqa: E402
 
 QUERIES.update(_cu.QUERIES)
 ORACLES.update(_cu.ORACLES)
+
+from photon_spark import queries_enrich as _en  # noqa: E402
+
+QUERIES.update(_en.QUERIES)
+ORACLES.update(_en.ORACLES)

@@ -1,0 +1,184 @@
+"""Enrichment-stage queries: temporal as-of correlation, unigram-LM
+surprisal scoring, and the quality-filter funnel — the event-feature and
+corpus-filtering passes of a training-data pipeline, each with an exact
+DuckDB oracle.
+
+Parity rules (queries.py float policy): the as-of join is pure integer
+time arithmetic plus value pass-through; surprisal keeps everything
+integral via floor-log2 rarity (``length(bin(total div count)) - 1`` —
+bit-length is exact integer math on both engines, where a libm ``log2``
+could differ in the last ulp and flip a rounded hash); the funnel compares
+the 6dp-rounded quality (gate-proven identical across engines) against a
+constant, so every count is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.functions import text
+from photon_spark.functions.asof import asof_join
+
+#: funnel thresholds (picked to discriminate on the driver corpus:
+#: n_tokens spans 10-99 with median ~56, quality 0.74-0.83 median ~0.78)
+MIN_TOKENS, QUALITY_FLOOR = 40, 0.78
+
+
+def _events(spark, sf_dir):
+    from photon_spark.queries import _t
+    return _t(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------ as-of join
+
+def q_events_asof_join(spark, sf_dir):
+    """Every click annotated with the user's most recent prior-or-equal
+    purchase (functions/asof.py — union + running last over one keyed
+    shuffle; never a range-join explosion)."""
+    e = _events(spark, sf_dir)
+    # DuckDB reads the parquet TIMESTAMP(NANOS) column at µs precision, so
+    # the oracle's epoch_ns() is µs-aligned; truncate our full-ns longs the
+    # same way (integer div — a double division would lose precision past
+    # 2^53). No µs-level ts ties exist per user, so ordering is unchanged.
+    usec = F.expr("(ts div 1000) * 1000")
+    clicks = (e.where(F.col("event_type") == "click")
+               .select("user_id", usec.alias("click_ns"),
+                       F.col("event_id").alias("click_id")))
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("user_id", usec.alias("ts"),
+                          F.col("event_id").alias("purchase_id"),
+                          F.round("value", 2).alias("purchase_value")))
+    j = asof_join(clicks, purchases, on=["user_id"], left_ts="click_ns",
+                  right_ts="ts", right_cols=["purchase_id",
+                                             "purchase_value"],
+                  tiebreak="purchase_id")
+    return j.select(
+        "click_id", "user_id", "click_ns",
+        F.col("asof_purchase_id").alias("purchase_id"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+        (F.col("click_ns") - F.col("asof_ts")).alias("lag_ns"))
+
+
+SQL_EVENTS_ASOF_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, epoch_ns(c.ts) AS click_ns,
+       p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,
+       epoch_ns(c.ts) - epoch_ns(p.ts) AS lag_ns
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ------------------------------------------------------- unigram surprisal
+
+def q_token_surprisal_by_source(spark, sf_dir):
+    """Per-source mean unigram surprisal in floor-log2 bits — the
+    perplexity-style corpus quality signal (CCNet-style LM filtering),
+    self-trained on the corpus's own unigram distribution.
+
+    Plan: tokens aggregate to (source, token) counts FIRST (map-side
+    combine shrinks before any join), the vocabulary totals reduce from
+    that, the one-row grand total broadcasts, and the scoring join runs on
+    the compacted (source, token) relation — at 100 TB the join input is
+    |vocab|·|sources|, not the token stream.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = st.groupBy("tok").agg(F.sum("n").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    rarity = (vocab.crossJoin(F.broadcast(total))
+              .select("tok", (F.length(F.bin(F.expr("t div c"))) - 1)
+                      .cast("long").alias("rarity")))
+    return (st.join(rarity, "tok")
+            .groupBy("source")
+            .agg(F.sum("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct_tokens"),
+                 F.round(F.sum(F.col("n") * F.col("rarity")) / F.sum("n"), 6)
+                  .alias("mean_surprisal_bits")))
+
+
+def _sql_token_surprisal() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+), st AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab
+), rarity AS (
+  SELECT tok, length(bin(t // c)) - 1 AS rarity FROM vocab, tot
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct_tokens,
+       round(sum(n * rarity) * 1.0 / sum(n), 6) AS mean_surprisal_bits
+FROM st JOIN rarity USING (tok)
+GROUP BY source
+"""
+
+
+# ------------------------------------------------------------ filter funnel
+
+def q_quality_filter_funnel(spark, sf_dir):
+    """Per-source retention funnel through the three standard corpus
+    filters (length, quality score, language) — the audit a curation
+    pipeline emits before committing a filter config. One profile pass +
+    one short-key shuffle."""
+    d = _docs(spark, sf_dir)
+    prof = (text.text_profile(d)
+            .select("doc_id", "n_tokens", "quality", "lang_pred"))
+    j = d.select("doc_id", "source").join(prof, "doc_id")
+    len_ok = (F.col("n_tokens") >= MIN_TOKENS).cast("long")
+    q_ok = (F.col("quality") >= QUALITY_FLOOR).cast("long")
+    lang_ok = (F.col("lang_pred") == "en").cast("long")
+    all_ok = len_ok * q_ok * lang_ok
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(len_ok).alias("n_len_ok"),
+                 F.sum(q_ok).alias("n_quality_ok"),
+                 F.sum(lang_ok).alias("n_lang_ok"),
+                 F.sum(all_ok).alias("n_pass"),
+                 F.round(F.sum(all_ok) / F.count(F.lit(1)), 6)
+                  .alias("retention")))
+
+
+def _sql_quality_filter_funnel() -> str:
+    from photon_spark.queries_northstar import SQL_TEXT_PROFILE
+    return f"""
+WITH prof AS ({SQL_TEXT_PROFILE})
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum((p.n_tokens >= {MIN_TOKENS})::BIGINT) AS BIGINT)
+         AS n_len_ok,
+       CAST(sum((p.quality >= {QUALITY_FLOOR})::BIGINT) AS BIGINT)
+         AS n_quality_ok,
+       CAST(sum((p.lang_pred = 'en')::BIGINT) AS BIGINT) AS n_lang_ok,
+       CAST(sum(((p.n_tokens >= {MIN_TOKENS}) AND
+                 (p.quality >= {QUALITY_FLOOR}) AND
+                 (p.lang_pred = 'en'))::BIGINT) AS BIGINT) AS n_pass,
+       round(sum(((p.n_tokens >= {MIN_TOKENS}) AND
+                  (p.quality >= {QUALITY_FLOOR}) AND
+                  (p.lang_pred = 'en'))::BIGINT) * 1.0 / count(*), 6)
+         AS retention
+FROM prof p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+QUERIES = {
+    "events_asof_join": q_events_asof_join,
+    "token_surprisal_by_source": q_token_surprisal_by_source,
+    "quality_filter_funnel": q_quality_filter_funnel,
+}
+
+ORACLES = {
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "token_surprisal_by_source": _sql_token_surprisal(),
+    "quality_filter_funnel": _sql_quality_filter_funnel(),
+}

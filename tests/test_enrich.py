@@ -1,0 +1,129 @@
+"""Enrichment-stage operators: as-of join, PII profile/redaction, and the
+surprisal/funnel queries' invariants."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from photon_spark.functions.asof import asof_join
+from photon_spark.functions.pii import pii_profile, redact
+
+
+def _naive_asof(left_rows, right_rows, strict=False):
+    """Reference semantics: per left row, the max-ts right row with
+    ts <= (or <) left ts, last-by-tiebreak on equal ts."""
+    out = {}
+    for key, lts, lid in left_rows:
+        best = None
+        for rkey, rts, rid, rv in right_rows:
+            if rkey != key:
+                continue
+            if (rts < lts) if strict else (rts <= lts):
+                if best is None or (rts, rid) > (best[0], best[1]):
+                    best = (rts, rid, rv)
+        out[lid] = best
+    return out
+
+
+LEFT = [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 15, 4), ("c", 7, 5)]
+RIGHT = [("a", 10, 100, 1.5), ("a", 18, 101, 2.5), ("a", 18, 102, 3.5),
+         ("b", 1, 103, None), ("b", 30, 104, 4.5)]
+
+
+def _frames(spark):
+    l = spark.createDataFrame([Row(k=k, ts=t, lid=i) for k, t, i in LEFT])
+    r = spark.createDataFrame(
+        [Row(k=k, ts=t, rid=i, val=v) for k, t, i, v in RIGHT],
+        schema="k string, ts long, rid long, val double")
+    return l, r
+
+
+def test_asof_matches_naive(spark):
+    l, r = _frames(spark)
+    got = {row["lid"]: (row["asof_ts"], row["asof_rid"], row["asof_val"])
+           for row in asof_join(l, r, on=["k"], left_ts="ts",
+                                right_cols=["rid", "val"],
+                                tiebreak="rid").collect()}
+    want = _naive_asof(LEFT, RIGHT)
+    for lid, best in want.items():
+        if best is None:
+            assert got[lid] == (None, None, None)
+        else:
+            assert got[lid] == best
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    l, r = _frames(spark)
+    got = {row["lid"]: row["asof_rid"]
+           for row in asof_join(l, r, on=["k"], left_ts="ts",
+                                right_cols=["rid", "val"], strict=True,
+                                tiebreak="rid").collect()}
+    want = _naive_asof(LEFT, RIGHT, strict=True)
+    assert got == {lid: (b[1] if b else None) for lid, b in want.items()}
+
+
+def test_asof_null_payload_still_matches(spark):
+    # right row (b, 1, 103, None): a NULL value column must not be skipped
+    # by the running last() — the match marker is the row struct itself.
+    l, r = _frames(spark)
+    row = {x["lid"]: x for x in
+           asof_join(l, r, on=["k"], left_ts="ts",
+                     right_cols=["rid", "val"],
+                     tiebreak="rid").collect()}[4]
+    assert row["asof_rid"] == 103 and row["asof_val"] is None
+
+
+def test_asof_no_row_amplification(spark):
+    l, r = _frames(spark)
+    out = asof_join(l, r, on=["k"], left_ts="ts", right_cols=["rid"])
+    assert out.count() == len(LEFT)
+
+
+PII_DOCS = [
+    (0, "contact me at jane.doe+spam@example.co.uk for details"),
+    (1, "server at 192.168.1.250 timed out"),
+    (2, "ssn 123-45-6789 on file, card 4111111111111111 on record"),
+    (3, "call +1 (415) 555-0199 today"),
+    (4, "clean text with no identifiers at all"),
+    (5, ""),
+]
+
+
+def test_pii_profile_counts(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_profile(df).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["has_pii"]
+    assert got[1]["n_ipv4"] == 1
+    assert got[2]["n_ssn"] == 1 and got[2]["n_card"] == 1
+    assert got[3]["n_phone"] == 1
+    assert not got[4]["has_pii"] and got[4]["n_pii"] == 0
+    assert not got[5]["has_pii"]
+
+
+def test_pii_redact_removes_all_detections(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    red = redact(df)
+    # after redaction, a second profile pass finds nothing
+    assert (pii_profile(red).agg(F.sum("n_pii")).collect()[0][0] or 0) == 0
+    texts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert "[EMAIL]" in texts[0] and "[SSN]" in texts[2]
+    assert "example" not in texts[0].split("@")[-1] if "@" in texts[0] else True
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    from photon_spark.queries_enrich import q_quality_filter_funnel
+    for r in q_quality_filter_funnel(spark, sf_dir).collect():
+        assert r["n_pass"] <= min(r["n_len_ok"], r["n_quality_ok"],
+                                  r["n_lang_ok"]) <= r["n_docs"]
+        assert abs(r["retention"] - round(r["n_pass"] / r["n_docs"], 6)) < 1e-9
+
+
+def test_surprisal_bounds(spark, sf_dir):
+    # mean surprisal is >= 0 and <= log2(total tokens); rarest token's
+    # rarity ~ bit length of the corpus size.
+    from photon_spark.queries_enrich import q_token_surprisal_by_source
+    rows = q_token_surprisal_by_source(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["mean_surprisal_bits"] <= total.bit_length()
+        assert r["n_distinct_tokens"] <= r["n_tokens"]

@@ -73,3 +73,38 @@ def test_sessionize_matches_python_fold(spark, gaps, gap_ns):
         expect[i] = sid
         prev = t_
     assert got == expect
+
+
+# --------------------------------------------------------------- as-of join
+
+_asof_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),    # key
+              st.integers(min_value=0, max_value=50),   # ts (dense → ties)
+              st.booleans()),                           # side: right?
+    min_size=1, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(evs=_asof_events, strict=st.booleans())
+def test_asof_join_matches_sequential_scan(spark, evs, strict):
+    """asof_join ≡ the obvious per-key sequential scan, including equal-ts
+    inclusion/exclusion and last-by-tiebreak among equal-ts right rows."""
+    from pyspark.sql import Row
+    from photon_spark.functions.asof import asof_join
+
+    left = [(k, t, i) for i, (k, t, r) in enumerate(evs) if not r]
+    right = [(k, t, i) for i, (k, t, r) in enumerate(evs) if r]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame([Row(k=k, ts=t, lid=i) for k, t, i in left])
+    rdf = spark.createDataFrame([Row(k=k, ts=t, rid=i) for k, t, i in right])
+
+    got = {r["lid"]: r["asof_rid"]
+           for r in asof_join(ldf, rdf, on=["k"], left_ts="ts",
+                              right_cols=["rid"], strict=strict,
+                              tiebreak="rid").collect()}
+    for k, lts, lid in left:
+        cand = [(rts, rid) for rk, rts, rid in right
+                if rk == k and ((rts < lts) if strict else (rts <= lts))]
+        want = max(cand)[1] if cand else None
+        assert got[lid] == want, (lid, got[lid], want)

@@ -105,19 +105,47 @@ def stamp_events(df: DataFrame, base_order_id: int = 0,
 
 
 class EventStore:
-    """Append-only event store over a partitioned parquet directory.
+    """Append-only event store over a partitioned columnar/row directory.
 
-    The write path is parquet for portability (Delta is not available in the
-    test container); the layout (partition by stream_name, sort by order_id)
-    is what a Delta/Iceberg table would ZORDER to at 100 TB.
+    The backend format is pluggable — the reference's ``photon.db`` protocol
+    point (SURVEY.md §2 S2; H2/Cassandra/Mongo/file backends,
+    README.adoc:104-111) maps to Spark's data source API: ``parquet``
+    (default), ``orc``, or ``json`` (JSON-lines — the same shape as
+    photon's ``.pev`` file backend). Every store operation (ingest, cold
+    read, rewrite-delete, compaction, streaming replay) routes through the
+    chosen format; the layout (partition by stream_name, sort by order_id)
+    is what a Delta/Iceberg table would ZORDER to at 100 TB. Columnar
+    formats keep min/max row-group skipping; the JSON backend trades scan
+    speed for interop and is the restore target for exported streams.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    FORMATS = ("parquet", "orc", "json")
+    _EXT = {"parquet": ".parquet", "orc": ".orc", "json": ".json"}
+    #: explicit µs-precision timestamp pattern so the JSON backend
+    #: round-trips event_time without truncation
+    _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+    def __init__(self, spark: SparkSession, path: str,
+                 fmt: str = "parquet"):
+        if fmt not in self.FORMATS:
+            raise ValueError(f"unsupported backend format {fmt!r}; "
+                             f"one of {self.FORMATS}")
         self.spark = spark
         self.path = path
+        self.fmt = fmt
         #: A9 global incoming counter (since construction, mirroring
         #: photon's since-boot atom, streams.clj:290-303).
         self.ingested = 0
+
+    def _write_opts(self, writer):
+        if self.fmt == "json":
+            writer = writer.option("timestampFormat", self._TS_FMT)
+        return writer.format(self.fmt)
+
+    def _read_opts(self, reader):
+        if self.fmt == "json":
+            reader = reader.option("timestampFormat", self._TS_FMT)
+        return reader.format(self.fmt)
 
     # ---------------------------------------------------------------- write
     def _exists(self) -> bool:
@@ -163,12 +191,13 @@ class EventStore:
             # (unstably), which would silently break the per-file order_id
             # sort; pre-sorting by (stream, order) satisfies the writer's
             # required ordering so no destructive re-sort happens.
-            (stamped
-             .repartition("stream_name")
-             .sortWithinPartitions("stream_name", "order_id")
-             .write.mode("append")
-             .partitionBy("stream_name")
-             .parquet(self.path))
+            (self._write_opts(
+                stamped
+                .repartition("stream_name")
+                .sortWithinPartitions("stream_name", "order_id")
+                .write.mode("append")
+                .partitionBy("stream_name"))
+             .save(self.path))
         finally:
             src.unpersist()
         self.ingested += n
@@ -178,7 +207,8 @@ class EventStore:
     def read_all(self) -> DataFrame:
         if not self._exists():  # empty store reads as an empty relation
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+        df = self._read_opts(
+            self.spark.read.schema(EVENT_SCHEMA)).load(self.path)
         # partitionBy writes stream_name as a directory column; enforce
         # canonical column order.
         return df.select([f.name for f in EVENT_SCHEMA.fields])
@@ -232,10 +262,12 @@ class EventStore:
         api.clj:131-147).
         """
         tmp = self.path.rstrip("/") + f".__rewrite__{uuid.uuid4().hex[:8]}"
-        (self.read_all().where(keep_predicate)
-         .repartition("stream_name")
-         .sortWithinPartitions("stream_name", "order_id")
-         .write.mode("overwrite").partitionBy("stream_name").parquet(tmp))
+        (self._write_opts(
+            self.read_all().where(keep_predicate)
+            .repartition("stream_name")
+            .sortWithinPartitions("stream_name", "order_id")
+            .write.mode("overwrite").partitionBy("stream_name"))
+         .save(tmp))
         import shutil
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
@@ -289,8 +321,9 @@ class EventStore:
         where OPTIMIZE preserves streaming offsets.
         """
         self._rewrite(F.lit(True))
+        ext = self._EXT[self.fmt]
         return sum(1 for _, _, files in os.walk(self.path)
-                   for f in files if f.endswith(".parquet"))
+                   for f in files if f.endswith(ext))
 
     # -------------------------------------------------------- export/import
     def export_stream(self, stream_name: str, out_path: str) -> int:

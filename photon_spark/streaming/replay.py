@@ -34,7 +34,9 @@ def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
     reader = store.spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(store.path)
+    # same pluggable backend as the batch path (file source streams any
+    # of the store formats)
+    df = store._read_opts(reader).load(store.path)
     if stream_name != ALL_STREAMS:
         df = df.where(F.col("stream_name") == stream_name)
     if from_:

@@ -188,3 +188,50 @@ def test_empty_store_reads(spark, tmp_path):
     assert store.read_cold().count() == 0
     assert store.streams() == []
     assert store.expire(10**15) == 0  # no data → nothing to expire
+
+
+# ---------------------------------------------------------- backend formats
+
+def test_pluggable_backend_formats(spark, tmp_path):
+    """S2 storage protocol: the same store surface over parquet / ORC /
+    JSON-lines backends — identical contents, lookups, deletes, compaction,
+    and streaming replay (reference: pluggable photon.db backends,
+    README.adoc:104-111)."""
+    import pyspark.sql.functions as F
+    from photon_spark.streaming.replay import read_hot_cold
+
+    stores = {}
+    for fmt in EventStore.FORMATS:
+        st = EventStore(spark, str(tmp_path / f"ev_{fmt}"), fmt=fmt)
+        assert st.ingest(make_events(spark, 12, stream="s1")) == 12
+        assert st.ingest(make_events(spark, 5, stream="s2")) == 5
+        stores[fmt] = st
+
+    base = None
+    for fmt, st in stores.items():
+        got = [(r["stream_name"], r["local_id"], r["payload"])
+               for r in st.read_cold().collect()]
+        assert len(got) == 17, fmt
+        if base is None:
+            base = got
+        else:  # identical contents in identical order across backends
+            assert got == base, fmt
+
+        # event_time round-trips at full precision (json needs the explicit
+        # µs timestampFormat): two reads agree exactly
+        t1 = [r["event_time"] for r in st.read_all().orderBy("order_id").collect()]
+        t2 = [r["event_time"] for r in st.read_all().orderBy("order_id").collect()]
+        assert t1 == t2 and all(t is not None for t in t1), fmt
+
+        first = st.read_cold("s1", limit=1).first()
+        assert st.event("s1", first["order_id"])["local_id"] == first["local_id"]
+        st.delete_event("s1", first["order_id"])
+        assert st.read_cold("s1").count() == 11, fmt
+        assert st.compact() == 2, fmt  # one file per stream partition
+
+        # streaming replay over the same backend
+        q = (read_hot_cold(st).groupBy().count()
+             .writeStream.format("memory").queryName(f"bk_{fmt}")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert spark.sql(f"SELECT * FROM bk_{fmt}").first()["count"] == 16, fmt

@@ -39,17 +39,45 @@ class StreamingIngest:
 
     def __init__(self, store: EventStore, source_dir: str,
                  checkpoint_dir: str | None = None,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 dedupe: bool = False):
         self.store = store
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="photon_spark_ingest_ckpt_")
         self.max_files_per_trigger = max_files_per_trigger
+        #: idempotent ingest by client key: drop events whose
+        #: (stream_name, local_id) is already stored. The reference's
+        #: analogue is the import-path name dedupe (api.clj:149-186
+        #: find-name); here it upgrades at-least-once delivery (a client
+        #: retry, a re-dropped file) to effectively-once. Events WITHOUT a
+        #: local_id are always ingested (no key to dedupe on).
+        self.dedupe = dedupe
         self.batches = 0
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if self.dedupe:
+            from pyspark.sql import functions as F
+            # in-batch: one winner per client key; cross-batch: anti-join
+            # against only the streams present in this batch — with the
+            # store partitioned by stream_name this is a partition-pruned
+            # key scan, not a full-table read, so the cost tracks the
+            # batch's stream set at any store size.
+            # keyless rows bypass both passes (dropDuplicates would treat
+            # their NULL keys as equal and collapse them)
+            keyed = (batch_df.where(F.col("local_id").isNotNull())
+                     .dropDuplicates(["stream_name", "local_id"]))
+            streams = [r[0] for r in
+                       keyed.select("stream_name").distinct().collect()]
+            existing = (self.store.read_all()
+                        .where(F.col("stream_name").isin(streams))
+                        .select("stream_name", "local_id"))
+            batch_df = (keyed.join(existing, ["stream_name", "local_id"],
+                                   "left_anti")
+                        .unionByName(
+                            batch_df.where(F.col("local_id").isNull())))
         self.store.ingest(batch_df)
         self.batches += 1
 

@@ -250,6 +250,41 @@ def test_streaming_ingest_drop_dir(spark, tmp_path):
     assert oids == sorted(oids) and len(set(oids)) == 15
 
 
+def test_streaming_ingest_dedupe(spark, tmp_path):
+    """Idempotent ingest by client key: re-delivered events (in-batch dups
+    and cross-batch retries) are dropped; keyless events always land."""
+    import json
+
+    drop = os.path.join(str(tmp_path), "drop")
+    os.makedirs(drop)
+    store = _mk_store(spark, tmp_path)
+    ingest = StreamingIngest(
+        store, drop, checkpoint_dir=os.path.join(str(tmp_path), "ickpt"),
+        dedupe=True)
+
+    def drop_file(name, events):
+        with open(os.path.join(drop, name), "w") as f:
+            for ev in events:
+                f.write(json.dumps(ev) + "\n")
+
+    # in-batch duplicate (id 3 twice) collapses to one
+    drop_file("a.json", [{"stream_name": "s", "local_id": str(i)}
+                         for i in list(range(10)) + [3]])
+    ingest.run()
+    assert store.read_cold("s").count() == 10
+
+    # cross-batch retry: ids 5-14 overlap 5-9, only 10-14 are new;
+    # two keyless events are never deduped
+    drop_file("b.json", [{"stream_name": "s", "local_id": str(5 + i)}
+                         for i in range(10)]
+              + [{"stream_name": "s"}, {"stream_name": "s"}])
+    ingest.run()
+    rows = store.read_cold("s").collect()
+    assert len(rows) == 17
+    keyed = [r["local_id"] for r in rows if r["local_id"] is not None]
+    assert sorted(keyed, key=int) == [str(i) for i in range(15)]
+
+
 def test_ingest_to_projection_end_to_end(spark, tmp_path):
     """Kitchen sink: streaming ingest -> streaming projection fold; the
     count projection converges on everything dropped."""

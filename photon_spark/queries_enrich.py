@@ -171,14 +171,66 @@ GROUP BY d.source
 """
 
 
+# --------------------------------------------------------- mixture plan
+
+#: temperature for domain resampling (τ=0.5 ≙ √n upweighting of small
+#: domains — the standard multilingual-LM mixture smoothing)
+MIX_TAU_Q = 1_000_000
+
+
+def q_mixture_reweight_plan(spark, sf_dir):
+    """Temperature-smoothed domain-mixture plan over the language column:
+    target_share ∝ √n (τ=0.5), weight = target/actual — the resampling
+    table a multilingual training pipeline feeds its sampler.
+
+    Cross-engine exactness: IEEE-754 requires sqrt to be correctly
+    rounded, so ``round(√n·10⁶)`` is the same long on both engines; the
+    share denominators are exact long sums (order-free), and every emitted
+    ratio is one division of exact integers rounded to 6dp.
+    """
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = F.round(F.sqrt(F.col("n_docs")) * MIX_TAU_Q).cast("long")
+    per = per.withColumn("_s", s)
+    tot = per.agg(F.sum("n_docs").alias("_tn"), F.sum("_s").alias("_ts"))
+    share = F.col("n_docs") / F.col("_tn")
+    target = F.col("_s") / F.col("_ts")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs",
+                    F.round(share, 6).alias("share"),
+                    F.round(target, 6).alias("target_share"),
+                    F.round((F.col("_s") * F.col("_tn"))
+                            / (F.col("_ts") * F.col("n_docs")), 6)
+                     .alias("weight")))
+
+
+SQL_MIXTURE_REWEIGHT_PLAN = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(round(sqrt(count(*)) * {MIX_TAU_Q}) AS BIGINT) AS s
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts
+  FROM per
+)
+SELECT lang, n_docs,
+       round(n_docs * 1.0 / tn, 6) AS share,
+       round(s * 1.0 / ts, 6) AS target_share,
+       round((s * tn) * 1.0 / (ts * n_docs), 6) AS weight
+FROM per, tot
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_join,
     "token_surprisal_by_source": q_token_surprisal_by_source,
     "quality_filter_funnel": q_quality_filter_funnel,
+    "mixture_reweight_plan": q_mixture_reweight_plan,
 }
 
 ORACLES = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "token_surprisal_by_source": _sql_token_surprisal(),
     "quality_filter_funnel": _sql_quality_filter_funnel(),
+    "mixture_reweight_plan": SQL_MIXTURE_REWEIGHT_PLAN,
 }

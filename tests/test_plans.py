@@ -115,3 +115,36 @@ def test_token_topk_rank_limit_pushdown(spark, sf_dir):
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # the whole as-of = ONE hash exchange on the join keys + one window;
+    # never a broadcast-nested-loop / cartesian range join.
+    from pyspark.sql import Row
+    from photon_spark.functions.asof import asof_join
+    l = spark.createDataFrame([Row(k=1, ts=10, a=1)])
+    r = spark.createDataFrame([Row(k=1, ts=5, b=2)])
+    plan = _plan(asof_join(l, r, on=["k"], left_ts="ts", right_cols=["b"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_surprisal_compacts_before_join(spark, sf_dir):
+    # the token stream must aggregate to (source, token) counts BEFORE the
+    # vocabulary join: partial aggregation present, and no raw-text column
+    # ever crosses an exchange.
+    from photon_spark.queries_enrich import q_token_surprisal_by_source
+    plan = _plan(q_token_surprisal_by_source(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final for st and vocab
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines and all("text" not in ln for ln in exchange_lines)
+
+
+def test_mixture_plan_broadcasts_totals(spark, sf_dir):
+    from photon_spark.queries_enrich import q_mixture_reweight_plan
+    plan = _plan(q_mixture_reweight_plan(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the per-lang agg map-side combines before its exchange
+    assert plan.count("HashAggregate") >= 2

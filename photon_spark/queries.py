@@ -24,13 +24,27 @@ from photon_spark.projections.engine import (AssociativeReducer,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The testdata parquet uses TIMESTAMP(NANOS), which Spark 4 only reads
-    # via the nanosAsLong legacy conf: timestamp columns surface as epoch-ns
-    # longs. We keep them as ns-longs end-to-end (photon's own event_time is
-    # an epoch long too, streams.clj:296) and use epoch_ns() on the DuckDB
-    # oracle side for exact integer parity — no tz/precision hash pitfalls.
+    # The testdata parquet uses TIMESTAMP(NANOS). Spark ≤4.0 reads it as an
+    # epoch-ns long via the nanosAsLong legacy conf; Spark 4.1 dropped that
+    # path and surfaces TIMESTAMP_NTZ at µs precision — the same truncation
+    # DuckDB applies (its epoch_ns() of a µs read is the ns long ⌊ns/1000⌋·
+    # 1000; verified equal to unix_micros·1000 on the driver tables). We keep
+    # the ns-long contract end-to-end (photon's own event_time is an epoch
+    # long too, streams.clj:296): whatever type the reader produced, every
+    # timestamp column is normalized to an epoch-ns long here, so downstream
+    # integer time arithmetic is engine- and version-stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # NTZ→epoch needs a wall-clock interpretation; pin UTC so the value
+    # cannot depend on the harness session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for fld in df.schema.fields:
+        if fld.dataType.typeName() in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(
+                fld.name,
+                (F.unix_micros(F.col(fld.name).cast("timestamp"))
+                 * F.lit(1000)).cast("long"))
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -24,6 +24,23 @@ def _mk_store(spark, tmp_path, name="events"):
     return EventStore(spark, os.path.join(str(tmp_path), name))
 
 
+def _events_stream(spark, sf_dir):
+    """readStream over the raw testdata events parquet with a whole-second
+    event-time column ``etime``, robust to how this Spark version surfaces
+    the TIMESTAMP(NANOS) column (epoch-ns long via nanosAsLong on ≤4.0,
+    TIMESTAMP_NTZ at µs on 4.1+). Second truncation keeps window/session
+    assignment identical to the batch ns-long arithmetic."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    kind = {f.name: f.dataType.typeName() for f in raw.fields}["ts"]
+    tcol = (F.expr("CAST(ts DIV 1000000000 AS TIMESTAMP)") if kind == "long"
+            else F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
+                        " AS TIMESTAMP)"))
+    return (spark.readStream.schema(raw)
+            .parquet(f"{sf_dir}/events.par*")  # glob: file source wants a
+                                               # dir/pattern, not a bare file
+            .withColumn("etime", tcol))
+
+
 def _post(store, stream, n, start=0):
     """Append n events carrying their global sequence number in local_id."""
     rows = [(stream, "test-event", str(start + i)) for i in range(n)]
@@ -315,15 +332,10 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir):
     from photon_spark.queries import _t
     from photon_spark.queries_pipeline import HOUR_NS, q_events_rate_window
 
-    schema = _t(spark, sf_dir, "events").schema
     # integer seconds → timestamp: truncation is monotone and window
     # boundaries are whole seconds, so assignment matches the ns buckets
     # (double division would ROUND and could hop a boundary).
-    tcol = F.expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
-    agg = (spark.readStream.schema(schema)
-           .parquet(f"{sf_dir}/events.par*")  # glob: file source wants a
-                                              # dir/pattern, not a bare file
-           .withColumn("etime", tcol)
+    agg = (_events_stream(spark, sf_dir)
            .withWatermark("etime", "1 hour")
            .groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))
@@ -358,10 +370,7 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
     from photon_spark.queries import _t
 
     gap_s = 24 * 3600
-    schema = _t(spark, sf_dir, "events").schema
-    tcol = F.expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
-    q = (spark.readStream.schema(schema).parquet(f"{sf_dir}/events.par*")
-         .withColumn("etime", tcol)
+    q = (_events_stream(spark, sf_dir)
          .withWatermark("etime", "0 seconds")
          .groupBy(F.session_window("etime", f"{gap_s} seconds").alias("w"),
                   "event_type", "user_id")

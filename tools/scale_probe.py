@@ -32,9 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_replica(spark, sf_dir: str, out_dir: str, n: int) -> None:
     from pyspark.sql import functions as F
 
-    # testdata ts is TIMESTAMP(NANOS) — surface as epoch-ns longs, same as
-    # photon_spark.queries._t (the replica's ts column is then a plain
-    # INT64 with identical ns values).
+    # ts passes through untouched (long on Spark ≤4.0 via nanosAsLong,
+    # TIMESTAMP_NTZ on 4.1+) — photon_spark.queries._t normalizes either
+    # shape to epoch-ns longs when the replica is read back.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     parts = []

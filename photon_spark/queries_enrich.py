@@ -221,11 +221,133 @@ FROM per, tot
 """
 
 
+# ------------------------------------------------------- mixture resample
+
+def q_mixture_resample(spark, sf_dir):
+    """Materialize the mixture plan: per-document copy count under the
+    τ=0.5 reweighting — floor(weight) guaranteed copies plus one more iff
+    the doc's hash falls below the fractional remainder. The deterministic
+    stochastic-rounding sampler a 100 TB pipeline actually runs: the tiny
+    per-lang weight table broadcasts, the corpus pass is map-only (no sort,
+    no reservoir, no coordination), and E[copies] = weight exactly.
+
+    Exactness: weight is the rational p/q (p = s·tn, q = ts·n from the
+    mixture plan's exact longs). floor = p div q. The fractional accept
+    compares the doc's 24-bit md5 prefix h against t = ceil(r·2²⁴/q)
+    (r = p mod q): h < t ⟺ h·q < r·2²⁴ up to the ceil boundary — and t is
+    computed in DECIMAL(38,0) because r·2²⁴ overflows int64 once q > 2³⁹
+    (corpus of ~10⁹ docs). Both engines compare the same 6-hex-digit
+    strings, so membership is bit-exact."""
+    d = _docs(spark, sf_dir)
+    per = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("_s", F.round(F.sqrt(F.col("n_docs")) * MIX_TAU_Q)
+                        .cast("long")))
+    tot = per.agg(F.sum("n_docs").alias("_tn"), F.sum("_s").alias("_ts"))
+    plan = (per.crossJoin(F.broadcast(tot))
+            .select("lang",
+                    (F.col("_s") * F.col("_tn")).alias("p"),
+                    (F.col("_ts") * F.col("n_docs")).alias("q")))
+    plan = plan.select(
+        "lang", F.expr("p div q").alias("base_copies"),
+        F.expr("""CASE WHEN p % q = 0 THEN '000000' ELSE
+                  format_string('%06x', CAST(
+                    (CAST(p % q AS DECIMAL(38,0)) * 16777216 + q - 1) div q
+                    AS BIGINT)) END""").alias("thresh_hex"))
+    h = F.substring(F.md5(F.concat(F.lit("mix:"),
+                                   F.col("doc_id").cast("string"))), 1, 6)
+    return (d.select("doc_id", "lang").join(F.broadcast(plan), "lang")
+            .select("doc_id", "lang",
+                    (F.col("base_copies")
+                     + F.when(h < F.col("thresh_hex"), 1).otherwise(0))
+                    .cast("long").alias("n_copies")))
+
+
+SQL_MIXTURE_RESAMPLE = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(round(sqrt(count(*)) * {MIX_TAU_Q}) AS BIGINT) AS s
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts
+  FROM per
+), plan AS (
+  SELECT lang, s * tn AS p, ts * n_docs AS q FROM per, tot
+), thresh AS (
+  SELECT lang, p // q AS base_copies,
+         CASE WHEN p % q = 0 THEN '000000' ELSE
+           printf('%06x', CAST(
+             (CAST(p % q AS DECIMAL(38,0)) * 16777216 + q - 1) // q
+             AS BIGINT)) END AS thresh_hex
+  FROM plan
+)
+SELECT d.doc_id, d.lang,
+       CAST(t.base_copies
+            + CASE WHEN substring(md5('mix:' || d.doc_id::VARCHAR), 1, 6)
+                        < t.thresh_hex THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM documents d JOIN thresh t USING (lang)
+"""
+
+
+# ------------------------------------------------------- bucketed range join
+
+#: band-join window: clicks within 1 h before each purchase
+RANGE_NS = 3_600_000_000_000
+
+
+def q_events_range_join(spark, sf_dir):
+    """Per purchase: how many clicks the same user made in the preceding
+    hour, plus their value sum — the interval/band-join every feature
+    pipeline needs ("activity in the window before conversion").
+
+    Scale shape: NOT an inequality join (nested-loop at any scale).
+    Each purchase explodes to its two covering hour buckets, clicks key to
+    their own bucket, and the join is a plain hash equi-join on
+    (user_id, bucket) with the exact range predicate applied AFTER the
+    hash match — candidates per purchase are bounded by the user's clicks
+    in 2 adjacent hours, so the work is data-linear at 100 TB. The final
+    left join preserves zero-click purchases."""
+    e = _events(spark, sf_dir)
+    p = (e.where(F.col("event_type") == "purchase")
+          .select(F.col("event_id").alias("purchase_id"), "user_id",
+                  F.col("ts").alias("pts")))
+    c = (e.where(F.col("event_type") == "click")
+          .select("user_id", F.col("ts").alias("cts"),
+                  F.expr(f"ts div {RANGE_NS}").alias("cb")))
+    cand = (p.select("purchase_id", "user_id", "pts",
+                     F.explode(F.array(
+                         F.expr(f"pts div {RANGE_NS} - 1"),
+                         F.expr(f"pts div {RANGE_NS}"))).alias("cb"))
+             .join(c, ["user_id", "cb"])
+             .where((F.col("cts") >= F.col("pts") - F.lit(RANGE_NS))
+                    & (F.col("cts") <= F.col("pts"))))
+    hits = cand.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (p.join(hits, "purchase_id", "left")
+             .select("purchase_id", "user_id",
+                     F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                      .alias("n_clicks_1h")))
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(c.event_id) AS n_clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_ns(c.ts) >= epoch_ns(p.ts) - {RANGE_NS}
+ AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_join,
     "token_surprisal_by_source": q_token_surprisal_by_source,
     "quality_filter_funnel": q_quality_filter_funnel,
     "mixture_reweight_plan": q_mixture_reweight_plan,
+    "mixture_resample": q_mixture_resample,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
@@ -233,4 +355,6 @@ ORACLES = {
     "token_surprisal_by_source": _sql_token_surprisal(),
     "quality_filter_funnel": _sql_quality_filter_funnel(),
     "mixture_reweight_plan": SQL_MIXTURE_REWEIGHT_PLAN,
+    "mixture_resample": SQL_MIXTURE_RESAMPLE,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
 }

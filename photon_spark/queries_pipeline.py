@@ -339,6 +339,143 @@ GROUP BY d.source
 """
 
 
+# ----------------------------------------------------- collocation mining
+
+#: min bigram co-occurrence count (kills noise + rank ties on rare pairs)
+MIN_COOC = 5
+LIFT_TOPK = 50
+
+
+def q_bigram_lift_topk(spark, sf_dir):
+    """Top-{LIFT_TOPK} token bigrams by lift (= the PMI exponent
+    c_xy·N / (c_x·c_y), rank-equivalent to PMI since log2 is monotone) —
+    the collocation/merge-candidate signal a tokenizer-induction or
+    phrase-mining pass needs.
+
+    Plan: the ordered token stream explodes once into (prev, next) pairs
+    built from two array slices (map-side, no self-join for adjacency);
+    pairs aggregate with map-side combine BEFORE joining the two unigram
+    dimensions, so the joins run on |distinct bigrams|, not the token
+    stream; the one-row total broadcasts. Float policy: lift is one
+    double multiply then one divide of exact long counts, in the same
+    association on both engines, rounded to 6dp.
+    """
+    d = _docs(spark, sf_dir)
+    t = F.transform(text.tokens("text"), lambda x: F.lower(x))
+    d2 = d.select(t.alias("t")).where(F.size("t") >= 2)
+    m = F.size("t")
+    pairs = F.zip_with(F.slice("t", 1, m - 1), F.slice("t", 2, m - 1),
+                       lambda a, b: F.struct(a.alias("tok_a"),
+                                             b.alias("tok_b")))
+    bg = (d2.select(F.explode(pairs).alias("p"))
+            .select("p.tok_a", "p.tok_b")
+            .groupBy("tok_a", "tok_b")
+            .agg(F.count(F.lit(1)).alias("n_cooc"))
+            .where(F.col("n_cooc") >= MIN_COOC))
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.transform(text.tokens("text"),
+                              lambda x: F.lower(x))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = uni.agg(F.sum("c").alias("n"))
+    lift = F.round(
+        (F.col("n_cooc").cast("double") * F.col("n").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double")), 6)
+    return (bg.join(uni.select(F.col("tok").alias("tok_a"),
+                               F.col("c").alias("c_a")), "tok_a")
+              .join(uni.select(F.col("tok").alias("tok_b"),
+                               F.col("c").alias("c_b")), "tok_b")
+              .crossJoin(F.broadcast(n_total))
+              .select("tok_a", "tok_b", "n_cooc", lift.alias("lift"))
+              .orderBy(F.desc("lift"), "tok_a", "tok_b")
+              .limit(LIFT_TOPK))
+
+
+def _sql_bigram_lift_topk() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH d AS (
+  SELECT {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT tok_a, tok_b, count(*) AS n_cooc FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> lower(t[i]))) AS tok_a,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> lower(t[i + 1]))) AS tok_b
+    FROM d WHERE len(t) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_COOC}
+), uni AS (
+  SELECT lower(unnest(t)) AS tok FROM d
+), counts AS (
+  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM counts
+)
+SELECT bg.tok_a, bg.tok_b, bg.n_cooc,
+       round((bg.n_cooc::DOUBLE * tot.n::DOUBLE)
+             / (ca.c::DOUBLE * cb.c::DOUBLE), 6) AS lift
+FROM bg
+JOIN counts ca ON bg.tok_a = ca.tok
+JOIN counts cb ON bg.tok_b = cb.tok
+CROSS JOIN tot
+ORDER BY lift DESC, tok_a, tok_b LIMIT {LIFT_TOPK}
+"""
+
+
+# ------------------------------------------------------- exact quantiles
+
+#: quantile points in percent (integer so ranks stay integer math)
+Q_PCTS = (25, 50, 75, 90)
+
+
+def q_quality_quantiles_by_lang(spark, sf_dir):
+    """Exact per-language quality-score quantiles (p25/p50/p75/p90) over
+    the 6dp-gated text_profile quality — the distribution audit behind
+    quantile-based filter thresholds.
+
+    Exactness: quantile = the ceil(p·n/100)-th smallest value (the
+    percentile_disc definition) picked by integer rank — no interpolation,
+    so no float arithmetic exists to diverge between engines. The rank is
+    (n·p + 99) div 100, pure longs.
+
+    Scale: per-lang rank needs a per-lang sort — fine while |values| per
+    key fits a partition spill; the 100 TB path swaps the exact window for
+    percentile_approx (t-digest, map-side mergeable) with this query as
+    its small-scale truth. Only (lang, quality, doc_id) shuffles — never
+    text."""
+    d = _docs(spark, sf_dir)
+    prof = (text.text_profile(d).select("doc_id", "quality")
+            .join(d.select("doc_id", "lang"), "doc_id"))
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    n = Window.partitionBy("lang")
+    r = (prof.withColumn("rn", F.row_number().over(w))
+             .withColumn("n_docs", F.count(F.lit(1)).over(n)))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for p in Q_PCTS:
+        rank = F.expr(f"(n_docs * {p} + 99) div 100")
+        aggs.append(F.max(F.when(F.col("rn") == rank, F.col("quality")))
+                     .alias(f"p{p}"))
+    return r.groupBy("lang").agg(*aggs)
+
+
+def _sql_quality_quantiles() -> str:
+    from photon_spark.queries_northstar import SQL_TEXT_PROFILE
+    cols = ",\n       ".join(
+        f"max(CASE WHEN rn = (n_docs * {p} + 99) // 100 THEN quality END)"
+        f" AS p{p}" for p in Q_PCTS)
+    return f"""
+WITH prof AS ({SQL_TEXT_PROFILE}),
+r AS (
+  SELECT d.lang, p.quality, p.doc_id,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY p.quality, p.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n_docs
+  FROM prof p JOIN documents d USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs, {cols}
+FROM r GROUP BY lang
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -346,6 +483,8 @@ QUERIES = {
     "token_topk": q_token_topk,
     "rare_token_rate": q_rare_token_rate,
     "contamination_check": q_contamination_check,
+    "bigram_lift_topk": q_bigram_lift_topk,
+    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
 }
 
 ORACLES = {
@@ -355,4 +494,6 @@ ORACLES = {
     "token_topk": _sql_token_topk(),
     "rare_token_rate": _sql_rare_token_rate(),
     "contamination_check": _sql_contamination_check(),
+    "bigram_lift_topk": _sql_bigram_lift_topk(),
+    "quality_quantiles_by_lang": _sql_quality_quantiles(),
 }

@@ -144,10 +144,10 @@ def _km_update_sql(assign_cte: str, prev_cte: str) -> str:
     GROUP BY cl) m ON p.cl = m.cl"""
 
 
-def _sql_kmeans_embeddings() -> str:
-    q = 1_000_000
-    return f"""
-WITH base AS (
+def _km_ctes() -> str:
+    """Shared CTE chain ending in ``a2`` (the final deterministic k-means
+    assignment) — consumed by the kmeans profile AND semdedup oracles."""
+    return f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
 ), init AS (
@@ -158,7 +158,13 @@ WITH base AS (
 ), a1 AS ({_km_assign_sql('c1')}
 ), c2 AS ({_km_update_sql('a1', 'c1')}
 ), a2 AS ({_km_assign_sql('c2')}
-), fin AS (
+)"""
+
+
+def _sql_kmeans_embeddings() -> str:
+    q = 1_000_000
+    return f"""
+WITH {_km_ctes()}, fin AS (
   SELECT a.cl AS cluster_id,
          CAST(round(((list_dot_product(b.v, b.v)
                       - 2 * list_dot_product(b.v, c.cv))
@@ -172,14 +178,66 @@ FROM fin GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+# -------------------------------------------------------------- semdedup
+
+#: within-cluster cosine floor for semantic near-dup pairs
+SEM_THETA = 0.30
+
+
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup-style semantic near-duplicate mining: k-means first, then
+    exact cosine only WITHIN each cluster — the pruning that makes
+    embedding dedup tractable at 100 TB (pairs across clusters are never
+    scored; with balanced cells the pair space shrinks k×, and each cell's
+    pairs are data-local once the table is written bucketed by
+    cluster_id).
+
+    Determinism: the cluster assignment is the gate-proven quantized
+    k-means (functions/clustering.py); the pair score is the same
+    sequential-fold cosine the brute-force pair miner matches, rounded to
+    6dp before the threshold compare so both engines cut identically."""
+    from photon_spark.functions.clustering import kmeans_fit
+    from photon_spark.functions.similarity import dot, norm
+
+    assigned, _ = kmeans_fit(_emb(spark, sf_dir), k=KM_K, iters=KM_ITERS)
+    v = (assigned.select(F.col("vec_id").alias("id"), "cluster_id",
+                         F.transform("embedding",
+                                     lambda x: x.cast("double")).alias("v"))
+                 .withColumn("nv", norm(F.col("v"))))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col("a.v"), F.col("b.v"))
+                  / (F.col("a.nv") * F.col("b.nv")), 6)
+    return (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.cluster_id").alias("cluster_id"),
+                     F.col("a.id").alias("lo_id"),
+                     F.col("b.id").alias("hi_id"),
+                     cos.alias("cosine"))
+             .where(F.col("cosine") >= SEM_THETA))
+
+
+def _sql_semdedup_pairs() -> str:
+    return f"""
+WITH {_km_ctes()}
+SELECT x.cl AS cluster_id, x.vec_id AS lo_id, y.vec_id AS hi_id,
+       round(list_cosine_similarity(bx.v, by.v), 6) AS cosine
+FROM a2 x JOIN a2 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+JOIN base bx ON x.vec_id = bx.vec_id
+JOIN base by ON y.vec_id = by.vec_id
+WHERE round(list_cosine_similarity(bx.v, by.v), 6) >= {SEM_THETA}
+"""
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
     "sequence_packing": q_sequence_packing,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup_pairs": q_semdedup_pairs,
 }
 
 ORACLES = {
     "doc_chunking": SQL_DOC_CHUNKING,
     "sequence_packing": _sql_sequence_packing(),
     "kmeans_embeddings": _sql_kmeans_embeddings(),
+    "semdedup_pairs": _sql_semdedup_pairs(),
 }

@@ -601,6 +601,54 @@ FROM fr
 """
 
 
+# ---------------------------------------------------------- n-gram novelty
+
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: what share of a doc's distinct word
+    3-grams first appear in THIS doc (first = lowest doc_id) — the
+    span-level dup signal behind substring-dedup policies ("drop docs
+    whose content is mostly already seen").
+
+    Plan: shingle once (vectorized UDF), explode to (doc, gram) postings
+    that feed BOTH the first-occurrence aggregate and the per-doc join —
+    persisted once, released via dedup.release_cache. Only gram+id pairs
+    shuffle; at 100 TB the first-occurrence table is the standard
+    min-reduce over the posting list (map-side combinable)."""
+    from photon_spark.functions.dedup import _own_cache, _shingled
+    sh = _shingled(_docs(spark, sf_dir), "text", "doc_id", 3)
+    ex = sh.select("id", F.explode("sh").alias("g")).persist()
+    first = ex.groupBy("g").agg(F.min("id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("id") == F.col("first_doc"), 1)
+                  .otherwise(0)).cast("long")
+    return _own_cache(
+        ex.join(first, "g")
+          .groupBy(F.col("id").alias("doc_id"))
+          .agg(F.count(F.lit(1)).alias("n_shingles"),
+               novel.alias("n_novel"),
+               F.round(novel / F.count(F.lit(1)), 6).alias("novelty_rate")),
+        [ex])
+
+
+SQL_DOC_NGRAM_NOVELTY = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(g) AS gr FROM grams WHERE len(g) > 0
+), fo AS (
+  SELECT gr, min(doc_id) AS first_doc FROM ex GROUP BY gr
+)
+SELECT e.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty_rate
+FROM ex e JOIN fo f ON e.gr = f.gr
+GROUP BY e.doc_id
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -619,6 +667,7 @@ QUERIES = {
     "repetition_profile": q_repetition_profile,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
 }
 
 ORACLES = {
@@ -637,6 +686,7 @@ ORACLES = {
     "repetition_profile": SQL_REPETITION_PROFILE,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
     # ANN oracles: approximate operators, but their randomness is
     # md5-derived / first-k deterministic, so DuckDB reproduces them exactly.
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,

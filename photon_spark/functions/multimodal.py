@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -118,6 +119,39 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                                              FRAME_SAMPLE_SCHEMA.fields])
 
     return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def phash_bands(df: DataFrame, content_col: str = "content",
+                id_col: str = "media_id") -> DataFrame:
+    """64-bit aHash-style perceptual fingerprint, emitted as 4 × 16-bit
+    band keys (banding is the LSH trick: near-identical media agree on at
+    least one band, so candidate generation is an equi-join on
+    (band, key) — never an all-pairs scan).
+
+    Decode seam: a real pipeline aHashes the decoded luma plane;
+    this container has no codecs, so the hash runs over the raw payload
+    bytes (64 equal segments; bit k = segment-k mean ≥ global mean, kept
+    exact as ``sum_k·64 ≥ total``). The banding/join/verify plumbing is
+    the production shape either way. Map-only Arrow pass; blobs never
+    shuffle — only (id, 4 longs) leave the scan."""
+
+    @F.pandas_udf("array<long>")
+    def _ph(blobs: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for b in blobs:
+            a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            s = max(a.size // 64, 1)
+            segs = a[:64 * s].reshape(-1, s).sum(axis=1)
+            if segs.size < 64:  # blob shorter than 64 bytes: pad zero segs
+                segs = np.pad(segs, (0, 64 - segs.size))
+            total = int(segs.sum())
+            bits = segs * 64 >= total
+            out.append([int(sum(1 << k for k in range(16)
+                                if bits[16 * m + k])) for m in range(4)])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _ph(F.col(content_col)).alias("bands"))
 
 
 def media_stats(df: DataFrame) -> DataFrame:

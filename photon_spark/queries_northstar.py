@@ -649,6 +649,81 @@ GROUP BY e.doc_id
 """
 
 
+# ------------------------------------------------------ media phash dedup
+
+#: Hamming ceiling for perceptual near-dup verification
+PHASH_HAM_T = 4
+
+
+def q_media_phash_near_dups(spark, sf_dir):
+    """Perceptual-hash near-duplicate mining over binary media: banded
+    64-bit aHash keys generate candidates via an equi-join on
+    (band, key) — the image-dedup analogue of MinHash-LSH — then exact
+    Hamming distance (bit_count of XORed band keys, pure Catalyst)
+    verifies candidates only. Blobs never shuffle: the fingerprint pass
+    is map-only, and everything downstream moves (id, 4 longs).
+
+    The oracle recomputes the identical fingerprints from the synthetic
+    blob's closed form (byte j of media i = (31i+7j) mod 256, length
+    64·(4+i%5)) entirely in SQL — the hash gate covers the full
+    band/candidate/verify pipeline, not just counts."""
+    media = multimodal.synthesize_media(spark, n=64)
+    ph = multimodal.phash_bands(media)
+    ex = ph.select("media_id", F.posexplode("bands").alias("band", "key"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+             .select(F.col("a.media_id").alias("lo_id"),
+                     F.col("b.media_id").alias("hi_id")).distinct())
+    pl = ph.select(F.col("media_id").alias("lo_id"), F.col("bands").alias("ba"))
+    pr = ph.select(F.col("media_id").alias("hi_id"), F.col("bands").alias("bb"))
+    ham = sum(
+        F.bit_count(F.element_at("ba", m + 1)
+                    .bitwiseXOR(F.element_at("bb", m + 1)))
+        for m in range(4)).cast("long")
+    return (cand.join(pl, "lo_id").join(pr, "hi_id")
+                .select("lo_id", "hi_id", ham.alias("hamming"))
+                .where(F.col("hamming") <= PHASH_HAM_T))
+
+
+SQL_MEDIA_PHASH_NEAR_DUPS = f"""
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 64 * (4 + i % 5) AS L
+  FROM range(64) t(i)
+), vals AS (
+  SELECT media_id, L, unnest(generate_series(0, L - 1)) AS j FROM m
+), seg AS (
+  SELECT media_id, j // (L // 64) AS k,
+         CAST(sum((media_id * 31 + j * 7) % 256) AS BIGINT) AS sv
+  FROM vals GROUP BY 1, 2
+), tot AS (
+  SELECT media_id, CAST(sum(sv) AS BIGINT) AS tv FROM seg GROUP BY 1
+), bits AS (
+  SELECT s.media_id, s.k,
+         CASE WHEN s.sv * 64 >= t.tv THEN 1 ELSE 0 END AS bit
+  FROM seg s JOIN tot t USING (media_id)
+), cand AS (
+  SELECT DISTINCT a.media_id AS lo_id, b.media_id AS hi_id
+  FROM (SELECT media_id, k // 16 AS band,
+               CAST(sum(bit << (k % 16)) AS BIGINT) AS key
+        FROM bits GROUP BY 1, 2) a
+  JOIN (SELECT media_id, k // 16 AS band,
+               CAST(sum(bit << (k % 16)) AS BIGINT) AS key
+        FROM bits GROUP BY 1, 2) b
+    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+)
+SELECT c.lo_id, c.hi_id,
+       CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+         AS hamming
+FROM cand c
+JOIN bits ba ON ba.media_id = c.lo_id
+JOIN bits bb ON bb.media_id = c.hi_id AND bb.k = ba.k
+GROUP BY 1, 2
+HAVING hamming <= {PHASH_HAM_T}
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -668,6 +743,7 @@ QUERIES = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_ngram_novelty": q_doc_ngram_novelty,
+    "media_phash_near_dups": q_media_phash_near_dups,
 }
 
 ORACLES = {
@@ -687,6 +763,7 @@ ORACLES = {
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
+    "media_phash_near_dups": SQL_MEDIA_PHASH_NEAR_DUPS,
     # ANN oracles: approximate operators, but their randomness is
     # md5-derived / first-k deterministic, so DuckDB reproduces them exactly.
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,

@@ -233,6 +233,86 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+# ------------------------------------------------------------------- PQ
+
+def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
+            m_sub: int = 4, ks: int = 16,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization ANN: split each vector into ``m_sub``
+    subvectors, encode every subvector as its nearest of ``ks`` codewords
+    (deterministic codebook = the sub-slices of the ``ks`` lowest-id
+    vectors), then score by Asymmetric Distance Computation — the sum of
+    driver-precomputed ‖q_m − c_{m,code}‖² table lookups.
+
+    Why this is the 100 TB similarity path: the stored index is
+    ``m_sub·log2(ks)`` BITS per vector (here 4 bytes vs 256 — a 64×
+    compression), encoding is one map-only Arrow GEMM per subspace, and
+    query-time scoring never touches the original vectors — it is
+    ``m_sub`` array-literal lookups + 3 adds per row, followed by
+    TakeOrderedAndProject. No shuffle anywhere.
+
+    Determinism/oracle story: codebook selection is first-k-by-id (the
+    kmeans/ivf convention); assignment argmin uses the ``|c|² − 2·v·c``
+    expansion with lowest-code tie-break; the ADC table entries are
+    computed with the sequential left-fold association
+    ``(q·q − 2·q·c) + c·c`` that DuckDB's list_dot_product reproduces
+    bit-for-bit; the 4-term score sum is explicitly left-associated on
+    both engines."""
+    qid = None
+    if isinstance(query_vec, int):
+        qid = query_vec
+        query_vec = _query_vector(df, id_col, vec_col, query_vec)
+    dim = len(query_vec)
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    ds = dim // m_sub
+
+    crows = df.orderBy(id_col).limit(ks).select(vec_col).collect()
+    if len(crows) < ks:
+        raise ValueError(f"need ≥ {ks} vectors, got {len(crows)}")
+    books = []  # books[m][j] = codeword (list of ds floats)
+    for m in range(m_sub):
+        books.append([[float(x) for x in r[0][m * ds:(m + 1) * ds]]
+                      for r in crows])
+
+    cmats = [np.array(b, dtype=np.float64).T for b in books]   # ds × ks
+    nc2s = [np.einsum("dk,dk->k", c, c) for c in cmats]
+
+    @F.pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        cols = [np.argmin(nc2s[m] - 2.0 * (mat[:, m * ds:(m + 1) * ds]
+                                           @ cmats[m]), axis=1)
+                for m in range(m_sub)]
+        return pd.Series(np.stack(cols, axis=1).astype("int32").tolist())
+
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    adc = []  # adc[m][j] = ((q·q − 2 q·c) + c·c), left-associated
+    for m in range(m_sub):
+        qm = query_vec[m * ds:(m + 1) * ds]
+        qq = _seq_dot(qm, qm)
+        adc.append([(qq - 2.0 * _seq_dot(qm, c)) + _seq_dot(c, c)
+                    for c in books[m]])
+
+    enc = df.select(F.col(id_col), _encode(F.col(vec_col)).alias("code"))
+    score = None
+    for m in range(m_sub):
+        tbl = F.array(*[F.lit(d) for d in adc[m]])
+        term = F.element_at(tbl, F.element_at("code", m + 1) + 1)
+        score = term if score is None else score + term
+    out = enc.select(F.col(id_col), score.alias("_d"))
+    if qid is not None:
+        out = out.where(F.col(id_col) != qid)
+    return (out.orderBy(F.col("_d").asc(), F.col(id_col))
+               .limit(k)
+               .select(F.col(id_col), F.round("_d", 6).alias("adc_dist2")))
+
+
 # ---------------------------------------------------------- quantization
 
 def quantize_error_cols(vec_col, max_q: int = 127):

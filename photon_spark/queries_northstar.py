@@ -651,16 +651,17 @@ GROUP BY e.doc_id
 
 # --------------------------------------------------------------- PQ ANN
 
-_PQ_M, _PQ_KS = 4, 16
+_PQ_M, _PQ_KS, _PQ_RERANK = 4, 16, 100
 
 
 def q_ann_topk_pq(spark, sf_dir):
-    """Product-quantization ANN (similarity.pq_topk): 64× index
-    compression, ADC scoring via literal table lookups, no shuffle. The
+    """Product-quantization ANN (similarity.pq_topk): 128× index
+    compression, ADC shortlist via literal table lookups (no shuffle),
+    exact cosine re-rank on the {_PQ_RERANK}-candidate shortlist. The
     oracle rebuilds codebooks/codes/ADC tables in SQL from the same
     first-{_PQ_KS} deterministic convention."""
     return similarity.pq_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK,
-                              m_sub=_PQ_M, ks=_PQ_KS)
+                              m_sub=_PQ_M, ks=_PQ_KS, rerank=_PQ_RERANK)
 
 
 def _sql_ann_topk_pq() -> str:
@@ -711,10 +712,17 @@ WITH base AS (
   FROM (SELECT DISTINCT vec_id FROM base) b
   {enc_joins}
   {adc_joins}
+), short AS (
+  SELECT vec_id FROM scored WHERE vec_id != {_QUERY_ID}
+  ORDER BY dist2 ASC, vec_id LIMIT {_PQ_RERANK}
 )
-SELECT vec_id, round(dist2, 6) AS adc_dist2
-FROM scored WHERE vec_id != {_QUERY_ID}
-ORDER BY dist2 ASC, vec_id LIMIT {_TOPK}
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings e
+JOIN short s ON e.vec_id = s.vec_id,
+     (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) q
+ORDER BY cosine DESC, e.vec_id LIMIT {_TOPK}
 """
 
 

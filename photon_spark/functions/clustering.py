@@ -138,6 +138,58 @@ def kmeans_cluster_profile(df: DataFrame, k: int = 8, iters: int = 2,
             .orderBy("cluster_id"))
 
 
+def within_cluster_pairs(assigned: DataFrame, threshold: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup pair-mining kernel: exact cosine ≥ threshold pairs WITHIN
+    each cluster of an :func:`assign_cells`/:func:`kmeans_fit` assignment.
+
+    One shuffle of the vectors keyed by cluster_id (at 100 TB: zero — the
+    table is written bucketed by cluster), then per cluster a dense
+    normalized GEMM screens candidates at ``threshold − 1e-6`` and a
+    strictly sequential left-associated float64 fold re-verifies — the
+    same screen-then-exact contract as dedup.embedding_near_duplicates,
+    so results are bit-identical to the interpreted Catalyst cosine and
+    its DuckDB oracle at 6dp."""
+    import math
+
+    def _seq_cosine(a, b):
+        s = na = nb = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+            na += x * x
+            nb += y * y
+        d = math.sqrt(na) * math.sqrt(nb)
+        return s / d if d else 0.0
+
+    margin = threshold - 1e-6
+
+    def mine(key, pdf):
+        ids = pdf["_id"].to_numpy(dtype="int64")
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        nmat = mat / nrm
+        sims = nmat @ nmat.T
+        mask = (sims >= margin) & (ids[:, None] < ids[None, :])
+        lo, hi, cos = [], [], []
+        for i, j in zip(*np.nonzero(mask)):
+            c = round(_seq_cosine(mat[i].tolist(), mat[j].tolist()), 6)
+            if c >= threshold:
+                lo.append(int(ids[i]))
+                hi.append(int(ids[j]))
+                cos.append(c)
+        return pd.DataFrame({"cluster_id": int(key[0]), "lo_id": lo,
+                             "hi_id": hi, "cosine": cos})
+
+    return (assigned.select(F.col("cluster_id"),
+                            F.col(id_col).alias("_id"),
+                            F.col(vec_col).alias("_v"))
+            .groupBy("cluster_id")
+            .applyInPandas(mine, schema="cluster_id long, lo_id long, "
+                                        "hi_id long, cosine double"))
+
+
 def _seq_dot(a: list[float], b: list[float]) -> float:
     """Driver-side sequential left-fold dot product — the same association
     as F.aggregate / DuckDB list_dot_product."""

@@ -48,13 +48,18 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
 
 
 def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table (seeded by media_id) for tests."""
+    """Deterministic fake media table (seeded by media_id) for tests.
+    Built as ONE partition at the source: scattering 64 rows across
+    default parallelism costs a Python-worker roundtrip per core on every
+    downstream pass (and a post-hoc coalesce(1) serializes those
+    roundtrips instead of removing them)."""
     rows = []
     for i in range(n):
         blob = bytes((i * 31 + j * 7) % 256 for j in range(256 + (i % 5) * 64))
         rows.append((i, kind, f"{kind}/fake", 64 + i % 32, 48 + i % 32,
                      1000 * (1 + i % 10), blob))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
 
 # ----------------------------------------------------------- decode seams

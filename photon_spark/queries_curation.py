@@ -193,27 +193,17 @@ def q_semdedup_pairs(spark, sf_dir):
     cluster_id).
 
     Determinism: the cluster assignment is the gate-proven quantized
-    k-means (functions/clustering.py); the pair score is the same
-    sequential-fold cosine the brute-force pair miner matches, rounded to
-    6dp before the threshold compare so both engines cut identically."""
-    from photon_spark.functions.clustering import kmeans_fit
-    from photon_spark.functions.similarity import dot, norm
+    k-means (functions/clustering.py); pair scoring runs the
+    grouped-GEMM screen + sequential-verify kernel
+    (clustering.within_cluster_pairs) whose exact fold matches the
+    brute-force miner and the oracle bit-for-bit at 6dp — the r1
+    interpreted zip_with self-join cost 3.7 s at sf0.1 where the GEMM
+    kernel pays one keyed vector shuffle."""
+    from photon_spark.functions.clustering import (kmeans_fit,
+                                                   within_cluster_pairs)
 
     assigned, _ = kmeans_fit(_emb(spark, sf_dir), k=KM_K, iters=KM_ITERS)
-    v = (assigned.select(F.col("vec_id").alias("id"), "cluster_id",
-                         F.transform("embedding",
-                                     lambda x: x.cast("double")).alias("v"))
-                 .withColumn("nv", norm(F.col("v"))))
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(dot(F.col("a.v"), F.col("b.v"))
-                  / (F.col("a.nv") * F.col("b.nv")), 6)
-    return (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.cluster_id").alias("cluster_id"),
-                     F.col("a.id").alias("lo_id"),
-                     F.col("b.id").alias("hi_id"),
-                     cos.alias("cosine"))
-             .where(F.col("cosine") >= SEM_THETA))
+    return within_cluster_pairs(assigned, SEM_THETA)
 
 
 def _sql_semdedup_pairs() -> str:
@@ -228,11 +218,64 @@ WHERE round(list_cosine_similarity(bx.v, by.v), 6) >= {SEM_THETA}
 """
 
 
+# ------------------------------------------------- cluster-balanced sample
+
+#: per-cluster sample quota
+CB_QUOTA = 24
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced selection: exactly {CB_QUOTA} vectors per k-means
+    cell (all, if the cell is smaller), picked by md5 rank — the
+    "diversify across semantic clusters" sampling step that pairs with
+    SemDeDup (prune dups within cells, then draw evenly across cells).
+
+    Per-cluster quota = rank-by-hash ≤ N: deterministic, re-runnable,
+    and the rank predicate gets Catalyst's WindowGroupLimit pushdown (≤ N
+    rows per cell per map partition shuffle — the same scale shape as
+    token_topk). The output pins exact membership via the sampled-id sum,
+    not just counts."""
+    from photon_spark.functions.clustering import kmeans_fit
+    from pyspark.sql import Window
+
+    assigned, _ = kmeans_fit(_emb(spark, sf_dir), k=KM_K, iters=KM_ITERS)
+    h = F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cluster_id").orderBy(h.alias("h"), "vec_id")
+    ranked = assigned.select("cluster_id", "vec_id",
+                             F.row_number().over(w).alias("rn"))
+    picked = F.col("rn") <= CB_QUOTA
+    return (ranked.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum(F.when(picked, 1).otherwise(0)).cast("long")
+                  .alias("n_sampled"),
+                 F.sum(F.when(picked, F.col("vec_id")).otherwise(0))
+                  .cast("long").alias("sampled_id_sum")))
+
+
+def _sql_cluster_balanced_sample() -> str:
+    return f"""
+WITH {_km_ctes()}, ranked AS (
+  SELECT cl AS cluster_id, vec_id,
+         row_number() OVER (
+           PARTITION BY cl
+           ORDER BY md5('cb:' || vec_id::VARCHAR), vec_id) AS rn
+  FROM a2
+)
+SELECT cluster_id, count(*) AS n_members,
+       CAST(sum(CASE WHEN rn <= {CB_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(sum(CASE WHEN rn <= {CB_QUOTA} THEN vec_id ELSE 0 END)
+            AS BIGINT) AS sampled_id_sum
+FROM ranked GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
     "sequence_packing": q_sequence_packing,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_pairs": q_semdedup_pairs,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -240,4 +283,5 @@ ORACLES = {
     "sequence_packing": _sql_sequence_packing(),
     "kmeans_embeddings": _sql_kmeans_embeddings(),
     "semdedup_pairs": _sql_semdedup_pairs(),
+    "cluster_balanced_sample": _sql_cluster_balanced_sample(),
 }

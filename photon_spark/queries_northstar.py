@@ -745,7 +745,10 @@ def q_media_phash_near_dups(spark, sf_dir):
     64·(4+i%5)) entirely in SQL — the hash gate covers the full
     band/candidate/verify pipeline, not just counts."""
     media = multimodal.synthesize_media(spark, n=64)
-    ph = multimodal.phash_bands(media)
+    # the fingerprint relation feeds FOUR plan branches (two join sides of
+    # candidate gen + two band lookups) — materialize it once (64 rows)
+    # instead of running the UDF per branch
+    ph = multimodal.phash_bands(media).localCheckpoint(eager=True)
     ex = ph.select("media_id", F.posexplode("bands").alias("band", "key"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

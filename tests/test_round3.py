@@ -147,6 +147,29 @@ def test_semdedup_pairs_subset_of_bruteforce(spark, sf_dir):
     assert got == same_cluster
 
 
+def test_cluster_balanced_sample_quota(spark, sf_dir):
+    """Every cell yields min(quota, size) samples, and the id sum matches
+    an independent recomputation of the md5 rank rule."""
+    import hashlib
+    from photon_spark.functions.clustering import kmeans_fit
+    from photon_spark.queries_curation import (CB_QUOTA, KM_ITERS, KM_K,
+                                               q_cluster_balanced_sample)
+    rows = q_cluster_balanced_sample(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _ = kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
+    members: dict[int, list[int]] = {}
+    for r in assigned.collect():
+        members.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    assert {r["cluster_id"] for r in rows} == set(members)
+    for r in rows:
+        ids = members[r["cluster_id"]]
+        assert r["n_members"] == len(ids)
+        assert r["n_sampled"] == min(CB_QUOTA, len(ids))
+        picked = sorted(ids, key=lambda i: (
+            hashlib.md5(f"cb:{i}".encode()).hexdigest(), i))[:CB_QUOTA]
+        assert r["sampled_id_sum"] == sum(picked)
+
+
 # -------------------------------------------------------- n-gram novelty
 
 def test_ngram_novelty_invariants(spark, sf_dir):

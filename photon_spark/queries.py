@@ -388,6 +388,59 @@ FROM (SELECT event_id,
 """
 
 
+def q_projection_keyed_streaming_fold(spark, sf_dir):
+    """The DISTRIBUTED hot path: per-stream ordered folds via
+    applyInPandasWithState (streaming/keyed.py) over a real EventStore
+    subscription — state lives in the executors' state store, keys fold
+    in parallel, no event reaches the driver. The per-key rank-weighted
+    checksum hash-matches the batch oracle only if every key saw its
+    events exactly once, in order — the distributed analogue of
+    `projection_streaming_fold`'s serial order proof (photon's
+    `__streams__` per-stream built-in, default_projs.clj:8-26, at Spark
+    scale)."""
+    import shutil
+    import tempfile
+    from photon_spark.events import EventStore
+    from photon_spark.streaming.keyed import keyed_ordered_checksums
+    from photon_spark.streaming.replay import read_hot_cold
+
+    base = tempfile.mkdtemp(prefix="photon_spark_keyedq_")
+    try:
+        store = EventStore(spark, os.path.join(base, "events"))
+        src = (_t(spark, sf_dir, "events")
+               .select(F.col("event_type").alias("stream_name"),
+                       F.col("event_id").cast("string").alias("local_id")))
+        store.ingest(src)
+
+        got: dict[str, tuple[int, int]] = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                got[r["stream_name"]] = (r["processed"], r["checksum"])
+
+        q = (keyed_ordered_checksums(read_hot_cold(store))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = [(k, int(v[0]), int(v[1])) for k, v in sorted(got.items())]
+        return spark.createDataFrame(
+            rows, "stream_name string, processed long, checksum long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_PROJECTION_KEYED_STREAMING_FOLD = """
+SELECT event_type AS stream_name, count(*) AS processed,
+       CAST(sum(rn * event_id) AS BIGINT) AS checksum
+FROM (SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY event_id) AS rn
+      FROM events)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # F5 — keyed lookup into projection state (api.clj:61-64): per-user state
 # map, query one key
@@ -428,6 +481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "projection_assoc_fold": q_projection_assoc_fold,
     "projection_fold_stats": q_projection_fold_stats,
     "projection_streaming_fold": q_projection_streaming_fold,
+    "projection_keyed_streaming_fold": q_projection_keyed_streaming_fold,
     "projection_value_lookup": q_projection_value_lookup,
 }
 
@@ -445,6 +499,7 @@ ORACLES: dict[str, str] = {
     "projection_assoc_fold": SQL_PROJECTION_ASSOC_FOLD,
     "projection_fold_stats": SQL_PROJECTION_FOLD_STATS,
     "projection_streaming_fold": SQL_PROJECTION_STREAMING_FOLD,
+    "projection_keyed_streaming_fold": SQL_PROJECTION_KEYED_STREAMING_FOLD,
     "projection_value_lookup": SQL_PROJECTION_VALUE_LOOKUP,
 }
 

@@ -57,3 +57,41 @@ def keyed_running_totals(events: DataFrame) -> DataFrame:
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+CSUM_OUTPUT = "stream_name string, processed long, checksum long"
+CSUM_STATE = "n long, c long"
+
+
+def keyed_ordered_checksums(events: DataFrame) -> DataFrame:
+    """Per-key ORDERED fold with a rank-weighted checksum — the
+    distributed-streaming analogue of the serial runner's order proof:
+    within each key, events fold in order_id order (sorted inside the
+    micro-batch group; the rank counter persists in state across batches),
+    and ``checksum = Σ rankₖ·local_id`` changes under ANY per-key
+    reordering, gap, or duplicate. Keys fold in parallel in the executors'
+    state store; the only exchange is the groupBy(key) shuffle."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, c = state.get if state.exists else (0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            allf = (pd.concat(frames) if len(frames) > 1 else frames[0]) \
+                .sort_values("order_id")
+            for lid in pd.to_numeric(allf["local_id"],
+                                     errors="coerce").fillna(0).astype(int):
+                n += 1
+                c += n * int(lid)
+        state.update((n, c))
+        yield pd.DataFrame({"stream_name": [key[0]], "processed": [n],
+                            "checksum": [c]})
+
+    return (events
+            .groupBy("stream_name")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CSUM_OUTPUT,
+                stateStructType=CSUM_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -257,6 +257,30 @@ def minhash_sig_udf(sh_col, num_hashes: int = 16):
     return _sig(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
 
 
+def minhash_band_buckets(sh_df: DataFrame, num_hashes: int = 16,
+                         bands: int = 4) -> DataFrame:
+    """(id, band, bucket) LSH band index from a shingled relation
+    (``_shingled`` output): the minhash signature split into ``bands``
+    bands of ``num_hashes/bands`` rows, each band hashed to one short
+    digest. This is the persisted "dedup index" shape at scale — a table
+    bucketed by (band, bucket) joins new data against the corpus without
+    touching text."""
+    rows_per_band = num_hashes // bands
+    # Materialize shingles ONCE as a column, then derive the 16 min-hashes
+    # from the column reference in one vectorized Arrow pass — the Catalyst
+    # form (minhash_signature) runs num_hashes interpreted folds per row.
+    sig = sh_df.select("id", minhash_sig_udf("sh", num_hashes).alias("sig"))
+    # One row per (doc, band) via a single explode — one scan, not `bands`.
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1,
+                                                rows_per_band))).alias("bucket"))
+        for b in range(bands)])
+    return (sig.select("id", F.explode(band_arr).alias("bb"))
+               .select("id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 3,
@@ -267,22 +291,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Shuffle is keyed by (band_idx, band_hash) — short digests, never text.
     Returns distinct (lo_id, hi_id) candidate pairs.
     """
-    rows_per_band = num_hashes // bands
-    # Materialize shingles ONCE as a column, then derive the 16 min-hashes
-    # from the column reference in one vectorized Arrow pass — the Catalyst
-    # form (minhash_signature) runs num_hashes interpreted folds per row.
     sh = (_shingled_df if _shingled_df is not None
           else _shingled(df, text_col, id_col, shingle_n))
-    sig = sh.select("id", minhash_sig_udf("sh", num_hashes).alias("sig"))
-    # One row per (doc, band) via a single explode — one scan, not `bands`.
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1,
-                                                rows_per_band))).alias("bucket"))
-        for b in range(bands)])
-    buckets = (sig.select("id", F.explode(band_arr).alias("bb"))
-                  .select("id", F.col("bb.band").alias("band"),
-                          F.col("bb.bucket").alias("bucket")))
+    buckets = minhash_band_buckets(sh, num_hashes, bands)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

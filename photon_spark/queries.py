@@ -520,3 +520,8 @@ from photon_spark import queries_enrich as _en  # noqa: E402
 
 QUERIES.update(_en.QUERIES)
 ORACLES.update(_en.ORACLES)
+
+from photon_spark import queries_select as _se  # noqa: E402
+
+QUERIES.update(_se.QUERIES)
+ORACLES.update(_se.ORACLES)

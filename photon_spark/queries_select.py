@@ -1,0 +1,432 @@
+"""Corpus selection & governance queries — the decision stage of an LLM
+data pipeline, after mining signals exist: which doc survives a near-dup
+cluster (keep-best canonical selection), which val docs leak into train
+(split leakage audit), which new docs duplicate the existing corpus
+(incremental dedup against an LSH band index), and a broadcast-free
+decontamination path (Bloom-filter probe membership).
+
+Reference anchor: photon has no analytics operators (SURVEY §2.8); these
+are driver-mandated north-star extensions layered on the `documents`
+table, composed from the gate-proven dedup/text kernels.
+
+Parity rules (queries.py float policy): quality is compared as 6dp
+integers (the lang_quality fix); jaccard is rounded to 6dp before any
+threshold or max; everything else is integer/string work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.functions import dedup, text
+from photon_spark.queries_northstar import (SQL_MINHASH_NEAR_DUPS,
+                                            SQL_TEXT_PROFILE, _NUM_HASHES,
+                                            _BANDS, _SQL_NORM, _SQL_GRAMS)
+from photon_spark.queries_pipeline import BENCH_MOD, CONTAM_N
+
+#: near-dup threshold shared by every miner in this module (matches the
+#: minhash_near_dups gate query)
+NEAR_DUP_T = 0.7
+
+#: md5-hex split: doc is validation iff md5('split:'||doc_id) < '1a'
+#: (≈ 26/256 ≈ 10.2%) — same portable membership idiom as
+#: queries_pipeline.SAMPLE_HEX_LT
+VAL_HEX_LT = "1a"
+
+#: incremental dedup: docs with doc_id % NEW_MOD == NEW_REM play the
+#: "newly arrived batch"; the rest are the existing corpus
+NEW_MOD, NEW_REM = 10, 7
+
+#: Bloom decontamination: 2^16-bit filter as 2048 32-bit words (stored in
+#: BIGINTs so shifts never overflow on either engine), K=3 md5-derived
+#: probes per gram
+BLOOM_BITS = 1 << 16
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _near_dup_pairs(d):
+    return dedup.minhash_near_duplicates(
+        d, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=NEAR_DUP_T)
+
+
+# --------------------------------------------------- keep-best canonical
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-representative selection: cluster the MinHash-LSH
+    near-dups, keep exactly ONE doc per cluster — the highest quality
+    (6dp-int compared; ties → lowest doc_id) — and report the per-source
+    keep/drop audit. This is the decision step every fuzzy-dedup pipeline
+    ends with: mining pairs is not dedup until one survivor is chosen.
+
+    Scale shape: pairs/labels are minuscule next to the corpus, so the
+    label join back to documents is effectively broadcast; the per-cluster
+    argmax shuffles only (cluster_id, q_int, doc_id) triples — text never
+    moves. Singletons (docs in no cluster) are their own cluster and are
+    always kept, via coalesce rather than ever materializing them as
+    graph nodes."""
+    d = _docs(spark, sf_dir)
+    labels = dedup.dup_clusters(_near_dup_pairs(d))
+    q_int = F.round(F.col("quality") * 1e6).cast("long").alias("q_int")
+    prof = text.text_profile(d).select("doc_id", q_int)
+    dd = (d.select("doc_id", "source")
+           .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+           .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+           .join(prof, "doc_id"))
+    # argmax by (quality, then lowest id): max over (q_int, -doc_id) structs
+    best = (dd.groupBy("cluster_id")
+              .agg(F.max(F.struct(F.col("q_int"),
+                                  (-F.col("doc_id")).alias("neg_id")))
+                    .alias("b"))
+              .select("cluster_id", (-F.col("b.neg_id")).alias("keep_id")))
+    kept = F.col("doc_id") == F.col("keep_id")
+    return (dd.join(best, "cluster_id")
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(kept.cast("long")).alias("n_kept"),
+                   F.sum((~kept).cast("long")).alias("n_dropped"),
+                   F.round(F.sum(F.when(kept, F.col("q_int")).otherwise(0))
+                           / 1e6, 6).alias("kept_quality_sum"),
+                   F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+                    .cast("long").alias("kept_id_sum")))
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs_src AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS s, hi_id AS d FROM pairs_src
+  UNION
+  SELECT hi_id AS s, lo_id AS d FROM pairs_src
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+prof AS (
+  SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS q_int
+  FROM ({SQL_TEXT_PROFILE})
+),
+lab AS (
+  SELECT d.doc_id, d.source,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id, p.q_int
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.id
+  JOIN prof p ON d.doc_id = p.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY q_int DESC, doc_id ASC) AS rn
+    FROM lab) WHERE rn = 1
+)
+SELECT l.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.doc_id = b.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN l.doc_id = b.keep_id THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       round(sum(CASE WHEN l.doc_id = b.keep_id THEN l.q_int ELSE 0 END)
+             / 1000000.0, 6) AS kept_quality_sum,
+       CAST(sum(CASE WHEN l.doc_id = b.keep_id THEN l.doc_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM lab l JOIN best b ON l.cluster_id = b.cluster_id
+GROUP BY l.source
+"""
+
+
+# --------------------------------------------------- split leakage audit
+
+def _is_val(c):
+    return F.md5(F.concat(F.lit("split:"), c.cast("string"))) < VAL_HEX_LT
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/val split leakage audit: deterministic ~10% hash split, then
+    every near-dup pair that CROSSES the split marks its val member as
+    leaked (its content is effectively in train). The decontamination
+    check eval sets need before any loss is trusted.
+
+    Scale shape: the split predicate is a map-side hash — no membership
+    table to join; leakage derives from the already-bounded LSH pair
+    relation, symmetrized and filtered, so the audit costs one short
+    aggregation beyond the miner."""
+    d = _docs(spark, sf_dir)
+    pairs = _near_dup_pairs(d)
+    sym = (pairs.select(F.col("lo_id").alias("a"), F.col("hi_id").alias("b"))
+                .union(pairs.select(F.col("hi_id").alias("a"),
+                                    F.col("lo_id").alias("b"))))
+    leaked = (sym.where(_is_val(F.col("a")) & ~_is_val(F.col("b")))
+                 .select(F.col("a").alias("doc_id")).distinct()
+                 .withColumn("leak", F.lit(1)))
+    val_docs = d.where(_is_val(F.col("doc_id"))).select("doc_id", "source")
+    leak = F.coalesce(F.col("leak"), F.lit(0))
+    return (val_docs.join(leaked, "doc_id", "left")
+                    .groupBy("source")
+                    .agg(F.count(F.lit(1)).alias("n_val"),
+                         F.sum(leak).cast("long").alias("n_leaked"),
+                         F.round(F.sum(leak) / F.count(F.lit(1)), 6)
+                          .alias("leak_rate"),
+                         F.sum(F.when(leak == 1, F.col("doc_id"))
+                                .otherwise(0)).cast("long")
+                          .alias("leaked_id_sum")))
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH pairs_src AS ({SQL_MINHASH_NEAR_DUPS}),
+sym AS (
+  SELECT lo_id AS a, hi_id AS b FROM pairs_src
+  UNION ALL
+  SELECT hi_id AS a, lo_id AS b FROM pairs_src
+),
+leaked AS (
+  SELECT DISTINCT a AS doc_id FROM sym
+  WHERE md5('split:' || a::VARCHAR) < '{VAL_HEX_LT}'
+    AND md5('split:' || b::VARCHAR) >= '{VAL_HEX_LT}'
+)
+SELECT d.source, count(*) AS n_val,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       round(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS leak_rate,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END)
+            AS BIGINT) AS leaked_id_sum
+FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+WHERE md5('split:' || d.doc_id::VARCHAR) < '{VAL_HEX_LT}'
+GROUP BY d.source
+"""
+
+
+# ------------------------------------------------------ incremental dedup
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a newly-arrived batch (doc_id % {NEW_MOD} ==
+    {NEW_REM}, ~10%) is checked against the EXISTING corpus through the
+    LSH band index — new docs that collide with a corpus doc in any band
+    are verified with exact Jaccard; survivors report how many corpus
+    near-dups they hit and the best score. This is the day-2 shape of
+    dedup at 100 TB: the corpus index is a persisted table bucketed by
+    (band, bucket); each incoming batch joins against it without ever
+    re-scanning corpus text — only candidate ids fetch their shingles
+    for verification.
+
+    Asymmetric by construction: corpus-vs-corpus and new-vs-new pairs are
+    never generated (the quadratic bulk the batch miner pays)."""
+    d = _docs(spark, sf_dir)
+    sh = dedup._shingled(d, "text", "doc_id", 3).persist()
+    buckets = dedup.minhash_band_buckets(sh, _NUM_HASHES, _BANDS)
+    is_new = (F.col("id") % NEW_MOD) == NEW_REM
+    new_b, corp_b = buckets.where(is_new), buckets.where(~is_new)
+    cands = (new_b.alias("a")
+             .join(corp_b.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket")))
+             .select(F.col("a.id").alias("new_id"),
+                     F.col("b.id").alias("corp_id"))
+             .distinct())
+    j = (cands
+         .join(sh.select(F.col("id").alias("new_id"),
+                         F.col("sh").alias("sh_a")), "new_id")
+         .join(sh.select(F.col("id").alias("corp_id"),
+                         F.col("sh").alias("sh_b")), "corp_id"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return dedup._own_cache(
+        j.select("new_id", jac.alias("jaccard"))
+         .where(F.col("jaccard") >= NEAR_DUP_T)
+         .groupBy("new_id")
+         .agg(F.count(F.lit(1)).alias("n_corpus_dups"),
+              F.max("jaccard").alias("best_jaccard")),
+        [sh])
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), sigs AS (
+  SELECT doc_id, g, [{{mins}}] AS sig FROM grams WHERE len(g) > 0
+), buckets AS ({{bands}}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corp_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.doc_id % {NEW_MOD} = {NEW_REM} AND b.doc_id % {NEW_MOD} != {NEW_REM}
+), j AS (
+  SELECT c.new_id,
+         round(len(list_intersect(ga.g, gb.g)) * 1.0 /
+               greatest(len(ga.g) + len(gb.g)
+                        - len(list_intersect(ga.g, gb.g)), 1), 6) AS jaccard
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.new_id
+  JOIN grams gb ON gb.doc_id = c.corp_id
+)
+SELECT new_id, count(*) AS n_corpus_dups, max(jaccard) AS best_jaccard
+FROM j WHERE jaccard >= {NEAR_DUP_T} GROUP BY new_id
+"""
+
+
+def _sql_dedup_incremental() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(g, x -> md5('{s}:' || x)), 'min')"
+        for s in range(_NUM_HASHES))
+    rpb = _NUM_HASHES // _BANDS
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(array_to_string(sig[{b * rpb + 1}:{(b + 1) * rpb}], '|')) "
+        f"AS bucket FROM sigs"
+        for b in range(_BANDS))
+    return (SQL_DEDUP_INCREMENTAL
+            .replace("{mins}", mins).replace("{bands}", bands))
+
+
+# -------------------------------------------------- Bloom decontamination
+
+def _pow2(bit):
+    """2^bit as an exact long for bit ∈ [0, 31] (double pow is exact far
+    past 2^31) — Spark's shiftleft only takes a Python-int shift amount,
+    so a column-valued shift is expressed as a power instead."""
+    return F.pow(F.lit(2.0), bit).cast("long")
+
+
+def _bloom_positions(g, k: int = BLOOM_K):
+    """K bit positions in [0, BLOOM_BITS) for gram ``g`` — the first 16
+    md5 bits under K seeds; portable because both engines read the same
+    4 hex chars ('0x'-cast in DuckDB, conv(16,10) in Spark)."""
+    return [F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), g)), 1, 4),
+                   16, 10).cast("int")
+            for i in range(k)]
+
+
+def build_bloom(gram_df, gram_col: str = "g") -> list[int]:
+    """Aggregate a gram relation into the BLOOM_WORDS-word bitmap and
+    collect it — the tiny driver-side summary (16 KiB regardless of probe
+    set size) that replaces broadcasting the probe grams themselves."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(gram_col)))).alias("p")
+    words = (gram_df.select(pos)
+             .select(F.shiftright("p", 5).alias("w"),
+                     _pow2(F.col("p").bitwiseAND(F.lit(31))).alias("m"))
+             .groupBy("w").agg(F.bit_or("m").alias("bits"))
+             .collect())
+    bitmap = [0] * BLOOM_WORDS
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def q_contamination_bloom(spark, sf_dir):
+    """Decontamination via a Bloom filter of the benchmark probe grams:
+    the {BLOOM_BITS}-bit bitmap is built once from the probe set (docs
+    with doc_id % BENCH_MOD == 0, as in contamination_check), collected
+    (16 KiB — constant in benchmark size), folded into the plan as a
+    literal array, and the corpus scan tests each gram's {BLOOM_K} bit
+    positions map-side. The corpus gram test is join-free map work (vs
+    the exact check's semi-join against the gram set); the only join
+    left carries (doc_id, n_flagged) ints to pick up `source` — grams
+    never move. At 100 TB this is the decontamination shape whose cost
+    does not grow with the benchmark suite.
+
+    Bloom semantics are deterministic (same md5-derived positions on both
+    engines), so the oracle reproduces the false-positive set exactly;
+    the FP envelope vs the exact semi-join is pinned in pytest."""
+    from photon_spark.functions.dedup import _own_cache, _shingled
+    d = _docs(spark, sf_dir)
+    sh = _shingled(d, "text", "doc_id", CONTAM_N).persist()
+    is_bench = F.col("id") % BENCH_MOD == 0
+    bitmap = build_bloom(
+        sh.where(is_bench).select(F.explode("sh").alias("g")).distinct())
+    # ConstantFolding collapses this to one Literal array — evaluated
+    # zero-cost per row, never shipped as data.
+    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+
+    def bit_set(p):
+        word = F.element_at(arr, F.shiftright(p, 5) + 1)
+        mask = _pow2(p.bitwiseAND(F.lit(31)))
+        return word.bitwiseAND(mask) == mask
+
+    def flagged(g):
+        t = F.lit(True)
+        for p in _bloom_positions(g):
+            t = t & bit_set(p)
+        return t
+
+    per_doc = (sh.where(~is_bench)
+                 .select(F.col("id").alias("doc_id"),
+                         F.size(F.filter("sh", flagged)).alias("n_flagged")))
+    hit = (F.col("n_flagged") > 0).cast("long")
+    return _own_cache(
+        d.join(per_doc, "doc_id")
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(hit).alias("n_flagged_docs"),
+              F.sum("n_flagged").cast("long").alias("flagged_gram_total"),
+              F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("flag_rate")),
+        [sh])
+
+
+def _sql_contamination_bloom() -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(CONTAM_N))
+    grams = (f"list_distinct(list_transform("
+             f"generate_series(1, len(t)-{CONTAM_N - 1}), i -> {gram}))")
+    pos = ", ".join(
+        f"('0x' || substr(md5('bf{i}:' || gr), 1, 4))::INT"
+        for i in range(BLOOM_K))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {grams} AS g FROM norm WHERE len(t) >= {CONTAM_N}
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), bloom AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+  FROM (SELECT unnest([{pos}]) AS p FROM bench) GROUP BY 1
+), corp AS (
+  SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % {BENCH_MOD} != 0
+), cpos AS (
+  SELECT doc_id, gr, unnest([{pos}]) AS p FROM corp
+), hits AS (
+  SELECT doc_id, gr
+  FROM cpos JOIN bloom b ON b.w = p // 32
+                        AND (b.bits >> (p % 32)) & 1 = 1
+  GROUP BY doc_id, gr HAVING count(*) = {BLOOM_K}
+), per_doc AS (
+  SELECT g.doc_id, count(h.gr) AS n_flagged
+  FROM (SELECT doc_id FROM grams WHERE doc_id % {BENCH_MOD} != 0) g
+  LEFT JOIN hits h ON g.doc_id = h.doc_id
+  GROUP BY g.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN p.n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_docs,
+       CAST(sum(p.n_flagged) AS BIGINT) AS flagged_gram_total,
+       round(sum(CASE WHEN p.n_flagged > 0 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS flag_rate
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source
+"""
+
+
+QUERIES = {
+    "dedup_keep_best": q_dedup_keep_best,
+    "split_leakage": q_split_leakage,
+    "dedup_incremental": q_dedup_incremental,
+    "contamination_bloom": q_contamination_bloom,
+}
+
+ORACLES = {
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
+    "dedup_incremental": _sql_dedup_incremental(),
+    "contamination_bloom": _sql_contamination_bloom(),
+}

@@ -1,0 +1,162 @@
+"""Corpus selection & governance operators (queries_select):
+keep-best canonical dedup, split leakage, incremental dedup, Bloom
+decontamination.
+
+The DuckDB hash gate covers value parity; these tests pin the SEMANTIC
+guarantees: keeper choice matches a naive union-find + argmax, leakage
+matches a naive recomputation from the pair relation, the incremental
+miner agrees with the batch miner restricted to new×corpus pairs, and
+the Bloom filter flags a superset of the exact hits within the FP
+envelope.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions import dedup, text
+from photon_spark.queries_select import (BLOOM_WORDS, NEW_MOD, NEW_REM,
+                                         VAL_HEX_LT, _near_dup_pairs,
+                                         q_contamination_bloom,
+                                         q_dedup_incremental,
+                                         q_dedup_keep_best, q_split_leakage)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    spark.catalog.clearCache()
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def pairs(docs):
+    return [(r["lo_id"], r["hi_id"]) for r in _near_dup_pairs(docs).collect()]
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+# ------------------------------------------------------- keep-best dedup
+
+def test_keep_best_matches_naive_union_find_argmax(spark, sf_dir, docs, pairs):
+    qual = {r["doc_id"]: int(round(r["quality"] * 1e6))
+            for r in text.text_profile(docs)
+                          .select("doc_id", "quality").collect()}
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    label = _union_find(pairs)
+    clusters: dict[int, list[int]] = {}
+    for d in src:
+        clusters.setdefault(label.get(d, d), []).append(d)
+    expect: dict[str, dict[str, int]] = {}
+    for cl, members in clusters.items():
+        keep = max(members, key=lambda d: (qual[d], -d))
+        for d in members:
+            e = expect.setdefault(src[d], dict(n_docs=0, n_kept=0,
+                                               n_dropped=0, kept_id_sum=0))
+            e["n_docs"] += 1
+            if d == keep:
+                e["n_kept"] += 1
+                e["kept_id_sum"] += d
+            else:
+                e["n_dropped"] += 1
+    got = {r["source"]: r for r in q_dedup_keep_best(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for s, e in expect.items():
+        for k in ("n_docs", "n_kept", "n_dropped", "kept_id_sum"):
+            assert got[s][k] == e[k], (s, k)
+
+
+def test_keep_best_audit_is_consistent(spark, sf_dir):
+    rows = q_dedup_keep_best(spark, sf_dir).collect()
+    assert all(r["n_docs"] == r["n_kept"] + r["n_dropped"] for r in rows)
+    assert all(r["n_kept"] >= 1 for r in rows)
+
+
+# --------------------------------------------------------- split leakage
+
+def _is_val(doc_id: int) -> bool:
+    return (hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+            < VAL_HEX_LT)
+
+
+def test_split_leakage_matches_naive(spark, sf_dir, docs, pairs):
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    leaked = {a for a, b in
+              [(a, b) for lo, hi in pairs for a, b in ((lo, hi), (hi, lo))]
+              if _is_val(a) and not _is_val(b)}
+    got = {r["source"]: r for r in q_split_leakage(spark, sf_dir).collect()}
+    n_val = sum(1 for d in src if _is_val(d))
+    assert sum(r["n_val"] for r in got.values()) == n_val
+    assert sum(r["n_leaked"] for r in got.values()) == len(leaked)
+    assert (sum(r["leaked_id_sum"] for r in got.values())
+            == sum(leaked))
+    # every leaked doc is a val doc by construction
+    assert all(_is_val(d) for d in leaked)
+
+
+# ----------------------------------------------------- incremental dedup
+
+def test_incremental_agrees_with_batch_miner(spark, sf_dir, docs, pairs):
+    """The batch miner restricted to new×corpus pairs and the incremental
+    miner see the same band index and the same verify rule, so the new-doc
+    hit sets and per-doc counts must be identical."""
+    expect: dict[int, int] = {}
+    for lo, hi in pairs:
+        for new, corp in ((lo, hi), (hi, lo)):
+            if new % NEW_MOD == NEW_REM and corp % NEW_MOD != NEW_REM:
+                expect[new] = expect.get(new, 0) + 1
+    got = {r["new_id"]: r["n_corpus_dups"]
+           for r in q_dedup_incremental(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_incremental_only_reports_new_batch_ids(spark, sf_dir):
+    rows = q_dedup_incremental(spark, sf_dir).collect()
+    assert all(r["new_id"] % NEW_MOD == NEW_REM for r in rows)
+    assert all(r["best_jaccard"] >= 0.7 for r in rows)
+
+
+# ------------------------------------------------- Bloom decontamination
+
+def test_bloom_flags_superset_of_exact_hits(spark, sf_dir):
+    from photon_spark.queries_pipeline import q_contamination_check
+    exact = {r["source"]: r for r in
+             q_contamination_check(spark, sf_dir).collect()}
+    bloom = {r["source"]: r for r in
+             q_contamination_bloom(spark, sf_dir).collect()}
+    # bloom never misses (no false negatives), and the FP envelope for a
+    # 2^16-bit / K=3 filter over this probe set is far below 2% of docs
+    for s, e in exact.items():
+        if s not in bloom:  # bloom inner-joins docs that HAVE >=8-grams
+            assert e["n_contaminated"] == 0
+            continue
+        assert bloom[s]["n_flagged_docs"] >= e["n_contaminated"]
+        assert (bloom[s]["flag_rate"]
+                <= e["contamination_rate"] + 0.02 + 1e-9)
+
+
+def test_build_bloom_bitmap_shape(spark, sf_dir, docs):
+    from photon_spark.queries_select import build_bloom
+    grams = (dedup._shingled(docs, "text", "doc_id", 3)
+             .select(F.explode("sh").alias("g")).limit(500).distinct())
+    bm = build_bloom(grams)
+    assert len(bm) == BLOOM_WORDS
+    assert any(w != 0 for w in bm)
+    assert all(0 <= w < (1 << 32) for w in bm)

@@ -417,11 +417,134 @@ GROUP BY d.source
 """
 
 
+# ------------------------------------------- cross-source duplication map
+
+def q_cross_source_dups(spark, sf_dir):
+    """Provenance audit: near-dup pairs aggregated by the (unordered)
+    source pair — which sources duplicate each other, how often, and how
+    strongly. The governance signal for choosing which feed to drop when
+    two crawls overlap.
+
+    Scale shape: the pair relation is the already-bounded LSH output;
+    attaching sources is two joins that move only (doc_id, source), and
+    the matrix aggregate has at most |sources|² keys."""
+    d = _docs(spark, sf_dir)
+    pairs = _near_dup_pairs(d)
+    src = d.select("doc_id", "source")
+    j = (pairs
+         .join(src.select(F.col("doc_id").alias("lo_id"),
+                          F.col("source").alias("s_lo")), "lo_id")
+         .join(src.select(F.col("doc_id").alias("hi_id"),
+                          F.col("source").alias("s_hi")), "hi_id"))
+    # jaccard is already 6dp — average it as exact 1e6 ints (float policy)
+    j_int = F.round(F.col("jaccard") * 1e6).cast("long")
+    return (j.select(F.least("s_lo", "s_hi").alias("source_a"),
+                     F.greatest("s_lo", "s_hi").alias("source_b"),
+                     j_int.alias("j_int"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.round(F.sum("j_int") / F.count(F.lit(1)) / 1e6, 6)
+                   .alias("avg_jaccard")))
+
+
+SQL_CROSS_SOURCE_DUPS = f"""
+WITH pairs_src AS ({SQL_MINHASH_NEAR_DUPS})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       round(sum(CAST(round(p.jaccard * 1000000) AS BIGINT)) * 1.0
+             / count(*) / 1000000, 6) AS avg_jaccard
+FROM pairs_src p
+JOIN documents da ON p.lo_id = da.doc_id
+JOIN documents db ON p.hi_id = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------- lang-ID confusion map
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID audit: declared ``lang`` vs the n-gram-heuristic
+    ``lang_pred``, as a confusion matrix — the data-quality check run
+    before trusting either label for mixture planning. One scan, one
+    short-key shuffle (≤ |langs|² groups)."""
+    d = _docs(spark, sf_dir)
+    prof = text.text_profile(d).select("doc_id", "lang_pred")
+    return (d.select("doc_id", "lang").join(prof, "doc_id")
+             .groupBy("lang", "lang_pred")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_LANG_CONFUSION = f"""
+WITH prof AS ({SQL_TEXT_PROFILE})
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+# ------------------------------------------------------- batch ANN top-k
+
+#: every vec_id % ANN_QMOD == 0 is a query; k neighbors from the rest
+ANN_QMOD, ANN_MULTI_K = 97, 5
+
+
+def q_ann_topk_multi(spark, sf_dir):
+    """Batch ANN: exact cosine top-{ANN_MULTI_K} for EVERY query vector
+    (vec_id % {ANN_QMOD} == 0) in one pass — the realistic serving shape,
+    where a query batch amortizes the corpus scan that a single-query
+    top-k pays in full.
+
+    Scale shape: the query batch broadcasts (it is small by construction);
+    the corpus computes all cosines map-side and only (query_id, vec_id,
+    cosine) triples reach the per-query rank, which Catalyst executes as
+    WindowGroupLimit — ≤ k rows per query survive each map partition
+    before the shuffle. Corpus vectors never move."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import cosine
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    scored = (e.where(~is_q).crossJoin(F.broadcast(q))
+               .select("query_id", "vec_id",
+                       F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                        .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= ANN_MULTI_K))
+
+
+SQL_ANN_TOPK_MULTI = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id % {ANN_QMOD} = 0
+), s AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings b, q WHERE b.vec_id % {ANN_QMOD} != 0
+), r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {ANN_MULTI_K}
+"""
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage": q_split_leakage,
     "dedup_incremental": q_dedup_incremental,
     "contamination_bloom": q_contamination_bloom,
+    "cross_source_dups": q_cross_source_dups,
+    "lang_confusion": q_lang_confusion,
+    "ann_topk_multi": q_ann_topk_multi,
 }
 
 ORACLES = {
@@ -429,4 +552,7 @@ ORACLES = {
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "dedup_incremental": _sql_dedup_incremental(),
     "contamination_bloom": _sql_contamination_bloom(),
+    "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
+    "lang_confusion": SQL_LANG_CONFUSION,
+    "ann_topk_multi": SQL_ANN_TOPK_MULTI,
 }

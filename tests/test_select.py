@@ -160,3 +160,62 @@ def test_build_bloom_bitmap_shape(spark, sf_dir, docs):
     assert len(bm) == BLOOM_WORDS
     assert any(w != 0 for w in bm)
     assert all(0 <= w < (1 << 32) for w in bm)
+
+
+# --------------------------------------------- cross-source dup matrix
+
+def test_cross_source_dups_totals(spark, sf_dir, pairs):
+    from photon_spark.queries_select import q_cross_source_dups
+    rows = q_cross_source_dups(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == len(pairs)
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
+    assert all(0.7 <= r["avg_jaccard"] <= 1.0 for r in rows)
+
+
+# ------------------------------------------------- lang confusion matrix
+
+def test_lang_confusion_marginals(spark, sf_dir, docs):
+    from photon_spark.queries_select import q_lang_confusion
+    rows = q_lang_confusion(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    expect = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    assert per_lang == expect
+
+
+# ------------------------------------------------------- batch ANN top-k
+
+def test_ann_topk_multi_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from photon_spark.queries_select import (ANN_MULTI_K, ANN_QMOD,
+                                             q_ann_topk_multi)
+    e = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                       .collect()}
+    queries = sorted(v for v in e if v % ANN_QMOD == 0)
+    corpus = sorted(v for v in e if v % ANN_QMOD != 0)
+    got = {}
+    for r in q_ann_topk_multi(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(got) == set(queries)
+    for qid in queries:
+        qv = e[qid]
+        scored = sorted(
+            ((-round(float(np.dot(qv, e[c]) /
+                           (np.linalg.norm(qv) * np.linalg.norm(e[c]))), 6),
+              c) for c in corpus))
+        expect = [c for _, c in scored[:ANN_MULTI_K]]
+        assert [v for _, v in sorted(got[qid])] == expect
+
+
+def test_ann_topk_multi_plan_shape(spark, sf_dir):
+    from photon_spark.queries_select import q_ann_topk_multi
+    plan = (q_ann_topk_multi(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    # query batch broadcasts; per-query rank runs as WindowGroupLimit so
+    # <= k rows per query survive each map partition
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan

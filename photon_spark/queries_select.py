@@ -16,6 +16,7 @@ threshold or max; everything else is integer/string work.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from photon_spark.functions import dedup, text
@@ -324,13 +325,45 @@ def build_bloom(gram_df, gram_col: str = "g") -> list[int]:
     return bitmap
 
 
+def _bloom_flag_count_udf(bitmap: list[int]):
+    """Per-doc count of grams whose BLOOM_K bit positions are all set, as
+    one Arrow-batched pandas UDF. The 16 KiB bitmap rides in the closure
+    (broadcast once per executor); each gram pays BLOOM_K md5s with an
+    early exit on the first clear bit — the Catalyst higher-order-filter
+    form ran the same math as an interpreted per-element expression and
+    was 8× slower at sf0.1. Hashing matches _bloom_positions exactly
+    (hashlib md5 hex == Spark md5 == DuckDB md5; int(hex[:4],16) ==
+    conv(substr(h,1,4),16,10) == ('0x'||substr(h,1,4))::INT)."""
+    words = tuple(bitmap)
+    seeds = tuple(f"bf{i}:" for i in range(BLOOM_K))
+
+    @F.pandas_udf("int")
+    def _n_flagged(shs: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for sh in shs:
+            n = 0
+            for g in (sh if sh is not None else ()):
+                for s in seeds:
+                    p = int(hashlib.md5((s + g).encode()).hexdigest()[:4],
+                            16)
+                    if not (words[p >> 5] >> (p & 31)) & 1:
+                        break
+                else:
+                    n += 1
+            out.append(n)
+        return pd.Series(out)
+
+    return _n_flagged
+
+
 def q_contamination_bloom(spark, sf_dir):
     """Decontamination via a Bloom filter of the benchmark probe grams:
     the {BLOOM_BITS}-bit bitmap is built once from the probe set (docs
     with doc_id % BENCH_MOD == 0, as in contamination_check), collected
-    (16 KiB — constant in benchmark size), folded into the plan as a
-    literal array, and the corpus scan tests each gram's {BLOOM_K} bit
-    positions map-side. The corpus gram test is join-free map work (vs
+    (16 KiB — constant in benchmark size), shipped once per executor in
+    the scan kernel's closure, and the corpus scan tests each gram's
+    {BLOOM_K} bit positions map-side in one Arrow pass. The corpus gram test is join-free map work (vs
     the exact check's semi-join against the gram set); the only join
     left carries (doc_id, n_flagged) ints to pick up `source` — grams
     never move. At 100 TB this is the decontamination shape whose cost
@@ -345,24 +378,10 @@ def q_contamination_bloom(spark, sf_dir):
     is_bench = F.col("id") % BENCH_MOD == 0
     bitmap = build_bloom(
         sh.where(is_bench).select(F.explode("sh").alias("g")).distinct())
-    # ConstantFolding collapses this to one Literal array — evaluated
-    # zero-cost per row, never shipped as data.
-    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
-
-    def bit_set(p):
-        word = F.element_at(arr, F.shiftright(p, 5) + 1)
-        mask = _pow2(p.bitwiseAND(F.lit(31)))
-        return word.bitwiseAND(mask) == mask
-
-    def flagged(g):
-        t = F.lit(True)
-        for p in _bloom_positions(g):
-            t = t & bit_set(p)
-        return t
-
     per_doc = (sh.where(~is_bench)
                  .select(F.col("id").alias("doc_id"),
-                         F.size(F.filter("sh", flagged)).alias("n_flagged")))
+                         _bloom_flag_count_udf(bitmap)("sh")
+                          .alias("n_flagged")))
     hit = (F.col("n_flagged") > 0).cast("long")
     return _own_cache(
         d.join(per_doc, "doc_id")
@@ -537,6 +556,168 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {ANN_MULTI_K}
 """
 
 
+# ----------------------------------------------- token-budget selection
+
+#: per-source token budget for the trim audit (binds at sf >= 0.01)
+TOKEN_BUDGET = 4000
+
+
+def q_budget_trim(spark, sf_dir):
+    """Exact data selection under a token budget: per source, keep docs in
+    (quality DESC, doc_id ASC) order while the running token total stays
+    ≤ {TOKEN_BUDGET} — the "best docs until the budget is spent" step of
+    corpus curation.
+
+    The naive form is one window per source — a single-partition sort of
+    everything a source holds, which dies when one source is 30 TB. This
+    implementation uses the threshold trick: quality is a 6dp integer, so
+    (source, q_int) LEVEL aggregates are a tiny relation; the level-wise
+    running total finds each source's boundary level, every doc joins the
+    broadcast level table map-side, and only the boundary level's docs
+    (one quality value per source) need a within-level prefix sum. The
+    oracle runs the naive window — proving the decomposition is
+    invisible."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    q_int = F.round(F.col("quality") * 1e6).cast("long").alias("q_int")
+    prof = (text.text_profile(d).select("doc_id", q_int, "n_tokens")
+            .join(d.select("doc_id", "source"), "doc_id"))
+    lev = (prof.groupBy("source", "q_int")
+               .agg(F.sum("n_tokens").alias("tok_l")))
+    wl = (Window.partitionBy("source")
+                .orderBy(F.col("q_int").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lev = (lev.withColumn("cum", F.sum("tok_l").over(wl))
+              .withColumn("cum_before", F.col("cum") - F.col("tok_l"))
+              .select("source", "q_int", "cum", "cum_before"))
+    B = F.lit(TOKEN_BUDGET)
+    docs2 = prof.join(F.broadcast(lev), ["source", "q_int"])
+    full = F.col("cum") <= B
+    # <= on cum_before (not <): a zero-token doc heading the level that
+    # starts exactly at the budget is kept by the prefix rule
+    boundary = (F.col("cum_before") <= B) & (F.col("cum") > B)
+    wb = (Window.partitionBy("source", "q_int").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bkeep = (docs2.where(boundary)
+                  .withColumn("pre", F.sum("n_tokens").over(wb))
+                  .where(F.col("cum_before") + F.col("pre") <= B)
+                  .select("doc_id", F.lit(1).alias("bkept")))
+    kept = full | F.coalesce(F.col("bkept") == 1, F.lit(False))
+    return (docs2.join(bkeep, "doc_id", "left")
+                 .groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum(kept.cast("long")).alias("n_kept"),
+                      F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                       .cast("long").alias("tokens_kept"),
+                      F.round(F.min(F.when(kept, F.col("q_int"))) / 1e6, 6)
+                       .alias("min_kept_quality"),
+                      F.first(B).alias("budget")))
+
+
+SQL_BUDGET_TRIM = f"""
+WITH prof AS ({SQL_TEXT_PROFILE}),
+p AS (
+  SELECT d.doc_id, d.source,
+         CAST(round(pr.quality * 1000000) AS BIGINT) AS q_int, pr.n_tokens
+  FROM prof pr JOIN documents d ON pr.doc_id = d.doc_id
+), c AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY q_int DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM p
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       round(min(CASE WHEN cum <= {TOKEN_BUDGET} THEN q_int END)
+             / 1000000.0, 6) AS min_kept_quality,
+       {TOKEN_BUDGET} AS budget
+FROM c GROUP BY source
+"""
+
+
+# --------------------------------------------- minhash calibration audit
+
+def q_minhash_calibration(spark, sf_dir):
+    """Sketch-accuracy audit: for every mined near-dup pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature components) vs
+    the exact value — summarized as mean absolute error and worst error.
+    The calibration number that justifies trusting the sketch when the
+    exact verify is too expensive to run corpus-wide.
+
+    One extra join of the (id, sig) relation onto the already-bounded
+    pair relation; signatures are {_NUM_HASHES} short digests."""
+    d = _docs(spark, sf_dir)
+    sh = dedup._shingled(d, "text", "doc_id", 3).persist()
+    sig = sh.select("id", dedup.minhash_sig_udf("sh", _NUM_HASHES)
+                          .alias("sig"))
+    cands = dedup.minhash_lsh_candidates(d, num_hashes=_NUM_HASHES,
+                                         bands=_BANDS, _shingled_df=sh)
+    v = (cands
+         .join(sh.select(F.col("id").alias("lo_id"),
+                         F.col("sh").alias("sh_a")), "lo_id")
+         .join(sh.select(F.col("id").alias("hi_id"),
+                         F.col("sh").alias("sh_b")), "hi_id"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = (v.select("lo_id", "hi_id",
+                      F.round(inter / F.greatest(union, F.lit(1)), 6)
+                       .alias("jaccard"))
+              .where(F.col("jaccard") >= NEAR_DUP_T))
+    j = (pairs
+         .join(sig.select(F.col("id").alias("lo_id"),
+                          F.col("sig").alias("sig_a")), "lo_id")
+         .join(sig.select(F.col("id").alias("hi_id"),
+                          F.col("sig").alias("sig_b")), "hi_id"))
+    n_agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                         lambda a, b: a == b),
+                              lambda x: x))
+    # err in exact 1e6-int space: estimate is a k/16 rational, jaccard is
+    # already 6dp — the abs diff stays integral for order-free summing
+    est_int = (n_agree * F.lit(1_000_000 // _NUM_HASHES)).cast("long")
+    jac_int = F.round(F.col("jaccard") * 1e6).cast("long")
+    err = F.abs(est_int - jac_int)
+    return dedup._own_cache(
+        j.select(err.alias("err"))
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              F.round(F.sum("err") / F.count(F.lit(1)) / 1e6, 6)
+               .alias("mae"),
+              F.round(F.max("err") / 1e6, 6).alias("max_err")),
+        [sh])
+
+
+def _sql_minhash_calibration() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES))
+    mins = ", ".join(
+        f"list_aggregate(list_transform(g, x -> md5('{s}:' || x)), 'min')"
+        for s in range(_NUM_HASHES))
+    return f"""
+WITH pairs_src AS ({SQL_MINHASH_NEAR_DUPS}),
+norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), sigs AS (
+  SELECT doc_id, [{mins}] AS sig FROM grams WHERE len(g) > 0
+), e AS (
+  SELECT abs(({agree}) * {1_000_000 // _NUM_HASHES}
+             - CAST(round(p.jaccard * 1000000) AS BIGINT)) AS err
+  FROM pairs_src p
+  JOIN sigs sa ON p.lo_id = sa.doc_id
+  JOIN sigs sb ON p.hi_id = sb.doc_id
+)
+SELECT count(*) AS n_pairs,
+       round(sum(err) * 1.0 / count(*) / 1000000, 6) AS mae,
+       round(max(err) / 1000000.0, 6) AS max_err
+FROM e
+"""
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage": q_split_leakage,
@@ -545,6 +726,8 @@ QUERIES = {
     "cross_source_dups": q_cross_source_dups,
     "lang_confusion": q_lang_confusion,
     "ann_topk_multi": q_ann_topk_multi,
+    "budget_trim": q_budget_trim,
+    "minhash_calibration": q_minhash_calibration,
 }
 
 ORACLES = {
@@ -555,4 +738,6 @@ ORACLES = {
     "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
     "lang_confusion": SQL_LANG_CONFUSION,
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
+    "budget_trim": SQL_BUDGET_TRIM,
+    "minhash_calibration": _sql_minhash_calibration(),
 }

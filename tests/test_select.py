@@ -219,3 +219,49 @@ def test_ann_topk_multi_plan_shape(spark, sf_dir):
     # <= k rows per query survive each map partition
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+# --------------------------------------------------- token-budget trim
+
+def test_budget_trim_matches_naive_prefix_rule(spark, sf_dir, docs):
+    from photon_spark.queries_select import TOKEN_BUDGET, q_budget_trim
+    prof = {r["doc_id"]: (int(round(r["quality"] * 1e6)), r["n_tokens"])
+            for r in text.text_profile(docs)
+                          .select("doc_id", "quality", "n_tokens").collect()}
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    by_src: dict[str, list[int]] = {}
+    for d in prof:
+        by_src.setdefault(src[d], []).append(d)
+    expect = {}
+    for s, ids in by_src.items():
+        ids.sort(key=lambda d: (-prof[d][0], d))
+        cum, n_kept, tok_kept = 0, 0, 0
+        for d in ids:
+            cum += prof[d][1]
+            if cum <= TOKEN_BUDGET:
+                n_kept += 1
+                tok_kept += prof[d][1]
+        expect[s] = (len(ids), n_kept, tok_kept)
+    got = {r["source"]: (r["n_docs"], r["n_kept"], r["tokens_kept"])
+           for r in q_budget_trim(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_budget_trim_respects_budget(spark, sf_dir):
+    from photon_spark.queries_select import q_budget_trim
+    rows = q_budget_trim(spark, sf_dir).collect()
+    assert all(r["tokens_kept"] <= r["budget"] for r in rows)
+    assert all(0 <= r["n_kept"] <= r["n_docs"] for r in rows)
+
+
+# ------------------------------------------------- minhash calibration
+
+def test_minhash_calibration_bounds(spark, sf_dir, pairs):
+    from photon_spark.queries_select import q_minhash_calibration
+    row = q_minhash_calibration(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == len(pairs)
+    # pairs are jaccard >= 0.7; a 16-hash sketch is coarse (1/16 steps)
+    # but must stay inside a loose calibration envelope on true near-dups
+    assert 0.0 <= row["mae"] <= 0.25
+    assert row["max_err"] <= 0.5 + 1e-9

@@ -1,0 +1,163 @@
+"""Streaming corpus ingest with ONLINE near-duplicate rejection — the
+day-2 LLM-data-pipeline shape run continuously: documents arrive as a
+stream, each micro-batch is checked against the persisted LSH band index
+of everything accepted so far (plus within-batch), near-dups are
+rejected, and survivors append to BOTH the corpus table and the index.
+
+Reference anchor: photon's continuous-ingest lifecycle (SURVEY.md §3.1,
+src/photon/streams.clj:288-308) carried over to the north-star dedup
+surface; the batch-mode twin is queries_select.q_dedup_incremental.
+
+Scale design:
+- The index table holds (id, band, bucket) short digests — never text.
+  At 100 TB, write it bucketed by (band, bucket) so each micro-batch's
+  candidate join is co-located; here it is a plain parquet append with
+  the same logical shape.
+- Candidate verification re-shingles ONLY the candidate corpus docs
+  (a partition-prunable id fetch), never the whole corpus.
+- Within-batch dups resolve by keep-lowest-id (the dup_clusters keeper
+  rule): any doc that is the hi side of a verified pair is rejected.
+
+Invariant (pinned in tests): the accepted corpus never contains a
+near-dup pair under the same (num_hashes, bands, threshold) miner.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from photon_spark.functions import dedup
+
+#: client-side document envelope for the drop-dir source
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+class StreamingCorpusIngest:
+    """Continuous doc ingest: JSON-lines drop dir → deduped corpus +
+    LSH band index, one micro-batch at a time."""
+
+    def __init__(self, spark, source_dir: str, corpus_dir: str,
+                 index_dir: str, checkpoint_dir: str | None = None,
+                 num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+                 threshold: float = 0.7):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.corpus_dir = corpus_dir
+        self.index_dir = index_dir
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+            prefix="photon_spark_corpus_ckpt_")
+        self.num_hashes, self.bands = num_hashes, bands
+        self.shingle_n, self.threshold = shingle_n, threshold
+        self.accepted = 0
+        self.rejected = 0
+        # resume support: a pre-existing index keeps its authority (local
+        # fs check; on a cluster store this would be a catalog lookup)
+        import os
+        self._has_corpus = os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir))
+
+    # ------------------------------------------------------------ helpers
+
+    def _jaccard_pairs(self, cands, sh_a, sh_b):
+        """Exact verify of candidate (a, b) pairs given two (id, sh)
+        relations; returns pairs with jaccard >= threshold."""
+        j = (cands
+             .join(sh_a.select(F.col("id").alias("a"),
+                               F.col("sh").alias("sh_a")), "a")
+             .join(sh_b.select(F.col("id").alias("b"),
+                               F.col("sh").alias("sh_b")), "b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (j.select("a", "b",
+                         F.round(inter / F.greatest(union, F.lit(1)), 6)
+                          .alias("jaccard"))
+                 .where(F.col("jaccard") >= self.threshold))
+
+    # -------------------------------------------------------------- batch
+
+    def _apply_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.dropDuplicates(["doc_id"]).persist()
+        sh_new = dedup._shingled(docs, "text", "doc_id",
+                                 self.shingle_n).persist()
+        buckets_new = dedup.minhash_band_buckets(
+            sh_new, self.num_hashes, self.bands).persist()
+
+        rejected_ids = None
+
+        # 1. cross-batch: new docs vs the persisted index
+        if self._has_corpus:
+            idx = self.spark.read.parquet(self.index_dir)
+            cands = (buckets_new.alias("n")
+                     .join(idx.alias("c"),
+                           (F.col("n.band") == F.col("c.band"))
+                           & (F.col("n.bucket") == F.col("c.bucket")))
+                     .select(F.col("n.id").alias("a"),
+                             F.col("c.id").alias("b"))
+                     .distinct())
+            corp_ids = cands.select(F.col("b").alias("doc_id")).distinct()
+            # fetch + re-shingle ONLY candidate corpus docs
+            corp_docs = (self.spark.read.parquet(self.corpus_dir)
+                         .join(corp_ids, "doc_id", "left_semi"))
+            sh_corp = dedup._shingled(corp_docs, "text", "doc_id",
+                                      self.shingle_n)
+            hits = self._jaccard_pairs(cands, sh_new, sh_corp)
+            rejected_ids = hits.select(F.col("a").alias("doc_id")).distinct()
+
+        # 2. within-batch: keep-lowest-id among batch near-dups
+        bcands = (buckets_new.alias("x")
+                  .join(buckets_new.alias("y"),
+                        (F.col("x.band") == F.col("y.band"))
+                        & (F.col("x.bucket") == F.col("y.bucket"))
+                        & (F.col("x.id") < F.col("y.id")))
+                  .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+                  .distinct())
+        bhits = (self._jaccard_pairs(bcands, sh_new, sh_new)
+                 .select(F.col("b").alias("doc_id")).distinct())
+        rejected_ids = (bhits if rejected_ids is None
+                        else rejected_ids.unionByName(bhits).distinct())
+        rejected_ids = rejected_ids.persist()
+
+        accepted = docs.join(rejected_ids, "doc_id", "left_anti")
+        n_acc = accepted.count()
+        n_rej = docs.count() - n_acc
+        accepted.write.mode("append").parquet(self.corpus_dir)
+        (buckets_new.join(rejected_ids.withColumnRenamed("doc_id", "id"),
+                          "id", "left_anti")
+         .write.mode("append").parquet(self.index_dir))
+        self.accepted += n_acc
+        self.rejected += n_rej
+        self._has_corpus = True
+        for df in (docs, sh_new, buckets_new, rejected_ids):
+            df.unpersist()
+
+    # --------------------------------------------------------------- run
+
+    def run(self, timeout_sec: float = 300.0) -> tuple[int, int]:
+        """Drain everything currently dropped (availableNow), then stop.
+        Returns (accepted, rejected) totals since construction."""
+        query = (self.spark.readStream.schema(DOC_SCHEMA)
+                 .option("maxFilesPerTrigger", 1)
+                 .json(self.source_dir)
+                 .writeStream
+                 .foreachBatch(self._apply_batch)
+                 .option("checkpointLocation", self.checkpoint_dir)
+                 .queryName("photon_spark_corpus_ingest")
+                 .trigger(availableNow=True).start())
+        try:
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"availableNow corpus ingest exceeded {timeout_sec}s")
+        finally:
+            if query.isActive:
+                query.stop()
+        return self.accepted, self.rejected

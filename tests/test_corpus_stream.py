@@ -1,0 +1,108 @@
+"""Streaming corpus ingest with online near-dup rejection
+(streaming/corpus.py): invariants over a 3-batch drive of the documents
+table, checkpoint idempotence, and resume with a pre-existing index.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions import dedup
+from photon_spark.streaming.corpus import StreamingCorpusIngest
+
+MINER = dict(num_hashes=16, bands=4, threshold=0.7)
+
+
+def _drop_batches(spark, sf_dir, src, n_batches=3):
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang", "source")
+            .orderBy("doc_id").collect())
+    os.makedirs(src, exist_ok=True)
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        with open(f"{src}/batch_{b}.json", "w") as f:
+            for r in rows[b * per:(b + 1) * per]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return len(rows)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus_stream")
+    src, corpus, index = (str(root / d) for d in ("src", "corpus", "index"))
+    n_rows = _drop_batches(spark, sf_dir, src)
+    ing = StreamingCorpusIngest(spark, src, corpus, index,
+                                checkpoint_dir=str(root / "ckpt"), **MINER)
+    acc, rej = ing.run()
+    return dict(src=src, corpus=corpus, index=index, ing=ing,
+                n_rows=n_rows, accepted=acc, rejected=rej,
+                root=root)
+
+
+def test_counts_conserved(ingested, spark):
+    assert ingested["accepted"] + ingested["rejected"] == ingested["n_rows"]
+    assert ingested["rejected"] > 0  # the corpus does contain near-dups
+    got = spark.read.parquet(ingested["corpus"]).count()
+    assert got == ingested["accepted"]
+
+
+def test_accepted_corpus_has_no_near_dup_pairs(ingested, spark):
+    """THE invariant: re-mining the accepted corpus with the same miner
+    finds nothing."""
+    corpus = spark.read.parquet(ingested["corpus"])
+    pairs = dedup.minhash_near_duplicates(corpus, **MINER)
+    assert pairs.count() == 0
+
+
+def test_index_matches_accepted_docs(ingested, spark):
+    corpus_ids = {r["doc_id"] for r in
+                  spark.read.parquet(ingested["corpus"])
+                       .select("doc_id").collect()}
+    idx_ids = {r["id"] for r in
+               spark.read.parquet(ingested["index"])
+                    .select("id").distinct().collect()}
+    # every indexed id is accepted; accepted docs missing from the index
+    # are only those with no shingles (too short to mine)
+    assert idx_ids <= corpus_ids
+    corpus = spark.read.parquet(ingested["corpus"])
+    n_shingleable = dedup._shingled(corpus, "text", "doc_id", 3).count()
+    assert len(idx_ids) == n_shingleable
+
+
+def test_rerun_is_idempotent(ingested, spark):
+    """The checkpoint remembers processed files: draining again ingests
+    nothing new."""
+    ing2 = StreamingCorpusIngest(
+        spark, ingested["src"], ingested["corpus"], ingested["index"],
+        checkpoint_dir=str(ingested["root"] / "ckpt"), **MINER)
+    acc, rej = ing2.run()
+    assert (acc, rej) == (0, 0)
+    assert (spark.read.parquet(ingested["corpus"]).count()
+            == ingested["accepted"])
+
+
+def test_new_batch_respects_existing_index(ingested, spark):
+    """A fresh ingest session (new checkpoint) over exact copies of
+    already-accepted docs rejects all of them against the persisted
+    index — resume semantics for day-2 arrivals."""
+    root = ingested["root"]
+    src2 = str(root / "src2")
+    os.makedirs(src2, exist_ok=True)
+    sample = (spark.read.parquet(ingested["corpus"])
+              .join(spark.read.parquet(ingested["index"])
+                         .select(F.col("id").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi")
+              .orderBy("doc_id").limit(20).collect())
+    with open(f"{src2}/dups.json", "w") as f:
+        for r in sample:
+            d = r.asDict()
+            d["doc_id"] = d["doc_id"] + 10_000_000  # new ids, same text
+            f.write(json.dumps(d) + "\n")
+    ing3 = StreamingCorpusIngest(
+        spark, src2, ingested["corpus"], ingested["index"],
+        checkpoint_dir=str(root / "ckpt2"), **MINER)
+    acc, rej = ing3.run()
+    assert acc == 0
+    assert rej == len(sample)

@@ -718,6 +718,49 @@ FROM e
 """
 
 
+# ------------------------------------------------------ corpus data card
+
+def q_corpus_datacard(spark, sf_dir):
+    """One-row corpus data card: the summary block a dataset release ships
+    — doc/source/lang counts, token mass, exact-dup rate (fingerprint
+    collisions), mean quality, and declared-vs-predicted language
+    agreement. One text-profile scan, one global aggregate; every ratio
+    is an exact-integer division (float policy)."""
+    d = _docs(spark, sf_dir)
+    prof = (text.text_profile(d)
+            .join(d.select("doc_id", "lang", "source"), "doc_id"))
+    q_int = F.round(F.col("quality") * 1e6).cast("long")
+    agree = (F.col("lang") == F.col("lang_pred")).cast("long")
+    n = F.count(F.lit(1))
+    return prof.agg(
+        n.alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        F.round((n - F.countDistinct("fingerprint")) / n, 6)
+         .alias("exact_dup_rate"),
+        F.round(F.sum(q_int) / n / 1e6, 6).alias("avg_quality"),
+        F.round(F.sum(agree) / n, 6).alias("lang_agreement"))
+
+
+SQL_CORPUS_DATACARD = f"""
+WITH prof AS ({SQL_TEXT_PROFILE})
+SELECT count(*) AS n_docs,
+       count(DISTINCT d.source) AS n_sources,
+       count(DISTINCT d.lang) AS n_langs,
+       sum(p.n_tokens) AS total_tokens,
+       count(DISTINCT p.fingerprint) AS n_distinct_fp,
+       round((count(*) - count(DISTINCT p.fingerprint)) * 1.0 / count(*), 6)
+         AS exact_dup_rate,
+       round(sum(CAST(round(p.quality * 1000000) AS BIGINT)) * 1.0
+             / count(*) / 1000000, 6) AS avg_quality,
+       round(sum(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS lang_agreement
+FROM prof p JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage": q_split_leakage,
@@ -728,6 +771,7 @@ QUERIES = {
     "ann_topk_multi": q_ann_topk_multi,
     "budget_trim": q_budget_trim,
     "minhash_calibration": q_minhash_calibration,
+    "corpus_datacard": q_corpus_datacard,
 }
 
 ORACLES = {
@@ -740,4 +784,5 @@ ORACLES = {
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "budget_trim": SQL_BUDGET_TRIM,
     "minhash_calibration": _sql_minhash_calibration(),
+    "corpus_datacard": SQL_CORPUS_DATACARD,
 }

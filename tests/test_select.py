@@ -265,3 +265,17 @@ def test_minhash_calibration_bounds(spark, sf_dir, pairs):
     # but must stay inside a loose calibration envelope on true near-dups
     assert 0.0 <= row["mae"] <= 0.25
     assert row["max_err"] <= 0.5 + 1e-9
+
+
+# ------------------------------------------------------ corpus data card
+
+def test_corpus_datacard_consistency(spark, sf_dir, docs):
+    from photon_spark.queries_select import q_corpus_datacard
+    row = q_corpus_datacard(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == docs.count()
+    assert row["n_sources"] == docs.select("source").distinct().count()
+    assert row["n_langs"] == docs.select("lang").distinct().count()
+    assert 0 <= row["exact_dup_rate"] < 1
+    assert 0 <= row["lang_agreement"] <= 1
+    assert row["n_distinct_fp"] <= row["n_docs"]
+    assert row["total_tokens"] > 0

@@ -525,3 +525,8 @@ from photon_spark import queries_select as _se  # noqa: E402
 
 QUERIES.update(_se.QUERIES)
 ORACLES.update(_se.ORACLES)
+
+from photon_spark import queries_relational as _re  # noqa: E402
+
+QUERIES.update(_re.QUERIES)
+ORACLES.update(_re.ORACLES)

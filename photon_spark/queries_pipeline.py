@@ -476,6 +476,63 @@ FROM r GROUP BY lang
 """
 
 
+# ------------------------------------------------------ conversion funnel
+
+#: view -> purchase attribution window
+FUNNEL_WINDOW_NS = 3600 * 1_000_000_000
+
+
+def q_events_funnel(spark, sf_dir):
+    """Product-analytics conversion funnel: per user, the first `view`
+    and the earliest `purchase` within the next hour — summarized as
+    conversion rate and mean seconds-to-convert.
+
+    Scale shape: two keyed shuffles on user_id (first-view aggregate,
+    then the purchase join lands on the same key so AQE coalesces into
+    co-partitioned exchanges); time math is integer-ns end to end, one
+    double division at the very end (float policy)."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    fv = (e.where(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    conv = (e.where(F.col("event_type") == "purchase")
+             .join(fv, "user_id")
+             .where((F.col("ts") >= F.col("first_view"))
+                    & (F.col("ts") <= F.col("first_view")
+                       + F.lit(FUNNEL_WINDOW_NS)))
+             .groupBy("user_id").agg(F.min("ts").alias("conv_ts")))
+    j = fv.join(conv, "user_id", "left")
+    n_conv = F.count("conv_ts")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_users_with_view"),
+        n_conv.alias("n_converted"),
+        F.round(n_conv / F.count(F.lit(1)), 6).alias("conversion_rate"),
+        F.round(F.sum(F.col("conv_ts") - F.col("first_view"))
+                / n_conv / F.lit(1.0e9), 6).alias("avg_sec_to_convert"))
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+), fv AS (
+  SELECT user_id, min(tns) AS first_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, min(e.tns) AS conv_ts
+  FROM e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.tns >= fv.first_view
+    AND e.tns <= fv.first_view + {FUNNEL_WINDOW_NS}
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_users_with_view,
+       count(conv.conv_ts) AS n_converted,
+       round(count(conv.conv_ts) * 1.0 / count(*), 6) AS conversion_rate,
+       round(sum(conv.conv_ts - fv.first_view) * 1.0
+             / count(conv.conv_ts) / 1000000000, 6) AS avg_sec_to_convert
+FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -485,6 +542,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "bigram_lift_topk": q_bigram_lift_topk,
     "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -496,4 +554,5 @@ ORACLES = {
     "contamination_check": _sql_contamination_check(),
     "bigram_lift_topk": _sql_bigram_lift_topk(),
     "quality_quantiles_by_lang": _sql_quality_quantiles(),
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

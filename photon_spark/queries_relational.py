@@ -1,0 +1,112 @@
+"""Relational coverage — classic warehouse queries over the TPC-H-ish
+star schema. The reference has NO joins or SQL operators (SURVEY §2.8);
+on Spark they are free, and these queries are the evidence: the fact
+table shuffles once on its join key, every dimension broadcasts, and
+aggregates run partial-then-final. Float policy: money math is exact
+integer cents (prices/discounts are 2dp), divided once at the end.
+
+- pricing_summary: TPC-H Q1 flavor — one scan of lineitem, short-key agg.
+- revenue_by_nation: Q5 flavor — lineitem ⋈ orders (the one shuffle)
+  ⋈ customer ⋈ nation (broadcasts), revenue by nation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _rd(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: exact cents: 2dp double -> integer (prices and discounts are 2dp)
+def _cents(c):
+    return F.round(c * 100).cast("long")
+
+
+# ------------------------------------------------------- pricing summary
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavor: per (returnflag, linestatus) — quantities, gross
+    and discounted revenue, averages. One scan, map-side partial
+    aggregation into 4-6 groups; revenue summed as exact integer
+    cents·cents (4dp) and divided once."""
+    li = _rd(spark, sf_dir, "lineitem")
+    qty = _cents(F.col("l_quantity"))        # 2dp-exact integer units
+    price = _cents(F.col("l_extendedprice"))
+    disc_rev = price * _cents(F.lit(1.0) - F.col("l_discount"))  # 4dp int
+    n = F.count(F.lit(1))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(n.alias("count_order"),
+                   F.round(F.sum(qty) / 100, 2).alias("sum_qty"),
+                   F.round(F.sum(price) / 100, 2).alias("sum_base_price"),
+                   F.round(F.sum(disc_rev) / 10000, 2)
+                    .alias("sum_disc_price"),
+                   F.round(F.sum(qty) / n / 100, 6).alias("avg_qty"),
+                   F.round(F.sum(price) / n / 100, 6).alias("avg_price")))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l_discount) * 100) AS BIGINT))
+             / 10000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) * 1.0
+             / count(*) / 100, 6) AS avg_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1.0
+             / count(*) / 100, 6) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------- revenue by nation
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 flavor: discounted revenue by customer nation. Join
+    order/strategy matters at 100 TB and Catalyst gets it right when the
+    plan is declared: nation (25 rows) and customer (0.15M at sf1)
+    broadcast; lineitem ⋈ orders is the single shuffle, keyed on
+    orderkey. Plan pinned in tests: exactly one hash-partitioned
+    exchange pair, two-plus broadcasts."""
+    li = _rd(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_cents(F.col("l_extendedprice"))
+         * _cents(F.lit(1.0) - F.col("l_discount"))).alias("rev4"))
+    o = _rd(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.groupBy("n_name")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum("rev4") / 10000, 2).alias("revenue")))
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name, count(*) AS n_items,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))
+             / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+}
+
+ORACLES = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+}

@@ -1,0 +1,67 @@
+"""Relational coverage (queries_relational) + conversion funnel: value
+sanity and — the point of these queries — plan-shape pins for warehouse
+join planning (dimensions broadcast, fact shuffles once, aggregates run
+partial-then-final).
+"""
+
+from pyspark.sql import functions as F
+
+from photon_spark.queries_relational import (q_pricing_summary,
+                                             q_revenue_by_nation)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    # map-side partial aggregation before the exchange: two HashAggregate
+    # levels around one short-key shuffle
+    assert plan.count("HashAggregate") >= 2
+    rows = q_pricing_summary(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["count_order"] for r in rows) == li.count()
+    assert all(r["sum_disc_price"] <= r["sum_base_price"] for r in rows)
+
+
+def test_revenue_by_nation_plan_and_totals(spark, sf_dir):
+    df = q_revenue_by_nation(spark, sf_dir)
+    plan = _plan(df)
+    # nation + customer broadcast; the only hash exchanges belong to the
+    # lineitem-orders join key and the final short-key aggregate
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "n_nationkey" not in [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    rows = df.collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["n_items"] for r in rows) == li.count()
+    assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_events_funnel_matches_naive(spark, sf_dir):
+    from photon_spark.queries_pipeline import (FUNNEL_WINDOW_NS,
+                                               q_events_funnel)
+    from photon_spark.queries import _t
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts").collect()
+    first_view: dict[int, int] = {}
+    for r in ev:
+        if r["event_type"] == "view":
+            u = r["user_id"]
+            first_view[u] = min(first_view.get(u, r["ts"]), r["ts"])
+    conv: dict[int, int] = {}
+    for r in ev:
+        u = r["user_id"]
+        if (r["event_type"] == "purchase" and u in first_view
+                and first_view[u] <= r["ts"]
+                <= first_view[u] + FUNNEL_WINDOW_NS):
+            conv[u] = min(conv.get(u, r["ts"]), r["ts"])
+    row = q_events_funnel(spark, sf_dir).collect()[0]
+    assert row["n_users_with_view"] == len(first_view)
+    assert row["n_converted"] == len(conv)
+    if conv:
+        avg = sum(conv[u] - first_view[u] for u in conv) / len(conv) / 1e9
+        assert abs(row["avg_sec_to_convert"] - avg) < 1e-5
+    else:
+        assert row["avg_sec_to_convert"] is None

@@ -47,15 +47,23 @@ def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int):
 
 def brute_force_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     exclude_query: bool = True) -> DataFrame:
+                     exclude_query: bool = True,
+                     predicate: Column | None = None) -> DataFrame:
     """Exact top-k by cosine. ``query_vec`` is a literal vector or an id to
     look up. Plan: scan → per-row cosine (codegen) → TakeOrderedAndProject
     (k rows per partition reduced at the driver — no full sort, no shuffle
-    of the table)."""
+    of the table).
+
+    ``predicate``: optional metadata filter (hybrid / filtered vector
+    search). Applied BEFORE the distance computation so it pushes into
+    the scan — filter-then-score, never score-then-filter; with the
+    table partitioned by the filter column this is partition pruning."""
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
         query_vec = _query_vector(df, id_col, vec_col, query_vec)
+    if predicate is not None:
+        df = df.where(predicate)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = df.select(F.col(id_col),
                     F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))

@@ -533,6 +533,44 @@ FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
 """
 
 
+# ------------------------------------------------------- sliding windows
+
+#: sliding windows: 1 h length, 15 min slide (4 overlapping windows/event)
+SLIDE_NS = HOUR_NS // 4
+N_SLIDES = 4
+
+
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding 1 h / 15 min event-time windows per stream: counts + value
+    sums. Each event expands map-side into its {N_SLIDES} covering
+    windows (an integer explode — no join, no range predicate), then the
+    same partial-agg → short-key-shuffle → final-agg shape as the
+    tumbling form. This is exactly what Spark's window(slideDuration)
+    compiles to; spelled out here so the oracle can mirror it
+    integer-for-integer."""
+    e = _events(spark, sf_dir)
+    # pure long arithmetic: ts/SLIDE via `/` would round-trip through a
+    # double and ~1.7e18 ns exceeds 2^53 — a boundary timestamp could land
+    # one bucket off. ts - ts % SLIDE stays exact.
+    base = F.col("ts") - F.col("ts") % F.lit(SLIDE_NS)
+    starts = F.array(*[(base - j * SLIDE_NS).cast("long")
+                       for j in range(N_SLIDES)])
+    return (e.select("event_type", "value",
+                     F.explode(starts).alias("window_start_ns"))
+             .groupBy("window_start_ns", "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+SQL_EVENTS_SLIDING_WINDOW = f"""
+SELECT (epoch_ns(ts) - epoch_ns(ts) % {SLIDE_NS}) - j * {SLIDE_NS}
+         AS window_start_ns,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events, unnest(range(0, {N_SLIDES})) AS t(j)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -543,6 +581,7 @@ QUERIES = {
     "bigram_lift_topk": q_bigram_lift_topk,
     "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
     "events_funnel": q_events_funnel,
+    "events_sliding_window": q_events_sliding_window,
 }
 
 ORACLES = {
@@ -555,4 +594,5 @@ ORACLES = {
     "bigram_lift_topk": _sql_bigram_lift_topk(),
     "quality_quantiles_by_lang": _sql_quality_quantiles(),
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
 }

@@ -761,6 +761,40 @@ FROM prof p JOIN documents d ON p.doc_id = d.doc_id
 """
 
 
+# ---------------------------------------------------- filtered (hybrid) ANN
+
+#: metadata predicate for the filtered search: corpus restricted to label
+ANN_FILT_LABEL, ANN_FILT_K = 3, 10
+
+
+def q_ann_topk_filtered(spark, sf_dir):
+    """Filtered ("hybrid") vector search: exact cosine top-{ANN_FILT_K}
+    among vectors whose label == {ANN_FILT_LABEL} — the
+    metadata-predicate-plus-similarity query every vector store serves.
+
+    The predicate applies BEFORE any distance math (filter-then-score):
+    it reaches the parquet scan as a PushedFilter (pinned in tests), so
+    with the table partitioned by label this is partition pruning — the
+    engine never scores a vector the filter would drop."""
+    from photon_spark.functions.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(e, 0, k=ANN_FILT_K,
+                            predicate=F.col("label") == ANN_FILT_LABEL)
+
+
+SQL_ANN_TOPK_FILTERED = f"""
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings b,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.label = {ANN_FILT_LABEL} AND b.vec_id != 0
+ORDER BY cosine DESC, b.vec_id
+LIMIT {ANN_FILT_K}
+"""
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage": q_split_leakage,
@@ -772,6 +806,7 @@ QUERIES = {
     "budget_trim": q_budget_trim,
     "minhash_calibration": q_minhash_calibration,
     "corpus_datacard": q_corpus_datacard,
+    "ann_topk_filtered": q_ann_topk_filtered,
 }
 
 ORACLES = {
@@ -785,4 +820,5 @@ ORACLES = {
     "budget_trim": SQL_BUDGET_TRIM,
     "minhash_calibration": _sql_minhash_calibration(),
     "corpus_datacard": SQL_CORPUS_DATACARD,
+    "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
 }

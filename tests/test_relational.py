@@ -65,3 +65,29 @@ def test_events_funnel_matches_naive(spark, sf_dir):
         assert abs(row["avg_sec_to_convert"] - avg) < 1e-5
     else:
         assert row["avg_sec_to_convert"] is None
+
+
+def test_ann_topk_filtered_pushdown_and_equivalence(spark, sf_dir):
+    from photon_spark.queries_select import (ANN_FILT_LABEL,
+                                             q_ann_topk_filtered)
+    df = q_ann_topk_filtered(spark, sf_dir)
+    # filter-then-score: the label predicate reaches the parquet scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan
+    rows = df.collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = {r["vec_id"] for r in
+               e.where(F.col("label") == ANN_FILT_LABEL).collect()}
+    assert {r["vec_id"] for r in rows} <= allowed
+
+
+def test_sliding_window_covers_tumbling(spark, sf_dir):
+    """Each event lands in exactly N_SLIDES sliding windows, so total
+    weighted count is N_SLIDES x the event count; the tumbling bucket is
+    one of the covering starts."""
+    from photon_spark.queries_pipeline import (N_SLIDES,
+                                               q_events_sliding_window)
+    from photon_spark.queries import _t
+    n_events = _t(spark, sf_dir, "events").count()
+    rows = q_events_sliding_window(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == N_SLIDES * n_events

@@ -358,6 +358,37 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir):
     assert all(got[k] == batch[k] for k in got)  # emitted counts exact
 
 
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    """The sliding-window aggregate (queries_pipeline.
+    q_events_sliding_window) as Structured Streaming: window(1h, 15min) +
+    watermark + availableNow emits exactly the batch result for every
+    closed window — the hot-path form of the same integer bucket math."""
+    from photon_spark.queries_pipeline import (SLIDE_NS,
+                                               q_events_sliding_window)
+
+    agg = (_events_stream(spark, sf_dir)
+           .withWatermark("etime", "1 hour")
+           .groupBy(F.window("etime", "1 hour", "15 minutes").alias("w"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (agg.select((F.unix_timestamp("w.start") * F.lit(1_000_000_000))
+                    .alias("window_start_ns"), "event_type", "n_events")
+         .writeStream.format("memory").queryName("slide_agg")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window_start_ns"], r["event_type"]): r["n_events"]
+           for r in spark.sql("select * from slide_agg").collect()}
+
+    batch = {(r["window_start_ns"], r["event_type"]): r["n_events"]
+             for r in q_events_sliding_window(spark, sf_dir).collect()}
+    cutoff = max(k[0] for k in batch)
+    closed = {k: v for k, v in batch.items()
+              if k[0] < cutoff - 8 * SLIDE_NS}
+    assert got.items() >= closed.items()
+    assert not set(got) - set(batch)  # stream never invents windows
+    assert all(got[k] == batch[k] for k in got)
+
+
 def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
     """Streaming gap-sessions via the built-in session_window (the state-
     store-backed hot form) produce the same per-key session count and

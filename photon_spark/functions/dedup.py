@@ -258,7 +258,8 @@ def minhash_sig_udf(sh_col, num_hashes: int = 16):
 
 
 def minhash_band_buckets(sh_df: DataFrame, num_hashes: int = 16,
-                         bands: int = 4) -> DataFrame:
+                         bands: int = 4,
+                         _sig_df: DataFrame | None = None) -> DataFrame:
     """(id, band, bucket) LSH band index from a shingled relation
     (``_shingled`` output): the minhash signature split into ``bands``
     bands of ``num_hashes/bands`` rows, each band hashed to one short
@@ -269,7 +270,11 @@ def minhash_band_buckets(sh_df: DataFrame, num_hashes: int = 16,
     # Materialize shingles ONCE as a column, then derive the 16 min-hashes
     # from the column reference in one vectorized Arrow pass — the Catalyst
     # form (minhash_signature) runs num_hashes interpreted folds per row.
-    sig = sh_df.select("id", minhash_sig_udf("sh", num_hashes).alias("sig"))
+    # Callers that already hold an (id, sig) relation pass it via _sig_df
+    # so the signature UDF runs exactly once per corpus pass.
+    sig = (_sig_df if _sig_df is not None
+           else sh_df.select("id",
+                             minhash_sig_udf("sh", num_hashes).alias("sig")))
     # One row per (doc, band) via a single explode — one scan, not `bands`.
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -302,6 +307,35 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
              .distinct())
 
 
+def verify_candidate_pairs(cands: DataFrame, sh: DataFrame,
+                           threshold: float, left: str = "lo_id",
+                           right: str = "hi_id",
+                           sh_right: DataFrame | None = None) -> DataFrame:
+    """Exact-Jaccard verification of candidate (left, right) id pairs:
+    join each side's shingle array, score |∩| / |∪|, round to 6dp, keep
+    pairs ≥ threshold. THE single verify definition — the batch miner,
+    the incremental miner, the calibration audit, and the streaming
+    corpus ingest all share it, so the 6dp rounding and the
+    greatest(union, 1) guard can never drift apart between them (the
+    oracle gate and the streaming no-dup invariant both depend on
+    value-identical verification).
+
+    ``sh_right``: optional distinct shingled relation for the right side
+    (e.g. corpus vs new-batch in the streaming ingest)."""
+    j = (cands
+         .join(sh.select(F.col("id").alias(left),
+                         F.col("sh").alias("sh_a")), left)
+         .join((sh_right if sh_right is not None else sh)
+               .select(F.col("id").alias(right),
+                       F.col("sh").alias("sh_b")), right))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (j.select(left, right,
+                     F.round(inter / F.greatest(union, F.lit(1)), 6)
+                      .alias("jaccard"))
+             .where(F.col("jaccard") >= threshold))
+
+
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_hashes: int = 16,
                             bands: int = 4, shingle_n: int = 3,
@@ -315,19 +349,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     sh = _shingled(df, text_col, id_col, shingle_n).persist()
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
                                    shingle_n, _shingled_df=sh)
-    j = (cands
-         .join(sh.select(F.col("id").alias("lo_id"), F.col("sh").alias("sh_a")),
-               "lo_id")
-         .join(sh.select(F.col("id").alias("hi_id"), F.col("sh").alias("sh_b")),
-               "hi_id"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return _own_cache(
-        j.select("lo_id", "hi_id",
-                 F.round(inter / F.greatest(union, F.lit(1)), 6)
-                  .alias("jaccard"))
-         .where(F.col("jaccard") >= threshold),
-        [sh])
+    return _own_cache(verify_candidate_pairs(cands, sh, threshold), [sh])
 
 
 # ------------------------------------------------------------------- SimHash

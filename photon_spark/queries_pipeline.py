@@ -551,8 +551,12 @@ def q_events_sliding_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     # pure long arithmetic: ts/SLIDE via `/` would round-trip through a
     # double and ~1.7e18 ns exceeds 2^53 — a boundary timestamp could land
-    # one bucket off. ts - ts % SLIDE stays exact.
-    base = F.col("ts") - F.col("ts") % F.lit(SLIDE_NS)
+    # one bucket off. Floored mod (both engines' % truncates toward zero)
+    # keeps pre-epoch timestamps in the windows that actually contain
+    # them, matching F.window's floor alignment.
+    fmod = ((F.col("ts") % F.lit(SLIDE_NS)) + F.lit(SLIDE_NS)) \
+        % F.lit(SLIDE_NS)
+    base = F.col("ts") - fmod
     starts = F.array(*[(base - j * SLIDE_NS).cast("long")
                        for j in range(N_SLIDES)])
     return (e.select("event_type", "value",
@@ -563,8 +567,9 @@ def q_events_sliding_window(spark, sf_dir):
 
 
 SQL_EVENTS_SLIDING_WINDOW = f"""
-SELECT (epoch_ns(ts) - epoch_ns(ts) % {SLIDE_NS}) - j * {SLIDE_NS}
-         AS window_start_ns,
+SELECT (epoch_ns(ts)
+        - ((epoch_ns(ts) % {SLIDE_NS}) + {SLIDE_NS}) % {SLIDE_NS})
+         - j * {SLIDE_NS} AS window_start_ns,
        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events, unnest(range(0, {N_SLIDES})) AS t(j)
 GROUP BY 1, 2

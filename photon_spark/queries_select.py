@@ -72,7 +72,8 @@ def q_dedup_keep_best(spark, sf_dir):
     always kept, via coalesce rather than ever materializing them as
     graph nodes."""
     d = _docs(spark, sf_dir)
-    labels = dedup.dup_clusters(_near_dup_pairs(d))
+    pairs = _near_dup_pairs(d)
+    labels = dedup.dup_clusters(pairs)
     q_int = F.round(F.col("quality") * 1e6).cast("long").alias("q_int")
     prof = text.text_profile(d).select("doc_id", q_int)
     dd = (d.select("doc_id", "source")
@@ -86,15 +87,17 @@ def q_dedup_keep_best(spark, sf_dir):
                     .alias("b"))
               .select("cluster_id", (-F.col("b.neg_id")).alias("keep_id")))
     kept = F.col("doc_id") == F.col("keep_id")
-    return (dd.join(best, "cluster_id")
-              .groupBy("source")
-              .agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.sum(kept.cast("long")).alias("n_kept"),
-                   F.sum((~kept).cast("long")).alias("n_dropped"),
-                   F.round(F.sum(F.when(kept, F.col("q_int")).otherwise(0))
-                           / 1e6, 6).alias("kept_quality_sum"),
-                   F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
-                    .cast("long").alias("kept_id_sum")))
+    return dedup._own_cache(
+        dd.join(best, "cluster_id")
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum(kept.cast("long")).alias("n_kept"),
+               F.sum((~kept).cast("long")).alias("n_dropped"),
+               F.round(F.sum(F.when(kept, F.col("q_int")).otherwise(0))
+                       / 1e6, 6).alias("kept_quality_sum"),
+               F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+                .cast("long").alias("kept_id_sum")),
+        getattr(pairs, "_photon_cached", []))
 
 
 SQL_DEDUP_KEEP_BEST = f"""
@@ -170,15 +173,17 @@ def q_split_leakage(spark, sf_dir):
                  .withColumn("leak", F.lit(1)))
     val_docs = d.where(_is_val(F.col("doc_id"))).select("doc_id", "source")
     leak = F.coalesce(F.col("leak"), F.lit(0))
-    return (val_docs.join(leaked, "doc_id", "left")
-                    .groupBy("source")
-                    .agg(F.count(F.lit(1)).alias("n_val"),
-                         F.sum(leak).cast("long").alias("n_leaked"),
-                         F.round(F.sum(leak) / F.count(F.lit(1)), 6)
-                          .alias("leak_rate"),
-                         F.sum(F.when(leak == 1, F.col("doc_id"))
-                                .otherwise(0)).cast("long")
-                          .alias("leaked_id_sum")))
+    return dedup._own_cache(
+        val_docs.join(leaked, "doc_id", "left")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_val"),
+                     F.sum(leak).cast("long").alias("n_leaked"),
+                     F.round(F.sum(leak) / F.count(F.lit(1)), 6)
+                      .alias("leak_rate"),
+                     F.sum(F.when(leak == 1, F.col("doc_id"))
+                            .otherwise(0)).cast("long")
+                      .alias("leaked_id_sum")),
+        getattr(pairs, "_photon_cached", []))
 
 
 SQL_SPLIT_LEAKAGE = f"""
@@ -233,20 +238,12 @@ def q_dedup_incremental(spark, sf_dir):
              .select(F.col("a.id").alias("new_id"),
                      F.col("b.id").alias("corp_id"))
              .distinct())
-    j = (cands
-         .join(sh.select(F.col("id").alias("new_id"),
-                         F.col("sh").alias("sh_a")), "new_id")
-         .join(sh.select(F.col("id").alias("corp_id"),
-                         F.col("sh").alias("sh_b")), "corp_id"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    hits = dedup.verify_candidate_pairs(cands, sh, NEAR_DUP_T,
+                                        left="new_id", right="corp_id")
     return dedup._own_cache(
-        j.select("new_id", jac.alias("jaccard"))
-         .where(F.col("jaccard") >= NEAR_DUP_T)
-         .groupBy("new_id")
-         .agg(F.count(F.lit(1)).alias("n_corpus_dups"),
-              F.max("jaccard").alias("best_jaccard")),
+        hits.groupBy("new_id")
+            .agg(F.count(F.lit(1)).alias("n_corpus_dups"),
+                 F.max("jaccard").alias("best_jaccard")),
         [sh])
 
 
@@ -457,13 +454,15 @@ def q_cross_source_dups(spark, sf_dir):
                           F.col("source").alias("s_hi")), "hi_id"))
     # jaccard is already 6dp — average it as exact 1e6 ints (float policy)
     j_int = F.round(F.col("jaccard") * 1e6).cast("long")
-    return (j.select(F.least("s_lo", "s_hi").alias("source_a"),
-                     F.greatest("s_lo", "s_hi").alias("source_b"),
-                     j_int.alias("j_int"))
-             .groupBy("source_a", "source_b")
-             .agg(F.count(F.lit(1)).alias("n_pairs"),
-                  F.round(F.sum("j_int") / F.count(F.lit(1)) / 1e6, 6)
-                   .alias("avg_jaccard")))
+    return dedup._own_cache(
+        j.select(F.least("s_lo", "s_hi").alias("source_a"),
+                 F.greatest("s_lo", "s_hi").alias("source_b"),
+                 j_int.alias("j_int"))
+         .groupBy("source_a", "source_b")
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              F.round(F.sum("j_int") / F.count(F.lit(1)) / 1e6, 6)
+               .alias("avg_jaccard")),
+        getattr(pairs, "_photon_cached", []))
 
 
 SQL_CROSS_SOURCE_DUPS = f"""
@@ -652,21 +651,19 @@ def q_minhash_calibration(spark, sf_dir):
     pair relation; signatures are {_NUM_HASHES} short digests."""
     d = _docs(spark, sf_dir)
     sh = dedup._shingled(d, "text", "doc_id", 3).persist()
+    # one signature pass feeds BOTH the band buckets and the estimate join
     sig = sh.select("id", dedup.minhash_sig_udf("sh", _NUM_HASHES)
-                          .alias("sig"))
-    cands = dedup.minhash_lsh_candidates(d, num_hashes=_NUM_HASHES,
-                                         bands=_BANDS, _shingled_df=sh)
-    v = (cands
-         .join(sh.select(F.col("id").alias("lo_id"),
-                         F.col("sh").alias("sh_a")), "lo_id")
-         .join(sh.select(F.col("id").alias("hi_id"),
-                         F.col("sh").alias("sh_b")), "hi_id"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    pairs = (v.select("lo_id", "hi_id",
-                      F.round(inter / F.greatest(union, F.lit(1)), 6)
-                       .alias("jaccard"))
-              .where(F.col("jaccard") >= NEAR_DUP_T))
+                          .alias("sig")).persist()
+    buckets = dedup.minhash_band_buckets(sh, _NUM_HASHES, _BANDS,
+                                         _sig_df=sig)
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cands = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("lo_id"),
+                      F.col("b.id").alias("hi_id"))
+              .distinct())
+    pairs = dedup.verify_candidate_pairs(cands, sh, NEAR_DUP_T)
     j = (pairs
          .join(sig.select(F.col("id").alias("lo_id"),
                           F.col("sig").alias("sig_a")), "lo_id")
@@ -686,7 +683,7 @@ def q_minhash_calibration(spark, sf_dir):
               F.round(F.sum("err") / F.count(F.lit(1)) / 1e6, 6)
                .alias("mae"),
               F.round(F.max("err") / 1e6, 6).alias("max_err")),
-        [sh])
+        [sh, sig])
 
 
 def _sql_minhash_calibration() -> str:

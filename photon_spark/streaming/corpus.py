@@ -11,8 +11,11 @@ surface; the batch-mode twin is queries_select.q_dedup_incremental.
 Scale design:
 - The index table holds (id, band, bucket) short digests — never text.
   At 100 TB, write it bucketed by (band, bucket) so each micro-batch's
-  candidate join is co-located; here it is a plain parquet append with
-  the same logical shape.
+  candidate join is co-located; here corpus and index are per-batch
+  partition dirs (batch=N) written with OVERWRITE, so an at-least-once
+  replay of a crashed batch clobbers its partial output instead of
+  double-appending (the accepted/rejected counters, by contrast, are
+  session-scope best-effort).
 - Candidate verification re-shingles ONLY the candidate corpus docs
   (a partition-prunable id fetch), never the whole corpus.
 - Within-batch dups resolve by keep-lowest-id (the dup_clusters keeper
@@ -62,30 +65,28 @@ class StreamingCorpusIngest:
         # fs check; on a cluster store this would be a catalog lookup)
         import os
         self._has_corpus = os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir))
+            f.startswith("batch=") for f in os.listdir(index_dir))
 
     # ------------------------------------------------------------ helpers
 
     def _jaccard_pairs(self, cands, sh_a, sh_b):
         """Exact verify of candidate (a, b) pairs given two (id, sh)
-        relations; returns pairs with jaccard >= threshold."""
-        j = (cands
-             .join(sh_a.select(F.col("id").alias("a"),
-                               F.col("sh").alias("sh_a")), "a")
-             .join(sh_b.select(F.col("id").alias("b"),
-                               F.col("sh").alias("sh_b")), "b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        return (j.select("a", "b",
-                         F.round(inter / F.greatest(union, F.lit(1)), 6)
-                          .alias("jaccard"))
-                 .where(F.col("jaccard") >= self.threshold))
+        relations — delegates to the shared miner definition
+        (dedup.verify_candidate_pairs) so streaming and batch can never
+        disagree on the verify rule."""
+        return dedup.verify_candidate_pairs(cands, sh_a, self.threshold,
+                                            left="a", right="b",
+                                            sh_right=sh_b)
 
     # -------------------------------------------------------------- batch
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        n_input = batch_df.count()
+        # doc_id is the corpus key: in-batch id duplicates count as
+        # rejected (they ARE duplicates); cross-batch id reuse is the
+        # caller's contract to avoid (ids must be globally unique).
         docs = batch_df.dropDuplicates(["doc_id"]).persist()
         sh_new = dedup._shingled(docs, "text", "doc_id",
                                  self.shingle_n).persist()
@@ -129,13 +130,20 @@ class StreamingCorpusIngest:
 
         accepted = docs.join(rejected_ids, "doc_id", "left_anti")
         n_acc = accepted.count()
-        n_rej = docs.count() - n_acc
-        accepted.write.mode("append").parquet(self.corpus_dir)
+        # Replay safety: foreachBatch is at-least-once, so a crash between
+        # the two writes and the checkpoint commit replays this batch_id.
+        # Per-batch partition dirs written with OVERWRITE make the replay
+        # clobber the partial attempt instead of double-appending — the
+        # decision is deterministic given the index state of batches < N
+        # (this batch's own partial index partition is overwritten), so
+        # the no-near-dup corpus invariant survives the crash.
+        accepted.write.mode("overwrite").parquet(
+            f"{self.corpus_dir}/batch={batch_id}")
         (buckets_new.join(rejected_ids.withColumnRenamed("doc_id", "id"),
                           "id", "left_anti")
-         .write.mode("append").parquet(self.index_dir))
+         .write.mode("overwrite").parquet(f"{self.index_dir}/batch={batch_id}"))
         self.accepted += n_acc
-        self.rejected += n_rej
+        self.rejected += n_input - n_acc
         self._has_corpus = True
         for df in (docs, sh_new, buckets_new, rejected_ids):
             df.unpersist()

@@ -31,8 +31,9 @@ def test_revenue_by_nation_plan_and_totals(spark, sf_dir):
     # nation + customer broadcast; the only hash exchanges belong to the
     # lineitem-orders join key and the final short-key aggregate
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "n_nationkey" not in [
-        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("n_nationkey" not in ln and "c_custkey" not in ln
+               for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln)
     rows = df.collect()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     assert sum(r["n_items"] for r in rows) == li.count()

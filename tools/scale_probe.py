@@ -73,6 +73,33 @@ def build_replica(spark, sf_dir: str, out_dir: str, n: int) -> None:
         u = u.unionByName(p)
     u.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
+    # Relational star schema: FACTS replicate with offset join keys
+    # (orderkey space per replica), DIMENSIONS stay fixed — the realistic
+    # 100 TB shape (facts grow, dims don't), so broadcast decisions and
+    # the single fact shuffle are exercised at 10x.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    licols = [c for c in li.columns if c != "l_orderkey"]
+    u = None
+    for i in range(n):
+        p = li.select((F.col("l_orderkey") + F.lit(i * 100_000_000))
+                      .alias("l_orderkey"), *licols)
+        u = p if u is None else u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    odcols = [c for c in od.columns if c != "o_orderkey"]
+    u = None
+    for i in range(n):
+        p = od.select((F.col("o_orderkey") + F.lit(i * 100_000_000))
+                      .alias("o_orderkey"), *odcols)
+        u = p if u is None else u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        src = f"{sf_dir}/{dim}.parquet"
+        if os.path.exists(src):
+            shutil.copyfile(src, f"{out_dir}/{dim}.parquet")
+
 
 def main():
     args = sys.argv[1:]

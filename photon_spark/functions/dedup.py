@@ -222,6 +222,48 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------------------------- MinHash
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.9,
+                      max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Near-containment mining: C(a,b) = |A∩B| / min(|A|, |B|) — the
+    doc-inside-doc signal (quotes, concatenations, boilerplate wrappers)
+    that Jaccard structurally misses when sizes differ: a short doc fully
+    embedded in one 3× its size has C = 1.0 but J ≤ 0.33, invisible to
+    every Jaccard-thresholded miner.
+
+    Same df-capped inverted-index shape as :func:`jaccard_pairs` (postings
+    exchange on the shingle key; bodies never shuffle) but WITHOUT the
+    size-ratio prune — size-mismatched pairs are precisely the quarry.
+    Returns (lo_id, hi_id, n_common, containment, jaccard): the jaccard
+    column shows which containment hits a Jaccard dedup would have kept.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    ex = sh.select("id", F.explode("sh").alias("g")).persist()
+    wg = Window.partitionBy("g")
+    exr = (ex.withColumn("_df_g", F.count(F.lit(1)).over(wg))
+             .where(F.col("_df_g") <= max_shingle_df).drop("_df_g"))
+    deg = exr.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    exs = exr.join(deg, "id")
+    a, b = exs.alias("a"), exs.alias("b")
+    common = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                     & (F.col("a.id") < F.col("b.id")))
+               .groupBy(F.col("a.id").alias("lo_id"),
+                        F.col("b.id").alias("hi_id"),
+                        F.col("a.deg").alias("n_a"),
+                        F.col("b.deg").alias("n_b"))
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    cont = F.round(F.col("n_common")
+                   / F.least(F.col("n_a"), F.col("n_b")), 6)
+    jac = F.round(F.col("n_common")
+                  / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+    return _own_cache(
+        common.select("lo_id", "hi_id", "n_common",
+                      cont.alias("containment"), jac.alias("jaccard"))
+              .where(F.col("containment") >= threshold),
+        [ex])
+
+
 def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3):
     """MinHash signature: for seed s, min(md5(s || shingle)) over the
     shingle set. md5 hex min is a valid uniform min-hash and is portable to

@@ -792,6 +792,55 @@ LIMIT {ANN_FILT_K}
 """
 
 
+# ------------------------------------------------------ containment pairs
+
+#: near-containment floor (C = |A∩B| / min|A|,|B|)
+CONTAIN_T = 0.9
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Doc-inside-doc mining: pairs whose smaller shingle set is >= 90%
+    contained in the larger — the duplication mode Jaccard structurally
+    misses when sizes differ (a short doc embedded in one 3x its size has
+    C = 1.0 but J <= 0.33). The jaccard column in the output shows which
+    of these a Jaccard-thresholded dedup would have kept
+    (functions/dedup.py:containment_pairs — same df-capped inverted
+    index as the Jaccard miner, minus the size-ratio prune, because
+    size-mismatched pairs are the quarry)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3,
+                                   threshold=CONTAIN_T)
+
+
+def _sql_containment_pairs() -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(g) AS gr FROM grams WHERE len(g) > 0
+), exr AS (
+  SELECT doc_id, gr FROM (
+    SELECT doc_id, gr, count(*) OVER (PARTITION BY gr) AS df_g FROM ex)
+  WHERE df_g <= {dedup.MAX_SHINGLE_DF}
+), deg AS (
+  SELECT doc_id, count(*) AS deg FROM exr GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS lo_id, b.doc_id AS hi_id, count(*) AS n_common
+  FROM exr a JOIN exr b ON a.gr = b.gr AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.lo_id, c.hi_id, c.n_common,
+       round(c.n_common * 1.0 / least(da.deg, db.deg), 6) AS containment,
+       round(c.n_common * 1.0 / (da.deg + db.deg - c.n_common), 6)
+         AS jaccard
+FROM common c
+JOIN deg da ON da.doc_id = c.lo_id
+JOIN deg db ON db.doc_id = c.hi_id
+WHERE round(c.n_common * 1.0 / least(da.deg, db.deg), 6) >= {CONTAIN_T}
+"""
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage": q_split_leakage,
@@ -804,6 +853,7 @@ QUERIES = {
     "minhash_calibration": q_minhash_calibration,
     "corpus_datacard": q_corpus_datacard,
     "ann_topk_filtered": q_ann_topk_filtered,
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLES = {
@@ -818,4 +868,5 @@ ORACLES = {
     "minhash_calibration": _sql_minhash_calibration(),
     "corpus_datacard": SQL_CORPUS_DATACARD,
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
+    "containment_pairs": _sql_containment_pairs(),
 }

@@ -279,3 +279,29 @@ def test_corpus_datacard_consistency(spark, sf_dir, docs):
     assert 0 <= row["lang_agreement"] <= 1
     assert row["n_distinct_fp"] <= row["n_docs"]
     assert row["total_tokens"] > 0
+
+
+# ------------------------------------------------------ containment pairs
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully embedded in a 3x-longer one: containment = 1.0
+    while jaccard is far below the 0.7 near-dup bar."""
+    words = [f"w{i}" for i in range(40)]
+    short = " ".join(words[:12])
+    long_ = " ".join(words)  # the short doc is its prefix
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string")
+    rows = dedup.containment_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["lo_id"], r["hi_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.7
+
+
+def test_containment_bounds_and_dominance(spark, sf_dir):
+    from photon_spark.queries_select import q_containment_pairs
+    rows = q_containment_pairs(spark, sf_dir).collect()
+    assert all(0.9 <= r["containment"] <= 1.0 for r in rows)
+    # containment >= jaccard always (min-denominator dominates union)
+    assert all(r["containment"] >= r["jaccard"] for r in rows)

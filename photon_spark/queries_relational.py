@@ -101,12 +101,54 @@ GROUP BY n.n_name
 """
 
 
+# ------------------------------------------------------- revenue trend
+
+def q_revenue_trend(spark, sf_dir):
+    """Monthly revenue trend with month-over-month delta — the ordered
+    analytic-window shape (lag over a time series). The global window is
+    safe BECAUSE it runs after aggregation: months are bounded (~100 rows
+    at any scale factor), so the fact table reduces map-side to one row
+    per month before the single-partition sort ever happens. Cent math
+    stays integral through the lag; division happens last."""
+    from pyspark.sql import Window
+    from photon_spark.queries import _t
+
+    o = _t(spark, sf_dir, "orders")
+    month = F.to_date(F.date_trunc(
+        "month", F.timestamp_seconds(F.expr("o_orderdate div 1000000000"))))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = (o.groupBy(month.alias("month"))
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.sum(cents).alias("c")))
+    w = Window.orderBy("month")
+    return m.select(
+        "month", "n_orders",
+        F.round(F.col("c") / 100, 2).alias("revenue"),
+        F.round((F.col("c") - F.lag("c").over(w)) / 100, 2)
+         .alias("mom_delta"))
+
+
+SQL_REVENUE_TREND = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, round(c / 100.0, 2) AS revenue,
+       round((c - lag(c) OVER (ORDER BY month)) / 100.0, 2) AS mom_delta
+FROM m
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "revenue_trend": q_revenue_trend,
 }
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "revenue_trend": SQL_REVENUE_TREND,
 }

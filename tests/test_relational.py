@@ -92,3 +92,14 @@ def test_sliding_window_covers_tumbling(spark, sf_dir):
     n_events = _t(spark, sf_dir, "events").count()
     rows = q_events_sliding_window(spark, sf_dir).collect()
     assert sum(r["n_events"] for r in rows) == N_SLIDES * n_events
+
+
+def test_revenue_trend_lag_consistency(spark, sf_dir):
+    from photon_spark.queries_relational import q_revenue_trend
+    rows = sorted(q_revenue_trend(spark, sf_dir).collect(),
+                  key=lambda r: r["month"])
+    assert rows[0]["mom_delta"] is None  # no prior month
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["mom_delta"] is not None
+        assert abs((cur["revenue"] - prev["revenue"]) - cur["mom_delta"]) \
+            < 0.011  # two 2dp-rounded figures differ by at most 1 cent

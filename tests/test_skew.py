@@ -1,0 +1,67 @@
+"""Skew utilities (functions/skew.py): value-transparency of salted
+join / salted collect_list on a constructed power-law key, and the plan
+property that makes salting work (the join key space includes the salt).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions.skew import salted_collect_list, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # power-law: 90% of 60k rows share key 0, the rest spread over 1k keys
+    n = 60_000
+    df = (spark.range(n)
+          .select(F.when(F.col("id") % 10 < 9, 0)
+                   .otherwise(F.col("id") % 1000 + 1).alias("k"),
+                  F.col("id").alias("v")))
+    return df.persist()
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return (spark.range(1001)
+            .select(F.col("id").cast("long").alias("k"),
+                    F.concat(F.lit("d"), F.col("id")).alias("attr"))
+            .persist())
+
+
+def test_salted_join_equals_plain_join(spark, skewed, dim):
+    plain = skewed.join(dim, "k").select("k", "v", "attr")
+    salted = salted_join(skewed, dim, "k").select("k", "v", "attr")
+    assert plain.count() == salted.count() == skewed.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed, dim):
+    extra = skewed.unionByName(
+        spark.createDataFrame([(99_999, -1)], "k long, v long"))
+    salted = salted_join(extra, dim, "k", how="left")
+    row = salted.where(F.col("k") == 99_999).collect()
+    assert len(row) == 1 and row[0]["attr"] is None
+
+
+def test_salted_join_key_space_includes_salt(spark, skewed, dim):
+    plan = (salted_join(skewed, dim, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "_salt" in plan  # the shuffle key really is (k, _salt)
+
+
+def test_salted_collect_list_equals_plain(spark, skewed):
+    plain = {r["k"]: sorted(r["vs"]) for r in
+             skewed.groupBy("k").agg(F.collect_list("v").alias("vs"))
+                   .collect()}
+    salted = {r["k"]: sorted(r["values"]) for r in
+              salted_collect_list(skewed, "k", "v").collect()}
+    assert plain == salted
+
+
+def test_salted_collect_list_sorted_form(spark, skewed):
+    out = {r["k"]: r["values"] for r in
+           salted_collect_list(skewed, "k", "v",
+                               order_in_group="v").collect()}
+    hot = out[0]
+    assert hot == sorted(hot) and len(hot) == 54_000

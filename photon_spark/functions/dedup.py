@@ -176,11 +176,33 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sf0.1 corpus). Carrying the sizes through the pair aggregation also
     removes the two per-doc-size joins the verification step used to need.
     """
+    common, ex = _capped_pair_counts(df, text_col, id_col, n,
+                                     max_shingle_df,
+                                     size_ratio_t=threshold)
+    jac = F.round(F.col("n_common")
+                  / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+    return _own_cache(
+        common.select("lo_id", "hi_id", F.col("n_common").cast("long"),
+                      jac.alias("jaccard"))
+              .where(F.col("jaccard") >= threshold),
+        [ex])
+
+
+def _capped_pair_counts(df: DataFrame, text_col: str, id_col: str, n: int,
+                        max_shingle_df: int,
+                        size_ratio_t: float | None = None):
+    """Shared df-capped inverted-index pair counting for the Jaccard and
+    containment miners: (lo_id, hi_id, n_a, n_b, n_common) plus the
+    persisted postings relation the caller must own via _own_cache.
+
+    ``size_ratio_t``: Jaccard's lossless size prune (J ≥ t ⇒ |a|/|b| ≥ t)
+    applied inside the self-join; None for containment, whose quarry is
+    exactly the size-mismatched pairs."""
     # The exploded postings feed the cap filter and both self-join sides;
     # persist them once — at scale this is the standard
     # materialize-postings-then-join dedup shape (MEMORY_AND_DISK). The
-    # cached relation is attached to the result: call release_cache(result)
-    # after the action to free it deterministically.
+    # cached relation is attached to the caller's result: call
+    # release_cache(result) after the action to free it deterministically.
     sh = _shingled(df, text_col, id_col, n)
     ex = sh.select("id", F.explode("sh").alias("g")).persist()
     # The df cap as a windowed count over the shingle key: one exchange on
@@ -196,28 +218,24 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     deg = exr.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     exs = exr.join(deg, "id")
     a, b = exs.alias("a"), exs.alias("b")
-    # 1e-9 slack keeps the prune lossless at exact-ratio boundaries
-    # (5 * double(0.8) = 4.0000000000000002 would otherwise drop a pair
-    # with sizes 4/5 whose true jaccard can be exactly 0.8 = threshold);
-    # sizes are integers, so the slack can never admit a truly-below pair.
-    t = F.lit(threshold)
-    eps = F.lit(1e-9)
-    common = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                     & (F.col("a.id") < F.col("b.id"))
-                     & (F.col("a.deg") * t <= F.col("b.deg") + eps)
-                     & (F.col("b.deg") * t <= F.col("a.deg") + eps))
+    cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+    if size_ratio_t is not None:
+        # 1e-9 slack keeps the prune lossless at exact-ratio boundaries
+        # (5 * double(0.8) = 4.0000000000000002 would otherwise drop a pair
+        # with sizes 4/5 whose true jaccard can be exactly 0.8 = threshold);
+        # sizes are integers, so the slack can never admit a truly-below
+        # pair.
+        t = F.lit(size_ratio_t)
+        eps = F.lit(1e-9)
+        cond = cond & (F.col("a.deg") * t <= F.col("b.deg") + eps) \
+                    & (F.col("b.deg") * t <= F.col("a.deg") + eps)
+    common = (a.join(b, cond)
                .groupBy(F.col("a.id").alias("lo_id"),
                         F.col("b.id").alias("hi_id"),
                         F.col("a.deg").alias("n_a"),
                         F.col("b.deg").alias("n_b"))
                .agg(F.count(F.lit(1)).alias("n_common")))
-    jac = F.round(F.col("n_common")
-                  / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
-    return _own_cache(
-        common.select("lo_id", "hi_id", F.col("n_common").cast("long"),
-                      jac.alias("jaccard"))
-              .where(F.col("jaccard") >= threshold),
-        [ex])
+    return common, ex
 
 
 # ------------------------------------------------------------------- MinHash
@@ -232,27 +250,15 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     embedded in one 3× its size has C = 1.0 but J ≤ 0.33, invisible to
     every Jaccard-thresholded miner.
 
-    Same df-capped inverted-index shape as :func:`jaccard_pairs` (postings
-    exchange on the shingle key; bodies never shuffle) but WITHOUT the
-    size-ratio prune — size-mismatched pairs are precisely the quarry.
+    Same df-capped inverted index as :func:`jaccard_pairs` (literally —
+    the shared :func:`_capped_pair_counts`; postings exchange on the
+    shingle key, bodies never shuffle) but WITHOUT the size-ratio prune —
+    size-mismatched pairs are precisely the quarry.
     Returns (lo_id, hi_id, n_common, containment, jaccard): the jaccard
     column shows which containment hits a Jaccard dedup would have kept.
     """
-    sh = _shingled(df, text_col, id_col, n)
-    ex = sh.select("id", F.explode("sh").alias("g")).persist()
-    wg = Window.partitionBy("g")
-    exr = (ex.withColumn("_df_g", F.count(F.lit(1)).over(wg))
-             .where(F.col("_df_g") <= max_shingle_df).drop("_df_g"))
-    deg = exr.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-    exs = exr.join(deg, "id")
-    a, b = exs.alias("a"), exs.alias("b")
-    common = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                     & (F.col("a.id") < F.col("b.id")))
-               .groupBy(F.col("a.id").alias("lo_id"),
-                        F.col("b.id").alias("hi_id"),
-                        F.col("a.deg").alias("n_a"),
-                        F.col("b.deg").alias("n_b"))
-               .agg(F.count(F.lit(1)).alias("n_common")))
+    common, ex = _capped_pair_counts(df, text_col, id_col, n,
+                                     max_shingle_df, size_ratio_t=None)
     cont = F.round(F.col("n_common")
                    / F.least(F.col("n_a"), F.col("n_b")), 6)
     jac = F.round(F.col("n_common")
@@ -331,16 +337,19 @@ def minhash_band_buckets(sh_df: DataFrame, num_hashes: int = 16,
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 3,
-                           _shingled_df: DataFrame | None = None) -> DataFrame:
+                           _shingled_df: DataFrame | None = None,
+                           _sig_df: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band are candidates.
 
     Shuffle is keyed by (band_idx, band_hash) — short digests, never text.
-    Returns distinct (lo_id, hi_id) candidate pairs.
+    Returns distinct (lo_id, hi_id) candidate pairs. ``_sig_df``: optional
+    precomputed (id, sig) relation so a caller that also needs the
+    signatures pays the signature UDF once.
     """
     sh = (_shingled_df if _shingled_df is not None
           else _shingled(df, text_col, id_col, shingle_n))
-    buckets = minhash_band_buckets(sh, num_hashes, bands)
+    buckets = minhash_band_buckets(sh, num_hashes, bands, _sig_df=_sig_df)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

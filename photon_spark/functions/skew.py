@@ -54,7 +54,7 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
 
 def salted_collect_list(df: DataFrame, key: str, value: str | Column,
                         salt: int = DEFAULT_SALT,
-                        order_in_group: str | None = None) -> DataFrame:
+                        sorted_lists: bool = False) -> DataFrame:
     """groupBy(key).collect_list(value) for skewed keys: aggregate per
     (key, salt) first — each partial list is ≤ ~1/salt of the hot key's
     rows — then merge the ≤ ``salt`` partial lists per key with flatten.
@@ -62,19 +62,27 @@ def salted_collect_list(df: DataFrame, key: str, value: str | Column,
     hot key otherwise concentrates its entire list in one task; salting
     caps per-task state.
 
-    ``order_in_group``: optional column to sort each final list by (the
-    value must be a struct containing it, or the plain value column name
-    equal to it); without it list order is partition-dependent, exactly
-    as with plain collect_list."""
+    The salt mixes the value hash with ``spark_partition_id()`` so
+    duplicate (key, value) rows spread across salt buckets instead of
+    all hashing to one (a value hash alone gives a hot key with a
+    low-cardinality value column no relief); still deterministic under
+    task retry (a retried task re-reads the same input split, so its
+    partition id is stable).
+
+    ``sorted_lists``: sort each final list by the value's natural
+    ordering (struct values compare field-by-field in declaration
+    order — put the sort key first). Without it list order is
+    partition-dependent, exactly as with plain collect_list."""
     v = F.col(value) if isinstance(value, str) else value
     d = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key), v.cast("string")),
+        "_salt", F.pmod(F.xxhash64(F.col(key), v.cast("string"),
+                                   F.spark_partition_id()),
                         F.lit(salt)).cast("int"))
     part = (d.groupBy(key, "_salt")
              .agg(F.collect_list(v).alias("_part")))
     merged = (part.groupBy(key)
                   .agg(F.flatten(F.collect_list("_part")).alias("values")))
-    if order_in_group:
+    if sorted_lists:
         merged = merged.select(
             key, F.array_sort("values").alias("values"))
     return merged

@@ -654,15 +654,9 @@ def q_minhash_calibration(spark, sf_dir):
     # one signature pass feeds BOTH the band buckets and the estimate join
     sig = sh.select("id", dedup.minhash_sig_udf("sh", _NUM_HASHES)
                           .alias("sig")).persist()
-    buckets = dedup.minhash_band_buckets(sh, _NUM_HASHES, _BANDS,
+    cands = dedup.minhash_lsh_candidates(d, num_hashes=_NUM_HASHES,
+                                         bands=_BANDS, _shingled_df=sh,
                                          _sig_df=sig)
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    cands = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.id") < F.col("b.id")))
-              .select(F.col("a.id").alias("lo_id"),
-                      F.col("b.id").alias("hi_id"))
-              .distinct())
     pairs = dedup.verify_candidate_pairs(cands, sh, NEAR_DUP_T)
     j = (pairs
          .join(sig.select(F.col("id").alias("lo_id"),

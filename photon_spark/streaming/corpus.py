@@ -61,6 +61,15 @@ class StreamingCorpusIngest:
         self.shingle_n, self.threshold = shingle_n, threshold
         self.accepted = 0
         self.rejected = 0
+        # Partition key for this ingest session's batches: stable across
+        # restarts of the SAME checkpoint (so a crashed batch's replay
+        # overwrites its own ghost partition) and unique across different
+        # checkpoints sharing the corpus dirs (foreachBatch batch_ids
+        # restart at 0 per checkpoint — a bare batch_id key would let a
+        # day-2 session clobber day-1's batch=0 data).
+        import hashlib
+        self._ck = hashlib.md5(
+            self.checkpoint_dir.encode()).hexdigest()[:8]
         # resume support: a pre-existing index keeps its authority (local
         # fs check; on a cluster store this would be a catalog lookup)
         import os
@@ -81,9 +90,10 @@ class StreamingCorpusIngest:
     # -------------------------------------------------------------- batch
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         n_input = batch_df.count()
+        if n_input == 0:
+            return
+        cur = f"{self._ck}-{batch_id}"
         # doc_id is the corpus key: in-batch id duplicates count as
         # rejected (they ARE duplicates); cross-batch id reuse is the
         # caller's contract to avoid (ids must be globally unique).
@@ -95,9 +105,14 @@ class StreamingCorpusIngest:
 
         rejected_ids = None
 
-        # 1. cross-batch: new docs vs the persisted index
+        # 1. cross-batch: new docs vs the persisted index. Exclude THIS
+        # batch's own partition: after a crash between the writes and the
+        # checkpoint commit, the replay would otherwise see the crashed
+        # attempt's ghost rows, match every doc against itself
+        # (jaccard=1.0) and reject the whole batch.
         if self._has_corpus:
-            idx = self.spark.read.parquet(self.index_dir)
+            idx = (self.spark.read.parquet(self.index_dir)
+                   .where(F.col("batch") != cur))
             cands = (buckets_new.alias("n")
                      .join(idx.alias("c"),
                            (F.col("n.band") == F.col("c.band"))
@@ -108,6 +123,7 @@ class StreamingCorpusIngest:
             corp_ids = cands.select(F.col("b").alias("doc_id")).distinct()
             # fetch + re-shingle ONLY candidate corpus docs
             corp_docs = (self.spark.read.parquet(self.corpus_dir)
+                         .where(F.col("batch") != cur)
                          .join(corp_ids, "doc_id", "left_semi"))
             sh_corp = dedup._shingled(corp_docs, "text", "doc_id",
                                       self.shingle_n)
@@ -138,10 +154,10 @@ class StreamingCorpusIngest:
         # (this batch's own partial index partition is overwritten), so
         # the no-near-dup corpus invariant survives the crash.
         accepted.write.mode("overwrite").parquet(
-            f"{self.corpus_dir}/batch={batch_id}")
+            f"{self.corpus_dir}/batch={cur}")
         (buckets_new.join(rejected_ids.withColumnRenamed("doc_id", "id"),
                           "id", "left_anti")
-         .write.mode("overwrite").parquet(f"{self.index_dir}/batch={batch_id}"))
+         .write.mode("overwrite").parquet(f"{self.index_dir}/batch={cur}"))
         self.accepted += n_acc
         self.rejected += n_input - n_acc
         self._has_corpus = True

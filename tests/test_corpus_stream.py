@@ -100,9 +100,47 @@ def test_new_batch_respects_existing_index(ingested, spark):
             d = r.asDict()
             d["doc_id"] = d["doc_id"] + 10_000_000  # new ids, same text
             f.write(json.dumps(d) + "\n")
+    before = spark.read.parquet(ingested["corpus"]).count()
     ing3 = StreamingCorpusIngest(
         spark, src2, ingested["corpus"], ingested["index"],
         checkpoint_dir=str(root / "ckpt2"), **MINER)
     acc, rej = ing3.run()
     assert acc == 0
     assert rej == len(sample)
+    # the day-2 session (fresh checkpoint, batch ids restarting at 0)
+    # must not clobber day-1's batch partitions
+    assert spark.read.parquet(ingested["corpus"]).count() == before
+
+
+def test_replay_ignores_own_ghost_partition(spark, sf_dir, tmp_path):
+    """Crash simulation: a partial write of THIS batch's own partition
+    (the ghost left when a crash hits between the writes and the
+    checkpoint commit) must not make the replay reject the batch against
+    itself."""
+    import shutil
+    src, corpus, index = (str(tmp_path / d)
+                          for d in ("src", "corpus", "index"))
+    _drop_batches(spark, sf_dir, src, n_batches=1)
+    ing = StreamingCorpusIngest(spark, src, corpus, index,
+                                checkpoint_dir=str(tmp_path / "ckpt"),
+                                **MINER)
+    # fabricate the ghost: what batch 0 of this checkpoint would write
+    cur = f"{ing._ck}-0"
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang", "source"))
+    docs.write.parquet(f"{corpus}/batch={cur}")
+    from photon_spark.functions import dedup
+    sh = dedup._shingled(docs, "text", "doc_id", 3)
+    dedup.minhash_band_buckets(sh, 16, 4).write.parquet(
+        f"{index}/batch={cur}")
+    ing2 = StreamingCorpusIngest(spark, src, corpus, index,
+                                 checkpoint_dir=str(tmp_path / "ckpt"),
+                                 **MINER)
+    acc, rej = ing2.run()
+    # the replay OVERWRITES the ghost and accepts what a clean first run
+    # would have accepted — not zero
+    assert acc > 0
+    corpus_df = spark.read.parquet(corpus)
+    assert corpus_df.count() == acc
+    assert dedup.minhash_near_duplicates(corpus_df, **MINER).count() == 0
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

@@ -62,6 +62,23 @@ def test_salted_collect_list_equals_plain(spark, skewed):
 def test_salted_collect_list_sorted_form(spark, skewed):
     out = {r["k"]: r["values"] for r in
            salted_collect_list(skewed, "k", "v",
-                               order_in_group="v").collect()}
+                               sorted_lists=True).collect()}
     hot = out[0]
     assert hot == sorted(hot) and len(hot) == 54_000
+
+
+def test_salted_collect_list_spreads_duplicate_values(spark):
+    # hot key whose value column is a single constant: a value-only salt
+    # would put all 40k rows in one bucket; the partition-mixed salt must
+    # spread them
+    df = (spark.range(40_000).repartition(8)
+          .select(F.lit(0).alias("k"), F.lit("same").alias("v")))
+    from photon_spark.functions.skew import DEFAULT_SALT
+    d = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("k"), F.col("v").cast("string"),
+                                   F.spark_partition_id()),
+                        F.lit(DEFAULT_SALT)).cast("int"))
+    n_buckets = d.select("_salt").distinct().count()
+    assert n_buckets >= 4
+    out = salted_collect_list(df, "k", "v").collect()
+    assert len(out) == 1 and len(out[0]["values"]) == 40_000

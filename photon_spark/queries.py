@@ -530,3 +530,8 @@ from photon_spark import queries_relational as _re  # noqa: E402
 
 QUERIES.update(_re.QUERIES)
 ORACLES.update(_re.ORACLES)
+
+from photon_spark import queries_sketch as _sk  # noqa: E402
+
+QUERIES.update(_sk.QUERIES)
+ORACLES.update(_sk.ORACLES)

@@ -580,8 +580,11 @@ def q_budget_trim(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     q_int = F.round(F.col("quality") * 1e6).cast("long").alias("q_int")
+    # persist: prof feeds the level table, the doc join AND the boundary
+    # window — without it the Arrow text_profile pass re-runs per consumer
     prof = (text.text_profile(d).select("doc_id", q_int, "n_tokens")
-            .join(d.select("doc_id", "source"), "doc_id"))
+            .join(d.select("doc_id", "source"), "doc_id")
+            .persist())
     lev = (prof.groupBy("source", "q_int")
                .agg(F.sum("n_tokens").alias("tok_l")))
     wl = (Window.partitionBy("source")
@@ -603,15 +606,17 @@ def q_budget_trim(spark, sf_dir):
                   .where(F.col("cum_before") + F.col("pre") <= B)
                   .select("doc_id", F.lit(1).alias("bkept")))
     kept = full | F.coalesce(F.col("bkept") == 1, F.lit(False))
-    return (docs2.join(bkeep, "doc_id", "left")
-                 .groupBy("source")
-                 .agg(F.count(F.lit(1)).alias("n_docs"),
-                      F.sum(kept.cast("long")).alias("n_kept"),
-                      F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
-                       .cast("long").alias("tokens_kept"),
-                      F.round(F.min(F.when(kept, F.col("q_int"))) / 1e6, 6)
-                       .alias("min_kept_quality"),
-                      F.first(B).alias("budget")))
+    out = (docs2.join(bkeep, "doc_id", "left")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(kept.cast("long")).alias("n_kept"),
+                     F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                      .cast("long").alias("tokens_kept"),
+                     F.round(F.min(F.when(kept, F.col("q_int"))) / 1e6, 6)
+                      .alias("min_kept_quality"),
+                     F.first(B).alias("budget")))
+    out._photon_cached = [prof]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_BUDGET_TRIM = f"""

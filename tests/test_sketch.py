@@ -1,0 +1,101 @@
+"""Sketch operators: accuracy envelopes, mergeability, and the
+guarantees each sketch is supposed to give (HLL error ~1.04/sqrt(m),
+KMV exactness below k, Count-Min never-undercounts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions import sketches
+from photon_spark.functions.text import tokens
+
+
+@pytest.fixture(scope="module")
+def toks(spark, sf_dir):
+    t = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("source", F.explode(tokens(F.col("text"))).alias("t"))
+         .where(F.col("t") != "")
+         .select("source", F.lower("t").alias("tok"))
+         .persist())
+    yield t
+    t.unpersist()
+
+
+def test_hll_estimate_error_envelope(toks):
+    est = sketches.hll_estimate(toks, "source", F.col("tok"))
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact"))
+    rows = est.join(exact, "source").collect()
+    assert rows
+    for r in rows:
+        # corrected estimate (linear counting below 2.5m): allow ~3x the
+        # 1.04/sqrt(1024) std error
+        got = sketches.hll_corrected(r.est_distinct, r.n_zero_regs)
+        rel = abs(got - r.exact) / max(r.exact, 1)
+        assert rel < 0.10, (r.source, got, r.exact)
+
+
+def test_hll_registers_merge_is_union_max(spark, toks):
+    # sketch(A ∪ B) == cellwise-max(sketch(A), sketch(B)) — the property
+    # that makes HLL maintainable incrementally at 100 TB
+    a = toks.where(F.col("tok") < "m")
+    b = toks.where(F.col("tok") >= "m")
+    whole = sketches.hll_registers(toks, "source", F.col("tok"))
+    merged = (sketches.hll_registers(a, "source", F.col("tok"))
+              .unionByName(sketches.hll_registers(b, "source", F.col("tok")))
+              .groupBy("grp", "idx").agg(F.max("rank").alias("rank")))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer than k distinct values -> the sketch IS the distinct set
+    df = spark.createDataFrame(
+        [("g", f"v{i % 40}") for i in range(500)], "grp string, v string")
+    out = sketches.kmv_estimate(df, "grp", F.col("v"), k=256).collect()[0]
+    assert out.n_kept == 40
+    assert out.est_distinct == 40.0
+
+
+def test_kmv_estimate_error_envelope(toks):
+    est = sketches.kmv_estimate(toks, "source", F.col("tok"))
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact"))
+    for r in est.join(exact, "source").collect():
+        rel = abs(r.est_distinct - r.exact) / max(r.exact, 1)
+        # KMV std error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 3 sigma
+        assert rel < 0.20, (r.source, r.est_distinct, r.exact)
+
+
+def test_countmin_never_undercounts_and_is_tight_on_heavy(spark, toks):
+    items = toks.select(F.col("tok").alias("item"))
+    exact = (items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+                  .orderBy(F.desc("c"), "item").limit(50))
+    est = sketches.countmin_point_estimates(items, exact, "item", "item")
+    rows = exact.join(est, "item").collect()
+    assert len(rows) == exact.count()  # sf0.001 vocab may be < 50
+    assert rows
+    n_total = items.count()
+    for r in rows:
+        assert r.est_count >= r.c, (r.item, r.est_count, r.c)
+        # CM guarantee: overshoot <= eps * N with eps = e/w, w.h.p.
+        assert r.est_count - r.c <= (2.72 / sketches.CM_W) * n_total * 4
+
+
+def test_countmin_merge_is_cellwise_sum(spark, toks):
+    items = toks.select(F.col("tok").alias("item"))
+    a = items.where(F.md5("item") < "8")
+    b = items.where(F.md5("item") >= "8")
+    whole = sketches.countmin_table(items, "item")
+    merged = (sketches.countmin_table(a, "item")
+              .unionByName(sketches.countmin_table(b, "item"))
+              .groupBy("r", "cell").agg(F.sum("total").alias("total")))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_countmin_probe_plan_broadcasts_sketch(spark, toks):
+    items = toks.select(F.col("tok").alias("item"))
+    q = spark.createDataFrame([("the",), ("zzz",)], "item string")
+    plan = (sketches.countmin_point_estimates(items, q, "item", "item")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan  # sketch side broadcasts, 4096 rows

@@ -576,6 +576,177 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------ rolling features
+
+ROLL_N = 5      #: rolling frame: this row + 4 preceding
+ROLL_TOPK = 50
+
+
+def q_events_rolling_stats(spark, sf_dir):
+    """Per-user rolling-window features (count / sum / mean over the last
+    5 events) — the time-series feature-engineering shape. One shuffle
+    keyed by user_id; the frame is ROWS-bounded so state per key is O(5).
+    Money stays exact integer cents inside the frame sum; the mean is one
+    division at the end. Output: top-50 frames by rolling sum (bounded —
+    compiles to TakeOrderedAndProject, never a global sort).
+    """
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-(ROLL_N - 1), Window.currentRow))
+    r = e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum("c").over(w).alias("roll_c"))
+    return (r.orderBy(F.desc("roll_c"), "user_id", "event_id")
+             .limit(ROLL_TOPK)
+             .select("user_id", "event_id", "roll_n",
+                     F.round(F.col("roll_c") / 100, 2).alias("roll_sum"),
+                     F.round(F.col("roll_c") / F.col("roll_n") / 100, 6)
+                      .alias("roll_avg")))
+
+
+SQL_EVENTS_ROLLING_STATS = f"""
+WITH r AS (
+  SELECT user_id, event_id,
+         count(*) OVER w AS roll_n,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, roll_n,
+       round(roll_c / 100.0, 2) AS roll_sum,
+       round(roll_c * 1.0 / roll_n / 100, 6) AS roll_avg
+FROM r ORDER BY roll_c DESC, user_id, event_id LIMIT {ROLL_TOPK}
+"""
+
+
+# ----------------------------------------------------- z-score anomalies
+
+Z_CUT = 3.0
+
+
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Per-event-type anomaly detection: events whose value is more than
+    3 sigma from the type mean. Two passes, zero wide shuffles on the fact
+    relation: (1) per-type sum / sum-of-squares as exact integer cents
+    (map-side combinable into 5 rows), (2) the 5-row stats broadcast back
+    for the per-row z-score. All float math is single IEEE expressions of
+    exact integers (sqrt is correctly rounded per IEEE-754), so the oracle
+    reproduces it bit-for-bit — no float accumulation anywhere.
+
+    Cents scale bounds sumsq at ~2.4e9 per row — exact in int64 to ~1e9
+    rows per type; beyond that the partial sums widen to decimal(38,0).
+    """
+    e = _events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"))
+    stats = (e.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("c").alias("s"),
+                   F.sum(F.col("c") * F.col("c")).alias("ss")))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    var = (F.col("ss").cast("double") - sd * sd / nd) / nd
+    stats = stats.select("event_type", "n", "s",
+                         F.sqrt(var).alias("std"), (sd / nd).alias("mean"))
+    z = F.when(F.col("std") > 0.0,
+               (F.col("c").cast("double") - F.col("mean")) / F.col("std"))\
+         .otherwise(F.lit(0.0))
+    scored = e.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n", F.abs(z).alias("az"))
+    return (scored.groupBy("event_type")
+                  .agg(F.first("n").alias("n_events"),
+                       F.sum(F.when(F.col("az") > Z_CUT, 1).otherwise(0))
+                        .alias("n_anomalies"),
+                       F.round(F.max("az"), 4).alias("max_abs_z")))
+
+
+SQL_EVENTS_ANOMALY_ZSCORE = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(c) AS s,
+         sum(c * c) AS ss
+  FROM e GROUP BY 1
+),
+st AS (
+  SELECT event_type, n,
+         sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE)
+           AS std,
+         s::DOUBLE / n::DOUBLE AS mean
+  FROM stats
+),
+scored AS (
+  SELECT e.event_type, st.n,
+         abs(CASE WHEN st.std > 0.0
+                  THEN (e.c::DOUBLE - st.mean) / st.std ELSE 0.0 END) AS az
+  FROM e JOIN st ON e.event_type = st.event_type
+)
+SELECT event_type, any_value(n) AS n_events,
+       sum(CASE WHEN az > {Z_CUT} THEN 1 ELSE 0 END) AS n_anomalies,
+       round(max(az), 4) AS max_abs_z
+FROM scored GROUP BY 1
+"""
+
+
+# ------------------------------------------------- BPE merge induction
+
+BPE_TOPK = 20
+
+
+def q_bpe_first_merges(spark, sf_dir):
+    """First round of BPE vocabulary induction: the 20 most frequent
+    adjacent character pairs over the corpus vocabulary, weighted by word
+    frequency — the inner-loop statistic a tokenizer trainer computes.
+
+    Scale shape: pair counting runs on the DISTINCT-word relation (the
+    vocabulary — orders of magnitude smaller than the corpus), carrying
+    each word's corpus count as the weight; the corpus itself is touched
+    once by the word-count aggregation. ASCII-only words keep substring
+    semantics identical across engines.
+    """
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(text.tokens(F.col("text"))).alias("t"))
+             .select(F.lower("t").alias("w"))
+             .where(F.col("w").rlike("^[a-z]{2,}$"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )).alias("pair"), "wc")
+    return (pairs.groupBy("pair")
+                 .agg(F.sum("wc").alias("pair_count"))
+                 .orderBy(F.desc("pair_count"), "pair")
+                 .limit(BPE_TOPK))
+
+
+SQL_BPE_FIRST_MERGES = f"""
+WITH toks AS (
+  SELECT lower(t) AS w
+  FROM documents,
+       unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END) u(t)
+  WHERE regexp_matches(lower(t), '^[a-z]{{2,}}$')
+),
+words AS (
+  SELECT w, count(*) AS wc FROM toks GROUP BY 1
+),
+pairs AS (
+  SELECT p AS pair, wc
+  FROM words,
+       unnest(list_transform(generate_series(1, length(w) - 1),
+                             i -> substr(w, i, 2))) u(p)
+)
+SELECT pair, sum(wc) AS pair_count
+FROM pairs GROUP BY 1
+ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -587,6 +758,9 @@ QUERIES = {
     "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
     "events_funnel": q_events_funnel,
     "events_sliding_window": q_events_sliding_window,
+    "events_rolling_stats": q_events_rolling_stats,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
+    "bpe_first_merges": q_bpe_first_merges,
 }
 
 ORACLES = {
@@ -600,4 +774,7 @@ ORACLES = {
     "quality_quantiles_by_lang": _sql_quality_quantiles(),
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "events_rolling_stats": SQL_EVENTS_ROLLING_STATS,
+    "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
+    "bpe_first_merges": SQL_BPE_FIRST_MERGES,
 }

@@ -141,14 +141,70 @@ FROM m
 """
 
 
+#: 1998-06-01 UTC in epoch-ns (the _t contract: timestamps are ns longs)
+_Q3_CUT_NS = 896_659_200 * 1_000_000_000
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 flavor: top-10 unshipped orders by discounted revenue for
+    one market segment. The fact join shuffles lineitem⋈orders once on
+    orderkey; the filtered customer dimension broadcasts; both date
+    predicates sit in the scan (pushed to parquet), so at 100 TB the
+    shuffle carries only the post-filter fact rows. Revenue is exact
+    4dp integer money divided once."""
+    from photon_spark.queries import _t
+
+    c = (_rd(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < _Q3_CUT_NS)
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > _Q3_CUT_NS)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (_cents(F.col("l_extendedprice"))
+           * _cents(F.lit(1.0) - F.col("l_discount")))
+    date = F.to_date(F.timestamp_seconds(
+        F.expr("o_orderdate div 1000000000")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("o_orderkey", date.alias("o_orderdate"),
+                       "o_orderpriority")
+              .agg(F.sum(rev).alias("rc"))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                      F.round(F.col("rc") / 10000, 4).alias("revenue"))
+              .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+              .limit(10))
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))
+             / 10000.0, 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "revenue_trend": q_revenue_trend,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "revenue_trend": SQL_REVENUE_TREND,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
 }

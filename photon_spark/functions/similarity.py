@@ -425,3 +425,116 @@ def quantize_error_cols_np(vec_col, max_q: int = 127):
                              "n_saturated": out_sat})
 
     return _q(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+# ------------------------------------------------------------- kNN graph
+
+def seq_cosine(a, b) -> float:
+    """Strictly sequential left-associated float64 cosine — bit-identical
+    to the Catalyst aggregate(zip_with(..)) expression and DuckDB's
+    list_cosine_similarity at 6dp (same kernel contract as the re-verify
+    step in dedup.embedding_near_duplicates)."""
+    import math
+    s = na = nb = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+        na += x * x
+        nb += y * y
+    d = math.sqrt(na) * math.sqrt(nb)
+    return s / d if d else 0.0
+
+
+def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
+              id_col: str = "vec_id", n_blocks: int = 16) -> DataFrame:
+    """EXACT k-nearest-neighbor graph: every vector's top-k neighbors by
+    cosine → [id, nbr, cosine] (k rows per id; ties at 6dp broken by
+    neighbor id). The relation semdedup/kNN-classifiers/graph-dedup all
+    start from.
+
+    Same blocked-GEMM shape as dedup.embedding_near_duplicates: vectors
+    shuffle ONCE into n_blocks packed Arrow matrices; every block PAIR is
+    one numpy GEMM task; each task keeps, per row, its local top-k plus
+    everything within 1e-6 of the local kth (GEMM reassociates float
+    adds — the margin makes the local cut a superset of the true top-k,
+    since the global top-k must be top-k within its block pair), then
+    re-verifies those few candidates with the sequential fold. The final
+    exact top-k is a window over ~k·n_blocks candidates per id — the only
+    other shuffle, carrying (id, nbr, cosine) triples.
+
+    At 100 TB: blocks are persisted buckets; the block-pair manifest
+    fans out as independent GEMM tasks (n²/B² flops each at BLAS speed);
+    for approximate variants, prune the manifest to IVF/LSH-adjacent
+    bucket pairs — the kernel is unchanged.
+    """
+    import pickle
+
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"))
+
+    def pack(key, pdf):
+        import numpy as np
+        ids = pdf["id"].to_numpy(dtype="int64")
+        mat = np.array([np.asarray(x, dtype="float64") for x in pdf["v"]])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return pd.DataFrame({
+            "blk": [int(key[0])],
+            "ids": [pickle.dumps(ids)],
+            "mat": [pickle.dumps(mat)],
+            "nmat": [pickle.dumps(mat / nrm)],
+        })
+
+    packed = v.groupBy("blk").applyInPandas(
+        pack, schema="blk long, ids binary, mat binary, nmat binary")
+    pa = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                       F.col("mat").alias("mat_a"),
+                       F.col("nmat").alias("nmat_a"))
+    pb = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                       F.col("mat").alias("mat_b"),
+                       F.col("nmat").alias("nmat_b"))
+    block_pairs = pa.join(F.broadcast(pb), F.col("blk_a") <= F.col("blk_b"))
+
+    def cands(batches):
+        import numpy as np
+
+        def local_topk(sims, ids_r, ids_c, mat_r, mat_c, out):
+            # per row: local top-k by GEMM score + 1e-6 margin ties,
+            # re-verified sequentially
+            for i in range(sims.shape[0]):
+                row = sims[i]
+                nc = row.shape[0]
+                if nc == 0:
+                    continue
+                kk = min(k, nc)
+                # kth best value via partition (descending)
+                cut = np.partition(row, nc - kk)[nc - kk] - 1e-6
+                for j in np.nonzero(row >= cut)[0]:
+                    if ids_r[i] == ids_c[j]:
+                        continue  # masked diagonal can still pass the cut
+                    c = round(seq_cosine(mat_r[i].tolist(),
+                                         mat_c[j].tolist()), 6)
+                    out.append((int(ids_r[i]), int(ids_c[j]), c))
+
+        for pdf in batches:
+            out: list = []
+            for rec in pdf.itertuples(index=False):
+                ids_a, mat_a = pickle.loads(rec.ids_a), pickle.loads(rec.mat_a)
+                ids_b, mat_b = pickle.loads(rec.ids_b), pickle.loads(rec.mat_b)
+                sims = pickle.loads(rec.nmat_a) @ pickle.loads(rec.nmat_b).T
+                if rec.blk_a == rec.blk_b:
+                    np.fill_diagonal(sims, -2.0)  # no self-neighbor
+                    local_topk(sims, ids_a, ids_b, mat_a, mat_b, out)
+                else:
+                    local_topk(sims, ids_a, ids_b, mat_a, mat_b, out)
+                    local_topk(sims.T, ids_b, ids_a, mat_b, mat_a, out)
+            if out:
+                yield pd.DataFrame(out, columns=["id", "nbr", "cosine"])
+
+    cand = block_pairs.mapInPandas(
+        cands, schema="id long, nbr long, cosine double")
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+                .select("id", "nbr", "cosine"))

@@ -804,6 +804,36 @@ HAVING hamming <= {PHASH_HAM_T}
 """
 
 
+# ------------------------------------------------------------- kNN graph
+
+KNN_K = 3
+
+
+def q_knn_graph(spark, sf_dir):
+    """Exact kNN graph (k=3 cosine neighbors per vector) via the
+    blocked-GEMM kernel — vectors shuffle once into packed blocks, every
+    block pair is one BLAS task, candidates re-verify with the
+    sequential fold the O(n²) SQL oracle computes."""
+    return similarity.knn_graph(_emb(spark, sf_dir), k=KNN_K)
+
+
+SQL_KNN_GRAPH = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT id, nbr, cosine,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cosine DESC, nbr) AS rn
+  FROM pairs
+)
+SELECT id, nbr, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -825,6 +855,7 @@ QUERIES = {
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "media_phash_near_dups": q_media_phash_near_dups,
     "ann_topk_pq": q_ann_topk_pq,
+    "knn_graph": q_knn_graph,
 }
 
 ORACLES = {
@@ -850,4 +881,5 @@ ORACLES = {
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "ann_topk_pq": _sql_ann_topk_pq(),
+    "knn_graph": SQL_KNN_GRAPH,
 }

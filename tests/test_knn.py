@@ -1,0 +1,33 @@
+"""knn_graph: exactness vs the per-query brute force, graph shape
+invariants, and block-count invariance (the blocking is a physical
+choice — it must never change the result)."""
+
+from pyspark.sql import functions as F
+
+from photon_spark.functions import similarity
+
+
+def test_knn_graph_matches_bruteforce_per_query(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = similarity.knn_graph(emb, k=3)
+    rows = g.collect()
+    ids = {r.id for r in rows}
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.nbr, r.cosine))
+    n = emb.count()
+    assert len(ids) == n          # every vector has neighbors
+    assert all(len(v) == 3 for v in by_id.values())
+    assert all(r.id != r.nbr for r in rows)
+    # spot-check 5 ids against the single-query exact top-k
+    for qid in sorted(ids)[:5]:
+        exact = similarity.brute_force_topk(emb, qid, k=3).collect()
+        assert [(e.vec_id, e.cosine) for e in exact] == by_id[qid]
+
+
+def test_knn_graph_block_count_invariant(spark, sf_dir):
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 60))
+    a = set(map(tuple, similarity.knn_graph(emb, k=2, n_blocks=3).collect()))
+    b = set(map(tuple, similarity.knn_graph(emb, k=2, n_blocks=7).collect()))
+    assert a == b

@@ -87,6 +87,19 @@ def hll_registers(df: DataFrame, group_col: str, item: Column) -> DataFrame:
               .groupBy("grp", "idx").agg(F.max("rank").alias("rank")))
 
 
+def merge_hll_registers(*register_dfs: DataFrame) -> DataFrame:
+    """Union register tables (from :func:`hll_registers`) into one sketch:
+    cell-wise max. THE incremental-maintenance kernel: a streaming ingest
+    (foreachBatch) computes the new batch's registers and merges them into
+    the stored register table — never rescanning the corpus; a federated
+    fleet merges per-engine sketches the same way (registers are
+    md5-derived, so engines agree on them)."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    return out.groupBy("grp", "idx").agg(F.max("rank").alias("rank"))
+
+
 def hll_estimate(df: DataFrame, group_col: str, item: Column) -> DataFrame:
     """Per-group HLL cardinality estimate with exact integer evidence.
 

@@ -195,11 +195,202 @@ ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
 """
 
 
+LARGE_ORDER_QTY = 150
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 flavor: orders whose total lineitem quantity exceeds a
+    threshold, with the customer attached. The HAVING runs on the
+    pre-aggregated lineitem relation (map-side partials shrink it before
+    the shuffle), the few surviving orderkeys then join orders and the
+    broadcast customer dim — aggregate-then-join, never join-then-
+    aggregate. Quantities are 2dp-exact integer units."""
+    li = _rd(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(_cents(F.col("l_quantity"))).alias("qc"))
+             .where(F.col("qc") > LARGE_ORDER_QTY * 100))
+    o = _rd(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .select("c_name", "o_orderkey",
+                       F.round(F.col("qc") / 100, 2).alias("total_qty"),
+                       F.round(F.col("o_totalprice"), 2).alias("o_totalprice"))
+               .orderBy(F.desc("total_qty"), "o_orderkey")
+               .limit(20))
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc
+  FROM lineitem GROUP BY 1
+  HAVING qc > {LARGE_ORDER_QTY * 100}
+)
+SELECT c.c_name, o.o_orderkey, round(qc / 100.0, 2) AS total_qty,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 20
+"""
+
+
+SEG_TOPN = 3
+
+
+def q_top_customers_per_segment(spark, sf_dir):
+    """Rank window over an aggregate: each market segment's top-3
+    customers by lifetime order value. The orders fact reduces to one
+    row per customer BEFORE the window (partial agg + one custkey
+    shuffle); the rank then runs over the small per-customer relation
+    and Spark's WindowGroupLimit stops each partition at k — never a
+    full per-segment sort of ranked output."""
+    from pyspark.sql import Window
+    o = _rd(spark, sf_dir, "orders")
+    c = _rd(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    per_cust = (o.groupBy("o_custkey")
+                 .agg(F.sum(_cents(F.col("o_totalprice"))).alias("vc"),
+                      F.count(F.lit(1)).alias("n_orders")))
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.desc("vc"), F.asc("c_custkey")))
+    return (per_cust.join(F.broadcast(c),
+                          per_cust.o_custkey == c.c_custkey)
+                    .withColumn("rk", F.row_number().over(w))
+                    .where(F.col("rk") <= SEG_TOPN)
+                    .select("c_mktsegment", "rk", "c_name", "n_orders",
+                            F.round(F.col("vc") / 100, 2)
+                             .alias("lifetime_value")))
+
+
+SQL_TOP_CUSTOMERS_PER_SEGMENT = f"""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS vc,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c.c_mktsegment,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY vc DESC, o_custkey) AS rk,
+         c.c_name, n_orders, round(vc / 100.0, 2) AS lifetime_value
+  FROM per_cust JOIN customer c ON per_cust.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, rk, c_name, n_orders, lifetime_value
+FROM ranked WHERE rk <= {SEG_TOPN}
+"""
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregate: revenue at (nation, year), per-nation subtotal,
+    and grand total in one pass — Spark expands grouping sets map-side,
+    so the rollup costs one shuffle of (nation, year, partials), not
+    three queries. NULL grouping keys are the subtotal markers (coalesced
+    to labels so the oracle hash agrees on sort order)."""
+    from photon_spark.queries import _t
+    o = _t(spark, sf_dir, "orders")
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = F.year(F.timestamp_seconds(F.expr("o_orderdate div 1000000000")))
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.rollup(F.col("n_name").alias("nation"), yr.alias("year"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(_cents(F.col("o_totalprice"))).alias("vc"))
+             .select(F.coalesce("nation", F.lit("ALL")).alias("nation"),
+                     F.coalesce(F.col("year").cast("string"), F.lit("ALL"))
+                      .alias("year"),
+                     "n_orders",
+                     F.round(F.col("vc") / 100, 2).alias("revenue")))
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(CAST(year(o.o_orderdate) AS VARCHAR), 'ALL') AS year,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user-cohort (user_id mod 10) event counts spread across
+    event types as columns — the wide-format report shape. The pivot
+    values are declared literally, so this is ONE pass with conditional
+    aggregation (exactly what the SQL oracle spells out), not
+    count-distinct-then-N-queries."""
+    from photon_spark.queries import _t
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "purchase", "signup", "view", "error"]
+    return (e.groupBy(F.pmod("user_id", F.lit(10)).alias("cohort"))
+             .pivot("event_type", types)
+             .agg(F.count(F.lit(1)))
+             .na.fill(0, types))
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id % 10 AS cohort,
+       coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+         AS purchase,
+       coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+       coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+       coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+FROM events GROUP BY 1
+"""
+
+
+#: 2001-01-01 UTC epoch-ns — "no order in the final data year"
+_IDLE_CUT_NS = 978_307_200 * 1_000_000_000
+
+
+def q_idle_customers(spark, sf_dir):
+    """Anti-join: customers with no RECENT order (none in the final data
+    year), counted per market segment with their parked balance.
+    Compiles to a broadcast/shuffled hash anti-join on custkey — the
+    orders side is date-filtered in the scan and reduced to DISTINCT
+    custkeys before the join (aggregate-then-join again), so the anti
+    probe is against a set, not the fact table."""
+    from photon_spark.queries import _t
+    c = _rd(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") >= _IDLE_CUT_NS)
+         .select("o_custkey").distinct())
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_idle"),
+                  F.round(F.sum(F.round(F.col("c_acctbal") * 100)
+                                .cast("long")) / 100, 2)
+                   .alias("parked_balance")))
+
+
+SQL_IDLE_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_idle,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS parked_balance
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "revenue_trend": q_revenue_trend,
     "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
+    "top_customers_per_segment": q_top_customers_per_segment,
+    "revenue_rollup": q_revenue_rollup,
+    "events_pivot": q_events_pivot,
+    "idle_customers": q_idle_customers,
 }
 
 ORACLES = {
@@ -207,4 +398,9 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "revenue_trend": SQL_REVENUE_TREND,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "large_orders": SQL_LARGE_ORDERS,
+    "top_customers_per_segment": SQL_TOP_CUSTOMERS_PER_SEGMENT,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "idle_customers": SQL_IDLE_CUSTOMERS,
 }

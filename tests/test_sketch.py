@@ -47,6 +47,21 @@ def test_hll_registers_merge_is_union_max(spark, toks):
     assert merged.exceptAll(whole).count() == 0
 
 
+def test_hll_incremental_batches_equal_full_sketch(spark, toks):
+    # the foreachBatch maintenance shape: 3 arriving batches folded into
+    # a running register table == the sketch of everything at once
+    b0 = toks.where(F.md5("tok") < "6")
+    b1 = toks.where((F.md5("tok") >= "6") & (F.md5("tok") < "b"))
+    b2 = toks.where(F.md5("tok") >= "b")
+    running = sketches.hll_registers(b0, "source", F.col("tok"))
+    for b in (b1, b2):
+        running = sketches.merge_hll_registers(
+            running, sketches.hll_registers(b, "source", F.col("tok")))
+    whole = sketches.hll_registers(toks, "source", F.col("tok"))
+    assert running.exceptAll(whole).count() == 0
+    assert whole.exceptAll(running).count() == 0
+
+
 def test_kmv_exact_below_k(spark):
     # fewer than k distinct values -> the sketch IS the distinct set
     df = spark.createDataFrame(

@@ -488,3 +488,32 @@ def test_backup_restore_roundtrip(spark, tmp_path):
     orig = sorted(r["local_id"] for r in store.read_cold().collect())
     back = sorted(r["local_id"] for r in store2.read_cold().collect())
     assert back == orig and len(orig) == 20
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the
+    fingerprint key (user_id, event_type, value-cents) keeps exactly one
+    row per key — matching batch dropDuplicates — while the watermark
+    bounds the dedup state instead of growing it forever (the scale
+    contract batch dropDuplicates cannot offer a stream)."""
+    keyed = (_events_stream(spark, sf_dir)
+             .withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+             .withWatermark("etime", "1 hour")
+             .dropDuplicatesWithinWatermark(["user_id", "event_type", "vc"]))
+    q = (keyed.select("user_id", "event_type", "vc")
+         .writeStream.format("memory").queryName("stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "select user_id, event_type, vc from stream_dedup").collect()
+
+    from photon_spark.queries import _t
+    batch = (_t(spark, sf_dir, "events")
+             .withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+             .select("user_id", "event_type", "vc")
+             .dropDuplicates())
+    # one availableNow pass over in-order history: same distinct key set,
+    # and the stream emits each key exactly once
+    assert len(got) == len(set((r.user_id, r.event_type, r.vc) for r in got))
+    assert (set((r.user_id, r.event_type, r.vc) for r in got)
+            == set(map(tuple, batch.collect())))

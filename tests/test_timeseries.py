@@ -90,3 +90,58 @@ def test_shipping_priority_plan_and_values(spark, sf_dir):
     assert 0 < len(rows) <= 10
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    from photon_spark.queries_relational import q_large_orders
+    df = q_large_orders(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # customer dim
+    rows = df.collect()
+    assert rows == sorted(rows, key=lambda r: (-r.total_qty, r.o_orderkey))
+
+
+def test_top_customers_per_segment_group_limit(spark, sf_dir):
+    from photon_spark.queries_relational import (SEG_TOPN,
+                                                 q_top_customers_per_segment)
+    df = q_top_customers_per_segment(spark, sf_dir)
+    # rank pushdown: Spark 4 stops each window partition at k
+    assert "WindowGroupLimit" in _plan(df)
+    rows = df.collect()
+    segs = {r.c_mktsegment for r in rows}
+    for s in segs:
+        rks = sorted(r.rk for r in rows if r.c_mktsegment == s)
+        assert rks == list(range(1, len(rks) + 1))
+        assert len(rks) <= SEG_TOPN
+
+
+def test_revenue_rollup_levels_consistent(spark, sf_dir):
+    from photon_spark.queries_relational import q_revenue_rollup
+    rows = q_revenue_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r.nation == "ALL" and r.year == "ALL"]
+    assert len(grand) == 1
+    per_nation = [r for r in rows if r.nation != "ALL" and r.year == "ALL"]
+    leaves = [r for r in rows if r.nation != "ALL" and r.year != "ALL"]
+    assert sum(r.n_orders for r in per_nation) == grand[0].n_orders
+    assert sum(r.n_orders for r in leaves) == grand[0].n_orders
+    # one aggregation pass (Expand + partial/final agg), not 3 queries
+    plan = q_revenue_rollup(spark, sf_dir)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Expand" in plan
+
+
+def test_events_pivot_row_conservation(spark, sf_dir):
+    from photon_spark.queries_relational import q_events_pivot
+    from photon_spark.queries import _t
+    rows = q_events_pivot(spark, sf_dir).collect()
+    total = sum(r.click + r.purchase + r.signup + r.view + r.error
+                for r in rows)
+    assert total == _t(spark, sf_dir, "events").count()
+
+
+def test_idle_customers_anti_join_plan(spark, sf_dir):
+    from photon_spark.queries_relational import q_idle_customers
+    df = q_idle_customers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert df.count() > 0  # the cutoff keeps the gate non-trivial

@@ -288,3 +288,77 @@ def countmin_point_estimates(items: DataFrame, queries: DataFrame,
         est = t if est is None else F.least(est, t)
     return q.select(F.col("it").alias(item_col),
                     est.cast("long").alias("est_count"))
+
+
+# ------------------------------------------------- histogram quantiles
+
+HIST_BINS = 1024
+
+
+def histogram_registers(df: DataFrame, group_col: str, value: Column,
+                        n_bins: int = HIST_BINS) -> DataFrame:
+    """Fixed-bin histogram sketch over a [0, 1) value → [grp, bin, cnt].
+    bin = floor(value * n_bins) clamped to the top bin (value == 1.0).
+    The 100 TB quantile path: the corpus collapses map-side to ≤ n_bins
+    rows per group; histograms merge by cell-wise SUM (same contract as
+    the other sketches), so quantiles of a growing corpus never rescan —
+    unlike exact rank quantiles, which need a per-group sort. The exact
+    form (queries_pipeline.q_quality_quantiles_by_lang) is this sketch's
+    small-scale truth; estimate error is bounded by bin width 1/n_bins."""
+    b = F.least(F.lit(n_bins - 1),
+                F.floor(value * n_bins)).cast("int")
+    return (df.select(F.col(group_col).alias("grp"), b.alias("bin"))
+              .groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_quantiles(df: DataFrame, group_col: str, value: Column,
+                        pcts: tuple = (50, 90, 99),
+                        n_bins: int = HIST_BINS) -> DataFrame:
+    """Per-group quantile estimates from the histogram sketch:
+    p-th percentile ≈ midpoint of the smallest bin whose cumulative count
+    reaches ceil(p·n/100) (the percentile_disc rank, pure integers).
+    → [group, n, est_p{p}...]; every output value is either an exact
+    integer or one literal division — engine-portable."""
+    from pyspark.sql import Window
+    regs = histogram_registers(df, group_col, value, n_bins)
+    w = (Window.partitionBy("grp").orderBy("bin")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_w = Window.partitionBy("grp")
+    r = (regs.withColumn("cum", F.sum("cnt").over(w))
+             .withColumn("n", F.sum("cnt").over(n_w)))
+    aggs = [F.first("n").alias("n")]
+    for p in pcts:
+        rank = F.expr(f"(n * {p} + 99) div 100")
+        hit = F.when(F.col("cum") >= rank, F.col("bin"))
+        aggs.append(F.round((F.min(hit) + 0.5) / n_bins, 6)
+                     .alias(f"est_p{p}"))
+    return (r.groupBy("grp").agg(*aggs)
+             .select(F.col("grp").alias(group_col), "n",
+                     *[f"est_p{p}" for p in pcts]))
+
+
+def sql_histogram_quantiles(table_sql: str, group_col: str, value_expr: str,
+                            pcts: tuple = (50, 90, 99),
+                            n_bins: int = HIST_BINS) -> str:
+    """DuckDB oracle for :func:`histogram_quantiles`."""
+    est = ", ".join(
+        f"round((min(CASE WHEN cum >= (n * {p} + 99) // 100 THEN bin END)"
+        f" + 0.5) / {n_bins}, 6) AS est_p{p}" for p in pcts)
+    return f"""
+WITH vals AS ({table_sql}),
+regs AS (
+  SELECT grp, least({n_bins - 1},
+                    CAST(floor(v * {n_bins}) AS INT)) AS bin,
+         count(*) AS cnt
+  FROM (SELECT {group_col} AS grp, {value_expr} AS v FROM vals)
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM regs
+)
+SELECT grp AS {group_col}, any_value(n) AS n, {est}
+FROM c GROUP BY grp
+"""

@@ -147,14 +147,41 @@ FROM top
 """
 
 
+# ------------------------------------------------- histogram quantiles
+
+def q_quality_histogram_quantiles(spark, sf_dir):
+    """Per-source quality quantiles (p50/p90/p99) from the 1024-bin
+    histogram sketch — the mergeable, never-rescan quantile path whose
+    small-scale truth is the exact-rank q_quality_quantiles_by_lang.
+    One Arrow profile pass collapses map-side to ≤1024 (source, bin)
+    rows; no per-group sort of document scores anywhere."""
+    from photon_spark.functions import text
+    d = _docs(spark, sf_dir)
+    prof = (text.text_profile(d).select("doc_id", "quality")
+            .join(d.select("doc_id", "source"), "doc_id"))
+    return sketches.histogram_quantiles(prof, "source", F.col("quality"))
+
+
+def _sql_hist() -> str:
+    from photon_spark.queries_northstar import SQL_TEXT_PROFILE
+    table = f"""
+  SELECT s.source, p.quality
+  FROM ({SQL_TEXT_PROFILE}) p
+  JOIN documents s ON p.doc_id = s.doc_id
+"""
+    return sketches.sql_histogram_quantiles(table, "source", "quality")
+
+
 QUERIES = {
     "hll_distinct_audit": q_hll_distinct_audit,
     "kmv_distinct_audit": q_kmv_distinct_audit,
     "countmin_token_freq": q_countmin_token_freq,
+    "quality_histogram_quantiles": q_quality_histogram_quantiles,
 }
 
 ORACLES = {
     "hll_distinct_audit": SQL_HLL_DISTINCT_AUDIT,
     "kmv_distinct_audit": SQL_KMV_DISTINCT_AUDIT,
     "countmin_token_freq": _sql_cm(),
+    "quality_histogram_quantiles": _sql_hist(),
 }

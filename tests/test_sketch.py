@@ -114,3 +114,43 @@ def test_countmin_probe_plan_broadcasts_sketch(spark, toks):
     plan = (sketches.countmin_point_estimates(items, q, "item", "item")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan  # sketch side broadcasts, 4096 rows
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
+    from photon_spark.functions import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = (text.text_profile(d).select("doc_id", "quality")
+            .join(d.select("doc_id", "source"), "doc_id").persist())
+    est = {r.source: r for r in sketches.histogram_quantiles(
+        prof, "source", F.col("quality")).collect()}
+    rows = prof.collect()
+    prof.unpersist()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.quality)
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        for p in (50, 90, 99):
+            exact = vals[(n * p + 99) // 100 - 1]  # percentile_disc
+            got = getattr(est[src], f"est_p{p}")
+            assert abs(got - exact) <= 0.5 / sketches.HIST_BINS + 1e-9, (
+                src, p, got, exact)
+        assert est[src].n == n
+
+
+def test_histogram_registers_merge_is_cellwise_sum(spark, sf_dir):
+    from photon_spark.functions import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = (text.text_profile(d).select("doc_id", "quality")
+            .join(d.select("doc_id", "source"), "doc_id").persist())
+    a = prof.where(F.col("doc_id") % 2 == 0)
+    b = prof.where(F.col("doc_id") % 2 == 1)
+    whole = sketches.histogram_registers(prof, "source", F.col("quality"))
+    merged = (sketches.histogram_registers(a, "source", F.col("quality"))
+              .unionByName(
+                  sketches.histogram_registers(b, "source", F.col("quality")))
+              .groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt")))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+    prof.unpersist()

@@ -452,14 +452,18 @@ def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
     start from.
 
     Same blocked-GEMM shape as dedup.embedding_near_duplicates: vectors
-    shuffle ONCE into n_blocks packed Arrow matrices; every block PAIR is
-    one numpy GEMM task; each task keeps, per row, its local top-k plus
-    everything within 1e-6 of the local kth (GEMM reassociates float
-    adds — the margin makes the local cut a superset of the true top-k,
-    since the global top-k must be top-k within its block pair), then
-    re-verifies those few candidates with the sequential fold. The final
-    exact top-k is a window over ~k·n_blocks candidates per id — the only
-    other shuffle, carrying (id, nbr, cosine) triples.
+    shuffle ONCE into n_blocks packed matrices; every block PAIR is one
+    numpy GEMM task emitting, per row, its local top-k by GEMM score
+    plus everything within a 2e-6 margin of the local kth (GEMM
+    reassociates float adds and the gate rounds to 6dp — the margin
+    covers both, making the local cut a superset of the true top-k,
+    since the global top-k must be top-k within its block pair). The
+    margin-retained survivors (~k+ε per id after the global score
+    window) are then re-scored JVM-side with the Catalyst sequential
+    fold — the exact contract the SQL oracle computes — and the final
+    window ranks on that. No per-candidate Python arithmetic anywhere:
+    Python does one BLAS call per block pair, Catalyst does the exact
+    few-per-id re-verify.
 
     At 100 TB: blocks are persisted buckets; the block-pair manifest
     fans out as independent GEMM tasks (n²/B² flops each at BLAS speed);
@@ -469,6 +473,8 @@ def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
     import pickle
 
     from pyspark.sql import Window
+
+    MARGIN = 2e-6  # 6dp rounding quantum + GEMM reassociation error
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"))
@@ -482,59 +488,71 @@ def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
         return pd.DataFrame({
             "blk": [int(key[0])],
             "ids": [pickle.dumps(ids)],
-            "mat": [pickle.dumps(mat)],
             "nmat": [pickle.dumps(mat / nrm)],
         })
 
     packed = v.groupBy("blk").applyInPandas(
-        pack, schema="blk long, ids binary, mat binary, nmat binary")
+        pack, schema="blk long, ids binary, nmat binary")
     pa = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-                       F.col("mat").alias("mat_a"),
                        F.col("nmat").alias("nmat_a"))
     pb = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-                       F.col("mat").alias("mat_b"),
                        F.col("nmat").alias("nmat_b"))
     block_pairs = pa.join(F.broadcast(pb), F.col("blk_a") <= F.col("blk_b"))
 
     def cands(batches):
         import numpy as np
 
-        def local_topk(sims, ids_r, ids_c, mat_r, mat_c, out):
-            # per row: local top-k by GEMM score + 1e-6 margin ties,
-            # re-verified sequentially
-            for i in range(sims.shape[0]):
-                row = sims[i]
-                nc = row.shape[0]
-                if nc == 0:
-                    continue
-                kk = min(k, nc)
-                # kth best value via partition (descending)
-                cut = np.partition(row, nc - kk)[nc - kk] - 1e-6
-                for j in np.nonzero(row >= cut)[0]:
-                    if ids_r[i] == ids_c[j]:
-                        continue  # masked diagonal can still pass the cut
-                    c = round(seq_cosine(mat_r[i].tolist(),
-                                         mat_c[j].tolist()), 6)
-                    out.append((int(ids_r[i]), int(ids_c[j]), c))
+        def local_topk(sims, ids_r, ids_c, out):
+            # vectorized: per row keep local top-k + margin ties (GEMM
+            # scores only — the exact re-score happens JVM-side)
+            nc = sims.shape[1]
+            if nc == 0:
+                return
+            kk = min(k, nc)
+            cut = (np.partition(sims, nc - kk, axis=1)[:, nc - kk]
+                   - MARGIN)
+            ii, jj = np.nonzero(sims >= cut[:, None])
+            keep = ids_r[ii] != ids_c[jj]  # masked diag can pass the cut
+            for i, j in zip(ii[keep], jj[keep]):
+                out.append((int(ids_r[i]), int(ids_c[j]),
+                            float(sims[i, j])))
 
         for pdf in batches:
             out: list = []
             for rec in pdf.itertuples(index=False):
-                ids_a, mat_a = pickle.loads(rec.ids_a), pickle.loads(rec.mat_a)
-                ids_b, mat_b = pickle.loads(rec.ids_b), pickle.loads(rec.mat_b)
+                ids_a = pickle.loads(rec.ids_a)
+                ids_b = pickle.loads(rec.ids_b)
                 sims = pickle.loads(rec.nmat_a) @ pickle.loads(rec.nmat_b).T
                 if rec.blk_a == rec.blk_b:
                     np.fill_diagonal(sims, -2.0)  # no self-neighbor
-                    local_topk(sims, ids_a, ids_b, mat_a, mat_b, out)
+                    local_topk(sims, ids_a, ids_b, out)
                 else:
-                    local_topk(sims, ids_a, ids_b, mat_a, mat_b, out)
-                    local_topk(sims.T, ids_b, ids_a, mat_b, mat_a, out)
+                    local_topk(sims, ids_a, ids_b, out)
+                    local_topk(np.ascontiguousarray(sims.T), ids_b, ids_a,
+                               out)
             if out:
-                yield pd.DataFrame(out, columns=["id", "nbr", "cosine"])
+                yield pd.DataFrame(out, columns=["id", "nbr", "score"])
 
     cand = block_pairs.mapInPandas(
-        cands, schema="id long, nbr long, cosine double")
-    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
-    return (cand.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") <= k)
-                .select("id", "nbr", "cosine"))
+        cands, schema="id long, nbr long, score double")
+    # global margin cut: keep everything within MARGIN of the per-id kth
+    # GEMM score — the superset the exact re-rank needs
+    w_rank = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("nbr"))
+    w_id = Window.partitionBy("id")
+    kth = F.min(F.when(F.col("rn") <= k, F.col("score"))).over(w_id)
+    surv = (cand.withColumn("rn", F.row_number().over(w_rank))
+                .withColumn("cut", kth - F.lit(MARGIN))
+                .where(F.col("score") >= F.col("cut"))
+                .select("id", "nbr"))
+    # exact re-score in Catalyst (sequential fold == the oracle contract)
+    va = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("vb"))
+    scored = (surv.join(va, "id").join(vb, "nbr")
+                  .select("id", "nbr",
+                          F.round(cosine(F.col("va"), F.col("vb")), 6)
+                           .alias("cosine")))
+    w_final = Window.partitionBy("id").orderBy(F.desc("cosine"),
+                                               F.asc("nbr"))
+    return (scored.withColumn("rn", F.row_number().over(w_final))
+                  .where(F.col("rn") <= k)
+                  .select("id", "nbr", "cosine"))

@@ -154,3 +154,57 @@ def test_histogram_registers_merge_is_cellwise_sum(spark, sf_dir):
     assert whole.exceptAll(merged).count() == 0
     assert merged.exceptAll(whole).count() == 0
     prof.unpersist()
+
+
+def test_hll_streaming_foreachbatch_maintenance(spark, sf_dir, tmp_path):
+    """End-to-end incremental HLL over Structured Streaming: documents
+    arrive as files, each micro-batch's registers merge into a persisted
+    register table via foreachBatch — the final table equals the batch
+    sketch of the whole corpus (never rescanned)."""
+    import shutil
+
+    from photon_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    # two arriving files
+    for i, cond in enumerate((F.col("doc_id") % 2 == 0,
+                              F.col("doc_id") % 2 == 1)):
+        docs.where(cond).coalesce(1).write.parquet(str(tmp_path / f"p{i}"))
+        part = next((tmp_path / f"p{i}").glob("*.parquet"))
+        shutil.copy(part, drop / f"batch{i}.parquet")
+
+    state = str(tmp_path / "registers")
+
+    def apply_batch(batch_df, batch_id):
+        toks = (batch_df
+                .select("source", F.explode(tokens(F.col("text"))).alias("t"))
+                .where(F.col("t") != "")
+                .select("source", F.lower("t").alias("tok")))
+        new = sketches.hll_registers(toks, "source", F.col("tok"))
+        import os
+        if os.path.exists(state):
+            old = batch_df.sparkSession.read.parquet(state)
+            new = sketches.merge_hll_registers(old, new)
+        new.localCheckpoint()  # cut lineage off the overwritten input
+        pdf = new.toPandas()
+        batch_df.sparkSession.createDataFrame(pdf) \
+            .write.mode("overwrite").parquet(state)
+
+    q = (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(str(drop))
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(state)
+    toks_all = (docs.select("source",
+                            F.explode(tokens(F.col("text"))).alias("t"))
+                .where(F.col("t") != "")
+                .select("source", F.lower("t").alias("tok")))
+    whole = sketches.hll_registers(toks_all, "source", F.col("tok"))
+    assert got.exceptAll(whole).count() == 0
+    assert whole.exceptAll(got).count() == 0

@@ -804,6 +804,37 @@ HAVING hamming <= {PHASH_HAM_T}
 """
 
 
+# ------------------------------------------------- dup-graph analytics
+
+def q_dup_graph_degree(spark, sf_dir):
+    """Degree distribution of the near-duplicate graph: how many docs
+    have 1, 2, ... near-dup partners — the shape that tells a curation
+    run whether duplication is pairwise noise or dense boilerplate
+    clusters. Two short aggregations over the (lo, hi) pair relation
+    (ids only, text long gone): degree per doc, then docs per degree."""
+    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    ends = (pairs.select(F.col("lo_id").alias("id"))
+                 .unionAll(pairs.select(F.col("hi_id").alias("id"))))
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    out = (deg.groupBy("degree")
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .orderBy("degree"))
+    out._photon_cached = getattr(pairs, "_photon_cached", [])
+    return out
+
+
+SQL_DUP_GRAPH_DEGREE = """
+WITH pairs AS ({pairs}),
+ends AS (
+  SELECT lo_id AS id FROM pairs UNION ALL SELECT hi_id FROM pairs
+),
+deg AS (
+  SELECT id, count(*) AS degree FROM ends GROUP BY 1
+)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1 ORDER BY degree
+"""
+
+
 # ------------------------------------------------------------- kNN graph
 
 KNN_K = 3
@@ -856,6 +887,7 @@ QUERIES = {
     "media_phash_near_dups": q_media_phash_near_dups,
     "ann_topk_pq": q_ann_topk_pq,
     "knn_graph": q_knn_graph,
+    "dup_graph_degree": q_dup_graph_degree,
 }
 
 ORACLES = {
@@ -882,4 +914,6 @@ ORACLES = {
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "ann_topk_pq": _sql_ann_topk_pq(),
     "knn_graph": SQL_KNN_GRAPH,
+    "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
+        "{pairs}", SQL_MINHASH_NEAR_DUPS),
 }

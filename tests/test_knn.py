@@ -31,3 +31,15 @@ def test_knn_graph_block_count_invariant(spark, sf_dir):
     a = set(map(tuple, similarity.knn_graph(emb, k=2, n_blocks=3).collect()))
     b = set(map(tuple, similarity.knn_graph(emb, k=2, n_blocks=7).collect()))
     assert a == b
+
+
+def test_dup_graph_degree_handshake(spark, sf_dir):
+    from photon_spark.functions import dedup
+    from photon_spark.queries_northstar import q_dup_graph_degree
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_pairs = dedup.minhash_near_duplicates(docs).count()
+    rows = q_dup_graph_degree(spark, sf_dir)
+    got = rows.collect()
+    # handshake lemma: sum of degrees == 2 * |edges|
+    assert sum(r.degree * r.n_docs for r in got) == 2 * n_pairs
+    dedup.release_cache(rows)

@@ -467,17 +467,25 @@ def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
 
     At 100 TB: blocks are persisted buckets; the block-pair manifest
     fans out as independent GEMM tasks (n²/B² flops each at BLAS speed);
-    for approximate variants, prune the manifest to IVF/LSH-adjacent
-    bucket pairs — the kernel is unchanged.
+    for approximate variants, prune the manifest to IVF-adjacent bucket
+    pairs — :func:`knn_graph_ivf`, same kernel.
     """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"))
+    return _knn_graph_blocked(v, None, k, df, vec_col, id_col)
+
+
+def _knn_graph_blocked(v: DataFrame, manifest: list | None, k: int,
+                       df: DataFrame, vec_col: str,
+                       id_col: str) -> DataFrame:
+    """Shared kNN-graph kernel over a (id, v, blk) relation. ``manifest``:
+    optional [(blk_lo, blk_hi), ...] block pairs to score (None = all
+    pairs — the exact graph)."""
     import pickle
 
     from pyspark.sql import Window
 
     MARGIN = 2e-6  # 6dp rounding quantum + GEMM reassociation error
-
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"))
 
     def pack(key, pdf):
         import numpy as np
@@ -497,7 +505,15 @@ def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
                        F.col("nmat").alias("nmat_a"))
     pb = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
                        F.col("nmat").alias("nmat_b"))
-    block_pairs = pa.join(F.broadcast(pb), F.col("blk_a") <= F.col("blk_b"))
+    if manifest is None:
+        block_pairs = pa.join(F.broadcast(pb),
+                              F.col("blk_a") <= F.col("blk_b"))
+    else:
+        man = v.sparkSession.createDataFrame(
+            manifest, "blk_a long, blk_b long")
+        block_pairs = (pa.join(F.broadcast(pb),
+                               F.col("blk_a") <= F.col("blk_b"))
+                         .join(F.broadcast(man), ["blk_a", "blk_b"]))
 
     def cands(batches):
         import numpy as np
@@ -556,3 +572,55 @@ def knn_graph(df: DataFrame, k: int = 3, vec_col: str = "embedding",
     return (scored.withColumn("rn", F.row_number().over(w_final))
                   .where(F.col("rn") <= k)
                   .select("id", "nbr", "cosine"))
+
+
+def knn_graph_ivf(df: DataFrame, k: int = 3, n_cells: int = 16,
+                  n_probe: int = 4, iters: int = 2,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Approximate kNN graph with the block-pair manifest pruned to
+    IVF-adjacent cells — the 100 TB form of :func:`knn_graph`.
+
+    Blocks are the deterministic k-means cells (clustering.kmeans_fit,
+    the same centroids ivf_topk consumes); the manifest keeps, per cell,
+    only the pairs with its ``n_probe`` most-similar cells (by centroid
+    cosine, self included) — n_cells·n_probe GEMM tasks instead of
+    n_cells²/2, i.e. the pair-flop budget drops by ~n_cells/(2·n_probe)
+    while recall stays high because true neighbors land in nearby cells.
+    Output schema matches knn_graph; neighbors are exact *within the
+    probed manifest* (same margin + JVM re-verify kernel). Recall vs the
+    exact graph is pinned in tests.
+    """
+    from photon_spark.functions.clustering import kmeans_fit
+
+    assigned, cents = kmeans_fit(df, k=n_cells, iters=iters,
+                                 vec_col=vec_col, id_col=id_col)
+    manifest = sorted(ivf_cell_manifest(cents, n_probe))
+    v = assigned.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"),
+                        F.col("cluster_id").alias("blk"))
+    return _knn_graph_blocked(v, manifest, k, df, vec_col, id_col)
+
+
+def ivf_cell_manifest(cents: list[list[float]], n_probe: int) -> set:
+    """Block-pair manifest from centroid cosine adjacency: per cell, the
+    pairs with its n_probe most-similar cells (self included).
+
+    Engine-portable construction (the SQL oracle rebuilds it): sims are
+    the strictly sequential fold over the element-wise-normalized
+    centroids, ROUNDED to 6dp before ranking, ties broken by cell id —
+    the ranking key has no room for BLAS-vs-loop last-ulp drift."""
+    import math
+
+    from photon_spark.functions.clustering import _seq_dot
+    cn = []
+    for c in cents:
+        nrm = math.sqrt(_seq_dot(c, c))
+        cn.append([x / nrm for x in c] if nrm else c)
+    manifest = set()
+    for a in range(len(cn)):
+        sims = [(round(_seq_dot(cn[a], cn[b]), 6), b)
+                for b in range(len(cn))]
+        for _, b in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]:
+            manifest.add((min(a, b), max(a, b)))
+    return manifest

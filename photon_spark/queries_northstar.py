@@ -865,6 +865,68 @@ SELECT id, nbr, cosine FROM ranked WHERE rn <= {KNN_K}
 """
 
 
+# ------------------------------------------------- IVF-pruned kNN graph
+
+KNN_IVF_PROBE = 3
+
+
+def q_knn_graph_ivf(spark, sf_dir):
+    """Approximate kNN graph over the IVF-pruned block-pair manifest
+    (cells = the deterministic k-means of kmeans_embeddings, per-cell
+    n_probe most-similar cells) — the 100 TB form of knn_graph: the
+    GEMM task count drops from n_cells²/2 to ~n_cells·n_probe while the
+    kernel (margin screen + JVM sequential re-verify) is unchanged.
+    Deterministic end-to-end, so the oracle rebuilds the identical
+    manifest and graph in SQL. Recall vs the exact graph is pinned in
+    tests."""
+    from photon_spark.queries_curation import KM_ITERS, KM_K
+    return similarity.knn_graph_ivf(_emb(spark, sf_dir), k=KNN_K,
+                                    n_cells=KM_K, n_probe=KNN_IVF_PROBE,
+                                    iters=KM_ITERS)
+
+
+def _sql_knn_graph_ivf() -> str:
+    from photon_spark.queries_curation import _km_ctes
+    return f"""
+WITH {_km_ctes()},
+cn AS (
+  SELECT cl, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+           AS nv
+  FROM c2
+),
+man AS (
+  SELECT DISTINCT least(ca, cb) AS lo, greatest(ca, cb) AS hi
+  FROM (
+    SELECT a.cl AS ca, b.cl AS cb,
+           row_number() OVER (
+             PARTITION BY a.cl
+             ORDER BY round(list_dot_product(a.nv, b.nv), 6) DESC, b.cl
+           ) AS rn
+    FROM cn a CROSS JOIN cn b)
+  WHERE rn <= {KNN_IVF_PROBE}
+),
+cand AS (
+  SELECT x.vec_id AS id, y.vec_id AS nbr
+  FROM a2 x JOIN a2 y ON x.vec_id <> y.vec_id
+  JOIN man m ON least(x.cl, y.cl) = m.lo AND greatest(x.cl, y.cl) = m.hi
+),
+scored AS (
+  SELECT c.id, c.nbr,
+         round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                      e2.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings e1 ON c.id = e1.vec_id
+  JOIN embeddings e2 ON c.nbr = e2.vec_id
+)
+SELECT id, nbr, cosine FROM (
+  SELECT id, nbr, cosine,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cosine DESC, nbr) AS rn
+  FROM scored)
+WHERE rn <= {KNN_K}
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -887,6 +949,7 @@ QUERIES = {
     "media_phash_near_dups": q_media_phash_near_dups,
     "ann_topk_pq": q_ann_topk_pq,
     "knn_graph": q_knn_graph,
+    "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
 
@@ -914,6 +977,7 @@ ORACLES = {
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "ann_topk_pq": _sql_ann_topk_pq(),
     "knn_graph": SQL_KNN_GRAPH,
+    "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),
 }

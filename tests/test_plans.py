@@ -148,3 +148,35 @@ def test_mixture_plan_broadcasts_totals(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the per-lang agg map-side combines before its exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Registry-wide structural lint: no query plan may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed ONLY for
+    the block-pair manifest operators whose non-equi join is over the
+    packed-block relation (n_blocks rows — tiny by construction, and
+    the O(n²) work it encodes is the documented GEMM manifest)."""
+    from photon_spark import queries as q
+
+    nlj_ok = {
+        # block-pair GEMM manifest: non-equi join over n_blocks packed rows
+        "knn_graph", "knn_graph_ivf", "embedding_near_dup_pairs",
+        # crossJoin(broadcast(<1-row totals>)) — scalar denominators
+        "bigram_lift_topk", "token_surprisal_by_source",
+        "mixture_reweight_plan", "mixture_resample",
+        # broadcast query BATCH (bounded by the caller's query count)
+        "ann_topk_multi",
+    }
+    failures = []
+    for name, fn in q.QUERIES.items():
+        try:
+            plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                    .executedPlan().toString())
+        except Exception as exc:  # eager/streaming queries still return DFs
+            failures.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in nlj_ok:
+            failures.append((name, "BroadcastNestedLoopJoin"))
+    assert not failures, failures

@@ -869,3 +869,114 @@ ORACLES = {
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "containment_pairs": _sql_containment_pairs(),
 }
+
+
+# --------------------------------------------- end-to-end corpus build
+
+E2E_BUDGET = 200_000     #: global token budget for the final stage
+E2E_MIN_QUALITY = 0.5    #: 6dp-gated profile quality floor
+
+
+def q_corpus_build_e2e(spark, sf_dir):
+    """The whole curation pipeline as ONE job — profile → quality/lang
+    filter → exact dedup (keep lowest id per fingerprint) → global
+    token-budget selection — reported as a per-stage funnel (stage,
+    n_docs, n_tokens). The integration story: every stage is the
+    already-gated operator, composed on one persisted profile relation
+    (one Arrow pass over text; afterwards only ids, fingerprints and
+    counts move).
+
+    Scale notes: the budget stage reuses the threshold trick (level
+    aggregates + boundary-level prefix) so the global "best docs until
+    the budget is spent" order never becomes a single-partition sort of
+    the corpus; dedup shuffles fingerprints, not text.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    prof = (text.text_profile(d)
+            .select("doc_id", "n_tokens", "lang_pred", "fingerprint",
+                    F.round(F.col("quality") * 1e6).cast("long")
+                     .alias("q_int"))
+            .persist())
+
+    s1 = prof.where((F.col("q_int") >= int(E2E_MIN_QUALITY * 1e6))
+                    & (F.col("lang_pred") != "und"))
+    keep = (s1.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("doc_id")))
+    s2 = s1.join(keep, ["fingerprint", "doc_id"])
+
+    # global threshold-trick budget over (q_int) levels
+    lev = s2.groupBy("q_int").agg(F.sum("n_tokens").alias("tok_l"))
+    wl = (Window.orderBy(F.col("q_int").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lev = (lev.withColumn("cum", F.sum("tok_l").over(wl))
+              .withColumn("cum_before", F.col("cum") - F.col("tok_l")))
+    B = F.lit(E2E_BUDGET)
+    docs2 = s2.join(F.broadcast(lev.select("q_int", "cum", "cum_before")),
+                    "q_int")
+    full = F.col("cum") <= B
+    boundary = (F.col("cum_before") <= B) & (F.col("cum") > B)
+    wb = (Window.partitionBy("q_int").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bkeep = (docs2.where(boundary)
+                  .withColumn("pre", F.sum("n_tokens").over(wb))
+                  .where(F.col("cum_before") + F.col("pre") <= B)
+                  .select("doc_id", F.lit(1).alias("bkept")))
+    kept = full | F.coalesce(F.col("bkept") == 1, F.lit(False))
+    s3 = (docs2.join(bkeep, "doc_id", "left")
+               .where(kept).select("doc_id", "n_tokens"))
+
+    def stage(idx, name, df):
+        return df.agg(F.lit(idx).alias("stage_idx"),
+                      F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"),
+                      F.coalesce(F.sum("n_tokens"), F.lit(0))
+                       .cast("long").alias("n_tokens"))
+
+    out = (stage(0, "input", prof)
+           .unionByName(stage(1, "quality_lang", s1))
+           .unionByName(stage(2, "exact_dedup", s2))
+           .unionByName(stage(3, "token_budget", s3)))
+    out._photon_cached = [prof]  # type: ignore[attr-defined]
+    return out
+
+
+SQL_CORPUS_BUILD_E2E = f"""
+WITH prof AS ({SQL_TEXT_PROFILE}),
+p AS (
+  SELECT doc_id, n_tokens, lang_pred, fingerprint,
+         CAST(round(quality * 1000000) AS BIGINT) AS q_int
+  FROM prof
+),
+s1 AS (
+  SELECT * FROM p
+  WHERE q_int >= {int(E2E_MIN_QUALITY * 1e6)} AND lang_pred <> 'und'
+),
+s2 AS (
+  SELECT s1.* FROM s1
+  JOIN (SELECT fingerprint, min(doc_id) AS doc_id
+        FROM s1 GROUP BY fingerprint) k
+    ON s1.fingerprint = k.fingerprint AND s1.doc_id = k.doc_id
+),
+c AS (
+  SELECT doc_id, n_tokens, sum(n_tokens) OVER (
+      ORDER BY q_int DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s2
+),
+s3 AS (SELECT doc_id, n_tokens FROM c WHERE cum <= {E2E_BUDGET})
+SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs,
+       coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens FROM p
+UNION ALL
+SELECT 1, 'quality_lang', count(*), coalesce(sum(n_tokens), 0)::BIGINT
+FROM s1
+UNION ALL
+SELECT 2, 'exact_dedup', count(*), coalesce(sum(n_tokens), 0)::BIGINT
+FROM s2
+UNION ALL
+SELECT 3, 'token_budget', count(*), coalesce(sum(n_tokens), 0)::BIGINT
+FROM s3
+"""
+
+QUERIES["corpus_build_e2e"] = q_corpus_build_e2e
+ORACLES["corpus_build_e2e"] = SQL_CORPUS_BUILD_E2E

@@ -305,3 +305,16 @@ def test_containment_bounds_and_dominance(spark, sf_dir):
     assert all(0.9 <= r["containment"] <= 1.0 for r in rows)
     # containment >= jaccard always (min-denominator dominates union)
     assert all(r["containment"] >= r["jaccard"] for r in rows)
+
+
+def test_corpus_build_e2e_funnel_monotone(spark, sf_dir):
+    from photon_spark.queries_select import E2E_BUDGET, q_corpus_build_e2e
+    rows = {r.stage: r for r in q_corpus_build_e2e(spark, sf_dir).collect()}
+    assert list(rows) == ["input", "quality_lang", "exact_dedup",
+                          "token_budget"] or len(rows) == 4
+    seq = [rows[s] for s in ("input", "quality_lang", "exact_dedup",
+                             "token_budget")]
+    for a, b in zip(seq, seq[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
+    assert seq[3].n_tokens <= E2E_BUDGET

@@ -535,3 +535,8 @@ from photon_spark import queries_sketch as _sk  # noqa: E402
 
 QUERIES.update(_sk.QUERIES)
 ORACLES.update(_sk.ORACLES)
+
+from photon_spark import queries_ranking as _rk  # noqa: E402
+
+QUERIES.update(_rk.QUERIES)
+ORACLES.update(_rk.ORACLES)

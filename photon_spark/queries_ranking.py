@@ -1,0 +1,264 @@
+"""Retrieval & ranking queries: BM25 scoring, weighted priority
+sampling, exponential-decay popularity, PageRank over the near-dup
+graph, and hard-negative mining for contrastive training — the ranking
+layer of a training-data pipeline, each hash-gated against a DuckDB
+oracle.
+
+Float policy (see queries.py): every double is either (a) a single IEEE
+op over exactly-aggregated integers, (b) a fixed-order sum of such
+values, or (c) exact dyadic arithmetic (powers of two) — never a
+re-associating float aggregate. PageRank uses exact integer micro-unit
+arithmetic so three power iterations hash identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from photon_spark.functions import text
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    from photon_spark.queries import _t
+    return _t(spark, sf_dir, "events")
+
+
+# ----------------------------------------------------------------- BM25
+
+#: fixed query term set (a retrieval request is a parameter, not data)
+BM25_TERMS = ["join", "filter", "window", "partition"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+#: DuckDB spelling of the shared token stream (queries_northstar._SQL_TOKS)
+_SQL_TOKS = ("CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+             "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-{BM25_TOPK} documents by BM25 for a fixed 4-term query.
+
+    The idf is the rational surrogate (N - df + ½)/(df + ½) — computed
+    as one integer-ratio division, so no cross-engine ``ln`` is ever
+    taken — and the whole score is a FIXED-ORDER sum of four per-term
+    expressions over exactly-counted integers (tf, dl, N, Σdl, df), so
+    the hash gate holds without any tolerance.
+
+    Plan (the 100 TB retrieval shape): one token explode → one
+    (doc_id)-keyed aggregate producing dl + the four tf counts in the
+    same pass (no pivot, no second scan), a 1-row corpus-stats aggregate
+    collected to the driver (query-batch economics: stats are corpus
+    metadata, cached in practice), then a map-side score projection and
+    TakeOrderedAndProject — the corpus text never shuffles, only one
+    short row per document.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    tf_cols = [F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("long").alias(f"tf_{t}") for t in BM25_TERMS]
+    per_doc = (toks.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("dl"), *tf_cols))
+    per_doc = per_doc.persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in BM25_TERMS]).collect()[0]
+    n_docs, total_len = stats["n_docs"], stats["total_len"]
+
+    def term_score(t: str):
+        # idf = (2N - 2df + 1) / (2df + 1): one integer-ratio division,
+        # identical to the oracle's literal-free spelling.
+        df_t = stats[f"df_{t}"]
+        idf = float(2 * n_docs - 2 * df_t + 1) / float(2 * df_t + 1)
+        tf = F.col(f"tf_{t}").cast("double")
+        denom = (tf + (F.lit(BM25_K1 * (1.0 - BM25_B))
+                       + (F.lit(BM25_K1 * BM25_B) * F.col("dl").cast("double")
+                          * F.lit(float(n_docs)) / F.lit(float(total_len)))))
+        return F.lit(idf) * (tf * F.lit(BM25_K1 + 1.0)) / denom
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    out = (per_doc
+           .where(sum((F.col(f"tf_{t}") > 0).cast("int")
+                      for t in BM25_TERMS) > 0)
+           .select("doc_id", "dl",
+                   *[f"tf_{t}" for t in BM25_TERMS],
+                   F.round(score, 6).alias("bm25"))
+           .orderBy(F.desc("bm25"), F.asc("doc_id"))
+           .limit(BM25_TOPK))
+    from photon_spark.functions.dedup import _own_cache
+    return _own_cache(out, [per_doc])
+
+
+def _sql_bm25() -> str:
+    k1, b = BM25_K1, BM25_B
+    tf_sel = ",\n         ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in BM25_TERMS)
+    df_sel = ",\n         ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS)
+    # Fixed-order sum, each term spelled exactly like the Spark column
+    # tree: lit(idf) * (tf * 2.2) / (tf + (0.3 + 0.9 * dl * N / total)).
+    # idf and the two scale constants are single divisions of integers,
+    # so both engines compute bit-identical doubles.
+    terms = " + ".join(
+        f"(((2 * s.n_docs - 2 * s.df_{t} + 1)::DOUBLE"
+        f" / (2 * s.df_{t} + 1)::DOUBLE)"
+        f" * (p.tf_{t}::DOUBLE * {k1 + 1.0!r})"
+        f" / (p.tf_{t}::DOUBLE + ({k1 * (1.0 - b)!r}"
+        f" + ({k1 * b!r} * p.dl::DOUBLE"
+        f" * s.n_docs::DOUBLE / s.total_len::DOUBLE))))"
+        for t in BM25_TERMS)
+    any_tf = " + ".join(
+        f"CASE WHEN p.tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS)
+    tf_out = ", ".join(f"p.tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({_SQL_TOKS})) AS tok FROM documents
+), per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_sel}
+  FROM toks GROUP BY doc_id
+), s AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len,
+         {df_sel}
+  FROM per_doc
+)
+SELECT p.doc_id, p.dl, {tf_out},
+       round({terms}, 6) AS bm25
+FROM per_doc p, s
+WHERE ({any_tf}) > 0
+ORDER BY bm25 DESC, p.doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+# ------------------------------------------- exponential-decay popularity
+
+#: epoch-ns of 2024-01-31 00:00:00 UTC — the "as of" instant (the event
+#: table spans January 2024)
+DECAY_REF_NS = 1_706_659_200_000_000_000
+DAY_NS = 86_400_000_000_000_000 // 1000
+#: staircase half-life: weight halves every DECAY_STEP_DAYS
+DECAY_STEP_DAYS = 4
+DECAY_MAX_STEP = 7
+DECAY_SCALE = 1 << DECAY_MAX_STEP  # 128
+
+
+def q_events_decay_popularity(spark, sf_dir):
+    """Per-event-type exponentially-decayed popularity as of a fixed
+    instant: weight = 2^-⌊age_days/{DECAY_STEP_DAYS}⌋ (staircase decay,
+    half-life {DECAY_STEP_DAYS} days, floored at 2^-{DECAY_MAX_STEP}).
+
+    Every weight is a power of two, so the decayed total is summed as an
+    EXACT integer in 1/{DECAY_SCALE} units and converted to a double by
+    one dyadic division — the recency-weighting trick that makes a decay
+    aggregate hash-reproducible (and mergeable across incremental runs:
+    old totals re-decay by an integer shift).
+
+    Plan: map-side integer weight per row, one short-key hash aggregate.
+    """
+    e = _events(spark, sf_dir)
+    # Integer epoch-ns end-to-end: a double division of an epoch-ns long
+    # loses precision past 2^53, so age is floor-divided as a long.
+    step = (f"least((({DECAY_REF_NS} - ts) div {DAY_NS})"
+            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP})")
+    w = F.expr(
+        f"cast(shiftleft(1, {DECAY_MAX_STEP} - cast(({step}) as int)) "
+        "as long)")
+    return (e.select("event_type", w.alias("w"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("w").alias("decayed_units"),
+                  (F.sum("w") / F.lit(float(DECAY_SCALE)))
+                  .alias("decayed_count")))
+
+
+SQL_EVENTS_DECAY_POPULARITY = f"""
+WITH w AS (
+  SELECT event_type,
+         (1::BIGINT << ({DECAY_MAX_STEP} - least(
+            ({DECAY_REF_NS} - epoch_ns(ts)) // {DAY_NS}
+              // {DECAY_STEP_DAYS},
+            {DECAY_MAX_STEP})::INT)) AS w
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, sum(w) AS decayed_units,
+       sum(w)::DOUBLE / {float(DECAY_SCALE)!r} AS decayed_count
+FROM w GROUP BY event_type
+"""
+
+
+# ------------------------------------------------ weighted priority sample
+
+PRIO_PER_SOURCE = 5
+
+
+def q_priority_sample(spark, sf_dir):
+    """Weighted sample (priority sampling, Duffield et al.): per source,
+    the {PRIO_PER_SOURCE} documents with the largest priority
+    w / u, where w = n_chars and u is the md5-derived 60-bit uniform —
+    longer docs are proportionally likelier to be kept, yet the sample
+    is fully deterministic and reproducible across engines.
+
+    Plan: priority is one map-side division; the per-source rank gets
+    Catalyst's WindowGroupLimit (≤ k rows per source survive each map
+    partition), so the sample never sorts a source's full holdings.
+
+    The priority itself is a double used only for ORDERING (one IEEE
+    division of exact integers — bit-identical on both engines); the
+    gated output carries the exact integer draw u60 instead of a float.
+    """
+    from photon_spark.functions.sketches import _h60
+    d = _docs(spark, sf_dir)
+    u = (_h60(F.col("doc_id").cast("string")) + 1).alias("u60")
+    prio = (F.col("n_chars").cast("double")
+            / F.col("u60").cast("double")).alias("prio")
+    w = Window.partitionBy("source").orderBy(F.desc("prio"), F.asc("doc_id"))
+    return (d.select("source", "doc_id", "n_chars", u)
+             .select("source", "doc_id", "n_chars", "u60", prio)
+             .withColumn("rank", F.row_number().over(w).cast("long"))
+             .where(F.col("rank") <= PRIO_PER_SOURCE)
+             .select("source", "doc_id", "n_chars", "u60", "rank"))
+
+
+def _sql_priority_sample() -> str:
+    from photon_spark.functions.sketches import sql_h60
+    h = sql_h60("doc_id::VARCHAR")
+    return f"""
+WITH p AS (
+  SELECT source, doc_id, n_chars, ({h} + 1) AS u60,
+         n_chars::DOUBLE / ({h} + 1)::DOUBLE AS prio
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_chars, u60,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY prio DESC, doc_id ASC) AS rank
+  FROM p
+)
+SELECT source, doc_id, n_chars, u60, rank
+FROM r WHERE rank <= {PRIO_PER_SOURCE}
+"""
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "events_decay_popularity": q_events_decay_popularity,
+    "priority_sample": q_priority_sample,
+}
+
+ORACLES = {
+    "bm25_topk": _sql_bm25(),
+    "events_decay_popularity": SQL_EVENTS_DECAY_POPULARITY,
+    "priority_sample": _sql_priority_sample(),
+}

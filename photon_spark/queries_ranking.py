@@ -251,14 +251,161 @@ FROM r WHERE rank <= {PRIO_PER_SOURCE}
 """
 
 
+# ------------------------------------------- PageRank over the dup graph
+
+PR_TOTAL = 10**12      #: rank mass in integer micro-micro units
+PR_ITERS = 3
+PR_DAMP_NUM = 85       #: damping 0.85 as an integer ratio
+
+
+def q_pagerank_dup_graph(spark, sf_dir):
+    """PageRank (3 power iterations, damping 0.85) over the undirected
+    near-duplicate graph — ranks the "most central" boilerplate: a doc
+    near-duplicated by many already-duplicated docs outranks one in a
+    single pair, which is the right keep-priority signal for canonical
+    selection.
+
+    Exact-integer power iteration: rank lives in 1e-12 units of total
+    mass; each step is contrib = rank div degree (integer), then
+    new = (15·total) div (100·n) + (85·Σcontrib) div 100 — floor
+    divisions and exact integer sums only, so three iterations hash
+    identically on both engines with no float tolerance.
+
+    Scale shape: each iteration is one equi-join of the rank relation
+    against the edge list plus one keyed sum — the standard
+    edge-partitioned power iteration; ids only, no text, no windows.
+    """
+    from photon_spark.functions import dedup
+    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    edges = (pairs.select(F.col("lo_id").alias("src"),
+                          F.col("hi_id").alias("dst"))
+                  .unionAll(pairs.select(F.col("hi_id").alias("src"),
+                                         F.col("lo_id").alias("dst"))))
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .withColumnRenamed("src", "id")).persist()
+    n = deg.count()
+    rank = deg.select("id", F.lit(PR_TOTAL // n).alias("rank"))
+    jump = (100 - PR_DAMP_NUM) * PR_TOTAL // (100 * n)
+    for _ in range(PR_ITERS):
+        contrib = (rank.join(deg, "id")
+                       .select("id", F.expr("rank div deg").alias("c"))
+                       .join(edges, F.col("id") == F.col("src"))
+                       .groupBy("dst").agg(F.sum("c").alias("msum")))
+        rank = contrib.select(
+            F.col("dst").alias("id"),
+            F.expr(f"{jump} + ({PR_DAMP_NUM} * msum) div 100").alias("rank"))
+    out = rank.select(F.col("id").alias("doc_id"),
+                      F.col("rank").alias("rank_e12"),
+                      (F.col("rank").cast("double") / F.lit(1.0e12))
+                      .alias("pagerank"))
+    from photon_spark.functions.dedup import _own_cache
+    return _own_cache(out, getattr(pairs, "_photon_cached", []) + [deg])
+
+
+def _sql_pagerank() -> str:
+    from photon_spark.queries_northstar import SQL_MINHASH_NEAR_DUPS
+    its = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""it{i} AS (
+  SELECT e.dst AS id,
+         (SELECT jump FROM params)
+           + ({PR_DAMP_NUM} * sum(r.rank // d.deg)) // 100 AS rank
+  FROM edges e
+  JOIN {prev} r ON r.id = e.src
+  JOIN deg d ON d.id = e.src
+  GROUP BY e.dst
+)""")
+        prev = f"it{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS src, hi_id AS dst FROM pairs
+  UNION ALL SELECT hi_id, lo_id FROM pairs
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+params AS (
+  SELECT count(*) AS n, {PR_TOTAL} // count(*) AS r_init,
+         {(100 - PR_DAMP_NUM) * PR_TOTAL} // (100 * count(*)) AS jump
+  FROM deg
+),
+r0 AS (SELECT id, (SELECT r_init FROM params) AS rank FROM deg),
+{its_sql}
+SELECT id AS doc_id, rank AS rank_e12, rank::DOUBLE / 1e12 AS pagerank
+FROM {prev}
+"""
+
+
+# --------------------------------------------------- hard-negative mining
+
+#: fixed anchor ids (the anchor batch is a parameter, not data — exists
+#: at every sf because vec_ids are dense from 0)
+HN_ANCHORS = [0, 61, 122, 183, 244, 305, 366, 427, 488]
+HN_K = 3
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard negatives for contrastive training: for each anchor vector,
+    the {HN_K} most-cosine-similar vectors whose LABEL DIFFERS — the
+    pairs that teach an embedding model the most.
+
+    Scale shape = the batch-ANN serving plan (queries_select.
+    q_ann_topk_multi): the fixed anchor batch broadcasts, every corpus
+    vector scores map-side, the label-mismatch predicate filters before
+    the rank, and WindowGroupLimit keeps ≤ k rows per anchor per map
+    partition. Corpus vectors never shuffle.
+    """
+    from photon_spark.functions.similarity import cosine
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = (e.where(F.col("vec_id").isin(HN_ANCHORS))
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qv"),
+                        F.col("label").alias("query_label")))
+    scored = (e.crossJoin(F.broadcast(anchors))
+               .where(F.col("label") != F.col("query_label"))
+               .select("query_id", "query_label", "vec_id",
+                       F.col("label").alias("neg_label"),
+                       F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                        .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= HN_K))
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding, label AS query_label
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, HN_ANCHORS))})
+), s AS (
+  SELECT q.query_id, q.query_label, b.vec_id, b.label AS neg_label,
+         round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings b, q WHERE b.label != q.query_label
+), r AS (
+  SELECT query_id, query_label, vec_id, neg_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, query_label, vec_id, neg_label, cosine, rank
+FROM r WHERE rank <= {HN_K}
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "events_decay_popularity": q_events_decay_popularity,
     "priority_sample": q_priority_sample,
+    "pagerank_dup_graph": q_pagerank_dup_graph,
+    "hard_negative_mining": q_hard_negative_mining,
 }
 
 ORACLES = {
     "bm25_topk": _sql_bm25(),
     "events_decay_popularity": SQL_EVENTS_DECAY_POPULARITY,
     "priority_sample": _sql_priority_sample(),
+    "pagerank_dup_graph": _sql_pagerank(),
+    "hard_negative_mining": SQL_HARD_NEGATIVES,
 }

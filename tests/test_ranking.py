@@ -103,3 +103,64 @@ def test_priority_sample_matches_naive(spark, sf_dir):
 def test_priority_sample_window_group_limit(spark, sf_dir):
     plan = _plan(qr.q_priority_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------- pagerank
+
+def test_pagerank_matches_exact_integer_recompute(spark, sf_dir):
+    got = {r["doc_id"]: r["rank_e12"]
+           for r in qr.q_pagerank_dup_graph(spark, sf_dir).collect()}
+
+    from photon_spark.functions import dedup
+    pairs = dedup.minhash_near_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    edges = []
+    for r in pairs.select("lo_id", "hi_id").collect():
+        edges.append((r["lo_id"], r["hi_id"]))
+        edges.append((r["hi_id"], r["lo_id"]))
+    dedup.release_cache(pairs)
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    rank = {v: qr.PR_TOTAL // n for v in deg}
+    jump = (100 - qr.PR_DAMP_NUM) * qr.PR_TOTAL // (100 * n)
+    for _ in range(qr.PR_ITERS):
+        msum: dict = {}
+        for s, d in edges:
+            msum[d] = msum.get(d, 0) + rank[s] // deg[s]
+        rank = {v: jump + (qr.PR_DAMP_NUM * m) // 100
+                for v, m in msum.items()}
+    assert got == rank
+
+
+def test_pagerank_mass_roughly_conserved(spark, sf_dir):
+    rows = qr.q_pagerank_dup_graph(spark, sf_dir).collect()
+    total = sum(r["rank_e12"] for r in rows)
+    # floor divisions only ever LOSE mass, ≤ ~1 unit per div per node
+    assert 0.9 * qr.PR_TOTAL < total <= qr.PR_TOTAL
+    assert all(r["rank_e12"] > 0 for r in rows)
+
+
+# ---------------------------------------------------- hard negatives
+
+def test_hard_negatives_match_numpy(spark, sf_dir):
+    import numpy as np
+    rows = qr.q_hard_negative_mining(spark, sf_dir).collect()
+    emb = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),
+                         r["label"])
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                             .collect()}
+    got: dict = {}
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(got) == set(qr.HN_ANCHORS)
+    for a in qr.HN_ANCHORS:
+        qv, ql = emb[a]
+        scored = sorted(
+            (-round(float(np.dot(v, qv)
+                          / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), i)
+            for i, (v, l) in emb.items() if l != ql)
+        want = [i for _, i in scored[:qr.HN_K]]
+        assert got[a] == want

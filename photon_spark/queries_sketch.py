@@ -172,11 +172,167 @@ def _sql_hist() -> str:
     return sketches.sql_histogram_quantiles(table, "source", "quality")
 
 
+# -------------------------------------------- KMV set-algebra overlap
+
+#: shared-shingle-space audit between every source pair
+KMV_OV_K = sketches.KMV_K
+
+
+def q_kmv_source_overlap(spark, sf_dir):
+    """Content-space overlap between every pair of sources: KMV union /
+    intersection ESTIMATES (inclusion–exclusion over merged sketches)
+    next to the exact answers they approximate — the sketch set-algebra
+    that lets a 100 TB governance job answer "how much n-gram space do
+    crawls A and B share?" from k-hash summaries instead of a full
+    distinct-join.
+
+    Shape: the full (source, shingle-hash) relation exists once (and at
+    scale only to produce the exact audit columns; the sketch path needs
+    just the ≤ k kept hashes per source, a 20×256-row relation that
+    BROADCASTS). Merged pair sketches come from two equi-joins of the
+    kept relation against the source-pair matrix — never a shuffle of
+    the shingle space. Estimates are (k-1)·2^60/kth — one IEEE division
+    of exact integers, rounded 2dp; the inclusion–exclusion sum is three
+    such doubles combined in fixed order, so the gate holds exactly.
+    """
+    from pyspark.sql import Window
+    from photon_spark.functions.dedup import _own_cache, shingles_udf
+    k = KMV_OV_K
+    d = _docs(spark, sf_dir)
+    h = (d.select("source", F.explode(shingles_udf("text")).alias("g"))
+          .select("source", sketches._h60(F.col("g")).alias("h60"))
+          .distinct()).persist()
+    w = Window.partitionBy("source").orderBy("h60")
+    kept = (h.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= k).drop("rn")).persist()
+
+    def est(n_kept, kth):
+        return F.round(
+            F.when(n_kept < k, n_kept.cast("double"))
+             .otherwise(F.lit(float(k - 1) * sketches.KMV_DOMAIN)
+                        / kth.cast("double")), 2)
+
+    per = kept.groupBy("source").agg(F.count(F.lit(1)).alias("nk"),
+                                     F.max("h60").alias("kth"))
+    per = per.select("source", est(F.col("nk"), F.col("kth")).alias("est"))
+    exact = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    srcs = h.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("source_a"))
+                 .join(srcs.select(F.col("source").alias("source_b")),
+                       F.col("source_a") < F.col("source_b")))
+    m = (pairs.join(kept, F.col("source") == F.col("source_a"))
+              .select("source_a", "source_b", "h60")
+              .unionAll(
+         pairs.join(kept, F.col("source") == F.col("source_b"))
+              .select("source_a", "source_b", "h60"))
+              .distinct())
+    wm = Window.partitionBy("source_a", "source_b").orderBy("h60")
+    mu = (m.withColumn("rn", F.row_number().over(wm))
+           .where(F.col("rn") <= k)
+           .groupBy("source_a", "source_b")
+           .agg(F.count(F.lit(1)).alias("nk"), F.max("h60").alias("kth")))
+    mu = mu.select("source_a", "source_b",
+                   est(F.col("nk"), F.col("kth")).alias("est_union"))
+
+    inter = (h.select(F.col("source").alias("source_a"), "h60")
+              .join(h.select(F.col("source").alias("source_b"), "h60"),
+                    "h60")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).alias("exact_intersection")))
+
+    out = (mu
+           .join(per.select(F.col("source").alias("source_a"),
+                            F.col("est").alias("est_a")), "source_a")
+           .join(per.select(F.col("source").alias("source_b"),
+                            F.col("est").alias("est_b")), "source_b")
+           .join(exact.select(F.col("source").alias("source_a"),
+                              F.col("n_exact").alias("n_a")), "source_a")
+           .join(exact.select(F.col("source").alias("source_b"),
+                              F.col("n_exact").alias("n_b")), "source_b")
+           .join(inter, ["source_a", "source_b"], "left")
+           .na.fill({"exact_intersection": 0})
+           .select("source_a", "source_b", "est_union",
+                   F.round(F.col("est_a") + F.col("est_b")
+                           - F.col("est_union"), 2)
+                    .alias("est_intersection"),
+                   (F.col("n_a") + F.col("n_b")
+                    - F.col("exact_intersection")).alias("exact_union"),
+                   "exact_intersection"))
+    return _own_cache(out, [h, kept])
+
+
+def _sql_kmv_overlap() -> str:
+    from photon_spark.queries_northstar import _SQL_GRAMS, _SQL_NORM
+    k = KMV_OV_K
+    dom = float(k - 1) * sketches.KMV_DOMAIN
+    est = (f"round(CASE WHEN nk < {k} THEN nk::DOUBLE "
+           f"ELSE {dom!r} / kth::DOUBLE END, 2)")
+    return f"""
+WITH norm AS (
+  SELECT source, string_split({_SQL_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT source, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
+), h AS (
+  SELECT DISTINCT source, {sketches.sql_h60('gr')} AS h60
+  FROM (SELECT source, unnest(g) AS gr FROM grams WHERE len(g) > 0)
+), kept AS (
+  SELECT source, h60 FROM (
+    SELECT source, h60,
+           row_number() OVER (PARTITION BY source ORDER BY h60) AS rn
+    FROM h) WHERE rn <= {k}
+), per AS (
+  SELECT source, {est} AS est FROM (
+    SELECT source, count(*) AS nk, max(h60) AS kth FROM kept GROUP BY 1)
+), exact AS (
+  SELECT source, count(*) AS n_exact FROM h GROUP BY 1
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM h) a,
+       (SELECT DISTINCT source FROM h) b
+  WHERE a.source < b.source
+), m AS (
+  SELECT DISTINCT source_a, source_b, h60 FROM (
+    SELECT p.source_a, p.source_b, kk.h60
+    FROM pairs p JOIN kept kk ON kk.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, kk.h60
+    FROM pairs p JOIN kept kk ON kk.source = p.source_b)
+), mu AS (
+  SELECT source_a, source_b, {est} AS est_union FROM (
+    SELECT source_a, source_b, count(*) AS nk, max(h60) AS kth FROM (
+      SELECT source_a, source_b, h60,
+             row_number() OVER (PARTITION BY source_a, source_b
+                                ORDER BY h60) AS rn
+      FROM m) WHERE rn <= {k}
+    GROUP BY 1, 2)
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS exact_intersection
+  FROM h a JOIN h b ON a.h60 = b.h60 AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT mu.source_a, mu.source_b, mu.est_union,
+       round(pa.est + pb.est - mu.est_union, 2) AS est_intersection,
+       ea.n_exact + eb.n_exact - coalesce(i.exact_intersection, 0)
+         AS exact_union,
+       coalesce(i.exact_intersection, 0) AS exact_intersection
+FROM mu
+JOIN per pa ON pa.source = mu.source_a
+JOIN per pb ON pb.source = mu.source_b
+JOIN exact ea ON ea.source = mu.source_a
+JOIN exact eb ON eb.source = mu.source_b
+LEFT JOIN inter i ON i.source_a = mu.source_a AND i.source_b = mu.source_b
+"""
+
+
 QUERIES = {
     "hll_distinct_audit": q_hll_distinct_audit,
     "kmv_distinct_audit": q_kmv_distinct_audit,
     "countmin_token_freq": q_countmin_token_freq,
     "quality_histogram_quantiles": q_quality_histogram_quantiles,
+    "kmv_source_overlap": q_kmv_source_overlap,
 }
 
 ORACLES = {
@@ -184,4 +340,5 @@ ORACLES = {
     "kmv_distinct_audit": SQL_KMV_DISTINCT_AUDIT,
     "countmin_token_freq": _sql_cm(),
     "quality_histogram_quantiles": _sql_hist(),
+    "kmv_source_overlap": _sql_kmv_overlap(),
 }

@@ -168,6 +168,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "ann_topk_multi",
         # broadcast anchor batch (fixed HN_ANCHORS list — 9 rows)
         "hard_negative_mining",
+        # source-pair matrix: |sources|² tiny-by-construction cross
+        "kmv_source_overlap",
     }
     failures = []
     for name, fn in q.QUERIES.items():

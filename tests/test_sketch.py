@@ -208,3 +208,42 @@ def test_hll_streaming_foreachbatch_maintenance(spark, sf_dir, tmp_path):
     whole = sketches.hll_registers(toks_all, "source", F.col("tok"))
     assert got.exceptAll(whole).count() == 0
     assert whole.exceptAll(got).count() == 0
+
+
+def test_kmv_source_overlap_exact_columns_and_envelope(spark, sf_dir):
+    """Exact union/intersection columns match a Python set recompute; the
+    KMV estimates equal the exact values whenever the sketch holds the
+    whole set (n < k), and stay within the k=256 error envelope when it
+    estimates."""
+    import hashlib
+    import re
+
+    from photon_spark import queries_sketch as qs
+
+    rows = qs.q_kmv_source_overlap(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("source", "text").collect()
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    sets: dict = {}
+    for r in docs:
+        t = ws.sub(" ", (r["text"] or "").lower()).strip(" ")
+        toks = t.split(" ") if t else []
+        for i in range(len(toks) - 2):
+            g = " ".join(toks[i:i + 3])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            sets.setdefault(r["source"], set()).add(h)
+    assert rows, "no source pairs"
+    for r in rows:
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        assert r["exact_intersection"] == len(a & b)
+        assert r["exact_union"] == len(a | b)
+        if len(a) < qs.KMV_OV_K and len(b) < qs.KMV_OV_K:
+            assert r["est_union"] == len(a | b)
+            assert r["est_intersection"] == len(a & b)
+        else:
+            # 1/sqrt(k) ≈ 6.3% std err per sketch; inclusion-exclusion
+            # compounds three of them — allow 5 sigma on the union size
+            tol = 0.32 * r["exact_union"] + 2
+            assert abs(r["est_union"] - r["exact_union"]) <= tol
+            assert abs(r["est_intersection"]
+                       - r["exact_intersection"]) <= tol

@@ -540,3 +540,8 @@ from photon_spark import queries_ranking as _rk  # noqa: E402
 
 QUERIES.update(_rk.QUERIES)
 ORACLES.update(_rk.ORACLES)
+
+from photon_spark import queries_layout as _ly  # noqa: E402
+
+QUERIES.update(_ly.QUERIES)
+ORACLES.update(_ly.ORACLES)

@@ -1,0 +1,178 @@
+"""Data-layout queries: the Z-order file-skipping audit.
+
+Scan cost at 100 TB is a layout decision: this query lays the events
+table out two ways — Z-order (Morton curve over a normalized
+user_id × event-hour grid) vs insertion order (which for an event log
+is time order) — computes each layout's per-file min-max ranges, and
+counts the rows a reader would scan for three query shapes. The
+insertion layout prunes time queries perfectly and user queries not at
+all; the Z layout bounds the damage across BOTH — which is the whole
+argument for multi-dimensional clustering. Everything is exact integer
+arithmetic, so the audit hash-matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from photon_spark.functions.layout import zvalue_expr
+
+HOUR_NS = 3_600_000_000_000
+T0_NS = 1_704_067_200_000_000_000          # 2024-01-01 00:00:00 UTC
+GRID_BITS = 8                               #: normalized grid per dim
+FILE_ROWS = 250                             #: rows per "file", both layouts
+#: audited query shapes: a user-only range, an hour-only range, a 2-D box
+UQ = (40, 45)
+HQ = (200, 240)
+BOX = (40, 80, 200, 400)
+
+
+def _events(spark, sf_dir):
+    from photon_spark.queries import _t
+    return _t(spark, sf_dir, "events")
+
+
+def q_zorder_skipping_audit(spark, sf_dir):
+    """File-skipping audit: Z-order vs insertion order for three query
+    shapes (user-only, hour-only, 2-D box), equal file sizes.
+
+    Both dimensions are first normalized onto a 2^{GRID_BITS} grid
+    (value·256 div (max+1)) — raw interleaving would hand the curve's
+    high bits to whichever column has more of them, degrading it to a
+    single-column sort. Files are {FILE_ROWS}-row runs of the z-sorted
+    (resp. insertion-sorted) order; a file is scanned when its min-max
+    box intersects the query — exactly parquet row-group pruning.
+
+    The rank window here is the deterministic stand-in for the
+    production writer (functions/layout.py: repartitionByRange on the
+    z-value — a sampled range sort, no global window); the audit itself
+    is two keyed aggregations plus three 1-row conditional-sum passes.
+    """
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.expr(f"(ts - {T0_NS}) div {HOUR_NS}").alias("hour"))
+    mx = e.agg(F.max("user_id"), F.max("hour")).collect()[0]
+    max_u, max_h = mx[0], mx[1]
+    g = e.select(
+        "event_id", "user_id", "hour",
+        F.expr(f"(user_id * 256) div ({max_u} + 1)").alias("ux"),
+        F.expr(f"(hour * 256) div ({max_h} + 1)").alias("hx"))
+    z = F.expr(zvalue_expr("ux", "hx", GRID_BITS, "spark"))
+    lay = g.select(
+        "user_id", "hour",
+        ((F.row_number().over(Window.orderBy(z.asc(), F.col("event_id")))
+          - 1).cast("long") / F.lit(FILE_ROWS)).cast("long").alias("zfile"),
+        F.expr(f"event_id div {FILE_ROWS}").alias("linfile"))
+
+    u1, u2 = UQ
+    h1, h2 = HQ
+    b1, b2, b3, b4 = BOX
+
+    def layout_stats(bucket: str, tag: str):
+        gg = (lay.groupBy(bucket)
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.min("user_id").alias("lu"),
+                      F.max("user_id").alias("hu"),
+                      F.min("hour").alias("lh"),
+                      F.max("hour").alias("hh")))
+        admits = {
+            "userq": (F.col("lu") <= u2) & (F.col("hu") >= u1),
+            "hourq": (F.col("lh") <= h2) & (F.col("hh") >= h1),
+            "boxq": ((F.col("lu") <= b2) & (F.col("hu") >= b1)
+                     & (F.col("lh") <= b4) & (F.col("hh") >= b3)),
+        }
+        return gg.agg(
+            F.count(F.lit(1)).alias(f"n_files_{tag}"),
+            *[F.sum(F.when(cond, F.col("n_rows")).otherwise(0))
+               .alias(f"scan_{q}_{tag}") for q, cond in admits.items()])
+
+    zs = layout_stats("zfile", "z")
+    ls = layout_stats("linfile", "lin")
+    m = lay.agg(
+        F.sum(F.col("user_id").between(u1, u2).cast("long"))
+         .alias("match_userq"),
+        F.sum(F.col("hour").between(h1, h2).cast("long"))
+         .alias("match_hourq"),
+        F.sum((F.col("user_id").between(b1, b2)
+               & F.col("hour").between(b3, b4)).cast("long"))
+         .alias("match_boxq"))
+    return (zs.crossJoin(ls).crossJoin(m)
+              .select("n_files_z", "n_files_lin",
+                      "scan_userq_z", "scan_userq_lin", "match_userq",
+                      "scan_hourq_z", "scan_hourq_lin", "match_hourq",
+                      "scan_boxq_z", "scan_boxq_lin", "match_boxq"))
+
+
+def _sql_zorder_audit() -> str:
+    z = zvalue_expr("ux", "hx", GRID_BITS, "duckdb")
+    u1, u2 = UQ
+    h1, h2 = HQ
+    b1, b2, b3, b4 = BOX
+    admits = {
+        "userq": f"(lu <= {u2} AND hu >= {u1})",
+        "hourq": f"(lh <= {h2} AND hh >= {h1})",
+        "boxq": (f"(lu <= {b2} AND hu >= {b1}"
+                 f" AND lh <= {b4} AND hh >= {b3})"),
+    }
+
+    def stats(src: str, tag: str) -> str:
+        sums = ", ".join(
+            f"sum(CASE WHEN {cond} THEN n_rows ELSE 0 END) AS scan_{q}_{tag}"
+            for q, cond in admits.items())
+        return f"SELECT count(*) AS n_files_{tag}, {sums} FROM {src}"
+
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         (epoch_ns(ts) - {T0_NS}) // {HOUR_NS} AS hour
+  FROM events
+), mx AS (SELECT max(user_id) AS mu, max(hour) AS mh FROM e),
+g AS (
+  SELECT event_id, user_id, hour,
+         (user_id * 256) // (mx.mu + 1) AS ux,
+         (hour * 256) // (mx.mh + 1) AS hx
+  FROM e, mx
+), lay AS (
+  SELECT user_id, hour,
+         (row_number() OVER (ORDER BY {z}, event_id) - 1)
+           // {FILE_ROWS} AS zfile,
+         event_id // {FILE_ROWS} AS linfile
+  FROM g
+), zg AS (
+  SELECT zfile, count(*) AS n_rows,
+         min(user_id) AS lu, max(user_id) AS hu,
+         min(hour) AS lh, max(hour) AS hh
+  FROM lay GROUP BY 1
+), lg AS (
+  SELECT linfile, count(*) AS n_rows,
+         min(user_id) AS lu, max(user_id) AS hu,
+         min(hour) AS lh, max(hour) AS hh
+  FROM lay GROUP BY 1
+), zs AS ({stats('zg', 'z')}),
+ls AS ({stats('lg', 'lin')}),
+m AS (
+  SELECT sum(CASE WHEN user_id BETWEEN {u1} AND {u2}
+             THEN 1 ELSE 0 END) AS match_userq,
+         sum(CASE WHEN hour BETWEEN {h1} AND {h2}
+             THEN 1 ELSE 0 END) AS match_hourq,
+         sum(CASE WHEN user_id BETWEEN {b1} AND {b2}
+                   AND hour BETWEEN {b3} AND {b4}
+             THEN 1 ELSE 0 END) AS match_boxq
+  FROM lay
+)
+SELECT n_files_z, n_files_lin,
+       scan_userq_z, scan_userq_lin, match_userq,
+       scan_hourq_z, scan_hourq_lin, match_hourq,
+       scan_boxq_z, scan_boxq_lin, match_boxq
+FROM zs, ls, m
+"""
+
+
+QUERIES = {
+    "zorder_skipping_audit": q_zorder_skipping_audit,
+}
+
+ORACLES = {
+    "zorder_skipping_audit": _sql_zorder_audit(),
+}

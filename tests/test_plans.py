@@ -170,6 +170,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "hard_negative_mining",
         # source-pair matrix: |sources|² tiny-by-construction cross
         "kmv_source_overlap",
+        # crossJoin of three 1-row layout-stat aggregates
+        "zorder_skipping_audit",
     }
     failures = []
     for name, fn in q.QUERIES.items():

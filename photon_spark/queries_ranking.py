@@ -394,12 +394,83 @@ FROM r WHERE rank <= {HN_K}
 """
 
 
+# ----------------------------------------------- int8 gram matrix (PCA)
+
+GRAM_DIM = 64      #: embedding dimension (data contract of the table)
+
+
+def q_embedding_gram_int8(spark, sf_dir):
+    """The distributed sufficient statistic for PCA / whitening: the
+    gram matrix G = Σ q qᵀ over int8-quantized embeddings (symmetric
+    per-vector scheme, similarity.quantize_error_cols) — upper triangle
+    as (i, j, gram) rows.
+
+    Quantizing first does two jobs at once: it is the 4× storage format
+    the vectors live in at 100 TB anyway, and it makes G EXACT-integer —
+    a float gram would re-associate partial sums and could never be
+    hash-gated. The d×d result (2080 rows at d=64) is collected
+    driver-side for the eigensolve; the corpus pass is one Arrow-batched
+    numpy GEMM per partition (Q_batchᵀ Q_batch) + a (i,j)-keyed integer
+    sum — embeddings never shuffle, only d² partials per batch.
+    """
+    import pandas as pd
+
+    d = GRAM_DIM
+
+    def gram_partials(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            assert X.shape[1] == d, f"dim contract: {X.shape[1]} != {d}"
+            mx = np.max(np.abs(X), axis=1)
+            scale = mx / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            Y = X / safe[:, None]
+            Q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            Q[scale == 0.0] = 0
+            G = Q.T @ Q
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({"i": (iu + 1).astype("int64"),
+                                "j": (ju + 1).astype("int64"),
+                                "gram": G[iu, ju]})
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+                  .select("embedding")
+    return (e.mapInPandas(gram_partials, schema="i long, j long, gram long")
+             .groupBy("i", "j").agg(F.sum("gram").alias("gram")))
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH b AS (
+  SELECT embedding::DOUBLE[] AS v,
+         list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)),
+                        'max') / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+         END AS q
+  FROM b
+)
+SELECT gi AS i, gj AS j, sum(q[gi] * q[gj]) AS gram
+FROM q, generate_series(1, {GRAM_DIM}) s(gi),
+     generate_series(1, {GRAM_DIM}) t(gj)
+WHERE gi <= gj
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "events_decay_popularity": q_events_decay_popularity,
     "priority_sample": q_priority_sample,
     "pagerank_dup_graph": q_pagerank_dup_graph,
     "hard_negative_mining": q_hard_negative_mining,
+    "embedding_gram_int8": q_embedding_gram_int8,
 }
 
 ORACLES = {
@@ -408,4 +479,5 @@ ORACLES = {
     "priority_sample": _sql_priority_sample(),
     "pagerank_dup_graph": _sql_pagerank(),
     "hard_negative_mining": SQL_HARD_NEGATIVES,
+    "embedding_gram_int8": SQL_EMBEDDING_GRAM,
 }

@@ -164,3 +164,37 @@ def test_hard_negatives_match_numpy(spark, sf_dir):
             for i, (v, l) in emb.items() if l != ql)
         want = [i for _, i in scored[:qr.HN_K]]
         assert got[a] == want
+
+
+# --------------------------------------------------- int8 gram matrix
+
+def test_gram_int8_equals_numpy_direct(spark, sf_dir):
+    import numpy as np
+    rows = qr.q_embedding_gram_int8(spark, sf_dir).collect()
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                                    .collect()])
+    mx = np.max(np.abs(X), axis=1)
+    scale = np.where(mx == 0, 1.0, mx / 127.0)
+    Y = X / scale[:, None]
+    Q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+    G = Q.T @ Q
+    assert len(rows) == qr.GRAM_DIM * (qr.GRAM_DIM + 1) // 2
+    for r in rows:
+        assert r["gram"] == G[r["i"] - 1, r["j"] - 1]
+
+
+def test_gram_int8_drives_pca(spark, sf_dir):
+    """The collected triangle reconstructs a PSD matrix whose eigensolve
+    is the driver-side PCA step."""
+    import numpy as np
+    rows = qr.q_embedding_gram_int8(spark, sf_dir).collect()
+    d = qr.GRAM_DIM
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["gram"]
+        G[r["j"] - 1, r["i"] - 1] = r["gram"]
+    w = np.linalg.eigvalsh(G)
+    assert w[0] > -1e-6 * abs(w[-1])          # PSD up to fp noise
+    assert abs(w.sum() - np.trace(G)) < 1e-6 * abs(w.sum())
+    assert 0 < w[-1] / w.sum() <= 1           # top explained variance

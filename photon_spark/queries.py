@@ -37,7 +37,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NTZ→epoch needs a wall-clock interpretation; pin UTC so the value
     # cannot depend on the harness session's timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp column to an epoch-ns long (see _t's
+    rationale) — shared by batch readers and streaming foreachBatch
+    maintenance jobs that receive the raw parquet schema."""
     for fld in df.schema.fields:
         if fld.dataType.typeName() in ("timestamp", "timestamp_ntz"):
             df = df.withColumn(

@@ -198,3 +198,69 @@ def test_gram_int8_drives_pca(spark, sf_dir):
     assert w[0] > -1e-6 * abs(w[-1])          # PSD up to fp noise
     assert abs(w.sum() - np.trace(G)) < 1e-6 * abs(w.sum())
     assert 0 < w[-1] / w.sum() <= 1           # top explained variance
+
+
+# ------------------------------------- decay: incremental maintenance
+
+def test_decay_counts_streaming_maintenance(spark, sf_dir, tmp_path):
+    """foreachBatch maintenance of the per-(type, step) counter state
+    over two arriving event files equals the batch decay summary —
+    the mergeable-registers property, end to end."""
+    import os
+    import shutil
+
+    from photon_spark.queries import _t
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i, cond in enumerate((F.col("event_id") % 2 == 0,
+                              F.col("event_id") % 2 == 1)):
+        ev_raw.where(cond).coalesce(1) \
+              .write.parquet(str(tmp_path / f"p{i}"))
+        part = next((tmp_path / f"p{i}").glob("*.parquet"))
+        shutil.copy(part, drop / f"batch{i}.parquet")
+
+    state = str(tmp_path / "counts")
+
+    def apply_batch(batch_df, batch_id):
+        from photon_spark.queries import _normalize_ts
+        s = batch_df.sparkSession
+        new = qr.decay_step_counts(_normalize_ts(batch_df))
+        if os.path.exists(state):
+            new = qr.merge_decay_counts(s.read.parquet(state), new)
+        new.localCheckpoint()
+        pdf = new.toPandas()
+        s.createDataFrame(pdf).write.mode("overwrite").parquet(state)
+
+    q = (spark.readStream.schema(ev_raw.schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(str(drop))
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["event_type"]: (r["n_events"], r["decayed_units"])
+           for r in qr.decay_summary_from_counts(
+               spark.read.parquet(state)).collect()}
+    want = {r["event_type"]: (r["n_events"], r["decayed_units"])
+            for r in qr.q_events_decay_popularity(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_decay_advance_equals_recompute(spark, sf_dir):
+    """Re-decaying the counter state by k steps (integer shift with
+    clamp) equals recomputing from raw events at the later reference —
+    including events already clamped at the weight floor."""
+    from photon_spark.queries import _t
+    e = _t(spark, sf_dir, "events")
+    for k in (1, 3, 10):
+        later_ref = (qr.DECAY_REF_NS
+                     + k * qr.DECAY_STEP_DAYS * qr.DAY_NS)
+        adv = qr.advance_decay_counts(
+            qr.decay_step_counts(e), k)
+        rec = qr.decay_step_counts(e, ref_ns=later_ref)
+        a = {(r["event_type"], r["step"]): r["n"] for r in adv.collect()}
+        b = {(r["event_type"], r["step"]): r["n"] for r in rec.collect()}
+        assert a == b

@@ -381,6 +381,123 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------- nation-pair volume
+
+#: Q7-flavor ship-date window, epoch-ns (1996-01-01 .. 1998-01-01)
+_Q7_LO_NS = 820_454_400 * 1_000_000_000
+_Q7_HI_NS = 883_612_800 * 1_000_000_000
+
+
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 flavor: trade volume between every (supplier nation,
+    customer nation) pair over a two-year ship window. The pattern this
+    adds to the relational evidence: a fact row joining TWO different
+    dimension chains (lineitem→supplier→nation and
+    lineitem→orders→customer→nation) with a cross-dimension predicate
+    (nations differ) that can only be applied after both chains land.
+
+    Plan: supplier/customer/nation broadcast; lineitem⋈orders is the one
+    real shuffle, keyed on orderkey; the pair groupBy collapses map-side
+    to ≤ nations² rows. Date predicate sits in the lineitem scan.
+    """
+    from photon_spark.queries import _t
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= _Q7_LO_NS)
+                 & (F.col("l_shipdate") < _Q7_HI_NS))
+          .select("l_orderkey", "l_suppkey",
+                  (_cents(F.col("l_extendedprice"))
+                   * _cents(F.lit(1.0) - F.col("l_discount")))
+                  .alias("rev4")))
+    o = _rd(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _rd(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = _rd(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+           .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum("rev4") / 10000, 2).alias("volume")))
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       count(*) AS n_items,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))
+             / 10000.0, 2) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------- promo revenue share
+
+#: Q14-flavor window (1997-01-01 .. 1997-07-01) and the "promo" class
+_Q14_LO_NS = 852_076_800 * 1_000_000_000
+_Q14_HI_NS = 867_715_200 * 1_000_000_000
+_PROMO_TYPE = "ECONOMY"
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 flavor: the share of revenue from one part class in a
+    ship window — the conditional-aggregate-ratio pattern (two exact
+    integer sums in ONE fact pass, one final division). Part broadcasts;
+    the only wide thing that moves is the date-pruned lineitem scan."""
+    from photon_spark.queries import _t
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= _Q14_LO_NS)
+                 & (F.col("l_shipdate") < _Q14_HI_NS))
+          .select("l_partkey",
+                  (_cents(F.col("l_extendedprice"))
+                   * _cents(F.lit(1.0) - F.col("l_discount")))
+                  .alias("rev4")))
+    p = _rd(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == _PROMO_TYPE, F.col("rev4")) \
+             .otherwise(F.lit(0))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(promo) / 10000, 2).alias("promo_revenue"),
+        F.round(F.sum("rev4") / 10000, 2).alias("total_revenue"),
+        F.round((F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum("rev4").cast("double"), 6).alias("promo_share_pct"))
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+WITH j AS (
+  SELECT p.p_type,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT) AS rev4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-07-01'
+)
+SELECT count(*) AS n_items,
+       round(sum(CASE WHEN p_type = '{_PROMO_TYPE}' THEN rev4 ELSE 0 END)
+             / 10000.0, 2) AS promo_revenue,
+       round(sum(rev4) / 10000.0, 2) AS total_revenue,
+       round((100.0 * sum(CASE WHEN p_type = '{_PROMO_TYPE}'
+                          THEN rev4 ELSE 0 END)::DOUBLE)
+             / sum(rev4)::DOUBLE, 6) AS promo_share_pct
+FROM j
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -393,6 +510,9 @@ QUERIES = {
     "idle_customers": q_idle_customers,
 }
 
+QUERIES["nation_trade_volume"] = q_nation_trade_volume
+QUERIES["promo_revenue_share"] = q_promo_revenue_share
+
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
@@ -403,4 +523,6 @@ ORACLES = {
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "events_pivot": SQL_EVENTS_PIVOT,
     "idle_customers": SQL_IDLE_CUSTOMERS,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
 }

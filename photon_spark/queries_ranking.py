@@ -41,8 +41,9 @@ _SQL_TOKS = ("CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
              "ELSE regexp_split_to_array(trim(text), '\\s+') END")
 
 
-def q_bm25_topk(spark, sf_dir):
-    """Top-{BM25_TOPK} documents by BM25 for a fixed 4-term query.
+def _bm25_scored(spark, sf_dir):
+    """Per-doc BM25 relation for the fixed 4-term query (docs with ≥ 1
+    query term). Shared by q_bm25_topk and the RRF hybrid fusion.
 
     The idf is the rational surrogate (N - df + ½)/(df + ½) — computed
     as one integer-ratio division, so no cross-engine ``ln`` is ever
@@ -92,14 +93,22 @@ def q_bm25_topk(spark, sf_dir):
                       for t in BM25_TERMS) > 0)
            .select("doc_id", "dl",
                    *[f"tf_{t}" for t in BM25_TERMS],
-                   F.round(score, 6).alias("bm25"))
-           .orderBy(F.desc("bm25"), F.asc("doc_id"))
-           .limit(BM25_TOPK))
+                   F.round(score, 6).alias("bm25")))
     from photon_spark.functions.dedup import _own_cache
     return _own_cache(out, [per_doc])
 
 
-def _sql_bm25() -> str:
+def q_bm25_topk(spark, sf_dir):
+    scored = _bm25_scored(spark, sf_dir)
+    out = (scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+                 .limit(BM25_TOPK))
+    out._photon_cached = getattr(scored, "_photon_cached", [])
+    return out
+
+
+def _sql_bm25_parts() -> tuple[str, str]:
+    """(WITH-clause body, scored-SELECT) — shared by the BM25 oracle and
+    the RRF fusion oracle."""
     k1, b = BM25_K1, BM25_B
     tf_sel = ",\n         ".join(
         f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
@@ -122,8 +131,7 @@ def _sql_bm25() -> str:
     any_tf = " + ".join(
         f"CASE WHEN p.tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS)
     tf_out = ", ".join(f"p.tf_{t}" for t in BM25_TERMS)
-    return f"""
-WITH toks AS (
+    ctes = f"""toks AS (
   SELECT doc_id, lower(unnest({_SQL_TOKS})) AS tok FROM documents
 ), per_doc AS (
   SELECT doc_id, count(*) AS dl,
@@ -133,11 +141,19 @@ WITH toks AS (
   SELECT count(*) AS n_docs, sum(dl) AS total_len,
          {df_sel}
   FROM per_doc
-)
-SELECT p.doc_id, p.dl, {tf_out},
+)"""
+    scored = f"""SELECT p.doc_id, p.dl, {tf_out},
        round({terms}, 6) AS bm25
 FROM per_doc p, s
-WHERE ({any_tf}) > 0
+WHERE ({any_tf}) > 0"""
+    return ctes, scored
+
+
+def _sql_bm25() -> str:
+    ctes, scored = _sql_bm25_parts()
+    return f"""
+WITH {ctes}
+{scored}
 ORDER BY bm25 DESC, p.doc_id ASC
 LIMIT {BM25_TOPK}
 """
@@ -325,10 +341,13 @@ def q_pagerank_dup_graph(spark, sf_dir):
     """
     from photon_spark.functions import dedup
     pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    # The pair-mining pipeline must not re-execute once per iteration:
+    # persist the id-only edge list (the only thing the loop touches).
     edges = (pairs.select(F.col("lo_id").alias("src"),
                           F.col("hi_id").alias("dst"))
                   .unionAll(pairs.select(F.col("hi_id").alias("src"),
-                                         F.col("lo_id").alias("dst"))))
+                                         F.col("lo_id").alias("dst")))
+                  ).persist()
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
                 .withColumnRenamed("src", "id")).persist()
     n = deg.count()
@@ -347,7 +366,8 @@ def q_pagerank_dup_graph(spark, sf_dir):
                       (F.col("rank").cast("double") / F.lit(1.0e12))
                       .alias("pagerank"))
     from photon_spark.functions.dedup import _own_cache
-    return _own_cache(out, getattr(pairs, "_photon_cached", []) + [deg])
+    return _own_cache(out,
+                      getattr(pairs, "_photon_cached", []) + [edges, deg])
 
 
 def _sql_pagerank() -> str:
@@ -442,6 +462,96 @@ FROM r WHERE rank <= {HN_K}
 """
 
 
+# ------------------------------------------- hybrid retrieval (RRF)
+
+RRF_K = 60          #: the standard reciprocal-rank-fusion constant
+RRF_DEPTH = 50      #: per-list depth fed to the fusion
+RRF_TOPK = 10
+#: the ANN leg's query vector id (same convention as ann_topk_bruteforce)
+RRF_QUERY_ID = 7
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    and vector (exact-cosine ANN) rankings — the standard two-tower
+    serving stack, with vec_id ≡ doc_id. Score = Σ_lists 1/({RRF_K} +
+    rank); a doc missing from one list contributes 0 for it.
+
+    Fusion is rank-arithmetic only, so the gate is exact: each
+    1/(k+rank) is one IEEE division and the fused score is a two-term
+    fixed-order sum. Both legs are top-{RRF_DEPTH} relations BEFORE the
+    fusion join (TakeOrderedAndProject each), so the full-outer join and
+    the final rank run on ≤ 2·{RRF_DEPTH} rows regardless of corpus
+    size — retrieval-serving economics, not analytics economics.
+    """
+    from photon_spark.functions.similarity import brute_force_topk
+    bm = _bm25_scored(spark, sf_dir)
+    bm_top = (bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RRF_DEPTH)
+                .select("doc_id", "bm25"))
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rank_bm25"))
+
+    ann = brute_force_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                           RRF_QUERY_ID, k=RRF_DEPTH)
+    wa = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ann_rank = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wa).cast("long").alias("rank_ann"))
+
+    fused = (bm_rank.join(ann_rank, "doc_id", "full_outer")
+             .select("doc_id", "rank_bm25", "rank_ann",
+                     F.round(
+                         F.coalesce(F.lit(1.0)
+                                    / (F.lit(RRF_K)
+                                       + F.col("rank_bm25")).cast("double"),
+                                    F.lit(0.0))
+                         + F.coalesce(F.lit(1.0)
+                                      / (F.lit(RRF_K)
+                                         + F.col("rank_ann")).cast("double"),
+                                      F.lit(0.0)), 9).alias("rrf")))
+    out = (fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK))
+    out._photon_cached = getattr(bm, "_photon_cached", [])
+    return out
+
+
+def _sql_hybrid_rrf() -> str:
+    ctes, scored = _sql_bm25_parts()
+    return f"""
+WITH {ctes},
+bm_top AS (
+  {scored}
+  ORDER BY bm25 DESC, p.doc_id ASC
+  LIMIT {RRF_DEPTH}
+), bm_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_bm25
+  FROM bm_top
+), ann_top AS (
+  SELECT b.vec_id,
+         round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings b,
+       (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_ID}) q
+  WHERE b.vec_id != {RRF_QUERY_ID}
+  ORDER BY cosine DESC, b.vec_id
+  LIMIT {RRF_DEPTH}
+), ann_rank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank_ann
+  FROM ann_top
+)
+SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       b.rank_bm25, a.rank_ann,
+       round(coalesce(1.0 / ({RRF_K} + b.rank_bm25)::DOUBLE, 0.0)
+             + coalesce(1.0 / ({RRF_K} + a.rank_ann)::DOUBLE, 0.0), 9)
+         AS rrf
+FROM bm_rank b FULL OUTER JOIN ann_rank a ON b.doc_id = a.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_TOPK}
+"""
+
+
 # ----------------------------------------------- int8 gram matrix (PCA)
 
 GRAM_DIM = 64      #: embedding dimension (data contract of the table)
@@ -519,6 +629,7 @@ QUERIES = {
     "pagerank_dup_graph": q_pagerank_dup_graph,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_gram_int8": q_embedding_gram_int8,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 
 ORACLES = {
@@ -528,4 +639,5 @@ ORACLES = {
     "pagerank_dup_graph": _sql_pagerank(),
     "hard_negative_mining": SQL_HARD_NEGATIVES,
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
+    "hybrid_rrf_topk": _sql_hybrid_rrf(),
 }

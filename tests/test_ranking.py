@@ -264,3 +264,33 @@ def test_decay_advance_equals_recompute(spark, sf_dir):
         a = {(r["event_type"], r["step"]): r["n"] for r in adv.collect()}
         b = {(r["event_type"], r["step"]): r["n"] for r in rec.collect()}
         assert a == b
+
+
+# ----------------------------------------------------- RRF fusion
+
+def test_rrf_matches_recompute_from_legs(spark, sf_dir):
+    got = qr.q_hybrid_rrf_topk(spark, sf_dir).collect()
+    bm = qr._bm25_scored(spark, sf_dir).collect()
+    bm_sorted = sorted(bm, key=lambda r: (-r["bm25"], r["doc_id"]))
+    bm_rank = {r["doc_id"]: i + 1
+               for i, r in enumerate(bm_sorted[:qr.RRF_DEPTH])}
+    from photon_spark.functions.similarity import brute_force_topk
+    ann = brute_force_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        qr.RRF_QUERY_ID, k=qr.RRF_DEPTH).collect()
+    ann_sorted = sorted(ann, key=lambda r: (-r["cosine"], r["vec_id"]))
+    ann_rank = {r["vec_id"]: i + 1 for i, r in enumerate(ann_sorted)}
+    fused = {}
+    for d in set(bm_rank) | set(ann_rank):
+        s = 0.0
+        if d in bm_rank:
+            s += 1.0 / (qr.RRF_K + bm_rank[d])
+        if d in ann_rank:
+            s += 1.0 / (qr.RRF_K + ann_rank[d])
+        fused[d] = round(s, 9)
+    want = sorted(fused, key=lambda d: (-fused[d], d))[:qr.RRF_TOPK]
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert r["rrf"] == fused[r["doc_id"]]
+        assert r["rank_bm25"] == bm_rank.get(r["doc_id"])
+        assert r["rank_ann"] == ann_rank.get(r["doc_id"])

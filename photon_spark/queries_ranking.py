@@ -462,6 +462,76 @@ FROM r WHERE rank <= {HN_K}
 """
 
 
+# ------------------------------------------- feature hashing (text→vec)
+
+FH_DIM = 64          #: hashed vector dimension
+FH_SAMPLE_MOD = 50   #: gate emits doc_id % MOD == 0 (the full map-only
+                     #: transform is the operator; the gate samples it)
+
+
+def q_feature_hash_vectors(spark, sf_dir):
+    """Signed feature hashing (the hashing trick): text → fixed-width
+    integer vector with bucket = h(tok) mod {FH_DIM} and a second hash
+    bit choosing ±1, summed over token occurrences. The deterministic,
+    vocabulary-free featurizer that turns 100 TB of text into
+    fixed-width vectors in ONE map-side pass — no vocabulary build, no
+    dictionary broadcast, no training.
+
+    Exact integers end-to-end, so the gate needs no tolerance. Vector
+    assembly is order-independent (map_from_entries over the per-bucket
+    sums, then a dense index walk), so partial-aggregation order can't
+    reorder the array.
+
+    Plan: explode → (doc, bucket)-keyed integer sum (map-side partials
+    collapse the token stream) → per-doc map assembly. Only (doc_id,
+    bucket, sum) triples shuffle — ≤ {FH_DIM} rows per doc regardless of
+    document length.
+    """
+    from photon_spark.functions.sketches import _h60
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % FH_SAMPLE_MOD == 0)
+    toks = d.select("doc_id", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    h = _h60(F.col("tok"))
+    cell = (toks.select("doc_id", (h % FH_DIM).alias("bucket"),
+                        F.when((h % (2 * FH_DIM)) >= FH_DIM, F.lit(1))
+                         .otherwise(F.lit(-1)).alias("sign"))
+                .groupBy("doc_id", "bucket")
+                .agg(F.sum("sign").alias("v")))
+    m = F.map_from_entries(F.collect_list(F.struct("bucket", "v")))
+    vec = F.transform(F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+                      lambda i: F.coalesce(m[i], F.lit(0)))
+    return (cell.groupBy("doc_id")
+                .agg(vec.alias("vec"),
+                     F.sum(F.abs(F.col("v"))).alias("l1_mass")))
+
+
+def _sql_feature_hash() -> str:
+    from photon_spark.functions.sketches import sql_h60
+    h = sql_h60("tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({_SQL_TOKS})) AS tok FROM documents
+  WHERE doc_id % {FH_SAMPLE_MOD} = 0
+), cell AS (
+  SELECT doc_id, ({h}) % {FH_DIM} AS bucket,
+         sum(CASE WHEN ({h}) % {2 * FH_DIM} >= {FH_DIM}
+             THEN 1 ELSE -1 END) AS v
+  FROM toks GROUP BY 1, 2
+), dense AS (
+  SELECT c.doc_id, g.b, coalesce(max(c2.v), 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM cell) c
+  CROSS JOIN generate_series(0, {FH_DIM - 1}) g(b)
+  LEFT JOIN cell c2 ON c2.doc_id = c.doc_id AND c2.bucket = g.b
+  GROUP BY 1, 2
+)
+SELECT d.doc_id, list(d.v ORDER BY d.b) AS vec, m.l1_mass
+FROM dense d
+JOIN (SELECT doc_id, sum(abs(v)) AS l1_mass FROM cell GROUP BY 1) m
+  ON m.doc_id = d.doc_id
+GROUP BY d.doc_id, m.l1_mass
+"""
+
+
 # ------------------------------------------- hybrid retrieval (RRF)
 
 RRF_K = 60          #: the standard reciprocal-rank-fusion constant
@@ -630,6 +700,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_gram_int8": q_embedding_gram_int8,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "feature_hash_vectors": q_feature_hash_vectors,
 }
 
 ORACLES = {
@@ -640,4 +711,5 @@ ORACLES = {
     "hard_negative_mining": SQL_HARD_NEGATIVES,
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
     "hybrid_rrf_topk": _sql_hybrid_rrf(),
+    "feature_hash_vectors": _sql_feature_hash(),
 }

@@ -294,3 +294,30 @@ def test_rrf_matches_recompute_from_legs(spark, sf_dir):
         assert r["rrf"] == fused[r["doc_id"]]
         assert r["rank_bm25"] == bm_rank.get(r["doc_id"])
         assert r["rank_ann"] == ann_rank.get(r["doc_id"])
+
+
+# ------------------------------------------------- feature hashing
+
+def test_feature_hash_matches_python(spark, sf_dir):
+    import hashlib
+    rows = {r["doc_id"]: (list(r["vec"]), r["l1_mass"])
+            for r in qr.q_feature_hash_vectors(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .where(F.col("doc_id") % qr.FH_SAMPLE_MOD == 0) \
+                     .select("doc_id", "text").collect()
+    assert rows
+    for r in docs:
+        t = (r["text"] or "").strip(" ")
+        toks = [x.lower() for x in t.split()] if t else []
+        if not toks:
+            assert r["doc_id"] not in rows
+            continue
+        vec = [0] * qr.FH_DIM
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            sign = 1 if h % (2 * qr.FH_DIM) >= qr.FH_DIM else -1
+            vec[h % qr.FH_DIM] += sign
+        got_vec, got_l1 = rows[r["doc_id"]]
+        assert got_vec == vec
+        # l1_mass sums per-BUCKET magnitudes (post-cancellation)
+        assert got_l1 == sum(abs(v) for v in vec)

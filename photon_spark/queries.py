@@ -551,3 +551,8 @@ from photon_spark import queries_layout as _ly  # noqa: E402
 
 QUERIES.update(_ly.QUERIES)
 ORACLES.update(_ly.ORACLES)
+
+from photon_spark import queries_governance as _gv  # noqa: E402
+
+QUERIES.update(_gv.QUERIES)
+ORACLES.update(_gv.ORACLES)

@@ -1,0 +1,260 @@
+"""Governance & cohort queries: declarative data-quality constraint
+auditing over the star schema, weekly cohort retention over the event
+log, and triangle/clustering statistics of the near-dup graph — each
+hash-gated against a DuckDB oracle.
+
+All three emit only exact integers (plus single-division ratios), so
+the gates hold with no float tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, sf_dir):
+    from photon_spark.queries import _t
+    return _t(spark, sf_dir, "events")
+
+
+def _rd(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------- constraint audit
+
+def q_constraint_audit(spark, sf_dir):
+    """Declarative data-quality audit (the dbt-test / expectations
+    shape): each constraint is one aggregate — uniqueness of the
+    lineitem PK, referential integrity orders→customer and
+    lineitem→orders, null payloads, and domain ranges on discount/
+    quantity/acctbal. Output is the long-format (constraint, violations,
+    checked) relation a quality dashboard ingests.
+
+    Plan notes: uniqueness is a keyed count>1 aggregate (map-side
+    partials collapse duplicates); referential integrity is an ANTI
+    join against the parent's key set — at 100 TB the parent key
+    relation is orders-of-magnitude thinner than the fact and both
+    anti-joins shuffle ids only. Every check is independent, so the
+    union evaluates them in parallel stages.
+    """
+    li = _rd(spark, sf_dir, "lineitem")
+    o = _rd(spark, sf_dir, "orders")
+    c = _rd(spark, sf_dir, "customer")
+    e = _events(spark, sf_dir)
+
+    dup_pk = (li.groupBy("l_orderkey", "l_linenumber")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.coalesce(F.sum(F.when(F.col("n") > 1,
+                                             F.col("n") - 1)), F.lit(0))
+                      .alias("violations"),
+                     F.count(F.lit(1)).alias("checked"))
+                .select(F.lit("lineitem_pk_unique").alias("check_name"),
+                        "violations", "checked"))
+    orphan_orders = (o.join(c.select(F.col("c_custkey").alias("k")),
+                            o.o_custkey == F.col("k"), "left_anti")
+                      .agg(F.count(F.lit(1)).alias("violations"))
+                      .crossJoin(o.agg(F.count(F.lit(1)).alias("checked")))
+                      .select(F.lit("orders_custkey_fk").alias("check_name"),
+                              "violations", "checked"))
+    orphan_li = (li.join(o.select(F.col("o_orderkey").alias("k")),
+                         li.l_orderkey == F.col("k"), "left_anti")
+                   .agg(F.count(F.lit(1)).alias("violations"))
+                   .crossJoin(li.agg(F.count(F.lit(1)).alias("checked")))
+                   .select(F.lit("lineitem_orderkey_fk").alias("check_name"),
+                           "violations", "checked"))
+    null_props = (e.agg(F.sum(F.col("props").isNull().cast("long"))
+                         .alias("violations"),
+                        F.count(F.lit(1)).alias("checked"))
+                   .select(F.lit("events_props_not_null").alias("check_name"),
+                           "violations", "checked"))
+    disc_range = (li.agg(F.sum(((F.col("l_discount") < 0)
+                                | (F.col("l_discount") > 1)).cast("long"))
+                          .alias("violations"),
+                         F.count(F.lit(1)).alias("checked"))
+                    .select(F.lit("lineitem_discount_0_1")
+                             .alias("check_name"),
+                            "violations", "checked"))
+    qty_pos = (li.agg(F.sum((F.col("l_quantity") <= 0).cast("long"))
+                       .alias("violations"),
+                      F.count(F.lit(1)).alias("checked"))
+                 .select(F.lit("lineitem_quantity_positive")
+                          .alias("check_name"),
+                         "violations", "checked"))
+    return (dup_pk.unionAll(orphan_orders).unionAll(orphan_li)
+                  .unionAll(null_props).unionAll(disc_range)
+                  .unionAll(qty_pos))
+
+
+SQL_CONSTRAINT_AUDIT = """
+SELECT 'lineitem_pk_unique' AS check_name,
+       coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS violations,
+       count(*) AS checked
+FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+      FROM lineitem GROUP BY 1, 2)
+UNION ALL
+SELECT 'orders_custkey_fk' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'lineitem_orderkey_fk' AS check_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'events_props_not_null' AS check_name,
+       (SELECT sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        FROM events),
+       (SELECT count(*) FROM events)
+UNION ALL
+SELECT 'lineitem_discount_0_1' AS check_name,
+       (SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                   THEN 1 ELSE 0 END) FROM lineitem),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_quantity_positive' AS check_name,
+       (SELECT sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        FROM lineitem),
+       (SELECT count(*) FROM lineitem)
+"""
+
+
+# ------------------------------------------------- cohort retention
+
+#: epoch-ns of 2024-01-01 (events table origin) and one week
+_T0_NS = 1_704_067_200_000_000_000
+_WEEK_NS = 7 * 86_400_000_000_000
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, then
+    distinct-user counts per (cohort_week, week_offset) — the retention
+    triangle every product-analytics stack computes.
+
+    Plan: first-seen is one keyed min; the activity relation joins the
+    tiny per-user cohort map back (at 100 TB: a keyed join on user_id,
+    ids only) and collapses to distinct (cohort, offset, user) before
+    counting — the distinct bounds shuffle rows at users × weeks.
+    """
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"(ts - {_T0_NS}) div {_WEEK_NS}").alias("week"))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (e.join(first, "user_id")
+             .select("cohort_week",
+                     (F.col("week") - F.col("cohort_week"))
+                     .alias("week_offset"), "user_id")
+             .distinct()
+             .groupBy("cohort_week", "week_offset")
+             .agg(F.count(F.lit(1)).alias("n_users"))
+             .orderBy("cohort_week", "week_offset"))
+
+
+SQL_COHORT_RETENTION = f"""
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) - {_T0_NS}) // {_WEEK_NS} AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+)
+SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------- dup-graph triangles/clustering
+
+def q_dup_graph_clustering(spark, sf_dir):
+    """Global clustering statistics of the near-duplicate graph:
+    triangle count, open-wedge count, and the clustering coefficient
+    3·triangles / wedges — high values mean duplication comes in dense
+    boilerplate CLUSTERS (dedup by connected components pays off), low
+    values mean pairwise noise.
+
+    Triangles enumerate on the ordered edge relation (a<b<c): one
+    self-join on the shared endpoint builds wedges, one semi-check
+    against the edge set closes them — ids only, and the wedge join is
+    keyed, never a cross. Wedge totals come from the degree relation
+    (deg·(deg−1)/2 summed — exact integers).
+    """
+    from photon_spark.functions import dedup
+    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    edges = pairs.select("lo_id", "hi_id").persist()
+    # wedges rooted at a: (a<b) ⋈ (a<c), b<c — then close with (b,c)
+    e1 = edges.select(F.col("lo_id").alias("a"), F.col("hi_id").alias("b"))
+    e2 = edges.select(F.col("lo_id").alias("a2"), F.col("hi_id").alias("c"))
+    wedge = (e1.join(e2, (F.col("a") == F.col("a2"))
+                     & (F.col("b") < F.col("c"))).drop("a2"))
+    closed = wedge.join(
+        edges.select(F.col("lo_id").alias("b"), F.col("hi_id").alias("c")),
+        ["b", "c"], "left_semi")
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    ends = (edges.select(F.col("lo_id").alias("id"))
+                 .unionAll(edges.select(F.col("hi_id").alias("id"))))
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("deg_sum"))
+    out = (tri.crossJoin(wedges)
+              .select("n_nodes", F.expr("deg_sum div 2").alias("n_edges"), "n_wedges", "n_triangles",
+                      F.round((F.lit(3.0) * F.col("n_triangles")
+                               .cast("double"))
+                              / F.col("n_wedges").cast("double"), 6)
+                       .alias("clustering_coeff")))
+    out._photon_cached = getattr(pairs, "_photon_cached", []) + [edges]
+    return out
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _sql_clustering() -> str:
+    from photon_spark.queries_northstar import SQL_MINHASH_NEAR_DUPS
+    return f"""
+WITH pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (SELECT lo_id, hi_id FROM pairs),
+wedge AS (
+  SELECT e1.lo_id AS a, e1.hi_id AS b, e2.hi_id AS c
+  FROM edges e1 JOIN edges e2
+    ON e1.lo_id = e2.lo_id AND e1.hi_id < e2.hi_id
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedge w
+  WHERE EXISTS (SELECT 1 FROM edges e
+                WHERE e.lo_id = w.b AND e.hi_id = w.c)
+),
+ends AS (
+  SELECT lo_id AS id FROM edges UNION ALL SELECT hi_id FROM edges
+),
+deg AS (SELECT id, count(*) AS deg FROM ends GROUP BY 1),
+w AS (
+  SELECT sum(deg * (deg - 1) // 2) AS n_wedges, count(*) AS n_nodes,
+         sum(deg) AS deg_sum
+  FROM deg
+)
+SELECT n_nodes, deg_sum // 2 AS n_edges, n_wedges, n_triangles,
+       round((3.0 * n_triangles::DOUBLE) / n_wedges::DOUBLE, 6)
+         AS clustering_coeff
+FROM tri, w
+"""
+
+
+QUERIES = {
+    "constraint_audit": q_constraint_audit,
+    "cohort_retention": q_cohort_retention,
+    "dup_graph_clustering": q_dup_graph_clustering,
+}
+
+ORACLES = {
+    "constraint_audit": SQL_CONSTRAINT_AUDIT,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "dup_graph_clustering": _sql_clustering(),
+}

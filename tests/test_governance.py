@@ -1,0 +1,85 @@
+"""Governance operators: naive recomputes for the constraint audit,
+cohort retention, and dup-graph clustering stats."""
+
+from pyspark.sql import functions as F
+
+from photon_spark import queries_governance as qg
+
+
+def test_constraint_audit_matches_naive(spark, sf_dir):
+    got = {r["check_name"]: (r["violations"], r["checked"])
+           for r in qg.q_constraint_audit(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {r["c_custkey"]
+            for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+                              .collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+    pk: dict = {}
+    for r in li:
+        pk[(r["l_orderkey"], r["l_linenumber"])] = \
+            pk.get((r["l_orderkey"], r["l_linenumber"]), 0) + 1
+    assert got["lineitem_pk_unique"] == (
+        sum(n - 1 for n in pk.values() if n > 1), len(pk))
+    okeys = {r["o_orderkey"] for r in orders}
+    assert got["orders_custkey_fk"] == (
+        sum(1 for r in orders if r["o_custkey"] not in cust), len(orders))
+    assert got["lineitem_orderkey_fk"] == (
+        sum(1 for r in li if r["l_orderkey"] not in okeys), len(li))
+    assert got["events_props_not_null"] == (
+        sum(1 for r in ev if r["props"] is None), len(ev))
+    assert got["lineitem_discount_0_1"] == (
+        sum(1 for r in li if not (0 <= r["l_discount"] <= 1)), len(li))
+    assert got["lineitem_quantity_positive"] == (
+        sum(1 for r in li if r["l_quantity"] <= 0), len(li))
+
+
+def test_cohort_retention_matches_naive(spark, sf_dir):
+    from photon_spark.queries import _t
+    rows = qg.q_cohort_retention(spark, sf_dir).collect()
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts").collect()
+    weeks: dict = {}
+    for r in ev:
+        w = (r["ts"] - qg._T0_NS) // qg._WEEK_NS
+        weeks.setdefault(r["user_id"], set()).add(w)
+    want: dict = {}
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            want[(c, w - c)] = want.get((c, w - c), 0) + 1
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in rows}
+    assert got == want
+    # offset 0 row contains every user of the cohort (first week counts)
+    cohort_sizes: dict = {}
+    for u, ws in weeks.items():
+        cohort_sizes[min(ws)] = cohort_sizes.get(min(ws), 0) + 1
+    for c, size in cohort_sizes.items():
+        assert got[(c, 0)] == size
+
+
+def test_dup_graph_clustering_matches_naive(spark, sf_dir):
+    from photon_spark.functions import dedup
+    r = qg.q_dup_graph_clustering(spark, sf_dir).collect()[0]
+    pairs = dedup.minhash_near_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    edges = {(p["lo_id"], p["hi_id"])
+             for p in pairs.select("lo_id", "hi_id").collect()}
+    dedup.release_cache(pairs)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri += 1
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert r["n_nodes"] == len(adj)
+    assert r["n_edges"] == len(edges)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == tri
+    if wedges:
+        assert r["clustering_coeff"] == round(3.0 * tri / wedges, 6)

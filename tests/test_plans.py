@@ -172,6 +172,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "kmv_source_overlap",
         # crossJoin of three 1-row layout-stat aggregates
         "zorder_skipping_audit",
+        # 1-row violations x checked stat joins per constraint
+        "constraint_audit",
+        # 1-row triangle x wedge stat join
+        "dup_graph_clustering",
     }
     failures = []
     for name, fn in q.QUERIES.items():

@@ -247,14 +247,82 @@ FROM tri, w
 """
 
 
+# --------------------------------------------- co-purchase mining
+
+MIN_SUPPORT = 3     #: minimum co-occurrence count
+COPURCHASE_TOPK = 25
+
+
+def q_copurchase_pairs(spark, sf_dir):
+    """Frequent-itemset mining, pairwise tier: part pairs bought in the
+    same order, with support ≥ {MIN_SUPPORT} and lift — the
+    market-basket signal behind recommenders.
+
+    Plan: the basket self-join is keyed on l_orderkey and baskets are
+    small by construction (lineitems per order), so pair generation is
+    Σ|basket|² — linear in orders, never corpus-quadratic. Pair counts
+    collapse map-side; per-part supports are a second short aggregate
+    joined back broadcast. Lift's denominator is a product of two
+    integers over the integer order count — single IEEE ops, 6dp.
+    """
+    li = (_rd(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = (_rd(spark, sf_dir, "orders")
+                .agg(F.count(F.lit(1))).collect()[0][0])
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (a.join(b, "l_orderkey")
+              .where(F.col("p1") < F.col("p2"))
+              .groupBy("p1", "p2")
+              .agg(F.count(F.lit(1)).alias("support"))
+              .where(F.col("support") >= MIN_SUPPORT))
+    psup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("psup"))
+    lift = ((F.col("support").cast("double") * F.lit(float(n_orders)))
+            / (F.col("s1").cast("double") * F.col("s2").cast("double")))
+    return (pairs
+            .join(F.broadcast(psup.select(F.col("l_partkey").alias("p1"),
+                                          F.col("psup").alias("s1"))), "p1")
+            .join(F.broadcast(psup.select(F.col("l_partkey").alias("p2"),
+                                          F.col("psup").alias("s2"))), "p2")
+            .select("p1", "p2", "support", "s1", "s2",
+                    F.round(lift, 6).alias("lift"))
+            .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+            .limit(COPURCHASE_TOPK))
+
+
+SQL_COPURCHASE_PAIRS = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+), psup AS (
+  SELECT l_partkey, count(*) AS psup FROM li GROUP BY 1
+), n AS (SELECT count(*) AS n_orders FROM orders)
+SELECT p.p1, p.p2, p.support, s1.psup AS s1, s2.psup AS s2,
+       round((p.support::DOUBLE * n.n_orders::DOUBLE)
+             / (s1.psup::DOUBLE * s2.psup::DOUBLE), 6) AS lift
+FROM pairs p
+JOIN psup s1 ON s1.l_partkey = p.p1
+JOIN psup s2 ON s2.l_partkey = p.p2, n
+ORDER BY support DESC, p1 ASC, p2 ASC
+LIMIT {COPURCHASE_TOPK}
+"""
+
+
 QUERIES = {
     "constraint_audit": q_constraint_audit,
     "cohort_retention": q_cohort_retention,
     "dup_graph_clustering": q_dup_graph_clustering,
+    "copurchase_pairs": q_copurchase_pairs,
 }
 
 ORACLES = {
     "constraint_audit": SQL_CONSTRAINT_AUDIT,
     "cohort_retention": SQL_COHORT_RETENTION,
     "dup_graph_clustering": _sql_clustering(),
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
 }

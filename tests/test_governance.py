@@ -83,3 +83,31 @@ def test_dup_graph_clustering_matches_naive(spark, sf_dir):
     assert r["n_triangles"] == tri
     if wedges:
         assert r["clustering_coeff"] == round(3.0 * tri / wedges, 6)
+
+
+def test_copurchase_matches_naive(spark, sf_dir):
+    rows = qg.q_copurchase_pairs(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+              .select("l_orderkey", "l_partkey").distinct().collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    sup: dict = {}
+    psup: dict = {}
+    for parts in baskets.values():
+        for p in parts:
+            psup[p] = psup.get(p, 0) + 1
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] = sup.get((ps[i], ps[j]), 0) + 1
+    freq = {k: v for k, v in sup.items() if v >= qg.MIN_SUPPORT}
+    want = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = want[:qg.COPURCHASE_TOPK]
+    assert [(r["p1"], r["p2"]) for r in rows] == [k for k, _ in want]
+    for r in rows:
+        assert r["support"] == freq[(r["p1"], r["p2"])]
+        assert r["s1"] == psup[r["p1"]] and r["s2"] == psup[r["p2"]]
+        assert r["lift"] == round(r["support"] * float(n_orders)
+                                  / (r["s1"] * float(r["s2"])), 6)

@@ -747,6 +747,58 @@ ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}
 """
 
 
+# -------------------------------------------- event transition matrix
+
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), with exact transition
+    counts — the sequence statistic behind next-action models and
+    session simulators.
+
+    Plan: ONE keyed window (user, ordered by ts,event_id) produces the
+    lag pair map-side per user partition; counts collapse in a 25-key
+    aggregate; row totals broadcast back. The probability is one
+    division of exact integers, 6dp.
+    """
+    from pyspark.sql import Window
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                      "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.withColumn("next_type",
+                          F.lead("event_type").over(w))
+              .where(F.col("next_type").isNotNull())
+              .groupBy(F.col("event_type").alias("from_type"),
+                       F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (pairs.join(F.broadcast(totals), "from_type")
+                 .select("from_type", "to_type", "n", "row_total",
+                         F.round(F.col("n").cast("double")
+                                 / F.col("row_total").cast("double"), 6)
+                          .alias("p"))
+                 .orderBy("from_type", "to_type"))
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n, t.row_total,
+       round(p.n::DOUBLE / t.row_total::DOUBLE, 6) AS p
+FROM pairs p JOIN totals t ON t.from_type = p.from_type
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -761,6 +813,7 @@ QUERIES = {
     "events_rolling_stats": q_events_rolling_stats,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "bpe_first_merges": q_bpe_first_merges,
+    "event_transition_matrix": q_event_transition_matrix,
 }
 
 ORACLES = {
@@ -777,4 +830,5 @@ ORACLES = {
     "events_rolling_stats": SQL_EVENTS_ROLLING_STATS,
     "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
     "bpe_first_merges": SQL_BPE_FIRST_MERGES,
+    "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
 }

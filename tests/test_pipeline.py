@@ -128,3 +128,33 @@ def test_approx_distinct_sketch_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.06 * r["exact"])
+
+
+def test_event_transition_matrix_matches_naive(spark, sf_dir):
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import q_event_transition_matrix
+    rows = q_event_transition_matrix(spark, sf_dir).collect()
+    ev = sorted(_t(spark, sf_dir, "events")
+                .select("user_id", "ts", "event_id", "event_type").collect(),
+                key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    pairs: dict = {}
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            k = (a["event_type"], b["event_type"])
+            pairs[k] = pairs.get(k, 0) + 1
+    totals: dict = {}
+    for (f_, _), n in pairs.items():
+        totals[f_] = totals.get(f_, 0) + n
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["row_total"], r["p"])
+           for r in rows}
+    assert set(got) == set(pairs)
+    for k, n in pairs.items():
+        assert got[k][0] == n
+        assert got[k][1] == totals[k[0]]
+        assert got[k][2] == round(n / totals[k[0]], 6)
+    # rows of the matrix sum to 1 (up to 6dp rounding per cell)
+    by_from: dict = {}
+    for (f_, _), (n, t, p) in got.items():
+        by_from[f_] = by_from.get(f_, 0.0) + p
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-4

@@ -747,6 +747,117 @@ ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}
 """
 
 
+# ----------------------------------------- BPE induction, multi-round
+
+BPE_ROUNDS = 3
+
+
+def q_bpe_merge_rounds(spark, sf_dir):
+    """{BPE_ROUNDS} rounds of actual BPE vocabulary induction: each
+    round counts adjacent SYMBOL pairs over the (distinct-word × corpus
+    frequency) relation, picks the argmax merge (tie-break lexicographic),
+    and APPLIES it to every word before the next round — the real
+    tokenizer-trainer loop, not just round-1 statistics
+    (q_bpe_first_merges).
+
+    Iterative-with-data-transformation shape: unlike PageRank (static
+    edges), each round rewrites the symbolized vocabulary. The rewrite
+    is one map-side string replace (space-delimited symbols make the
+    merge a literal " a b " → " ab " substitution, greedy left-to-right
+    on both engines); pair counting stays on the vocabulary relation,
+    never the corpus. The per-round argmax is a 1-row TakeOrdered — the
+    merge table is the only thing that ever reaches the driver.
+    """
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(text.tokens(F.col("text"))).alias("t"))
+             .select(F.lower("t").alias("w"))
+             .where(F.col("w").rlike("^[a-z]{2,}$"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .select(F.concat(F.lit(" "),
+                              F.regexp_replace("w", "(.)", "$1 "))
+                      .alias("s"), "wc")
+             .persist())
+
+    def pair_counts(df):
+        prs = F.expr(
+            "transform(sequence(1, size(split(trim(s), ' ')) - 1), "
+            "i -> concat(element_at(split(trim(s), ' '), i), ' ', "
+            "element_at(split(trim(s), ' '), i + 1)))")
+        return (df.select(F.explode(prs).alias("pair"), "wc")
+                  .groupBy("pair").agg(F.sum("wc").alias("pair_count")))
+
+    cur = words
+    outs = []
+    cached = [words]
+    for r in range(1, BPE_ROUNDS + 1):
+        counts = pair_counts(cur)
+        top = (counts.orderBy(F.desc("pair_count"), F.asc("pair"))
+                     .limit(1)
+                     .select(F.lit(r).cast("long").alias("round"),
+                             "pair",
+                             F.regexp_replace("pair", " ", "")
+                              .alias("merged"),
+                             "pair_count"))
+        outs.append(top)
+        best = top.collect()[0]
+        nxt = cur.select(
+            F.regexp_replace(
+                "s",
+                F.lit(" " + best["pair"] + " "),
+                F.lit(" " + best["merged"] + " ")).alias("s"),
+            "wc")
+        # regexp chars: symbols are [a-z]+ only (filtered above) — the
+        # pattern is literal-safe. Persist each round's vocabulary so
+        # round r+1 does not recount round r's plan.
+        nxt = nxt.persist()
+        cached.append(nxt)
+        cur = nxt
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionAll(t)
+    from photon_spark.functions.dedup import _own_cache
+    return _own_cache(out, cached)
+
+
+def _sql_bpe_rounds() -> str:
+    words = """
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, wc FROM (
+    SELECT w, count(*) AS wc FROM (
+      SELECT lower(t) AS w
+      FROM documents,
+           unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END) u(t)
+      WHERE regexp_matches(lower(t), '^[a-z]{2,}$')
+    ) GROUP BY 1
+  )"""
+    ctes = [f"w0 AS ({words})"]
+    sels = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""p{r} AS (
+  SELECT u.p AS pair, sum(wc) AS pair_count
+  FROM {prev},
+       unnest(list_transform(
+         generate_series(1, len(string_split(trim(s), ' ')) - 1),
+         i -> string_split(trim(s), ' ')[i] || ' '
+              || string_split(trim(s), ' ')[i + 1])) u(p)
+  GROUP BY 1
+)""")
+        ctes.append(f"""b{r} AS (
+  SELECT {r}::BIGINT AS round, pair, replace(pair, ' ', '') AS merged,
+         pair_count
+  FROM p{r} ORDER BY pair_count DESC, pair ASC LIMIT 1
+)""")
+        if r < BPE_ROUNDS:
+            ctes.append(f"""w{r} AS (
+  SELECT replace(s, ' ' || (SELECT pair FROM b{r}) || ' ',
+                 ' ' || (SELECT merged FROM b{r}) || ' ') AS s, wc
+  FROM {prev}
+)""")
+        sels.append(f"SELECT * FROM b{r}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 # -------------------------------------------- event transition matrix
 
 def q_event_transition_matrix(spark, sf_dir):
@@ -814,6 +925,7 @@ QUERIES = {
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "bpe_first_merges": q_bpe_first_merges,
     "event_transition_matrix": q_event_transition_matrix,
+    "bpe_merge_rounds": q_bpe_merge_rounds,
 }
 
 ORACLES = {
@@ -831,4 +943,5 @@ ORACLES = {
     "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
     "bpe_first_merges": SQL_BPE_FIRST_MERGES,
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
+    "bpe_merge_rounds": _sql_bpe_rounds(),
 }

@@ -158,3 +158,40 @@ def test_event_transition_matrix_matches_naive(spark, sf_dir):
         by_from[f_] = by_from.get(f_, 0.0) + p
     for s in by_from.values():
         assert abs(s - 1.0) < 1e-4
+
+
+def test_bpe_merge_rounds_matches_naive(spark, sf_dir):
+    import re
+    from photon_spark.queries_pipeline import (BPE_ROUNDS,
+                                               q_bpe_merge_rounds)
+    got = [(r["round"], r["pair"], r["merged"], r["pair_count"])
+           for r in q_bpe_merge_rounds(spark, sf_dir).collect()]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("text").collect()
+    freq: dict = {}
+    for d in docs:
+        for t in (d["text"] or "").strip(" ").split():
+            w = t.lower()
+            if re.fullmatch(r"[a-z]{2,}", w):
+                freq[w] = freq.get(w, 0) + 1
+    vocab = {" " + " ".join(w) + " ": c for w, c in freq.items()}
+    want = []
+    for r in range(1, BPE_ROUNDS + 1):
+        counts: dict = {}
+        for s, c in vocab.items():
+            syms = s.strip(" ").split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0]))
+        want.append((r, f"{a} {b}", a + b, n))
+        newv: dict = {}
+        for s, c in vocab.items():
+            s2 = s.replace(f" {a} {b} ", f" {a + b} ")
+            newv[s2] = newv.get(s2, 0) + c
+        vocab = newv
+    assert got == want
+    # merges are genuinely applied: a later round may merge a multi-char
+    # symbol produced earlier; at minimum rounds pick distinct pairs
+    assert len({p for _, p, _, _ in got}) == BPE_ROUNDS

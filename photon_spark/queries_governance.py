@@ -247,6 +247,66 @@ FROM tri, w
 """
 
 
+# --------------------------------------------- source diversity audit
+
+def q_source_diversity(spark, sf_dir):
+    """Per-source corpus diversity: distinct tokens, token mass, Simpson
+    collision index Σcᵢ²/total² (the probability two random tokens
+    coincide — LOW means diverse), effective vocabulary 1/Simpson, and
+    the top-token share. Diversity is the cheap early-warning for
+    template/boilerplate sources in a training mix.
+
+    Entropy needs a cross-engine ln, so we use the Simpson index
+    instead: exact integer sums of squared counts with single IEEE
+    divisions at the end — hash-gateable where Shannon entropy never
+    could be. Plan: one (source, token) aggregate (map-side partials),
+    then a per-source reduce of short rows; top share via max(c).
+    """
+    from photon_spark.functions.text import tokens
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (d.select("source", F.explode(
+                F.transform(tokens("text"), lambda t: F.lower(t)))
+             .alias("tok"))
+             .groupBy("source", "tok")
+             .agg(F.count(F.lit(1)).alias("c")))
+    return (toks.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+                     F.sum("c").alias("token_mass"),
+                     F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+                     F.max("c").alias("top_c"))
+                .select("source", "n_distinct_tokens", "token_mass",
+                        F.round(F.col("sum_c2").cast("double")
+                                / (F.col("token_mass")
+                                   * F.col("token_mass")).cast("double"), 9)
+                         .alias("simpson"),
+                        F.round((F.col("token_mass")
+                                 * F.col("token_mass")).cast("double")
+                                / F.col("sum_c2").cast("double"), 6)
+                         .alias("effective_vocab"),
+                        F.round(F.col("top_c").cast("double")
+                                / F.col("token_mass").cast("double"), 6)
+                         .alias("top_token_share")))
+
+
+SQL_SOURCE_DIVERSITY = """
+WITH toks AS (
+  SELECT source, lower(t) AS tok
+  FROM documents,
+       unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END) u(t)
+), counts AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_distinct_tokens, sum(c) AS token_mass,
+       round(sum(c * c)::DOUBLE
+             / (sum(c) * sum(c))::DOUBLE, 9) AS simpson,
+       round((sum(c) * sum(c))::DOUBLE
+             / sum(c * c)::DOUBLE, 6) AS effective_vocab,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_token_share
+FROM counts GROUP BY source
+"""
+
+
 # --------------------------------------------- co-purchase mining
 
 MIN_SUPPORT = 3     #: minimum co-occurrence count
@@ -318,6 +378,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "dup_graph_clustering": q_dup_graph_clustering,
     "copurchase_pairs": q_copurchase_pairs,
+    "source_diversity": q_source_diversity,
 }
 
 ORACLES = {
@@ -325,4 +386,5 @@ ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "dup_graph_clustering": _sql_clustering(),
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "source_diversity": SQL_SOURCE_DIVERSITY,
 }

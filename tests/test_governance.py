@@ -111,3 +111,28 @@ def test_copurchase_matches_naive(spark, sf_dir):
         assert r["s1"] == psup[r["p1"]] and r["s2"] == psup[r["p2"]]
         assert r["lift"] == round(r["support"] * float(n_orders)
                                   / (r["s1"] * float(r["s2"])), 6)
+
+
+def test_source_diversity_matches_naive(spark, sf_dir):
+    rows = {r["source"]: r
+            for r in qg.q_source_diversity(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("source", "text").collect()
+    counts: dict = {}
+    for r in docs:
+        t = (r["text"] or "").strip(" ")
+        for tok in ([x.lower() for x in t.split()] if t else []):
+            counts.setdefault(r["source"], {})
+            counts[r["source"]][tok] = counts[r["source"]].get(tok, 0) + 1
+    assert set(rows) == set(counts)
+    for src, cs in counts.items():
+        mass = sum(cs.values())
+        c2 = sum(c * c for c in cs.values())
+        r = rows[src]
+        assert r["n_distinct_tokens"] == len(cs)
+        assert r["token_mass"] == mass
+        assert r["simpson"] == round(c2 / (mass * mass), 9)
+        assert r["effective_vocab"] == round(mass * mass / c2, 6)
+        assert r["top_token_share"] == round(max(cs.values()) / mass, 6)
+        # effective vocab can never exceed the distinct count
+        assert r["effective_vocab"] <= r["n_distinct_tokens"] + 1e-9

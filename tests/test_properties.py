@@ -108,3 +108,68 @@ def test_asof_join_matches_sequential_scan(spark, evs, strict):
                 if rk == k and ((rts < lts) if strict else (rts <= lts))]
         want = max(cand)[1] if cand else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+@settings(**_SETTINGS)
+@given(split=st.lists(st.integers(min_value=0, max_value=2),
+                      min_size=5, max_size=40),
+       k=st.integers(min_value=0, max_value=12))
+def test_decay_counts_merge_advance_commute(spark, split, k):
+    """For ANY 3-way partition of an event batch: merging per-part decay
+    counters equals the whole-batch counters, and advancing the merged
+    state by k steps equals advancing each part then merging — the
+    algebra incremental pipelines rely on."""
+    from photon_spark import queries_ranking as qr
+    base = qr.DECAY_REF_NS - 40 * qr.DAY_NS
+    rows = [("t%d" % (i % 2), base + i * 777 * qr.DAY_NS // 13)
+            for i in range(len(split))]
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    parts = []
+    for g in range(3):
+        sel = [i for i, s in enumerate(split) if s == g]
+        sub = [rows[i] for i in sel]
+        if sub:
+            parts.append(spark.createDataFrame(
+                sub, "event_type string, ts long"))
+    whole = {(r["event_type"], r["step"]): r["n"]
+             for r in qr.decay_step_counts(df).collect()}
+    if parts:
+        merged_df = qr.merge_decay_counts(
+            *[qr.decay_step_counts(p) for p in parts])
+        merged = {(r["event_type"], r["step"]): r["n"]
+                  for r in merged_df.collect()}
+        assert merged == whole
+        a1 = {(r["event_type"], r["step"]): r["n"]
+              for r in qr.advance_decay_counts(merged_df, k).collect()}
+        a2 = {(r["event_type"], r["step"]): r["n"]
+              for r in qr.merge_decay_counts(
+                  *[qr.advance_decay_counts(qr.decay_step_counts(p), k)
+                    for p in parts]).collect()}
+        assert a1 == a2
+
+
+@settings(**_SETTINGS)
+@given(words_a=st.lists(st.sampled_from(
+           ["join", "scan", "hash", "filter", "merge", "row"]),
+       min_size=1, max_size=8),
+       words_b=st.lists(st.sampled_from(
+           ["join", "scan", "hash", "filter", "merge", "row"]),
+       min_size=1, max_size=8))
+def test_feature_hash_additive_over_concatenation(spark, tmp_path_factory,
+                                                  words_a, words_b):
+    """Signed feature hashing is LINEAR in the token multiset:
+    vec(A ++ B) = vec(A) + vec(B) — the property that makes hashed
+    features mergeable across shards without re-featurizing."""
+    import os
+    from photon_spark import queries_ranking as qr
+    d = os.path.join(str(tmp_path_factory.mktemp("fh")), "documents.parquet")
+    rows = [(0, " ".join(words_a), "en", "s", 1),
+            (50, " ".join(words_b), "en", "s", 1),
+            (100, " ".join(words_a + words_b), "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.mode("overwrite").parquet(d)
+    out = {r["doc_id"]: list(r["vec"])
+           for r in qr.q_feature_hash_vectors(
+               spark, os.path.dirname(d)).collect()}
+    assert [a + b for a, b in zip(out[0], out[50])] == out[100]

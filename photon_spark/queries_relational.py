@@ -510,8 +510,73 @@ QUERIES = {
     "idle_customers": q_idle_customers,
 }
 
+# ------------------------------------------------ exact correlation
+
+def q_price_quantity_corr(spark, sf_dir):
+    """Pearson correlation of quantity vs extended price per return
+    flag — single-pass distributed statistics done hash-gateably: the
+    five moment sums accumulate as EXACT integers (2dp-cent inputs,
+    decimal(38) products so n·Σxy cannot overflow), and the only floats
+    are the final casts, two IEEE-correctly-rounded sqrts, and one
+    division — bit-identical on both engines.
+
+    Plan: one fact scan, map-side partial moments, 3-group final
+    aggregate. The same shape yields a full covariance matrix at d²
+    columns per group.
+    """
+    li = _rd(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_quantity")).alias("x"),
+        _cents(F.col("l_extendedprice")).alias("y"))
+    dec = "decimal(38,0)"
+    g = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                F.sum("x").cast(dec).alias("sx"),
+                F.sum("y").cast(dec).alias("sy"),
+                F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+                 .alias("sxx"),
+                F.sum(F.col("y").cast(dec) * F.col("y").cast(dec))
+                 .alias("syy"),
+                F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))
+                 .alias("sxy")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return (g.select("l_returnflag", F.col("n").cast("long").alias("n"),
+                     F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+                      .alias("corr_qty_price"))
+             .orderBy("l_returnflag"))
+
+
+SQL_PRICE_QUANTITY_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         sum(y::HUGEINT * y::HUGEINT) AS syy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy
+  FROM m GROUP BY 1
+)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+         AS corr_qty_price
+FROM g ORDER BY 1
+"""
+
+
 QUERIES["nation_trade_volume"] = q_nation_trade_volume
 QUERIES["promo_revenue_share"] = q_promo_revenue_share
+QUERIES["price_quantity_corr"] = q_price_quantity_corr
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
@@ -525,4 +590,5 @@ ORACLES = {
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "price_quantity_corr": SQL_PRICE_QUANTITY_CORR,
 }

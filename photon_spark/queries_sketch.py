@@ -172,6 +172,75 @@ def _sql_hist() -> str:
     return sketches.sql_histogram_quantiles(table, "source", "quality")
 
 
+# ------------------------------------- CM join-cardinality estimation
+
+def q_join_size_estimate(spark, sf_dir):
+    """Join-size estimation from Count-Min sketches (the AMS/CM inner
+    product): est = min over rows r of Σ_cell cmA[r]·cmB[r] — the
+    statistic a 100 TB planner uses to choose join strategy WITHOUT
+    touching either table again. Gated next to the exact join size
+    Σ_k c_A(k)·c_B(k), so the overestimate factor is part of the fact.
+
+    Both sketches are d×w = 4096-row relations built from per-key
+    aggregates (map-side combinable); the estimate is a 4096-key join of
+    two sketches. The exact branch joins only per-key COUNT relations —
+    keys and counts, never the fact rows.
+    """
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .select(F.col("user_id").cast("string").alias("it")))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_custkey").cast("string").alias("it")))
+    cma = sketches.countmin_table(e, "it")
+    cmb = sketches.countmin_table(o, "it")
+    prods = (cma.join(cmb.select("r", "cell",
+                                 F.col("total").alias("tb")),
+                      ["r", "cell"])
+                .groupBy("r")
+                .agg(F.sum(F.col("total") * F.col("tb")).alias("ip")))
+    est = prods.agg(F.min("ip").alias("est_join_size"))
+    ca = e.groupBy("it").agg(F.count(F.lit(1)).alias("ca"))
+    cb = o.groupBy("it").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (ca.join(cb, "it")
+               .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")),
+                               F.lit(0)).alias("exact_join_size")))
+    return (est.crossJoin(exact)
+               .select("exact_join_size", "est_join_size",
+                       F.round(F.col("est_join_size").cast("double")
+                               / F.col("exact_join_size").cast("double"), 6)
+                        .alias("overestimate_ratio")))
+
+
+def _sql_join_size() -> str:
+    def cm(src: str, key: str, name: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {r} AS r, {sketches.sql_cm_cell('it', r)} AS cell, c "
+            f"FROM {name}_k"
+            for r in range(sketches.CM_D))
+        return (f"{name}_k AS (SELECT {key}::VARCHAR AS it, count(*) AS c "
+                f"FROM {src} GROUP BY 1), "
+                f"{name} AS (SELECT r, cell, sum(c) AS total "
+                f"FROM ({rows}) GROUP BY 1, 2)")
+
+    return f"""
+WITH {cm('events', 'user_id', 'cma')},
+{cm('orders', 'o_custkey', 'cmb')},
+prods AS (
+  SELECT a.r, sum(a.total * b.total) AS ip
+  FROM cma a JOIN cmb b ON a.r = b.r AND a.cell = b.cell
+  GROUP BY 1
+),
+est AS (SELECT min(ip) AS est_join_size FROM prods),
+exact AS (
+  SELECT coalesce(sum(a.c * b.c), 0) AS exact_join_size
+  FROM cma_k a JOIN cmb_k b ON a.it = b.it
+)
+SELECT exact_join_size, est_join_size,
+       round(est_join_size::DOUBLE / exact_join_size::DOUBLE, 6)
+         AS overestimate_ratio
+FROM est, exact
+"""
+
+
 # -------------------------------------------- KMV set-algebra overlap
 
 #: shared-shingle-space audit between every source pair
@@ -333,6 +402,7 @@ QUERIES = {
     "countmin_token_freq": q_countmin_token_freq,
     "quality_histogram_quantiles": q_quality_histogram_quantiles,
     "kmv_source_overlap": q_kmv_source_overlap,
+    "join_size_estimate": q_join_size_estimate,
 }
 
 ORACLES = {
@@ -341,4 +411,5 @@ ORACLES = {
     "countmin_token_freq": _sql_cm(),
     "quality_histogram_quantiles": _sql_hist(),
     "kmv_source_overlap": _sql_kmv_overlap(),
+    "join_size_estimate": _sql_join_size(),
 }

@@ -176,6 +176,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "constraint_audit",
         # 1-row triangle x wedge stat join
         "dup_graph_clustering",
+        # 1-row est x exact stat join
+        "join_size_estimate",
     }
     failures = []
     for name, fn in q.QUERIES.items():

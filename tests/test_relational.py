@@ -103,3 +103,27 @@ def test_revenue_trend_lag_consistency(spark, sf_dir):
         assert cur["mom_delta"] is not None
         assert abs((cur["revenue"] - prev["revenue"]) - cur["mom_delta"]) \
             < 0.011  # two 2dp-rounded figures differ by at most 1 cent
+
+
+def test_price_quantity_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from photon_spark.queries_relational import q_price_quantity_corr
+    rows = {r["l_returnflag"]: (r["n"], r["corr_qty_price"])
+            for r in q_price_quantity_corr(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+              .select("l_returnflag", "l_quantity", "l_extendedprice") \
+              .collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_quantity"] * 100), round(r["l_extendedprice"] * 100)))
+    assert set(rows) == set(by_flag)
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts], dtype=np.float64)
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        want = float(np.corrcoef(x, y)[0, 1])
+        n, got = rows[flag]
+        assert n == len(pts)
+        assert abs(got - want) < 1e-6
+        assert -1.0 <= got <= 1.0

@@ -247,3 +247,23 @@ def test_kmv_source_overlap_exact_columns_and_envelope(spark, sf_dir):
             assert abs(r["est_union"] - r["exact_union"]) <= tol
             assert abs(r["est_intersection"]
                        - r["exact_intersection"]) <= tol
+
+
+def test_join_size_estimate_overestimates_and_exact_matches(spark, sf_dir):
+    from photon_spark import queries_sketch as qs
+    r = qs.q_join_size_estimate(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+              .select("user_id").collect()
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+              .select("o_custkey").collect()
+    ca: dict = {}
+    cb: dict = {}
+    for x in ev:
+        ca[str(x["user_id"])] = ca.get(str(x["user_id"]), 0) + 1
+    for x in od:
+        cb[str(x["o_custkey"])] = cb.get(str(x["o_custkey"]), 0) + 1
+    exact = sum(c * cb[k] for k, c in ca.items() if k in cb)
+    assert r["exact_join_size"] == exact
+    # the CM inner product can only over-count (hash collisions add mass)
+    assert r["est_join_size"] >= exact
+    assert r["overestimate_ratio"] >= 1.0

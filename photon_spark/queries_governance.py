@@ -247,6 +247,104 @@ FROM tri, w
 """
 
 
+# --------------------------------------------- robust outliers (MAD)
+
+def q_value_mad_outliers(spark, sf_dir):
+    """Robust outlier audit per event stream: median, median absolute
+    deviation, and the count of events beyond 3·MAD — the
+    heavy-tail-safe alternative to the z-score (events_anomaly_zscore),
+    which a single whale event can blind.
+
+    INTEGER-ONLY exactness: values are 2dp cents; both medians use the
+    percentile_disc integer rank ((n·50+99) div 100); deviations and
+    the 3·MAD threshold stay longs — the whole audit has no float until
+    the final rate division. Scale: two keyed rank windows (per-type
+    sort; the 100 TB path swaps in the mergeable histogram sketch with
+    this query as its truth) and a 5-row broadcast join back.
+    """
+    from pyspark.sql import Window
+    e = _events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    nw = Window.partitionBy("event_type")
+    r = (e.withColumn("rn", F.row_number().over(w))
+          .withColumn("n", F.count(F.lit(1)).over(nw)))
+    med = (r.groupBy("event_type")
+            .agg(F.max(F.when(F.col("rn")
+                              == F.expr("(n * 50 + 99) div 100"),
+                              F.col("v"))).alias("median_cents")))
+    dev = (e.join(F.broadcast(med), "event_type")
+            .select("event_type", "event_id",
+                    F.abs(F.col("v") - F.col("median_cents")).alias("d")))
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    rd = (dev.withColumn("rn", F.row_number().over(wd))
+             .withColumn("n", F.count(F.lit(1)).over(nw)))
+    mad = (rd.groupBy("event_type")
+             .agg(F.max(F.when(F.col("rn")
+                               == F.expr("(n * 50 + 99) div 100"),
+                               F.col("d"))).alias("mad_cents")))
+    return (dev.join(F.broadcast(mad), "event_type")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum((F.col("d") > 3 * F.col("mad_cents"))
+                          .cast("long")).alias("n_outliers"))
+               .join(F.broadcast(med), "event_type")
+               .join(F.broadcast(mad), "event_type")
+               .select("event_type", "n_events", "median_cents",
+                       "mad_cents", "n_outliers",
+                       F.round(F.col("n_outliers").cast("double")
+                               / F.col("n_events").cast("double"), 6)
+                        .alias("outlier_rate")))
+
+
+SQL_VALUE_MAD_OUTLIERS = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), med AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END)
+           AS median_cents
+  FROM r GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.event_id,
+         abs(e.v - m.median_cents) AS d
+  FROM e JOIN med m ON m.event_type = e.event_type
+), rd AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n * 50 + 99) // 100 THEN d END) AS mad_cents
+  FROM rd GROUP BY 1
+), agg AS (
+  SELECT dev.event_type, count(*) AS n_events,
+         sum(CASE WHEN dev.d > 3 * mad.mad_cents
+             THEN 1 ELSE 0 END) AS n_outliers
+  FROM dev JOIN mad ON mad.event_type = dev.event_type
+  GROUP BY 1
+)
+SELECT a.event_type, a.n_events, m.median_cents, d.mad_cents,
+       a.n_outliers,
+       round(a.n_outliers::DOUBLE / a.n_events::DOUBLE, 6)
+         AS outlier_rate
+FROM agg a
+JOIN med m ON m.event_type = a.event_type
+JOIN mad d ON d.event_type = a.event_type
+"""
+
+
 # --------------------------------------------- source diversity audit
 
 def q_source_diversity(spark, sf_dir):
@@ -379,6 +477,7 @@ QUERIES = {
     "dup_graph_clustering": q_dup_graph_clustering,
     "copurchase_pairs": q_copurchase_pairs,
     "source_diversity": q_source_diversity,
+    "value_mad_outliers": q_value_mad_outliers,
 }
 
 ORACLES = {
@@ -387,4 +486,5 @@ ORACLES = {
     "dup_graph_clustering": _sql_clustering(),
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "source_diversity": SQL_SOURCE_DIVERSITY,
+    "value_mad_outliers": SQL_VALUE_MAD_OUTLIERS,
 }

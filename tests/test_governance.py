@@ -136,3 +136,33 @@ def test_source_diversity_matches_naive(spark, sf_dir):
         assert r["top_token_share"] == round(max(cs.values()) / mass, 6)
         # effective vocab can never exceed the distinct count
         assert r["effective_vocab"] <= r["n_distinct_tokens"] + 1e-9
+
+
+def test_value_mad_outliers_matches_naive(spark, sf_dir):
+    from photon_spark.queries import _t
+    rows = {r["event_type"]: r
+            for r in qg.q_value_mad_outliers(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("event_type", "event_id", "value").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (round(r["value"] * 100), r["event_id"]))
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        return vals[(n * 50 + 99) // 100 - 1]
+
+    for t, pts in by_type.items():
+        vs = [v for v, _ in pts]
+        med = disc_median(vs)
+        devs = [abs(v - med) for v in vs]
+        mad = disc_median(devs)
+        n_out = sum(1 for d in devs if d > 3 * mad)
+        r = rows[t]
+        assert r["n_events"] == len(pts)
+        assert r["median_cents"] == med
+        assert r["mad_cents"] == mad
+        assert r["n_outliers"] == n_out
+        assert r["outlier_rate"] == round(n_out / len(pts), 6)

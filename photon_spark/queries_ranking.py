@@ -263,6 +263,58 @@ def decay_summary_from_counts(counts):
                        .alias("decayed_count")))
 
 
+TRENDING_K = 3
+
+
+def q_events_trending_users(spark, sf_dir):
+    """Trending users: per stream, the {TRENDING_K} users with the most
+    recency-weighted activity (the staircase decay weights of
+    q_events_decay_popularity) — "who is hot right now", the serving
+    query a decayed counter table exists to answer.
+
+    Exact integer decayed units per (stream, user) collapse map-side;
+    the per-stream rank gets WindowGroupLimit, so only ≤ k rows per
+    stream per map partition ever shuffle.
+    """
+    e = _events(spark, sf_dir)
+    step = (f"least((({DECAY_REF_NS} - ts) div {DAY_NS})"
+            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP})")
+    w = F.expr(
+        f"cast(shiftleft(1, {DECAY_MAX_STEP} - cast(({step}) as int)) "
+        "as long)")
+    per_user = (e.select("event_type", "user_id", w.alias("w"))
+                 .groupBy("event_type", "user_id")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      F.sum("w").alias("decayed_units")))
+    rk = Window.partitionBy("event_type").orderBy(
+        F.desc("decayed_units"), F.asc("user_id"))
+    return (per_user
+            .withColumn("rank", F.row_number().over(rk).cast("long"))
+            .where(F.col("rank") <= TRENDING_K))
+
+
+SQL_EVENTS_TRENDING_USERS = f"""
+WITH w AS (
+  SELECT event_type, user_id,
+         (1::BIGINT << ({DECAY_MAX_STEP} - least(
+            ({DECAY_REF_NS} - epoch_ns(ts)) // {DAY_NS}
+              // {DECAY_STEP_DAYS},
+            {DECAY_MAX_STEP})::INT)) AS w
+  FROM events
+), per_user AS (
+  SELECT event_type, user_id, count(*) AS n_events,
+         sum(w) AS decayed_units
+  FROM w GROUP BY 1, 2
+)
+SELECT event_type, user_id, n_events, decayed_units,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY decayed_units DESC, user_id ASC)
+         AS rank
+FROM per_user
+QUALIFY rank <= {TRENDING_K}
+"""
+
+
 # ------------------------------------------------ weighted priority sample
 
 PRIO_PER_SOURCE = 5
@@ -701,6 +753,7 @@ QUERIES = {
     "embedding_gram_int8": q_embedding_gram_int8,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "feature_hash_vectors": q_feature_hash_vectors,
+    "events_trending_users": q_events_trending_users,
 }
 
 ORACLES = {
@@ -712,4 +765,5 @@ ORACLES = {
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
     "hybrid_rrf_topk": _sql_hybrid_rrf(),
     "feature_hash_vectors": _sql_feature_hash(),
+    "events_trending_users": SQL_EVENTS_TRENDING_USERS,
 }

@@ -321,3 +321,26 @@ def test_feature_hash_matches_python(spark, sf_dir):
         assert got_vec == vec
         # l1_mass sums per-BUCKET magnitudes (post-cancellation)
         assert got_l1 == sum(abs(v) for v in vec)
+
+
+def test_trending_users_matches_naive(spark, sf_dir):
+    got = {(r["event_type"], r["rank"]): (r["user_id"],
+                                          r["decayed_units"])
+           for r in qr.q_events_trending_users(spark, sf_dir).collect()}
+    from photon_spark.queries import _t
+    rows = _t(spark, sf_dir, "events") \
+        .select("event_type", "user_id", "ts").collect()
+    per: dict = {}
+    for r in rows:
+        age = (qr.DECAY_REF_NS - r["ts"]) // qr.DAY_NS
+        step = min(age // qr.DECAY_STEP_DAYS, qr.DECAY_MAX_STEP)
+        w = 1 << (qr.DECAY_MAX_STEP - step)
+        k = (r["event_type"], r["user_id"])
+        per[k] = per.get(k, 0) + w
+    by_type: dict = {}
+    for (t, u), units in per.items():
+        by_type.setdefault(t, []).append((-units, u))
+    for t, lst in by_type.items():
+        lst.sort()
+        for i, (nu, u) in enumerate(lst[:qr.TRENDING_K], 1):
+            assert got[(t, i)] == (u, -nu)

@@ -163,7 +163,8 @@ agg AS (
   FROM reg GROUP BY 1
 )
 SELECT grp AS {group_col},
-       (hit_sum + ({HLL_M} - n_hit) * {scale}::BIGINT) AS register_sum,
+       CAST(hit_sum + ({HLL_M} - n_hit) * {scale}::BIGINT
+            AS BIGINT) AS register_sum,
        ({HLL_M} - n_hit)::BIGINT AS n_zero_regs,
        round({HLL_EST_NUM!r} /
              (hit_sum + ({HLL_M} - n_hit) * {scale}::BIGINT)::DOUBLE, 2)
@@ -359,6 +360,6 @@ c AS (
          sum(cnt) OVER (PARTITION BY grp) AS n
   FROM regs
 )
-SELECT grp AS {group_col}, any_value(n) AS n, {est}
+SELECT grp AS {group_col}, CAST(any_value(n) AS BIGINT) AS n, {est}
 FROM c GROUP BY grp
 """

@@ -387,7 +387,7 @@ SQL_PROJECTION_STREAMING_FOLD = """
 SELECT count(*) AS processed,
        min(event_id) AS first_event,
        max(event_id) AS last_event,
-       sum(rn * event_id) AS order_checksum
+       CAST(sum(rn * event_id) AS BIGINT) AS order_checksum
 FROM (SELECT event_id,
              row_number() OVER (ORDER BY event_id) AS rn
       FROM events)

@@ -95,7 +95,7 @@ WITH toks AS (
            AS cum
   FROM nz
 )
-SELECT doc_id, n_tokens, cum AS cum_tokens,
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
        CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS first_seq,
        CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS last_seq,
        CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT)

@@ -88,7 +88,8 @@ def q_constraint_audit(spark, sf_dir):
 
 SQL_CONSTRAINT_AUDIT = """
 SELECT 'lineitem_pk_unique' AS check_name,
-       coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS violations,
+       CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
+         AS violations,
        count(*) AS checked
 FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
       FROM lineitem GROUP BY 1, 2)
@@ -106,17 +107,19 @@ SELECT 'lineitem_orderkey_fk' AS check_name,
        (SELECT count(*) FROM lineitem)
 UNION ALL
 SELECT 'events_props_not_null' AS check_name,
-       (SELECT sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+       (SELECT CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
         FROM events),
        (SELECT count(*) FROM events)
 UNION ALL
 SELECT 'lineitem_discount_0_1' AS check_name,
-       (SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1
-                   THEN 1 ELSE 0 END) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                   THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
        (SELECT count(*) FROM lineitem)
 UNION ALL
 SELECT 'lineitem_quantity_positive' AS check_name,
-       (SELECT sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+       (SELECT CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+               AS BIGINT)
         FROM lineitem),
        (SELECT count(*) FROM lineitem)
 """
@@ -240,7 +243,8 @@ w AS (
          sum(deg) AS deg_sum
   FROM deg
 )
-SELECT n_nodes, deg_sum // 2 AS n_edges, n_wedges, n_triangles,
+SELECT n_nodes, CAST(deg_sum // 2 AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles,
        round((3.0 * n_triangles::DOUBLE) / n_wedges::DOUBLE, 6)
          AS clustering_coeff
 FROM tri, w
@@ -330,8 +334,8 @@ WITH e AS (
   FROM rd GROUP BY 1
 ), agg AS (
   SELECT dev.event_type, count(*) AS n_events,
-         sum(CASE WHEN dev.d > 3 * mad.mad_cents
-             THEN 1 ELSE 0 END) AS n_outliers
+         CAST(sum(CASE WHEN dev.d > 3 * mad.mad_cents
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
   FROM dev JOIN mad ON mad.event_type = dev.event_type
   GROUP BY 1
 )
@@ -395,7 +399,8 @@ WITH toks AS (
 ), counts AS (
   SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
 )
-SELECT source, count(*) AS n_distinct_tokens, sum(c) AS token_mass,
+SELECT source, count(*) AS n_distinct_tokens,
+       CAST(sum(c) AS BIGINT) AS token_mass,
        round(sum(c * c)::DOUBLE
              / (sum(c) * sum(c))::DOUBLE, 9) AS simpson,
        round((sum(c) * sum(c))::DOUBLE

@@ -162,9 +162,15 @@ m AS (
   FROM lay
 )
 SELECT n_files_z, n_files_lin,
-       scan_userq_z, scan_userq_lin, match_userq,
-       scan_hourq_z, scan_hourq_lin, match_hourq,
-       scan_boxq_z, scan_boxq_lin, match_boxq
+       CAST(scan_userq_z AS BIGINT) AS scan_userq_z,
+       CAST(scan_userq_lin AS BIGINT) AS scan_userq_lin,
+       CAST(match_userq AS BIGINT) AS match_userq,
+       CAST(scan_hourq_z AS BIGINT) AS scan_hourq_z,
+       CAST(scan_hourq_lin AS BIGINT) AS scan_hourq_lin,
+       CAST(match_hourq AS BIGINT) AS match_hourq,
+       CAST(scan_boxq_z AS BIGINT) AS scan_boxq_z,
+       CAST(scan_boxq_lin AS BIGINT) AS scan_boxq_lin,
+       CAST(match_boxq AS BIGINT) AS match_boxq
 FROM zs, ls, m
 """
 

@@ -112,7 +112,7 @@ WITH prof AS ({SQL_TEXT_PROFILE})
 SELECT d.lang, count(*) AS n_docs,
        round(sum(CAST(round(p.quality * 1000000) AS BIGINT)) * 1.0
              / count(*) / 1000000, 6) AS avg_quality,
-       sum(p.n_tokens) AS total_tokens
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens
 FROM prof p JOIN documents d USING (doc_id)
 GROUP BY d.lang
 """
@@ -431,7 +431,7 @@ WITH base AS (
                      v, x -> abs(round(x / scale)) >= 127)) END AS ns
   FROM sc
 )
-SELECT count(*) AS n_vectors, sum(ns) AS total_saturated,
+SELECT count(*) AS n_vectors, CAST(sum(ns) AS BIGINT) AS total_saturated,
        round(max(me), 6) AS worst_max_abs_err,
        round(sum(CAST(round(me * 1000000) AS BIGINT)) * 1.0
              / count(*) / 1000000, 6) AS avg_max_abs_err
@@ -594,8 +594,8 @@ WITH m AS (
   SELECT i, unnest(generate_series(0, n - 1)) AS k, len, n FROM m
 )
 SELECT count(DISTINCT i) AS n_media, count(*) AS n_frames,
-       sum(least(64, CAST(ceil((len - k) * 1.0 / n) AS BIGINT)))
-         AS total_frame_bytes,
+       CAST(sum(least(64, CAST(ceil((len - k) * 1.0 / n) AS BIGINT)))
+            AS BIGINT) AS total_frame_bytes,
        max(k)::BIGINT AS max_frame_idx
 FROM fr
 """

@@ -74,7 +74,8 @@ WITH o AS (
          max(tns) - min(tns) AS span
   FROM s GROUP BY 1, 2, 3
 )
-SELECT event_type, count(*) AS n_sessions, sum(c) AS n_events,
+SELECT event_type, count(*) AS n_sessions,
+       CAST(sum(c) AS BIGINT) AS n_events,
        round(sum(c) * 1.0 / count(*), 6) AS avg_session_events,
        max(c) AS max_session_events,
        round(sum(span) * 1.0 / count(*) / 1000000000.0, 6)
@@ -141,13 +142,15 @@ def q_stratified_sample(spark, sf_dir):
 
 SQL_STRATIFIED_SAMPLE = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN md5('strat:' || doc_id::VARCHAR) < '{SAMPLE_HEX_LT}'
-                THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(sum(CASE WHEN md5('strat:' || doc_id::VARCHAR)
+                          < '{SAMPLE_HEX_LT}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        round(sum(CASE WHEN md5('strat:' || doc_id::VARCHAR)
                            < '{SAMPLE_HEX_LT}' THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS sample_rate,
-       sum(CASE WHEN md5('strat:' || doc_id::VARCHAR) < '{SAMPLE_HEX_LT}'
-                THEN n_chars ELSE 0 END) AS sampled_chars
+       CAST(sum(CASE WHEN md5('strat:' || doc_id::VARCHAR)
+                          < '{SAMPLE_HEX_LT}'
+                THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
 FROM documents GROUP BY lang
 """
 
@@ -255,7 +258,8 @@ WITH toks AS (
   FROM toks t JOIN vocab v USING (tok)
   GROUP BY 1, 2
 )
-SELECT lang, count(*) AS n_docs, sum(n_rare) AS rare_occurrences,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_rare) AS BIGINT) AS rare_occurrences,
        round(sum(CAST(round(n_rare * 1.0 / n_tok * 1000000) AS BIGINT))
              * 1.0 / count(*) / 1000000, 6) AS avg_rare_ratio
 FROM per_doc WHERE n_tok > 0 GROUP BY lang
@@ -329,8 +333,8 @@ WITH norm AS (
   WHERE gr IN (SELECT gr FROM bench)
 )
 SELECT d.source, count(*) AS n_docs,
-       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_contaminated,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
        round(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS contamination_rate
 FROM documents d LEFT JOIN hits h USING (doc_id)
@@ -687,7 +691,8 @@ scored AS (
   FROM e JOIN st ON e.event_type = st.event_type
 )
 SELECT event_type, any_value(n) AS n_events,
-       sum(CASE WHEN az > {Z_CUT} THEN 1 ELSE 0 END) AS n_anomalies,
+       CAST(sum(CASE WHEN az > {Z_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
        round(max(az), 4) AS max_abs_z
 FROM scored GROUP BY 1
 """
@@ -741,7 +746,7 @@ pairs AS (
        unnest(list_transform(generate_series(1, length(w) - 1),
                              i -> substr(w, i, 2))) u(p)
 )
-SELECT pair, sum(wc) AS pair_count
+SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
 FROM pairs GROUP BY 1
 ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}
 """
@@ -800,15 +805,25 @@ def q_bpe_merge_rounds(spark, sf_dir):
                              "pair_count"))
         outs.append(top)
         best = top.collect()[0]
-        nxt = cur.select(
-            F.regexp_replace(
-                "s",
-                F.lit(" " + best["pair"] + " "),
-                F.lit(" " + best["merged"] + " ")).alias("s"),
-            "wc")
-        # regexp chars: symbols are [a-z]+ only (filtered above) — the
-        # pattern is literal-safe. Persist each round's vocabulary so
-        # round r+1 does not recount round r's plan.
+        a_sym, b_sym = best["pair"].split(" ")
+        merged = best["merged"]
+        # Canonical greedy left-to-right merge as a fold over the symbol
+        # list (a plain " a b " → " ab " replace consumes the shared
+        # delimiter and merges only every other pair in overlapping runs
+        # like "o o o o"). The accumulator keeps the " sym sym " shape,
+        # so "acc ends with ' a '" tests exactly the previous UNMERGED
+        # symbol — a freshly merged "ab" can never chain (BPE applies one
+        # rule per round). Symbols are [a-z]+ only (filtered above), so
+        # inlining them in the expression is literal-safe.
+        apply_merge = (
+            f"aggregate(split(trim(s), ' '), ' ', (acc, x) -> "
+            f"CASE WHEN x = '{b_sym}' AND endswith(acc, ' {a_sym} ') "
+            f"THEN concat(left(acc, length(acc) - {len(a_sym) + 1}), "
+            f"'{merged} ') "
+            f"ELSE concat(acc, x, ' ') END)")
+        nxt = cur.select(F.expr(apply_merge).alias("s"), "wc")
+        # Persist each round's vocabulary so round r+1 does not recount
+        # round r's plan.
         nxt = nxt.persist()
         cached.append(nxt)
         cur = nxt
@@ -835,7 +850,7 @@ def _sql_bpe_rounds() -> str:
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"w{r - 1}"
         ctes.append(f"""p{r} AS (
-  SELECT u.p AS pair, sum(wc) AS pair_count
+  SELECT u.p AS pair, CAST(sum(wc) AS BIGINT) AS pair_count
   FROM {prev},
        unnest(list_transform(
          generate_series(1, len(string_split(trim(s), ' ')) - 1),
@@ -849,10 +864,20 @@ def _sql_bpe_rounds() -> str:
   FROM p{r} ORDER BY pair_count DESC, pair ASC LIMIT 1
 )""")
         if r < BPE_ROUNDS:
+            # Same canonical fold as the Spark side (RE2 has no
+            # lookahead, so a regex can't do this in one pass).
             ctes.append(f"""w{r} AS (
-  SELECT replace(s, ' ' || (SELECT pair FROM b{r}) || ' ',
-                 ' ' || (SELECT merged FROM b{r}) || ' ') AS s, wc
-  FROM {prev}
+  SELECT list_reduce(
+           list_prepend(' ', string_split(trim(s), ' ')),
+           (acc, x) -> CASE
+             WHEN x = mb.bsym AND ends_with(acc, ' ' || mb.asym || ' ')
+             THEN left(acc, length(acc) - length(mb.asym) - 1)
+                  || mb.merged || ' '
+             ELSE acc || x || ' ' END) AS s, wc
+  FROM {prev},
+       (SELECT string_split(pair, ' ')[1] AS asym,
+               string_split(pair, ' ')[2] AS bsym, merged
+        FROM b{r}) mb
 )""")
         sels.append(f"SELECT * FROM b{r}")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
@@ -901,7 +926,8 @@ WITH seq AS (
   SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
   FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
 ), totals AS (
-  SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY 1
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM pairs GROUP BY 1
 )
 SELECT p.from_type, p.to_type, p.n, t.row_total,
        round(p.n::DOUBLE / t.row_total::DOUBLE, 6) AS p

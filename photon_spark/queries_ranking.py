@@ -111,7 +111,8 @@ def _sql_bm25_parts() -> tuple[str, str]:
     the RRF fusion oracle."""
     k1, b = BM25_K1, BM25_B
     tf_sel = ",\n         ".join(
-        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS tf_{t}"
         for t in BM25_TERMS)
     df_sel = ",\n         ".join(
         f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
@@ -187,8 +188,8 @@ def q_events_decay_popularity(spark, sf_dir):
     e = _events(spark, sf_dir)
     # Integer epoch-ns end-to-end: a double division of an epoch-ns long
     # loses precision past 2^53, so age is floor-divided as a long.
-    step = (f"least((({DECAY_REF_NS} - ts) div {DAY_NS})"
-            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP})")
+    step = (f"greatest(0, least((({DECAY_REF_NS} - ts) div {DAY_NS})"
+            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP}))")
     w = F.expr(
         f"cast(shiftleft(1, {DECAY_MAX_STEP} - cast(({step}) as int)) "
         "as long)")
@@ -203,13 +204,14 @@ def q_events_decay_popularity(spark, sf_dir):
 SQL_EVENTS_DECAY_POPULARITY = f"""
 WITH w AS (
   SELECT event_type,
-         (1::BIGINT << ({DECAY_MAX_STEP} - least(
+         (1::BIGINT << ({DECAY_MAX_STEP} - greatest(0, least(
             ({DECAY_REF_NS} - epoch_ns(ts)) // {DAY_NS}
               // {DECAY_STEP_DAYS},
-            {DECAY_MAX_STEP})::INT)) AS w
+            {DECAY_MAX_STEP})::INT))) AS w
   FROM events
 )
-SELECT event_type, count(*) AS n_events, sum(w) AS decayed_units,
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(w) AS BIGINT) AS decayed_units,
        sum(w)::DOUBLE / {float(DECAY_SCALE)!r} AS decayed_count
 FROM w GROUP BY event_type
 """
@@ -221,8 +223,8 @@ def decay_step_counts(events_df, ref_ns: int = DECAY_REF_NS):
     needs per-step counts, not one total — the staircase clamps at step
     {DECAY_MAX_STEP}, so a clamped event's weight stops halving and a
     plain shift of the total would over-decay it."""
-    step = (f"least((({ref_ns} - ts) div {DAY_NS})"
-            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP})")
+    step = (f"greatest(0, least((({ref_ns} - ts) div {DAY_NS})"
+            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP}))")
     return (events_df.select("event_type",
                              F.expr(f"cast(({step}) as int)").alias("step"))
                      .groupBy("event_type", "step")
@@ -277,8 +279,8 @@ def q_events_trending_users(spark, sf_dir):
     stream per map partition ever shuffle.
     """
     e = _events(spark, sf_dir)
-    step = (f"least((({DECAY_REF_NS} - ts) div {DAY_NS})"
-            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP})")
+    step = (f"greatest(0, least((({DECAY_REF_NS} - ts) div {DAY_NS})"
+            f" div {DECAY_STEP_DAYS}, {DECAY_MAX_STEP}))")
     w = F.expr(
         f"cast(shiftleft(1, {DECAY_MAX_STEP} - cast(({step}) as int)) "
         "as long)")
@@ -296,14 +298,14 @@ def q_events_trending_users(spark, sf_dir):
 SQL_EVENTS_TRENDING_USERS = f"""
 WITH w AS (
   SELECT event_type, user_id,
-         (1::BIGINT << ({DECAY_MAX_STEP} - least(
+         (1::BIGINT << ({DECAY_MAX_STEP} - greatest(0, least(
             ({DECAY_REF_NS} - epoch_ns(ts)) // {DAY_NS}
               // {DECAY_STEP_DAYS},
-            {DECAY_MAX_STEP})::INT)) AS w
+            {DECAY_MAX_STEP})::INT))) AS w
   FROM events
 ), per_user AS (
   SELECT event_type, user_id, count(*) AS n_events,
-         sum(w) AS decayed_units
+         CAST(sum(w) AS BIGINT) AS decayed_units
   FROM w GROUP BY 1, 2
 )
 SELECT event_type, user_id, n_events, decayed_units,
@@ -452,7 +454,8 @@ params AS (
 ),
 r0 AS (SELECT id, (SELECT r_init FROM params) AS rank FROM deg),
 {its_sql}
-SELECT id AS doc_id, rank AS rank_e12, rank::DOUBLE / 1e12 AS pagerank
+SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_e12,
+       rank::DOUBLE / 1e12 AS pagerank
 FROM {prev}
 """
 
@@ -570,7 +573,7 @@ WITH toks AS (
              THEN 1 ELSE -1 END) AS v
   FROM toks GROUP BY 1, 2
 ), dense AS (
-  SELECT c.doc_id, g.b, coalesce(max(c2.v), 0) AS v
+  SELECT c.doc_id, g.b, CAST(coalesce(max(c2.v), 0) AS BIGINT) AS v
   FROM (SELECT DISTINCT doc_id FROM cell) c
   CROSS JOIN generate_series(0, {FH_DIM - 1}) g(b)
   LEFT JOIN cell c2 ON c2.doc_id = c.doc_id AND c2.bucket = g.b
@@ -578,7 +581,8 @@ WITH toks AS (
 )
 SELECT d.doc_id, list(d.v ORDER BY d.b) AS vec, m.l1_mass
 FROM dense d
-JOIN (SELECT doc_id, sum(abs(v)) AS l1_mass FROM cell GROUP BY 1) m
+JOIN (SELECT doc_id, CAST(sum(abs(v)) AS BIGINT) AS l1_mass
+      FROM cell GROUP BY 1) m
   ON m.doc_id = d.doc_id
 GROUP BY d.doc_id, m.l1_mass
 """
@@ -736,7 +740,7 @@ WITH b AS (
          END AS q
   FROM b
 )
-SELECT gi AS i, gj AS j, sum(q[gi] * q[gj]) AS gram
+SELECT gi AS i, gj AS j, CAST(sum(q[gi] * q[gj]) AS BIGINT) AS gram
 FROM q, generate_series(1, {GRAM_DIM}) s(gi),
      generate_series(1, {GRAM_DIM}) t(gj)
 WHERE gi <= gj

@@ -335,12 +335,16 @@ def q_events_pivot(spark, sf_dir):
 
 SQL_EVENTS_PIVOT = """
 SELECT user_id % 10 AS cohort,
-       coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
-         AS purchase,
-       coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-       coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-       coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+            AS BIGINT) AS click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+            AS BIGINT) AS purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+            AS BIGINT) AS signup,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)
+            AS BIGINT) AS view,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+            AS BIGINT) AS error
 FROM events GROUP BY 1
 """
 

@@ -745,7 +745,7 @@ WITH prof AS ({SQL_TEXT_PROFILE})
 SELECT count(*) AS n_docs,
        count(DISTINCT d.source) AS n_sources,
        count(DISTINCT d.lang) AS n_langs,
-       sum(p.n_tokens) AS total_tokens,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
        count(DISTINCT p.fingerprint) AS n_distinct_fp,
        round((count(*) - count(DISTINCT p.fingerprint)) * 1.0 / count(*), 6)
          AS exact_dup_rate,

@@ -234,7 +234,8 @@ exact AS (
   SELECT coalesce(sum(a.c * b.c), 0) AS exact_join_size
   FROM cma_k a JOIN cmb_k b ON a.it = b.it
 )
-SELECT exact_join_size, est_join_size,
+SELECT CAST(exact_join_size AS BIGINT) AS exact_join_size,
+       CAST(est_join_size AS BIGINT) AS est_join_size,
        round(est_join_size::DOUBLE / exact_join_size::DOUBLE, 6)
          AS overestimate_ratio
 FROM est, exact

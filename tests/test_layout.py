@@ -1,6 +1,8 @@
 """Layout operators: z-order audit invariants, the range-partitioned
 z-writer, and bucketed co-located joins (shuffle-free plan pin)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from photon_spark import queries_layout as ql
@@ -17,11 +19,14 @@ def test_zorder_audit_sound(spark, sf_dir):
     assert r["n_files_z"] == r["n_files_lin"]
 
 
-def test_zorder_audit_workload_wins_at_granularity(spark):
+def test_zorder_audit_workload_wins_at_granularity(spark, sf_dir):
     """With enough files for the curve to matter (sf0.01 → 40 files),
     the z layout scans less across the 3-query workload, and beats the
     insertion layout outright on the user-only query it cannot prune."""
-    r = (ql.q_zorder_skipping_audit(spark, "/root/testdata/sf0.01")
+    # needs the sf0.01 granularity regardless of the suite's default SF;
+    # derive it from the configured data root rather than hardcoding.
+    sf001_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    r = (ql.q_zorder_skipping_audit(spark, sf001_dir)
            .collect()[0])
     z_total = sum(r[f"scan_{q}_z"] for q in ("userq", "hourq", "boxq"))
     l_total = sum(r[f"scan_{q}_lin"] for q in ("userq", "hourq", "boxq"))

@@ -119,3 +119,23 @@ def test_text_profile_duckdb_parity_edge_whitespace(spark):
     con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
     oracle = sorted(tuple(r) for r in con.execute(SQL_TEXT_PROFILE).fetchall())
     assert fast == oracle
+
+
+def test_no_engine_private_types_in_any_oracle(sf_dir):
+    # Round-3 postmortem (VERDICT.md): every driver-red query — and only
+    # those — had a DuckDB HUGEINT column in its oracle (SUM(BIGINT)
+    # promotes); the driver's hasher canonicalizes HUGEINT differently
+    # from int64, so the gate diverged even with identical values. Pin:
+    # every ORACLES entry's LIMIT-0 result schema contains only portable
+    # types (lint_oracle_types allowlist), so the defect cannot recur.
+    from tools.lint_oracle_types import bad_columns, connect
+
+    from photon_spark import queries as q
+
+    con = connect(sf_dir)
+    offenders = {}
+    for name, sql in q.ORACLES.items():
+        bad = bad_columns(con, sql)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}

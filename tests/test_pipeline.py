@@ -188,10 +188,72 @@ def test_bpe_merge_rounds_matches_naive(spark, sf_dir):
         want.append((r, f"{a} {b}", a + b, n))
         newv: dict = {}
         for s, c in vocab.items():
-            s2 = s.replace(f" {a} {b} ", f" {a + b} ")
+            syms = s.strip(" ").split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            s2 = " " + " ".join(out) + " "
             newv[s2] = newv.get(s2, 0) + c
         vocab = newv
     assert got == want
     # merges are genuinely applied: a later round may merge a multi-char
     # symbol produced earlier; at minimum rounds pick distinct pairs
     assert len({p for _, p, _, _ in got}) == BPE_ROUNDS
+
+
+def test_bpe_merge_fold_is_canonical_on_overlaps(spark):
+    # The " a b " → " ab " literal replace consumes the shared delimiter
+    # and merges only every other pair on overlapping runs ("o o o o").
+    # Pin: the fold used by q_bpe_merge_rounds (Spark aggregate) and its
+    # DuckDB list_reduce twin both equal the canonical greedy
+    # left-to-right scan, on exactly the shapes that broke the regex.
+    import duckdb
+
+    cases = [
+        (" o o o o ", "o", "o"),          # even identical run
+        (" o o o o o ", "o", "o"),        # odd identical run
+        (" a b a b ", "a", "b"),          # back-to-back pair
+        (" a a b b a b ", "a", "b"),      # mixed
+        (" x a b y ", "a", "b"),          # single interior
+        (" ab a b ", "a", "b"),           # earlier merged symbol present
+    ]
+
+    def canonical(s, a, b):
+        syms = s.strip(" ").split(" ")
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " " + " ".join(out) + " "
+
+    con = duckdb.connect()
+    for s, a, b in cases:
+        want = canonical(s, a, b)
+        m = a + b
+        spark_expr = (
+            f"aggregate(split(trim(s), ' '), ' ', (acc, x) -> "
+            f"CASE WHEN x = '{b}' AND endswith(acc, ' {a} ') "
+            f"THEN concat(left(acc, length(acc) - {len(a) + 1}), '{m} ') "
+            f"ELSE concat(acc, x, ' ') END)")
+        got_spark = (spark.createDataFrame([(s,)], "s string")
+                     .selectExpr(f"{spark_expr} AS s").collect()[0]["s"])
+        got_duck = con.execute(f"""
+            SELECT list_reduce(
+                     list_prepend(' ', string_split(trim(?), ' ')),
+                     (acc, x) -> CASE
+                       WHEN x = '{b}' AND ends_with(acc, ' {a} ')
+                       THEN left(acc, length(acc) - {len(a) + 1})
+                            || '{m} '
+                       ELSE acc || x || ' ' END)""", [s]).fetchone()[0]
+        assert got_spark == want, (s, got_spark, want)
+        assert got_duck == want, (s, got_duck, want)

@@ -63,7 +63,8 @@ def test_decay_popularity_matches_naive(spark, sf_dir):
     want: dict = {}
     for r in rows:
         age_days = (qr.DECAY_REF_NS - r["ts"]) // qr.DAY_NS
-        step = min(age_days // qr.DECAY_STEP_DAYS, qr.DECAY_MAX_STEP)
+        step = max(0, min(age_days // qr.DECAY_STEP_DAYS,
+                          qr.DECAY_MAX_STEP))
         w = 1 << (qr.DECAY_MAX_STEP - step)
         n, u = want.get(r["event_type"], (0, 0))
         want[r["event_type"]] = (n + 1, u + w)
@@ -344,3 +345,26 @@ def test_trending_users_matches_naive(spark, sf_dir):
         lst.sort()
         for i, (nu, u) in enumerate(lst[:qr.TRENDING_K], 1):
             assert got[(t, i)] == (u, -nu)
+
+
+def test_decay_step_clamped_for_future_events(spark):
+    # A future-dated/late event (ts > DECAY_REF_NS) must get step 0 and
+    # the MAX weight — not a negative step that inflates the weight past
+    # 2^MAX_STEP (and, ~128 future days out, wraps Spark's 32-bit
+    # shiftleft while DuckDB's BIGINT shift does not, splitting the hash
+    # gate). Pins the greatest(0, least(...)) clamp on every decay path.
+    day = qr.DAY_NS
+    rows = [
+        ("click", 7, qr.DECAY_REF_NS + 3 * day),       # slightly future
+        ("click", 8, qr.DECAY_REF_NS + 200 * day),     # wrap territory
+        ("click", 9, qr.DECAY_REF_NS - 1),             # now → step 0
+        ("click", 10, qr.DECAY_REF_NS - 100 * day),    # past → clamp max
+    ]
+    e = spark.createDataFrame(rows, "event_type string, user_id long, ts long")
+    counts = qr.decay_step_counts(e).collect()
+    by_step = {r["step"]: r["n"] for r in counts}
+    assert by_step == {0: 3, qr.DECAY_MAX_STEP: 1}
+    summary = qr.decay_summary_from_counts(
+        qr.decay_step_counts(e)).collect()[0]
+    # 3 events at max weight + 1 at min weight, exactly
+    assert summary["decayed_units"] == 3 * qr.DECAY_SCALE + 1

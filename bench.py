@@ -71,14 +71,23 @@ def main():
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(json.dumps({
+    payload = {
         "metric": "photon_spark_total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "runs": runs,
         "sf": sf,
-    }))
+    }
+    line = json.dumps(payload)
+    print(line)
+    # The driver captures only the stdout tail, which has truncated the
+    # per-query map in past rounds — persist the full result next to the
+    # repo so round-over-round regression diffs are always computable.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HEAD.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

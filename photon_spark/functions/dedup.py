@@ -178,7 +178,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     common, ex = _capped_pair_counts(df, text_col, id_col, n,
                                      max_shingle_df,
-                                     size_ratio_t=threshold)
+                                     size_ratio_t=threshold,
+                                     prefix_t=threshold,
+                                     prefix_mode="both")
     jac = F.round(F.col("n_common")
                   / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
     return _own_cache(
@@ -190,52 +192,142 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def _capped_pair_counts(df: DataFrame, text_col: str, id_col: str, n: int,
                         max_shingle_df: int,
-                        size_ratio_t: float | None = None):
+                        size_ratio_t: float | None = None,
+                        prefix_t: float | None = None,
+                        prefix_mode: str = "both"):
     """Shared df-capped inverted-index pair counting for the Jaccard and
     containment miners: (lo_id, hi_id, n_a, n_b, n_common) plus the
     persisted postings relation the caller must own via _own_cache.
 
     ``size_ratio_t``: Jaccard's lossless size prune (J ≥ t ⇒ |a|/|b| ≥ t)
     applied inside the self-join; None for containment, whose quarry is
-    exactly the size-mismatched pairs."""
-    # The exploded postings feed the cap filter and both self-join sides;
-    # persist them once — at scale this is the standard
-    # materialize-postings-then-join dedup shape (MEMORY_AND_DISK). The
+    exactly the size-mismatched pairs.
+
+    ``prefix_t``: the PPJoin prefix filter (Chaudhuri et al., "A
+    Primitive Operator for Similarity Joins"). With shingles totally
+    ordered (ascending global df, rarest first, ties by value), a pair
+    sharing ≥ k shingles must share one inside each doc's first
+    |S| − k + 1 shingles — so only PREFIX postings need to generate
+    candidates, and the candidate join shrinks from all-postings ×
+    all-postings to roughly the (1−t) fraction. Lossless:
+
+    - ``prefix_mode="both"`` (Jaccard): J ≥ t ⇒ |A∩B| ≥ t·|A| and
+      ≥ t·|B|, so a shared shingle exists in BOTH prefixes (the same
+      one, by the minimum-shared-element argument), and both join sides
+      carry prefix postings only.
+    - ``prefix_mode="min"`` (containment): C ≥ t ⇒ |A∩B| ≥ t·min —
+      only the SMALLER doc's prefix is bounding, so prefix postings of
+      the smaller side probe the FULL postings of the other.
+
+    Candidates are then verified exactly: the distinct pair relation
+    (≪ corpus by construction) joins back to the per-doc capped shingle
+    arrays and n_common = |array_intersect| — identical to the old
+    count-join over every co-occurrence, which at 100 TB was the
+    bottleneck shuffle (every co-occurring pair moved; now only
+    candidate pairs and one doc-keyed array fetch move)."""
+    # The capped+ranked postings feed both candidate sides and the
+    # verification arrays; persist them once (MEMORY_AND_DISK). The
     # cached relation is attached to the caller's result: call
     # release_cache(result) after the action to free it deterministically.
     sh = _shingled(df, text_col, id_col, n)
-    ex = sh.select("id", F.explode("sh").alias("g")).persist()
+    ex = sh.select("id", F.explode("sh").alias("g"))
     # The df cap as a windowed count over the shingle key: one exchange on
-    # g (which the self-join needs anyway) instead of a separate agg +
-    # anti-join pass; the in-partition sort on g is work the sort-merge
-    # self-join repeats at scale regardless.
+    # g (which the candidate join needs anyway) instead of a separate agg
+    # + anti-join pass.
     wg = Window.partitionBy("g")
-    exr = (ex.withColumn("_df_g", F.count(F.lit(1)).over(wg))
-             .where(F.col("_df_g") <= max_shingle_df).drop("_df_g"))
-    # Sizes are measured over the capped space, so count AFTER the cap;
-    # the (id, deg) relation is one row per doc — AQE broadcasts it onto
-    # the postings (at 10^9 docs it degrades to a keyed join, still linear).
-    deg = exr.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-    exs = exr.join(deg, "id")
-    a, b = exs.alias("a"), exs.alias("b")
-    cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
-    if size_ratio_t is not None:
-        # 1e-9 slack keeps the prune lossless at exact-ratio boundaries
-        # (5 * double(0.8) = 4.0000000000000002 would otherwise drop a pair
-        # with sizes 4/5 whose true jaccard can be exactly 0.8 = threshold);
-        # sizes are integers, so the slack can never admit a truly-below
-        # pair.
-        t = F.lit(size_ratio_t)
-        eps = F.lit(1e-9)
-        cond = cond & (F.col("a.deg") * t <= F.col("b.deg") + eps) \
-                    & (F.col("b.deg") * t <= F.col("a.deg") + eps)
-    common = (a.join(b, cond)
-               .groupBy(F.col("a.id").alias("lo_id"),
-                        F.col("b.id").alias("hi_id"),
-                        F.col("a.deg").alias("n_a"),
-                        F.col("b.deg").alias("n_b"))
-               .agg(F.count(F.lit(1)).alias("n_common")))
-    return common, ex
+    exd = (ex.withColumn("_df_g", F.count(F.lit(1)).over(wg))
+             .where(F.col("_df_g") <= max_shingle_df))
+    if prefix_t is None:
+        # Direct count-join (no threshold semantics to prune with):
+        # sizes over the capped space via a tiny (id, deg) agg that AQE
+        # broadcasts back onto the postings.
+        exr = exd.drop("_df_g")
+        exp = exr.persist()
+        deg = exp.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        exs = exp.join(deg, "id")
+        a, b = exs.alias("a"), exs.alias("b")
+        cond = (F.col("a.g") == F.col("b.g")) & \
+               (F.col("a.id") < F.col("b.id"))
+        if size_ratio_t is not None:
+            cond = cond & _size_ratio_cond(size_ratio_t)
+        common = (a.join(b, cond)
+                   .groupBy(F.col("a.id").alias("lo_id"),
+                            F.col("b.id").alias("hi_id"),
+                            F.col("a.deg").alias("n_a"),
+                            F.col("b.deg").alias("n_b"))
+                   .agg(F.count(F.lit(1)).alias("n_common")))
+        return common, exp
+    # Prefix path: one id-keyed window pass stamps deg + the global-df
+    # rank; ceil(t·deg − 1e-9) keeps the prefix length lossless when
+    # t·deg lands a hair above an exact integer (double noise can only
+    # LENGTHEN the prefix, never shorten it — sizes are integers).
+    wid = Window.partitionBy("id")
+    wrk = Window.partitionBy("id").orderBy(F.asc("_df_g"), F.asc("g"))
+    k_req = F.ceil(F.col("deg") * F.lit(prefix_t) - F.lit(1e-9))
+    exs = (exd.withColumn("deg", F.count(F.lit(1)).over(wid))
+              .withColumn("rk", F.row_number().over(wrk))
+              .withColumn("is_pref",
+                          F.col("rk") <= F.col("deg") - k_req + 1)
+              .drop("_df_g", "rk")
+              .persist())
+    pref = exs.where("is_pref").select("id", "g", "deg")
+    if prefix_mode == "both":
+        a, b = pref.alias("a"), pref.alias("b")
+        cond = (F.col("a.g") == F.col("b.g")) & \
+               (F.col("a.id") < F.col("b.id"))
+        if size_ratio_t is not None:
+            cond = cond & _size_ratio_cond(size_ratio_t)
+        cand = (a.join(b, cond)
+                 .select(F.col("a.id").alias("lo_id"),
+                         F.col("b.id").alias("hi_id"))
+                 .distinct())
+    elif prefix_mode == "min":
+        # smaller doc's prefix probes the other doc's FULL postings;
+        # on equal sizes the minimum-shared-element argument applies to
+        # either doc, so p.deg <= f.deg keeps one valid orientation.
+        full = exs.select(F.col("id").alias("f_id"),
+                          F.col("g").alias("f_g"),
+                          F.col("deg").alias("f_deg"))
+        p = pref.select(F.col("id").alias("p_id"),
+                        F.col("g").alias("p_g"),
+                        F.col("deg").alias("p_deg"))
+        cand = (p.join(full,
+                       (F.col("p_g") == F.col("f_g")) &
+                       (F.col("p_id") != F.col("f_id")) &
+                       (F.col("p_deg") <= F.col("f_deg")))
+                 .select(F.least("p_id", "f_id").alias("lo_id"),
+                         F.greatest("p_id", "f_id").alias("hi_id"))
+                 .distinct())
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
+    # Exact verification on the candidate pair relation only. The
+    # grouping reuses exs's id-partitioning (no extra exchange), and the
+    # shingle arrays travel once per candidate doc, not per co-occurrence.
+    arr = exs.groupBy("id").agg(F.sort_array(F.collect_list("g")).alias("sh"),
+                                F.count(F.lit(1)).alias("deg"))
+    common = (cand
+              .join(arr.select(F.col("id").alias("lo_id"),
+                               F.col("sh").alias("sh_a"),
+                               F.col("deg").alias("n_a")), "lo_id")
+              .join(arr.select(F.col("id").alias("hi_id"),
+                               F.col("sh").alias("sh_b"),
+                               F.col("deg").alias("n_b")), "hi_id")
+              .select("lo_id", "hi_id", "n_a", "n_b",
+                      F.size(F.array_intersect("sh_a", "sh_b"))
+                       .cast("long").alias("n_common")))
+    return common, exs
+
+
+def _size_ratio_cond(size_ratio_t: float):
+    # 1e-9 slack keeps the prune lossless at exact-ratio boundaries
+    # (5 * double(0.8) = 4.0000000000000002 would otherwise drop a pair
+    # with sizes 4/5 whose true jaccard can be exactly 0.8 = threshold);
+    # sizes are integers, so the slack can never admit a truly-below
+    # pair.
+    t = F.lit(size_ratio_t)
+    eps = F.lit(1e-9)
+    return (F.col("a.deg") * t <= F.col("b.deg") + eps) & \
+           (F.col("b.deg") * t <= F.col("a.deg") + eps)
 
 
 # ------------------------------------------------------------------- MinHash
@@ -258,7 +350,9 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     column shows which containment hits a Jaccard dedup would have kept.
     """
     common, ex = _capped_pair_counts(df, text_col, id_col, n,
-                                     max_shingle_df, size_ratio_t=None)
+                                     max_shingle_df, size_ratio_t=None,
+                                     prefix_t=threshold,
+                                     prefix_mode="min")
     cont = F.round(F.col("n_common")
                    / F.least(F.col("n_a"), F.col("n_b")), 6)
     jac = F.round(F.col("n_common")

@@ -84,8 +84,16 @@ def main():
     # The driver captures only the stdout tail, which has truncated the
     # per-query map in past rounds — persist the full result next to the
     # repo so round-over-round regression diffs are always computable.
+    # BENCH_HEAD.json is the canonical round artifact and only ever holds
+    # the default contract (sf0.1, runs=2); ad-hoc runs with overridden
+    # SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_RUNS land in a
+    # config-suffixed file instead so a smoke run can't silently replace
+    # the regression baseline.
+    default_contract = (sf_dir == "/root/testdata/sf0.1" and runs == 2)
+    fname = ("BENCH_HEAD.json" if default_contract
+             else f"BENCH_HEAD.sf{sf}.runs{runs}.json")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_HEAD.json")
+                            fname)
     with open(out_path, "w") as f:
         f.write(line + "\n")
 

@@ -219,12 +219,25 @@ def _capped_pair_counts(df: DataFrame, text_col: str, id_col: str, n: int,
       only the SMALLER doc's prefix is bounding, so prefix postings of
       the smaller side probe the FULL postings of the other.
 
+    Rounding-window caveat: losslessness is w.r.t. TRUE similarity ≥ t.
+    The callers' keep filter compares round(sim, 6) ≥ t, so a pair whose
+    true similarity lies in [t − 5e-7, t) rounds up yet may be pruned
+    here. Reaching that window needs union sizes around 4e5 shingles per
+    pair (doc-length scale far beyond this corpus); if shingle-set sizes
+    ever grow to that order, filter on the unrounded ratio instead.
+
     Candidates are then verified exactly: the distinct pair relation
     (≪ corpus by construction) joins back to the per-doc capped shingle
     arrays and n_common = |array_intersect| — identical to the old
     count-join over every co-occurrence, which at 100 TB was the
     bottleneck shuffle (every co-occurring pair moved; now only
-    candidate pairs and one doc-keyed array fetch move)."""
+    candidate pairs and one doc-keyed array fetch move).
+
+    Returns ``(common, persisted)``. ``persisted`` is the POST-CAP
+    (and, on the prefix path, prefix-annotated) postings relation,
+    owned solely so the caller can hand it to _own_cache /
+    release_cache — it is NOT a reusable pre-cap postings view; derive
+    nothing from it beyond unpersisting."""
     # The capped+ranked postings feed both candidate sides and the
     # verification arrays; persist them once (MEMORY_AND_DISK). The
     # cached relation is attached to the caller's result: call

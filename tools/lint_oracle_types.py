@@ -49,17 +49,41 @@ def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+import re
+
+# Words inside a rendered complex type that are grammar, not base types:
+# STRUCT(a BIGINT, b VARCHAR[]) tokenizes to STRUCT/a/BIGINT/b/VARCHAR.
+_TYPE_GRAMMAR = {"STRUCT", "LIST", "MAP", "ARRAY", "NOT", "NULL",
+                 "WITH", "TIME", "ZONE"}
+
+
+def _base_type_tokens(rendered: str) -> list[str]:
+    """Every ALL-CAPS word in a rendered DuckDB type that names a base
+    type. Field names are user-cased (lower/snake in this repo) so the
+    caps filter keeps only type names + grammar keywords; grammar is
+    dropped explicitly. This makes the complex-type check closed-world:
+    UHUGEINT/UUID/INTERVAL nested three levels deep still surface."""
+    words = re.findall(r"[A-Z][A-Z_0-9]*", rendered)
+    return [w for w in words if w not in _TYPE_GRAMMAR]
+
+
 def bad_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[str, str]]:
     rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
     out = []
     for name, typ in zip(rel.columns, rel.types):
         t = str(typ)
         base = t.split("(")[0].split("[")[0]
-        if base.startswith("STRUCT") or base.startswith("LIST") or t.endswith("[]"):
-            # complex types: allow if element/base names are portable enough;
-            # flag HUGEINT anywhere in the rendering
-            if "HUGEINT" in t:
-                out.append((name, t))
+        if base.startswith("STRUCT") or base.startswith("LIST") \
+                or base.startswith("MAP") or t.endswith("[]"):
+            # Complex types: require EVERY base type named anywhere in the
+            # rendering to be allowlisted (not just a HUGEINT substring
+            # check — UBIGINT/UUID/INTERVAL as a struct field or list
+            # element must fail too).
+            for tok in _base_type_tokens(t):
+                if not any(tok == p or tok.startswith(p + "_")
+                           for p in ALLOWED_PREFIXES):
+                    out.append((name, t))
+                    break
             continue
         if not any(base == p for p in ALLOWED_PREFIXES):
             out.append((name, t))

@@ -186,7 +186,8 @@ def q_dup_graph_clustering(spark, sf_dir):
     (deg·(deg−1)/2 summed — exact integers).
     """
     from photon_spark.functions import dedup
-    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    from photon_spark import pair_cache
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir)
     edges = pairs.select("lo_id", "hi_id").persist()
     # wedges rooted at a: (a<b) ⋈ (a<c), b<c — then close with (b,c)
     e1 = edges.select(F.col("lo_id").alias("a"), F.col("hi_id").alias("b"))

@@ -180,8 +180,9 @@ def q_dedup_clusters(spark, sf_dir):
     is banded, not all-pairs) — clustering its output is exactly the 100 TB
     dedup pipeline. Adaptive union-find/label-propagation on Spark;
     recursive-CTE transitive closure on DuckDB."""
-    pairs = dedup.minhash_near_duplicates(
-        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_BANDS,
+    from photon_spark import pair_cache
+    pairs = pair_cache.near_dup_pairs(
+        spark, sf_dir, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=0.7)
     labels = dedup.dup_clusters(pairs)
     return labels.groupBy("cluster_id").agg(
@@ -812,15 +813,14 @@ def q_dup_graph_degree(spark, sf_dir):
     run whether duplication is pairwise noise or dense boilerplate
     clusters. Two short aggregations over the (lo, hi) pair relation
     (ids only, text long gone): degree per doc, then docs per degree."""
-    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    from photon_spark import pair_cache
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir)
     ends = (pairs.select(F.col("lo_id").alias("id"))
                  .unionAll(pairs.select(F.col("hi_id").alias("id"))))
     deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
-    out = (deg.groupBy("degree")
-              .agg(F.count(F.lit(1)).alias("n_docs"))
-              .orderBy("degree"))
-    out._photon_cached = getattr(pairs, "_photon_cached", [])
-    return out
+    return (deg.groupBy("degree")
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+               .orderBy("degree"))
 
 
 SQL_DUP_GRAPH_DEGREE = """

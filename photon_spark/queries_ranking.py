@@ -393,8 +393,8 @@ def q_pagerank_dup_graph(spark, sf_dir):
     against the edge list plus one keyed sum — the standard
     edge-partitioned power iteration; ids only, no text, no windows.
     """
-    from photon_spark.functions import dedup
-    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir))
+    from photon_spark import pair_cache
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir)
     # The pair-mining pipeline must not re-execute once per iteration:
     # persist the id-only edge list (the only thing the loop touches).
     edges = (pairs.select(F.col("lo_id").alias("src"),

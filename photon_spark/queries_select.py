@@ -51,9 +51,14 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _near_dup_pairs(d):
-    return dedup.minhash_near_duplicates(
-        d, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=NEAR_DUP_T)
+def _near_dup_pairs(spark, sf_dir):
+    # Mined once per corpus via the shared pair table (pair_cache):
+    # keep-best / leakage / cross-source are decisions OVER the pair
+    # relation, not re-mines of it.
+    from photon_spark import pair_cache
+    return pair_cache.near_dup_pairs(
+        spark, sf_dir, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=NEAR_DUP_T)
 
 
 # --------------------------------------------------- keep-best canonical
@@ -72,7 +77,7 @@ def q_dedup_keep_best(spark, sf_dir):
     always kept, via coalesce rather than ever materializing them as
     graph nodes."""
     d = _docs(spark, sf_dir)
-    pairs = _near_dup_pairs(d)
+    pairs = _near_dup_pairs(spark, sf_dir)
     labels = dedup.dup_clusters(pairs)
     q_int = F.round(F.col("quality") * 1e6).cast("long").alias("q_int")
     prof = text.text_profile(d).select("doc_id", q_int)
@@ -164,7 +169,7 @@ def q_split_leakage(spark, sf_dir):
     relation, symmetrized and filtered, so the audit costs one short
     aggregation beyond the miner."""
     d = _docs(spark, sf_dir)
-    pairs = _near_dup_pairs(d)
+    pairs = _near_dup_pairs(spark, sf_dir)
     sym = (pairs.select(F.col("lo_id").alias("a"), F.col("hi_id").alias("b"))
                 .union(pairs.select(F.col("hi_id").alias("a"),
                                     F.col("lo_id").alias("b"))))
@@ -445,7 +450,7 @@ def q_cross_source_dups(spark, sf_dir):
     attaching sources is two joins that move only (doc_id, source), and
     the matrix aggregate has at most |sources|² keys."""
     d = _docs(spark, sf_dir)
-    pairs = _near_dup_pairs(d)
+    pairs = _near_dup_pairs(spark, sf_dir)
     src = d.select("doc_id", "source")
     j = (pairs
          .join(src.select(F.col("doc_id").alias("lo_id"),

@@ -30,8 +30,9 @@ def docs(spark, sf_dir):
 
 
 @pytest.fixture(scope="module")
-def pairs(docs):
-    return [(r["lo_id"], r["hi_id"]) for r in _near_dup_pairs(docs).collect()]
+def pairs(spark, sf_dir, docs):
+    return [(r["lo_id"], r["hi_id"])
+            for r in _near_dup_pairs(spark, sf_dir).collect()]
 
 
 def _union_find(pairs):

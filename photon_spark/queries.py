@@ -557,6 +557,11 @@ from photon_spark import queries_governance as _gv  # noqa: E402
 QUERIES.update(_gv.QUERIES)
 ORACLES.update(_gv.ORACLES)
 
+from photon_spark import queries_substring as _ss  # noqa: E402
+
+QUERIES.update(_ss.QUERIES)
+ORACLES.update(_ss.ORACLES)
+
 # --------------------------------------------------------------------------
 # Gate-window ordering
 # --------------------------------------------------------------------------

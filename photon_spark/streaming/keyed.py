@@ -1,4 +1,4 @@
-"""Distributed keyed stateful streaming fold (applyInPandasWithState).
+"""Distributed keyed stateful streaming fold.
 
 The serial :class:`~photon_spark.streaming.stateful.StreamingProjectionRunner`
 mirrors photon's per-projection total-order fold (streams.clj:241-274,
@@ -8,6 +8,21 @@ default_projs.clj:8-26): state lives in the executors' state store, keyed
 by stream — updates run in parallel across keys, state survives restarts
 through the checkpoint, and no event ever reaches the driver.
 
+Two implementations of the same fold semantics:
+
+- **transformWithStateInPandas** (PySpark ≥ 4.0, SURVEY §1.4's target
+  operator): typed per-key ValueState, timers/TTL available, RocksDB
+  state store. Its Python state client speaks protobuf to the JVM state
+  server, so it needs ``google.protobuf`` in the Python environment —
+  probed at import; chosen by default when available.
+- **applyInPandasWithState** fallback: identical fold and state content,
+  used where protobuf is absent (this build container) or when
+  ``PHOTON_SPARK_KEYED_LEGACY=1`` forces it.
+
+Both paths produce value-identical output (the keyed gate query hashes
+prove it wherever both can run), so which one executes is an environment
+detail, not a semantics choice.
+
 Scale: this is the shape that holds at 100 TB/day — per-key state is
 O(keys) not O(events), each micro-batch touches only the keys it contains,
 and the shuffle is the single groupBy(key) exchange.
@@ -15,6 +30,7 @@ and the shuffle is the single groupBy(key) exchange.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,6 +41,128 @@ OUTPUT_SCHEMA = ("stream_name string, n_events long, sum_local long, "
                  "max_order_id long")
 STATE_SCHEMA = "n long, s long, mx long"
 
+CSUM_OUTPUT = "stream_name string, processed long, checksum long"
+CSUM_STATE = "n long, c long"
+
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its state
+    client; absent (or with PHOTON_SPARK_KEYED_LEGACY=1) the legacy
+    applyInPandasWithState path runs instead."""
+    if os.environ.get("PHOTON_SPARK_KEYED_LEGACY") == "1":
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def _use_rocksdb(df: DataFrame) -> None:
+    # transformWithState requires the RocksDB state store; set it on the
+    # owning session before the stream starts (per-query conf snapshot).
+    df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+
+
+# ------------------------------------------------------ fold kernels
+# Shared by both APIs so the two paths cannot drift: each takes the
+# prior (tuple) state plus the micro-batch group's frames and returns
+# the new state.
+
+def _totals_step(state: tuple, frames: list[pd.DataFrame]) -> tuple:
+    n, s, mx = state
+    for pdf in frames:
+        n += len(pdf)
+        s += int(pd.to_numeric(pdf["local_id"], errors="coerce")
+                 .fillna(0).sum())
+        if len(pdf):
+            mx = max(mx, int(pdf["order_id"].max()))
+    return n, s, mx
+
+
+def _csum_step(state: tuple, frames: list[pd.DataFrame]) -> tuple:
+    n, c = state
+    frames = [pdf for pdf in frames if len(pdf)]
+    if frames:
+        allf = (pd.concat(frames) if len(frames) > 1 else frames[0]) \
+            .sort_values("order_id")
+        for lid in pd.to_numeric(allf["local_id"],
+                                 errors="coerce").fillna(0).astype(int):
+            n += 1
+            c += n * int(lid)
+    return n, c
+
+
+def _totals_row(key, st) -> pd.DataFrame:
+    return pd.DataFrame({"stream_name": [key[0]], "n_events": [st[0]],
+                         "sum_local": [st[1]], "max_order_id": [st[2]]})
+
+
+def _csum_row(key, st) -> pd.DataFrame:
+    return pd.DataFrame({"stream_name": [key[0]], "processed": [st[0]],
+                         "checksum": [st[1]]})
+
+
+# ------------------------------------- transformWithStateInPandas path
+
+def _make_processor(state_name: str, state_schema: str, zero: tuple,
+                    step, row):
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState(state_name, state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = tuple(self._st.get()) if self._st.exists() else zero
+            st = step(st, list(rows))
+            self._st.update(st)
+            yield row(key, st)
+
+        def close(self):
+            pass
+
+    return _Processor()
+
+
+def _tws(events: DataFrame, state_name: str, state_schema: str,
+         zero: tuple, step, row, output_schema: str) -> DataFrame:
+    _use_rocksdb(events)
+    return (events
+            .groupBy("stream_name")
+            .transformWithStateInPandas(
+                _make_processor(state_name, state_schema, zero, step, row),
+                outputStructType=output_schema,
+                outputMode="Update",
+                timeMode="None"))
+
+
+# --------------------------------------- applyInPandasWithState path
+
+def _aipws(events: DataFrame, state_schema: str, zero: tuple, step, row,
+           output_schema: str) -> DataFrame:
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        st = tuple(state.get) if state.exists else zero
+        st = step(st, list(pdfs))
+        state.update(st)
+        yield row(key, st)
+
+    return (events
+            .groupBy("stream_name")
+            .applyInPandasWithState(
+                update,
+                outputStructType=output_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ----------------------------------------------------------- operators
 
 def keyed_running_totals(events: DataFrame) -> DataFrame:
     """Per-stream running (count, sum(local_id as long), max order_id) over
@@ -35,32 +173,11 @@ def keyed_running_totals(events: DataFrame) -> DataFrame:
     The int sums keep the fold associative and restart-exact: replaying a
     checkpoint resumes from the stored state, never recounts.
     """
-
-    def update(key, pdfs: Iterator[pd.DataFrame],
-               state: GroupState) -> Iterator[pd.DataFrame]:
-        n, s, mx = state.get if state.exists else (0, 0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            s += int(pd.to_numeric(pdf["local_id"], errors="coerce")
-                     .fillna(0).sum())
-            if len(pdf):
-                mx = max(mx, int(pdf["order_id"].max()))
-        state.update((n, s, mx))
-        yield pd.DataFrame({"stream_name": [key[0]], "n_events": [n],
-                            "sum_local": [s], "max_order_id": [mx]})
-
-    return (events
-            .groupBy("stream_name")
-            .applyInPandasWithState(
-                update,
-                outputStructType=OUTPUT_SCHEMA,
-                stateStructType=STATE_SCHEMA,
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
-
-
-CSUM_OUTPUT = "stream_name string, processed long, checksum long"
-CSUM_STATE = "n long, c long"
+    if tws_available():
+        return _tws(events, "totals", STATE_SCHEMA, (0, 0, 0),
+                    _totals_step, _totals_row, OUTPUT_SCHEMA)
+    return _aipws(events, STATE_SCHEMA, (0, 0, 0),
+                  _totals_step, _totals_row, OUTPUT_SCHEMA)
 
 
 def keyed_ordered_checksums(events: DataFrame) -> DataFrame:
@@ -71,27 +188,8 @@ def keyed_ordered_checksums(events: DataFrame) -> DataFrame:
     and ``checksum = Σ rankₖ·local_id`` changes under ANY per-key
     reordering, gap, or duplicate. Keys fold in parallel in the executors'
     state store; the only exchange is the groupBy(key) shuffle."""
-
-    def update(key, pdfs: Iterator[pd.DataFrame],
-               state: GroupState) -> Iterator[pd.DataFrame]:
-        n, c = state.get if state.exists else (0, 0)
-        frames = [pdf for pdf in pdfs if len(pdf)]
-        if frames:
-            allf = (pd.concat(frames) if len(frames) > 1 else frames[0]) \
-                .sort_values("order_id")
-            for lid in pd.to_numeric(allf["local_id"],
-                                     errors="coerce").fillna(0).astype(int):
-                n += 1
-                c += n * int(lid)
-        state.update((n, c))
-        yield pd.DataFrame({"stream_name": [key[0]], "processed": [n],
-                            "checksum": [c]})
-
-    return (events
-            .groupBy("stream_name")
-            .applyInPandasWithState(
-                update,
-                outputStructType=CSUM_OUTPUT,
-                stateStructType=CSUM_STATE,
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+    if tws_available():
+        return _tws(events, "csum", CSUM_STATE, (0, 0),
+                    _csum_step, _csum_row, CSUM_OUTPUT)
+    return _aipws(events, CSUM_STATE, (0, 0),
+                  _csum_step, _csum_row, CSUM_OUTPUT)

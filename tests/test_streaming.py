@@ -517,3 +517,50 @@ def test_streaming_dedup_within_watermark_matches_batch(spark, sf_dir):
     assert len(got) == len(set((r.user_id, r.event_type, r.vc) for r in got))
     assert (set((r.user_id, r.event_type, r.vc) for r in got)
             == set(map(tuple, batch.collect())))
+
+
+def test_keyed_fold_kernels_shared_by_both_apis():
+    """The TWS and applyInPandasWithState paths share one fold kernel —
+    pin the kernel itself so the two APIs cannot drift."""
+    import pandas as pd
+    from photon_spark.streaming.keyed import (_csum_step, _totals_step,
+                                              tws_available)
+
+    f1 = pd.DataFrame({"local_id": ["3", "1"], "order_id": [30, 10]})
+    f2 = pd.DataFrame({"local_id": ["2"], "order_id": [20]})
+    # checksum folds in order_id order across frames: 1*1 + 2*2 + 3*3
+    assert _csum_step((0, 0), [f1, f2]) == (3, 14)
+    # resumes from prior state: ranks continue at 4
+    assert _csum_step((3, 14), [f2]) == (4, 14 + 4 * 2)
+    assert _totals_step((0, 0, 0), [f1, f2]) == (3, 6, 30)
+    # this container has no protobuf → legacy path must be selected
+    # (on a cluster with protobuf, tws_available() flips to True and the
+    # same kernels run under transformWithStateInPandas)
+    assert isinstance(tws_available(), bool)
+
+
+def test_keyed_fold_via_transform_with_state(spark, tmp_path):
+    """The transformWithStateInPandas path end-to-end — runs only where
+    google.protobuf exists (its state client protocol); this container
+    lacks it, so the test documents-and-skips rather than silently
+    passing on the fallback."""
+    import pytest as _pytest
+    from photon_spark.streaming.keyed import tws_available
+    if not tws_available():
+        _pytest.skip("google.protobuf absent: transformWithStateInPandas "
+                     "state client cannot start in this environment")
+    from photon_spark.streaming.keyed import keyed_running_totals
+    store = _mk_store(spark, tmp_path)
+    _post(store, "a", 8, start=0)
+    got = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            got[r["stream_name"]] = (r["n_events"], r["sum_local"])
+
+    q = (keyed_running_totals(read_hot_cold(store))
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got == {"a": (8, sum(range(8)))}

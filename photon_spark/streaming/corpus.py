@@ -50,7 +50,8 @@ class StreamingCorpusIngest:
     def __init__(self, spark, source_dir: str, corpus_dir: str,
                  index_dir: str, checkpoint_dir: str | None = None,
                  num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
-                 threshold: float = 0.7):
+                 threshold: float = 0.7,
+                 exact_dedup_watermark: str | None = None):
         self.spark = spark
         self.source_dir = source_dir
         self.corpus_dir = corpus_dir
@@ -59,6 +60,16 @@ class StreamingCorpusIngest:
             prefix="photon_spark_corpus_ckpt_")
         self.num_hashes, self.bands = num_hashes, bands
         self.shingle_n, self.threshold = shingle_n, threshold
+        #: optional HYBRID stage: a watermark delay string (e.g. "1 hour")
+        #: turns on exact-content dedup via Spark's own
+        #: dropDuplicatesWithinWatermark BEFORE the LSH near-dup check.
+        #: At 100 TB most duplicates are exact (re-crawls, mirrors): the
+        #: built-in operator kills them with bounded per-key state and no
+        #: shingling, so the expensive band-index path sees only the
+        #: near-dup residue. Docs dropped here never reach _apply_batch
+        #: and are NOT counted in accepted/rejected (those counters audit
+        #: the near-dup stage only).
+        self.exact_dedup_watermark = exact_dedup_watermark
         self.accepted = 0
         self.rejected = 0
         # Partition key for this ingest session's batches: stable across
@@ -169,10 +180,22 @@ class StreamingCorpusIngest:
     def run(self, timeout_sec: float = 300.0) -> tuple[int, int]:
         """Drain everything currently dropped (availableNow), then stop.
         Returns (accepted, rejected) totals since construction."""
-        query = (self.spark.readStream.schema(DOC_SCHEMA)
-                 .option("maxFilesPerTrigger", 1)
-                 .json(self.source_dir)
-                 .writeStream
+        src = (self.spark.readStream.schema(DOC_SCHEMA)
+               .option("maxFilesPerTrigger", 1)
+               .json(self.source_dir))
+        if self.exact_dedup_watermark:
+            # Hybrid stage: exact-content dedup with watermark-bounded
+            # state. Key = md5(text) (content identity, not doc_id); the
+            # first arrival wins, later exact copies are dropped by the
+            # state store before any shingling. Processing-time watermark:
+            # the drop-dir source has no event time, so the state horizon
+            # is "copies arriving within <delay> of the original".
+            src = (src.withColumn("_content_md5", F.md5(F.col("text")))
+                      .withColumn("_arrival", F.current_timestamp())
+                      .withWatermark("_arrival", self.exact_dedup_watermark)
+                      .dropDuplicatesWithinWatermark(["_content_md5"])
+                      .drop("_content_md5", "_arrival"))
+        query = (src.writeStream
                  .foreachBatch(self._apply_batch)
                  .option("checkpointLocation", self.checkpoint_dir)
                  .queryName("photon_spark_corpus_ingest")

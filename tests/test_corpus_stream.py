@@ -144,3 +144,47 @@ def test_replay_ignores_own_ghost_partition(spark, sf_dir, tmp_path):
     assert corpus_df.count() == acc
     assert dedup.minhash_near_duplicates(corpus_df, **MINER).count() == 0
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_hybrid_exact_dedup_stage(spark, tmp_path):
+    """dropDuplicatesWithinWatermark + band-index hybrid: exact copies
+    (different doc_id, identical text) are dropped by the bounded-state
+    exact stage before any shingling; near-dups (non-identical text)
+    still fall through to the LSH band-index rejection."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = ("spark shuffle partition broadcast join hash table scan "
+            "filter window sort merge batch row column value key")
+    near = base + " appended"  # jaccard 15/16 ≈ 0.94, not exact
+    uniq = " ".join(f"tok{i}" for i in range(20))
+    batches = [
+        [(1, base), (2, uniq)],
+        [(3, base)],          # exact copy of doc 1 → exact stage drops it
+        [(4, near)],          # near-dup of doc 1 → band index rejects it
+    ]
+    import time
+    now = time.time()
+    for b, rows in enumerate(batches):
+        path = f"{src}/batch_{b}.json"
+        with open(path, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                    "lang": "en", "source": "s"}) + "\n")
+        # FileStreamSource orders batches by mtime: pin arrival order so
+        # the exact-copy and near-dup land AFTER their originals
+        os.utime(path, (now + 10 * b, now + 10 * b))
+    ing = StreamingCorpusIngest(
+        spark, src, str(tmp_path / "corpus"), str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        exact_dedup_watermark="1 hour", **MINER)
+    acc, rej = ing.run()
+    got = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    # doc 3 was dropped by the exact stage (never reached the near-dup
+    # counters); doc 4 reached them and was rejected by the band index
+    assert got == {1, 2}
+    assert (acc, rej) == (2, 1)
+    # no exact-content duplicates anywhere in the accepted corpus
+    texts = [r["text"] for r in
+             spark.read.parquet(str(tmp_path / "corpus")).collect()]
+    assert len(texts) == len(set(texts))

@@ -616,6 +616,7 @@ _NEWEST_FIRST = [
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",
+    "paragraph_minhash_dedup",
 ]
 
 

@@ -217,7 +217,11 @@ def q_minhash_near_dups(spark, sf_dir):
         threshold=0.7)
 
 
-def _sql_minhash() -> str:
+def _sql_minhash(source: str = "documents") -> str:
+    """DuckDB rebuild of the MinHash-LSH near-dup miner over any
+    ``source`` relation exposing (doc_id, text) — ``documents`` by
+    default; the paragraph-level miner (queries_substring) passes a
+    chunk CTE."""
     mins = ", ".join(
         f"list_aggregate(list_transform(g, x -> md5('{s}:' || x)), 'min')"
         for s in range(_NUM_HASHES))
@@ -228,7 +232,7 @@ def _sql_minhash() -> str:
         for b in range(_BANDS))
     return f"""
 WITH norm AS (
-  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM {source}
 ), grams AS (
   SELECT doc_id, {_SQL_GRAMS} AS g FROM norm WHERE len(t) >= 3
 ), sigs AS (

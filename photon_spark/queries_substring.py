@@ -217,14 +217,99 @@ FROM per_doc GROUP BY source
 """
 
 
+# --------------------------------------- paragraph-level NEAR dedup
+
+#: synthetic chunk-id stride: chunk_id = doc_id * _CHUNK_ID_STRIDE + idx
+#: (doc_id ≲ 5e4 even at sf0.1 → ids fit comfortably in a BIGINT)
+_CHUNK_ID_STRIDE = 100000
+
+
+def _chunk_relation(spark, sf_dir):
+    """(chunk_id, text) fixed-window chunk relation — the same windows
+    as q_paragraph_dedup, but carrying chunk TEXT so the MinHash miner
+    can shingle them. Map-side explode; chunk_id encodes (doc, idx)."""
+    d = _docs(spark, sf_dir)
+    length = F.length("text")
+    n_chunks = F.when(length <= PARA_SIZE, F.lit(1)).otherwise(
+        F.ceil((length - PARA_SIZE) / F.lit(PARA_SIZE)).cast("long") + 1)
+    e = d.select("doc_id", "text",
+                 F.explode(F.sequence(F.lit(0).cast("long"),
+                                      n_chunks - 1)).alias("ci"))
+    return e.select(
+        (F.col("doc_id") * _CHUNK_ID_STRIDE + F.col("ci")).alias("doc_id"),
+        F.col("text").substr((F.col("ci") * PARA_SIZE).cast("int") + 1,
+                             F.lit(PARA_SIZE)).alias("text"))
+
+
+def q_paragraph_minhash_dedup(spark, sf_dir):
+    """Paragraph-level NEAR dedup: the MinHash-LSH miner run at chunk
+    granularity (the composition the round-4 verdict sketched — chunker
+    + MinHash over chunks), then rolled up to DOCUMENT pairs: which doc
+    pairs share near-duplicate paragraphs, how many, and how strong.
+    Catches partial-overlap docs whose whole-doc Jaccard is diluted
+    below the doc-level threshold.
+
+    Scale shape: chunking is a map-side explode; the miner is the
+    banded, candidate-verified pipeline from functions/dedup.py at ~3×
+    the row count and ~1/3 the text per row; the rollup moves id pairs
+    only."""
+    from photon_spark.functions import dedup
+    chunks = _chunk_relation(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(chunks)
+    lo_doc = F.expr(f"lo_id div {_CHUNK_ID_STRIDE}")
+    hi_doc = F.expr(f"hi_id div {_CHUNK_ID_STRIDE}")
+    doc_lo = F.least(lo_doc, hi_doc)
+    doc_hi = F.greatest(lo_doc, hi_doc)
+    j_int = F.round(F.col("jaccard") * 1e6).cast("long")
+    return dedup._own_cache(
+        pairs.select(doc_lo.alias("doc_lo"), doc_hi.alias("doc_hi"),
+                     j_int.alias("j_int"))
+             .where(F.col("doc_lo") != F.col("doc_hi"))
+             .groupBy("doc_lo", "doc_hi")
+             .agg(F.count(F.lit(1)).alias("n_chunk_pairs"),
+                  F.round(F.max("j_int") / 1e6, 6).alias("max_jaccard")),
+        getattr(pairs, "_photon_cached", []))
+
+
+def _sql_paragraph_minhash() -> str:
+    from photon_spark.queries_northstar import _sql_minhash
+    chunk_src = f"""(
+  SELECT doc_id * {_CHUNK_ID_STRIDE} + ci AS doc_id,
+         substr(text, ci * {PARA_SIZE} + 1, {PARA_SIZE}) AS text
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, CASE WHEN length(text) <= {PARA_SIZE} THEN 1
+                  ELSE CAST(ceil((length(text) - {PARA_SIZE})
+                            / {PARA_SIZE}.0) AS BIGINT) + 1 END)) AS ci
+    FROM documents))"""
+    return f"""
+WITH chunk_pairs AS ({_sql_minhash(chunk_src)})
+SELECT least(lo_id // {_CHUNK_ID_STRIDE}, hi_id // {_CHUNK_ID_STRIDE})
+         AS doc_lo,
+       greatest(lo_id // {_CHUNK_ID_STRIDE}, hi_id // {_CHUNK_ID_STRIDE})
+         AS doc_hi,
+       CAST(count(*) AS BIGINT) AS n_chunk_pairs,
+       round(max(CAST(round(jaccard * 1000000) AS BIGINT)) / 1000000.0, 6)
+         AS max_jaccard
+FROM chunk_pairs
+WHERE lo_id // {_CHUNK_ID_STRIDE} != hi_id // {_CHUNK_ID_STRIDE}
+GROUP BY 1, 2
+"""
+
+
+SQL_PARAGRAPH_MINHASH_DEDUP = _sql_paragraph_minhash()
+
+
 QUERIES = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "exact_substring_doc_fraction": q_exact_substring_doc_fraction,
     "paragraph_dedup": q_paragraph_dedup,
+    "paragraph_minhash_dedup": q_paragraph_minhash_dedup,
 }
 
 ORACLES = {
     "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
     "exact_substring_doc_fraction": SQL_EXACT_SUBSTRING_DOC_FRACTION,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "paragraph_minhash_dedup": SQL_PARAGRAPH_MINHASH_DEDUP,
 }

@@ -92,3 +92,30 @@ def test_gate_queries_consistent_on_testdata(spark, sf_dir):
     # fractions are valid and positive
     assert prof.where((F.col("dup_frac") <= 0)
                       | (F.col("dup_frac") > 1)).count() == 0
+
+
+def test_paragraph_minhash_catches_diluted_partial_overlap(spark, tmp_path):
+    """Two docs sharing one paragraph inside mostly-distinct bodies:
+    whole-doc MinHash dilutes the Jaccard below threshold (no doc-level
+    pair), but the chunk-granularity miner finds the shared paragraph
+    and rolls it up to the doc pair."""
+    from photon_spark.functions import dedup
+    from photon_spark import queries_substring as qs
+
+    para = " ".join(f"shared{i}" for i in range(22))   # > one 100-char window
+    tail_a = " ".join(f"alpha{i}" for i in range(60))
+    tail_b = " ".join(f"beta{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, f"{para} {tail_a}", "en", "s", 1),
+         (2, f"{para} {tail_b}", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    doc_pairs = dedup.minhash_near_duplicates(
+        spark.read.parquet(f"{sf}/documents.parquet")).collect()
+    assert doc_pairs == [], "tails must dilute whole-doc jaccard below 0.7"
+
+    rolled = qs.q_paragraph_minhash_dedup(spark, sf).collect()
+    assert [(r["doc_lo"], r["doc_hi"]) for r in rolled] == [(1, 2)]
+    assert rolled[0]["max_jaccard"] >= 0.7

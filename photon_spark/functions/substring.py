@@ -113,6 +113,37 @@ def repeated_span_profile(df: DataFrame, n: int = SPAN_L,
                         .alias("dup_frac")))
 
 
+def trim_plan(df: DataFrame, n: int = SPAN_L, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """The removal DECISION on top of the span signal — Lee et al. keep
+    one copy of each duplicated span and cut the rest. Keeper rule:
+    the globally-first occurrence of each duplicated gram (lowest
+    doc_id, then lowest pos) survives; every later occurrence is
+    removable. Returns per doc (doc_id, n_tokens, trim_tokens,
+    kept_tokens): the exact token count a trim pass would cut (interval
+    union of the removable occurrences' [pos, pos+n) windows).
+
+    Scale shape: identical to repeated_span_profile plus ONE rank
+    window on the gram key the occurrence count already exchanged on —
+    no joins, no pair relation."""
+    grams = token_grams(df, n, text_col, id_col)
+    wg = Window.partitionBy("gh")
+    wr = Window.partitionBy("gh").orderBy("id", "pos")
+    occ = (grams.withColumn("occ", F.count(F.lit(1)).over(wg))
+                .withColumn("rk", F.row_number().over(wr)))
+    removable = occ.where((F.col("occ") >= 2) & (F.col("rk") >= 2))
+    wd = Window.partitionBy("id").orderBy("pos")
+    covered = F.coalesce(
+        F.least(F.lit(n).cast("long"), F.lead("pos").over(wd) - F.col("pos")),
+        F.lit(n).cast("long"))
+    return (removable.withColumn("c", covered)
+            .groupBy(F.col("id").alias("doc_id"), "n_tokens")
+            .agg(F.sum("c").cast("long").alias("trim_tokens"))
+            .select("doc_id", "n_tokens", "trim_tokens",
+                    (F.col("n_tokens") - F.col("trim_tokens")).cast("long")
+                     .alias("kept_tokens")))
+
+
 def repeated_spans(df: DataFrame, n: int = SPAN_L,
                    max_occ: int = SPAN_MAX_OCC, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

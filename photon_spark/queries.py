@@ -617,6 +617,7 @@ _NEWEST_FIRST = [
     "exact_substring_doc_fraction",
     "paragraph_dedup",
     "paragraph_minhash_dedup",
+    "exact_substring_trim",
 ]
 
 

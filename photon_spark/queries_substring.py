@@ -217,6 +217,48 @@ FROM per_doc GROUP BY source
 """
 
 
+# ------------------------------------------------ trim (removal) plan
+
+def q_exact_substring_trim(spark, sf_dir):
+    """The removal decision: keep the globally-first occurrence of each
+    duplicated ≥SPAN_L-token gram, plan to cut the rest — per doc, the
+    exact token count a trim pass removes and what survives. One rank
+    window on the already-exchanged gram key beyond the profile's cost
+    (functions/substring.py trim_plan)."""
+    return substring.trim_plan(_docs(spark, sf_dir), SPAN_L)
+
+
+SQL_EXACT_SUBSTRING_TRIM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{SPAN_L}-1], ' ')) AS gh
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {SPAN_L} + 1)) AS i)
+  WHERE len(t) >= {SPAN_L}
+),
+occ AS (
+  SELECT doc_id, n_tokens, pos,
+         count(*) OVER (PARTITION BY gh) AS occ,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rk
+  FROM g
+),
+removable AS (
+  SELECT doc_id, n_tokens, pos FROM occ WHERE occ >= 2 AND rk >= 2
+),
+cov AS (
+  SELECT doc_id, n_tokens,
+         coalesce(least({SPAN_L}, lead(pos) OVER w - pos), {SPAN_L}) AS c
+  FROM removable WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, n_tokens, CAST(sum(c) AS BIGINT) AS trim_tokens,
+       CAST(n_tokens - sum(c) AS BIGINT) AS kept_tokens
+FROM cov GROUP BY doc_id, n_tokens
+"""
+
+
 # --------------------------------------- paragraph-level NEAR dedup
 
 #: synthetic chunk-id stride: chunk_id = doc_id * _CHUNK_ID_STRIDE + idx
@@ -305,6 +347,7 @@ QUERIES = {
     "exact_substring_doc_fraction": q_exact_substring_doc_fraction,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_minhash_dedup": q_paragraph_minhash_dedup,
+    "exact_substring_trim": q_exact_substring_trim,
 }
 
 ORACLES = {
@@ -312,4 +355,5 @@ ORACLES = {
     "exact_substring_doc_fraction": SQL_EXACT_SUBSTRING_DOC_FRACTION,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_minhash_dedup": SQL_PARAGRAPH_MINHASH_DEDUP,
+    "exact_substring_trim": SQL_EXACT_SUBSTRING_TRIM,
 }

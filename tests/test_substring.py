@@ -119,3 +119,16 @@ def test_paragraph_minhash_catches_diluted_partial_overlap(spark, tmp_path):
     rolled = qs.q_paragraph_minhash_dedup(spark, sf).collect()
     assert [(r["doc_lo"], r["doc_hi"]) for r in rolled] == [(1, 2)]
     assert rolled[0]["max_jaccard"] >= 0.7
+
+
+def test_trim_plan_keeps_first_occurrence(corpus):
+    plan = {r["doc_id"]: r for r in
+            substring.trim_plan(corpus, L).collect()}
+    # doc 1 holds the globally-first copy of the shared span → nothing
+    # to trim there; doc 2's copy is removable in full
+    assert 1 not in plan
+    assert plan[2]["trim_tokens"] == 12
+    assert plan[2]["kept_tokens"] == plan[2]["n_tokens"] - 12
+    # doc 3: second within-doc copy of the 6-token repeat is removable
+    assert plan[3]["trim_tokens"] == 6
+    assert 4 not in plan

@@ -173,3 +173,84 @@ def test_feature_hash_additive_over_concatenation(spark, tmp_path_factory,
            for r in qr.q_feature_hash_vectors(
                spark, os.path.dirname(d)).collect()}
     assert [a + b for a, b in zip(out[0], out[50])] == out[100]
+
+
+def _naive_covered_positions(token_lists: dict[int, list[str]], L: int):
+    """Naive repeated-span coverage by DIRECT token comparison (no gram
+    hashing): position t of doc d is covered iff some window [i, i+L)
+    containing t equals a window elsewhere in the corpus (other doc or
+    other position)."""
+    windows: dict[tuple, list[tuple[int, int]]] = {}
+    for d, toks in token_lists.items():
+        for i in range(len(toks) - L + 1):
+            windows.setdefault(tuple(toks[i:i + L]), []).append((d, i))
+    covered: dict[int, set[int]] = {d: set() for d in token_lists}
+    for w, occs in windows.items():
+        if len(occs) < 2:
+            continue
+        for d, i in occs:
+            covered[d].update(range(i, i + L))
+    return covered
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=1, max_size=18),
+                min_size=2, max_size=6),
+       st.integers(min_value=2, max_value=4))
+def test_repeated_span_profile_matches_naive_token_compare(spark, docs, L):
+    """substring.repeated_span_profile over a 2-letter alphabet (dense
+    collisions) equals a naive direct-token-comparison recompute."""
+    from photon_spark.functions import substring
+
+    token_lists = {i: [f"w{c}" for c in toks] for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in token_lists.items()],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+           for r in substring.repeated_span_profile(df, L).collect()}
+    covered = _naive_covered_positions(token_lists, L)
+    want = {d: (len(token_lists[d]), len(c))
+            for d, c in covered.items() if c}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=4, max_size=16),
+                min_size=2, max_size=4),
+       st.integers(min_value=2, max_value=3))
+def test_repeated_spans_match_naive_diagonal_scan(spark, docs, L):
+    """substring.repeated_spans equals a naive per-pair diagonal scan
+    comparing TOKENS directly: for docs (a, b) and offset k, maximal
+    runs of positions where a[i] == b[i+k] of length ≥ L."""
+    from photon_spark.functions import substring
+
+    token_lists = {i: [f"w{c}" for c in toks] for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in token_lists.items()],
+        "doc_id long, text string")
+    got = {(r["lo_id"], r["hi_id"], r["start_a"], r["start_b"], r["span_len"])
+           for r in substring.repeated_spans(df, L, max_occ=10**6).collect()}
+
+    want = set()
+    ids = sorted(token_lists)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = token_lists[ids[ai]], token_lists[ids[bi]]
+            for diag in range(-(len(b) - 1), len(a)):
+                run = 0
+                # walk the diagonal; close runs at mismatch/end
+                pa0 = max(0, diag)
+                pb0 = pa0 - diag
+                length = min(len(a) - pa0, len(b) - pb0)
+                for step in range(length + 1):
+                    match = (step < length
+                             and a[pa0 + step] == b[pb0 + step])
+                    if match:
+                        run += 1
+                    else:
+                        if run >= L:
+                            want.add((ids[ai], ids[bi],
+                                      pa0 + step - run, pb0 + step - run,
+                                      run))
+                        run = 0
+    assert got == want

@@ -618,6 +618,7 @@ _NEWEST_FIRST = [
     "paragraph_dedup",
     "paragraph_minhash_dedup",
     "exact_substring_trim",
+    "export_shard_plan",
 ]
 
 

@@ -270,12 +270,61 @@ FROM ranked GROUP BY cluster_id
 """
 
 
+# ------------------------------------------------------ shard export plan
+
+#: sequences per training shard for the export manifest
+SEQS_PER_SHARD = 8
+
+
+def q_export_shard_plan(spark, sf_dir):
+    """The SINK plan: contiguous training shards over the packed token
+    stream — which shard owns each doc (shard of its first sequence),
+    per-shard doc/sequence/token totals and boundary-doc counts (the
+    manifest a training loader consumes). Pure arithmetic over the
+    packing relation; no shuffle beyond pack_sequences' bucket exchange
+    (functions/export.py; the file writer is pytest-covered)."""
+    from photon_spark.functions.export import shard_plan
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tokens"))
+    return shard_plan(pack_sequences(d, PACK_BUDGET, "n_tokens"),
+                      SEQS_PER_SHARD)
+
+
+def _sql_export_shard_plan() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens FROM documents
+), nz AS (
+  SELECT * FROM toks WHERE n_tokens > 0
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM nz
+), packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS first_seq,
+         CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS last_seq
+  FROM c
+)
+SELECT first_seq // {SEQS_PER_SHARD} AS shard_id,
+       count(*) AS n_docs,
+       CAST(max(last_seq) - min(first_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN first_seq != last_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs
+FROM packed GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
     "sequence_packing": q_sequence_packing,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_pairs": q_semdedup_pairs,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "export_shard_plan": q_export_shard_plan,
 }
 
 ORACLES = {
@@ -284,4 +333,5 @@ ORACLES = {
     "kmeans_embeddings": _sql_kmeans_embeddings(),
     "semdedup_pairs": _sql_semdedup_pairs(),
     "cluster_balanced_sample": _sql_cluster_balanced_sample(),
+    "export_shard_plan": _sql_export_shard_plan(),
 }

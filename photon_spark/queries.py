@@ -619,6 +619,8 @@ _NEWEST_FIRST = [
     "paragraph_minhash_dedup",
     "exact_substring_trim",
     "export_shard_plan",
+    "split_repair_plan",
+    "embedding_coverage_audit",
 ]
 
 

@@ -477,8 +477,68 @@ LIMIT {COPURCHASE_TOPK}
 """
 
 
+# ------------------------------------------- embedding coverage audit
+
+#: expected embedding dimensionality for the corpus's vector table
+EMB_DIM = 64
+
+
+def q_embedding_coverage_audit(spark, sf_dir):
+    """Vector-table governance: per label — vector count, wrong-dim
+    vectors, vectors with no matching document (dangling vec_id), exact
+    zero-norm vectors (dead embeddings an ANN index silently drops),
+    and the mean squared norm. The constraint_audit pattern applied to
+    the docs↔embeddings alignment every similarity pipeline assumes.
+
+    Scale shape: norms are map-side sequential folds (per-row 6dp ints
+    before any aggregation — float policy); the missing-doc check joins
+    ids only; one 10-key label aggregate."""
+    e = _rd(spark, sf_dir, "embeddings")
+    d = _rd(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("has_doc"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    n2_int = F.round(F.round(norm2, 6) * 1e6).cast("long")
+    j = (e.select("vec_id", "label",
+                  F.size("embedding").alias("dim"),
+                  n2_int.alias("n2"))
+          .join(d, "vec_id", "left"))
+    return (j.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_vecs"),
+                  F.sum((F.col("dim") != EMB_DIM).cast("long"))
+                   .alias("n_dim_bad"),
+                  F.sum(F.col("has_doc").isNull().cast("long"))
+                   .alias("n_missing_doc"),
+                  F.sum((F.col("n2") == 0).cast("long"))
+                   .alias("n_zero_norm"),
+                  F.round(F.sum("n2") / F.count(F.lit(1)) / 1e6, 6)
+                   .alias("avg_norm2")))
+
+
+SQL_EMBEDDING_COVERAGE_AUDIT = f"""
+WITH per AS (
+  SELECT e.vec_id, e.label, len(e.embedding) AS dim,
+         CAST(round(round(list_aggregate(list_transform(
+                e.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'), 6)
+              * 1000000) AS BIGINT) AS n2,
+         d.doc_id AS has_doc
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN dim != {EMB_DIM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dim_bad,
+       CAST(sum(CASE WHEN has_doc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_doc,
+       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       round(sum(n2) * 1.0 / count(*) / 1000000, 6) AS avg_norm2
+FROM per GROUP BY label
+"""
+
+
 QUERIES = {
     "constraint_audit": q_constraint_audit,
+    "embedding_coverage_audit": q_embedding_coverage_audit,
     "cohort_retention": q_cohort_retention,
     "dup_graph_clustering": q_dup_graph_clustering,
     "copurchase_pairs": q_copurchase_pairs,
@@ -488,6 +548,7 @@ QUERIES = {
 
 ORACLES = {
     "constraint_audit": SQL_CONSTRAINT_AUDIT,
+    "embedding_coverage_audit": SQL_EMBEDDING_COVERAGE_AUDIT,
     "cohort_retention": SQL_COHORT_RETENTION,
     "dup_graph_clustering": _sql_clustering(),
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,

@@ -216,6 +216,78 @@ GROUP BY d.source
 """
 
 
+# ------------------------------------------------------ split repair plan
+
+def q_split_repair_plan(spark, sf_dir):
+    """The DECISION on top of the leakage audit (q_split_leakage
+    measures; this repairs): every leaked val doc — one whose near-dup
+    partner sits in train — is MOVED to train, so the eval set is
+    leakage-free by construction while no document is discarded. Per
+    source: before/after val counts, how many moved, the post-repair
+    val fraction, and the moved-id sum (pins WHICH docs moved, not just
+    how many).
+
+    Scale shape: identical to the audit — the split is a map-side hash,
+    the move set derives from the shared pair table, and the rollup
+    joins (doc_id, source) against a relation ≪ corpus."""
+    d = _docs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir)
+    sym = (pairs.select(F.col("lo_id").alias("a"), F.col("hi_id").alias("b"))
+                .union(pairs.select(F.col("hi_id").alias("a"),
+                                    F.col("lo_id").alias("b"))))
+    moved = (sym.where(_is_val(F.col("a")) & ~_is_val(F.col("b")))
+                .select(F.col("a").alias("doc_id")).distinct()
+                .withColumn("mv", F.lit(1)))
+    mv = F.coalesce(F.col("mv"), F.lit(0))
+    is_val = _is_val(F.col("doc_id")).cast("long")
+    return dedup._own_cache(
+        d.select("doc_id", "source")
+         .join(moved, "doc_id", "left")
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(is_val).cast("long").alias("n_val_before"),
+              F.sum(mv).cast("long").alias("n_moved"),
+              (F.sum(is_val) - F.sum(mv)).cast("long").alias("n_val_after"),
+              F.round((F.sum(is_val) - F.sum(mv)) / F.count(F.lit(1)), 6)
+               .alias("val_frac_after"),
+              F.sum(F.when(mv == 1, F.col("doc_id")).otherwise(0))
+               .cast("long").alias("moved_id_sum")),
+        getattr(pairs, "_photon_cached", []))
+
+
+SQL_SPLIT_REPAIR_PLAN = f"""
+WITH pairs_src AS ({SQL_MINHASH_NEAR_DUPS}),
+sym AS (
+  SELECT lo_id AS a, hi_id AS b FROM pairs_src
+  UNION ALL
+  SELECT hi_id AS a, lo_id AS b FROM pairs_src
+),
+moved AS (
+  SELECT DISTINCT a AS doc_id FROM sym
+  WHERE md5('split:' || a::VARCHAR) < '{VAL_HEX_LT}'
+    AND md5('split:' || b::VARCHAR) >= '{VAL_HEX_LT}'
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN md5('split:' || d.doc_id::VARCHAR)
+                          < '{VAL_HEX_LT}' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val_before,
+       CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST(sum(CASE WHEN md5('split:' || d.doc_id::VARCHAR)
+                          < '{VAL_HEX_LT}' THEN 1 ELSE 0 END)
+            - sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_val_after,
+       round((sum(CASE WHEN md5('split:' || d.doc_id::VARCHAR)
+                            < '{VAL_HEX_LT}' THEN 1 ELSE 0 END)
+              - sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+             * 1.0 / count(*), 6) AS val_frac_after,
+       CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END)
+            AS BIGINT) AS moved_id_sum
+FROM documents d LEFT JOIN moved m ON d.doc_id = m.doc_id
+GROUP BY d.source
+"""
+
+
 # ------------------------------------------------------ incremental dedup
 
 def q_dedup_incremental(spark, sf_dir):
@@ -848,6 +920,7 @@ WHERE round(c.n_common * 1.0 / least(da.deg, db.deg), 6) >= {CONTAIN_T}
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage": q_split_leakage,
+    "split_repair_plan": q_split_repair_plan,
     "dedup_incremental": q_dedup_incremental,
     "contamination_bloom": q_contamination_bloom,
     "cross_source_dups": q_cross_source_dups,
@@ -863,6 +936,7 @@ QUERIES = {
 ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "split_leakage": SQL_SPLIT_LEAKAGE,
+    "split_repair_plan": SQL_SPLIT_REPAIR_PLAN,
     "dedup_incremental": _sql_dedup_incremental(),
     "contamination_bloom": _sql_contamination_bloom(),
     "cross_source_dups": SQL_CROSS_SOURCE_DUPS,

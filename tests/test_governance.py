@@ -166,3 +166,36 @@ def test_value_mad_outliers_matches_naive(spark, sf_dir):
         assert r["mad_cents"] == mad
         assert r["n_outliers"] == n_out
         assert r["outlier_rate"] == round(n_out / len(pts), 6)
+
+
+def test_embedding_coverage_audit_flags_injected_defects(spark, tmp_path):
+    """Inject one dangling vec_id, one zero-norm vector, and one
+    wrong-dim vector; the audit must count each in its label row."""
+    from photon_spark.queries_governance import (EMB_DIM,
+                                                 q_embedding_coverage_audit)
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 6) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    good = [0.5] * EMB_DIM
+    rows = [
+        (0, good, 0),            # healthy
+        (1, [0.0] * EMB_DIM, 0),  # zero norm
+        (2, [0.5] * (EMB_DIM - 1), 1),  # wrong dim
+        (99, good, 2),           # dangling: no doc 99
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long")
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    emb.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    audit = {r["label"]: r for r in
+             q_embedding_coverage_audit(spark, sf).collect()}
+    assert audit[0]["n_vecs"] == 2
+    assert audit[0]["n_zero_norm"] == 1
+    assert audit[0]["n_dim_bad"] == 0 and audit[0]["n_missing_doc"] == 0
+    assert audit[1]["n_dim_bad"] == 1
+    assert audit[2]["n_missing_doc"] == 1
+    # healthy + dangling share the same vector: avg_norm2 = 64 * 0.25
+    assert audit[2]["avg_norm2"] == round(EMB_DIM * 0.25, 6)

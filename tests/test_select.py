@@ -319,3 +319,22 @@ def test_corpus_build_e2e_funnel_monotone(spark, sf_dir):
         assert b.n_docs <= a.n_docs
         assert b.n_tokens <= a.n_tokens
     assert seq[3].n_tokens <= E2E_BUDGET
+
+
+def test_split_repair_consistent_with_leakage_audit(spark, sf_dir):
+    """The repair plan moves exactly the docs the audit flagged, and the
+    post-repair val set contains no doc with a train-side near-dup."""
+    from photon_spark.queries_select import (q_split_leakage,
+                                             q_split_repair_plan)
+    audit = {r["source"]: r for r in
+             q_split_leakage(spark, sf_dir).collect()}
+    plan = {r["source"]: r for r in
+            q_split_repair_plan(spark, sf_dir).collect()}
+    for src, p in plan.items():
+        a = audit.get(src)
+        n_leaked = a["n_leaked"] if a else 0
+        leaked_sum = a["leaked_id_sum"] if a else 0
+        assert p["n_moved"] == n_leaked
+        assert p["moved_id_sum"] == leaked_sum
+        assert p["n_val_after"] == p["n_val_before"] - p["n_moved"]
+        assert 0 <= p["val_frac_after"] <= 1

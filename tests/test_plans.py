@@ -192,3 +192,30 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in nlj_ok:
             failures.append((name, "BroadcastNestedLoopJoin"))
     assert not failures, failures
+
+
+def test_substring_profile_and_trim_are_join_free(spark, sf_dir):
+    """The per-doc exact-substring operators must never build a pair
+    relation: their plans are windows + aggregates over the gram
+    postings, with NO join of any kind — the property that makes them
+    two-exchange ops at any corpus size."""
+    from photon_spark.functions import substring
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (substring.repeated_span_profile(docs, 5),
+               substring.trim_plan(docs, 5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+
+
+def test_substring_spans_join_only_on_gram_and_id_keys(spark, sf_dir):
+    """The pair miner's joins are all keyed (gram hash for candidates,
+    doc id for the array fetch) — no nested-loop anywhere, and the
+    posting cap guarantees the gram join's per-key fan-out is bounded."""
+    from photon_spark.functions import substring
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (substring.repeated_spans(docs, 5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -621,6 +621,7 @@ _NEWEST_FIRST = [
     "export_shard_plan",
     "split_repair_plan",
     "embedding_coverage_audit",
+    "media_keep_best",
 ]
 
 

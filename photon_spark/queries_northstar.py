@@ -809,6 +809,82 @@ HAVING hamming <= {PHASH_HAM_T}
 """
 
 
+# ------------------------------------------------- media keep-best
+
+def q_media_keep_best(spark, sf_dir):
+    """The media-granularity dedup DECISION: cluster the phash near-dup
+    pairs (connected components over the banded-aHash miner) and keep
+    one representative per cluster — the LARGEST blob (the
+    highest-fidelity copy in a real pipeline; ties → lowest media_id).
+    Per cluster: member count, keeper, kept bytes, dropped bytes — the
+    audit a media-dedup pass emits before deleting anything.
+
+    Scale shape: the pair relation is the already-banded miner output;
+    clustering and the byte-argmax move (id, long) pairs only — blobs
+    never shuffle (their lengths ride the fingerprint relation)."""
+    from photon_spark.functions import dedup as _dd
+    media = multimodal.synthesize_media(spark, n=64)
+    pairs = q_media_phash_near_dups(spark, sf_dir)
+    labels = _dd.dup_clusters(
+        pairs.select(F.col("lo_id"), F.col("hi_id")))
+    sizes = media.select(F.col("media_id").alias("id"),
+                         F.length("content").cast("long").alias("n_bytes"))
+    mem = labels.join(sizes, "id")
+    best = (mem.groupBy("cluster_id")
+               .agg(F.max(F.struct(F.col("n_bytes"),
+                                   (-F.col("id")).alias("neg_id")))
+                     .alias("b"))
+               .select("cluster_id", F.col("b.n_bytes").alias("keep_bytes"),
+                       (-F.col("b.neg_id")).alias("keep_id")))
+    agg = (mem.groupBy("cluster_id")
+              .agg(F.count(F.lit(1)).alias("n_members"),
+                   F.sum("n_bytes").cast("long").alias("total_bytes")))
+    return (agg.join(best, "cluster_id")
+               .select("cluster_id", "n_members", "keep_id", "keep_bytes",
+                       (F.col("total_bytes") - F.col("keep_bytes"))
+                        .cast("long").alias("dropped_bytes")))
+
+
+SQL_MEDIA_KEEP_BEST = f"""
+WITH RECURSIVE pairs_src AS ({SQL_MEDIA_PHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS s, hi_id AS d FROM pairs_src
+  UNION
+  SELECT hi_id AS s, lo_id AS d FROM pairs_src
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+sizes AS (
+  SELECT CAST(i AS BIGINT) AS id, CAST(64 * (4 + i % 5) AS BIGINT)
+           AS n_bytes
+  FROM range(64) t(i)
+),
+mem AS (
+  SELECT c.cluster_id, c.id, z.n_bytes
+  FROM comp c JOIN sizes z ON c.id = z.id
+),
+best AS (
+  SELECT cluster_id, id AS keep_id, n_bytes AS keep_bytes FROM (
+    SELECT cluster_id, id, n_bytes,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_bytes DESC, id ASC) AS rn
+    FROM mem) WHERE rn = 1
+)
+SELECT m.cluster_id, count(*) AS n_members, any_value(b.keep_id) AS keep_id,
+       any_value(b.keep_bytes) AS keep_bytes,
+       CAST(sum(m.n_bytes) - any_value(b.keep_bytes) AS BIGINT)
+         AS dropped_bytes
+FROM mem m JOIN best b ON m.cluster_id = b.cluster_id
+GROUP BY m.cluster_id
+"""
+
+
 # ------------------------------------------------- dup-graph analytics
 
 def q_dup_graph_degree(spark, sf_dir):
@@ -951,6 +1027,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "media_phash_near_dups": q_media_phash_near_dups,
+    "media_keep_best": q_media_keep_best,
     "ann_topk_pq": q_ann_topk_pq,
     "knn_graph": q_knn_graph,
     "knn_graph_ivf": q_knn_graph_ivf,
@@ -975,6 +1052,7 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
     "media_phash_near_dups": SQL_MEDIA_PHASH_NEAR_DUPS,
+    "media_keep_best": SQL_MEDIA_KEEP_BEST,
     # ANN oracles: approximate operators, but their randomness is
     # md5-derived / first-k deterministic, so DuckDB reproduces them exactly.
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,

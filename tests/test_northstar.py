@@ -403,3 +403,30 @@ def test_quantize_np_twin_bit_exact(emb):
     fast = sorted(tuple(r["q"]) for r in emb.select(
         quantize_error_cols_np("embedding").alias("q")).collect())
     assert cat == fast and cat
+
+
+def test_media_keep_best_invariants(spark, sf_dir):
+    """Keeper is a cluster member with the maximal blob size (ties →
+    lowest id), every cluster has ≥ 2 members, and byte accounting
+    conserves."""
+    from pyspark.sql import functions as F
+    from photon_spark.functions import dedup, multimodal
+    from photon_spark.queries_northstar import (q_media_keep_best,
+                                                q_media_phash_near_dups)
+
+    rows = q_media_keep_best(spark, sf_dir).collect()
+    assert rows
+    pairs = q_media_phash_near_dups(spark, sf_dir)
+    labels = {r["id"]: r["cluster_id"] for r in
+              dedup.dup_clusters(pairs.select("lo_id", "hi_id")).collect()}
+    sizes = {r["media_id"]: r["nb"] for r in
+             multimodal.synthesize_media(spark, n=64)
+             .select("media_id", F.length("content").alias("nb")).collect()}
+    for r in rows:
+        members = [i for i, c in labels.items() if c == r["cluster_id"]]
+        assert r["n_members"] == len(members) >= 2
+        best = max(members, key=lambda i: (sizes[i], -i))
+        assert r["keep_id"] == best
+        assert r["keep_bytes"] == sizes[best]
+        assert r["dropped_bytes"] == sum(sizes[i] for i in members) \
+            - sizes[best]

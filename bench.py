@@ -89,7 +89,9 @@ def main():
     # SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_RUNS land in a
     # config-suffixed file instead so a smoke run can't silently replace
     # the regression baseline.
-    default_contract = (sf_dir == "/root/testdata/sf0.1" and runs == 2)
+    default_contract = (
+        os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1")
+        and runs == 2)
     fname = ("BENCH_HEAD.json" if default_contract
              else f"BENCH_HEAD.sf{sf}.runs{runs}.json")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 
 def chunk_docs(df: DataFrame, chunk_size: int, overlap: int,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               with_text: bool = False) -> DataFrame:
     """Overlapping character windows: chunk i covers
     ``[i*stride, i*stride + chunk_size)`` with ``stride = chunk_size -
     overlap``; the last window is the first one reaching the end of the
@@ -38,6 +39,10 @@ def chunk_docs(df: DataFrame, chunk_size: int, overlap: int,
 
     Returns (id, chunk_idx, chunk_start, chunk_len, chunk_md5) — the md5
     pins exact chunk *content* in the hash gate, not just boundaries.
+    ``with_text=True`` adds the chunk text itself as ``chunk_text``
+    (for downstream re-analysis like paragraph-level MinHash) — every
+    consumer shares THIS window arithmetic, so the boundary rule cannot
+    drift between the exact and near paragraph-dedup paths.
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
@@ -51,12 +56,16 @@ def chunk_docs(df: DataFrame, chunk_size: int, overlap: int,
                              n_chunks - 1)).alias("chunk_idx"))
     start = (F.col("chunk_idx") * stride).cast("long")
     chunk = F.col(text_col).substr(start + 1, F.lit(chunk_size))
-    return exploded.select(
+    cols = [
         F.col(id_col),
         F.col("chunk_idx"),
         start.alias("chunk_start"),
         F.length(chunk).cast("long").alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"))
+        F.md5(chunk).alias("chunk_md5"),
+    ]
+    if with_text:
+        cols.append(chunk.alias("chunk_text"))
+    return exploded.select(*cols)
 
 
 def cumulative_by_bucket(df: DataFrame, value_col: str, order_col: str,

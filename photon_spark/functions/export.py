@@ -51,8 +51,12 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int,
     """Pack ``docs`` (needs ``token_count_col``) and write one parquet
     directory per shard (``shard=K/``), each holding that shard's docs
     with their packing coordinates in ``id_col`` order; write a
-    ``manifest.json`` with per-shard totals. Deterministic: same input →
-    same shards, same manifest. Returns the manifest dict."""
+    ``_manifest.json`` with per-shard totals (underscore prefix so
+    parquet readers skip it, like ``_SUCCESS``). Zero-token docs occupy
+    no stream positions, so they are EXCLUDED from the export (the
+    pack_sequences contract) — input count minus manifest total_docs is
+    exactly the zero-token count. Deterministic: same input → same
+    shards, same manifest. Returns the manifest dict."""
     packed = pack_sequences(docs, budget, token_count_col, id_col)
     shard = F.expr(f"first_seq div {seqs_per_shard}").cast("long")
     with_shard = (docs.join(packed.withColumn("shard_id", shard)

@@ -73,6 +73,22 @@ def token_grams(df: DataFrame, n: int, text_col: str = "text",
                         F.col("x.gh").alias("gh")))
 
 
+def _coverage(occurrences: DataFrame, n: int) -> DataFrame:
+    """Exact interval union of the equal-length windows [pos, pos+n)
+    over each doc's occurrence rows → (doc_id, n_tokens, covered
+    tokens). With positions sorted per doc, each occurrence contributes
+    min(n, next_pos − pos), the last one n. ONE definition shared by
+    the profile and the trim plan, so the two can never disagree on
+    what 'covered' means."""
+    wd = Window.partitionBy("id").orderBy("pos")
+    covered = F.coalesce(
+        F.least(F.lit(n).cast("long"), F.lead("pos").over(wd) - F.col("pos")),
+        F.lit(n).cast("long"))
+    return (occurrences.withColumn("c", covered)
+            .groupBy(F.col("id").alias("doc_id"), "n_tokens")
+            .agg(F.sum("c").cast("long").alias("covered")))
+
+
 def _dup_occurrences(grams: DataFrame, min_occ: int = 2,
                      max_occ: int | None = None) -> DataFrame:
     """Gram occurrences whose corpus-wide occurrence count is in
@@ -98,19 +114,15 @@ def repeated_span_profile(df: DataFrame, n: int = SPAN_L,
     Coverage is the union of the equal-length intervals
     [pos, pos + n) over the doc's duplicated grams: with positions
     sorted, each contributes min(n, next_pos − pos) (the last one n) —
-    an exact interval union in one doc-keyed window, no pair relation."""
+    an exact interval union in one doc-keyed window (_coverage), no
+    pair relation."""
     grams = token_grams(df, n, text_col, id_col)
     dup = _dup_occurrences(grams)
-    wd = Window.partitionBy("id").orderBy("pos")
-    covered = F.coalesce(
-        F.least(F.lit(n).cast("long"), F.lead("pos").over(wd) - F.col("pos")),
-        F.lit(n).cast("long"))
-    return (dup.withColumn("c", covered)
-               .groupBy(F.col("id").alias("doc_id"), "n_tokens")
-               .agg(F.sum("c").cast("long").alias("dup_tokens"))
-               .select("doc_id", "n_tokens", "dup_tokens",
-                       F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
-                        .alias("dup_frac")))
+    return (_coverage(dup, n)
+            .select("doc_id", "n_tokens",
+                    F.col("covered").alias("dup_tokens"),
+                    F.round(F.col("covered") / F.col("n_tokens"), 6)
+                     .alias("dup_frac")))
 
 
 def trim_plan(df: DataFrame, n: int = SPAN_L, text_col: str = "text",
@@ -132,15 +144,10 @@ def trim_plan(df: DataFrame, n: int = SPAN_L, text_col: str = "text",
     occ = (grams.withColumn("occ", F.count(F.lit(1)).over(wg))
                 .withColumn("rk", F.row_number().over(wr)))
     removable = occ.where((F.col("occ") >= 2) & (F.col("rk") >= 2))
-    wd = Window.partitionBy("id").orderBy("pos")
-    covered = F.coalesce(
-        F.least(F.lit(n).cast("long"), F.lead("pos").over(wd) - F.col("pos")),
-        F.lit(n).cast("long"))
-    return (removable.withColumn("c", covered)
-            .groupBy(F.col("id").alias("doc_id"), "n_tokens")
-            .agg(F.sum("c").cast("long").alias("trim_tokens"))
-            .select("doc_id", "n_tokens", "trim_tokens",
-                    (F.col("n_tokens") - F.col("trim_tokens")).cast("long")
+    return (_coverage(removable, n)
+            .select("doc_id", "n_tokens",
+                    F.col("covered").alias("trim_tokens"),
+                    (F.col("n_tokens") - F.col("covered")).cast("long")
                      .alias("kept_tokens")))
 
 

@@ -24,7 +24,9 @@ by corpus path, so tests with their own tmp corpora never collide.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +36,27 @@ from photon_spark.functions import dedup
 _PAIR_TABLES: dict[tuple, str] = {}
 
 
+def _corpus_stamp(path: str) -> tuple:
+    """(mtime_ns, size) fingerprint of the corpus file/dir — part of the
+    memo key, so a corpus regenerated IN PLACE (same path, new content)
+    invalidates the cached pair table instead of silently serving stale
+    pairs to the seven consumer queries."""
+    if os.path.isdir(path):
+        entries = sorted(os.listdir(path))
+        return (len(entries),
+                max((os.path.getmtime(os.path.join(path, e))
+                     for e in entries), default=0.0))
+    st = os.stat(path)
+    return (st.st_mtime, st.st_size)
+
+
+@atexit.register
+def _cleanup() -> None:
+    for path in _PAIR_TABLES.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _PAIR_TABLES.clear()
+
+
 def near_dup_pairs(spark: SparkSession, sf_dir: str,
                    num_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 3,
@@ -41,11 +64,12 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str,
     """The mined (lo_id, hi_id, jaccard) near-dup relation for
     ``{sf_dir}/documents.parquet`` — mined on first request, served from
     the materialized pair table afterwards."""
-    key = (os.path.abspath(sf_dir), num_hashes, bands, shingle_n,
+    corpus = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (corpus, _corpus_stamp(corpus), num_hashes, bands, shingle_n,
            round(threshold, 6))
     path = _PAIR_TABLES.get(key)
     if path is None:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = spark.read.parquet(corpus)
         pairs = dedup.minhash_near_duplicates(
             docs, num_hashes=num_hashes, bands=bands,
             shingle_n=shingle_n, threshold=threshold)

@@ -625,12 +625,28 @@ _NEWEST_FIRST = [
 ]
 
 
+# Queries whose PLANS this round rewired (shared pair table, staged
+# event store): previously driver-green, but the code at highest
+# regression risk from the round-5 diff — they outrank the untouched
+# backlog for window slots so the driver re-verifies the rewiring.
+_CHANGED_THIS_ROUND = [
+    "dedup_clusters", "dedup_keep_best", "split_leakage",
+    "cross_source_dups", "dup_graph_degree", "dup_graph_clustering",
+    "pagerank_dup_graph", "projection_streaming_fold",
+    "projection_keyed_streaming_fold",
+]
+
+
 def _gate_order(registry: dict) -> list[str]:
     newest = [n for n in _NEWEST_FIRST if n in registry]
+    changed = [n for n in _CHANGED_THIS_ROUND
+               if n in registry and n not in newest]
+    head = set(newest) | set(changed)
     fresh = [n for n in registry
-             if n not in _DRIVER_CHECKED_R3_R4 and n not in newest]
-    seen = [n for n in registry if n in _DRIVER_CHECKED_R3_R4]
-    return newest + fresh + seen
+             if n not in _DRIVER_CHECKED_R3_R4 and n not in head]
+    seen = [n for n in registry
+            if n in _DRIVER_CHECKED_R3_R4 and n not in head]
+    return newest + changed + fresh + seen
 
 
 _ORDER = _gate_order(QUERIES)

@@ -220,24 +220,32 @@ GROUP BY d.source
 
 def q_split_repair_plan(spark, sf_dir):
     """The DECISION on top of the leakage audit (q_split_leakage
-    measures; this repairs): every leaked val doc — one whose near-dup
-    partner sits in train — is MOVED to train, so the eval set is
-    leakage-free by construction while no document is discarded. Per
-    source: before/after val counts, how many moved, the post-repair
-    val fraction, and the moved-id sum (pins WHICH docs moved, not just
-    how many).
+    measures; this repairs), at CLUSTER granularity: a near-dup
+    connected component whose members straddle the split is moved to
+    train IN FULL — every val member goes, not just the ones with a
+    direct train partner. One-hop moving is NOT closed (moving val doc
+    B, whose partner C is in train, turns B's other val partner A into
+    a fresh leak); whole-cluster moving is closed in one pass — after
+    it, no val doc has a near-dup partner outside val, so the eval set
+    is leakage-free by construction and no document is discarded.
+    Val-only clusters stay in val untouched (val-val duplication leaks
+    nothing). Per source: before/after val counts, how many moved, the
+    post-repair val fraction, and the moved-id sum (pins WHICH docs
+    moved, not just how many).
 
-    Scale shape: identical to the audit — the split is a map-side hash,
-    the move set derives from the shared pair table, and the rollup
-    joins (doc_id, source) against a relation ≪ corpus."""
+    Scale shape: the split is a map-side hash; clusters derive from the
+    shared pair table (≪ corpus), the has-train flag is one aggregate
+    over the labels, and the rollup joins (doc_id, source) against the
+    tiny move set."""
     d = _docs(spark, sf_dir)
     pairs = _near_dup_pairs(spark, sf_dir)
-    sym = (pairs.select(F.col("lo_id").alias("a"), F.col("hi_id").alias("b"))
-                .union(pairs.select(F.col("hi_id").alias("a"),
-                                    F.col("lo_id").alias("b"))))
-    moved = (sym.where(_is_val(F.col("a")) & ~_is_val(F.col("b")))
-                .select(F.col("a").alias("doc_id")).distinct()
-                .withColumn("mv", F.lit(1)))
+    labels = dedup.dup_clusters(pairs)  # (id, cluster_id), members only
+    tainted = (labels.where(~_is_val(F.col("id")))
+                     .select("cluster_id").distinct())
+    moved = (labels.join(tainted, "cluster_id", "left_semi")
+                   .where(_is_val(F.col("id")))
+                   .select(F.col("id").alias("doc_id"))
+                   .withColumn("mv", F.lit(1)))
     mv = F.coalesce(F.col("mv"), F.lit(0))
     is_val = _is_val(F.col("doc_id")).cast("long")
     return dedup._own_cache(
@@ -256,16 +264,28 @@ def q_split_repair_plan(spark, sf_dir):
 
 
 SQL_SPLIT_REPAIR_PLAN = f"""
-WITH pairs_src AS ({SQL_MINHASH_NEAR_DUPS}),
-sym AS (
-  SELECT lo_id AS a, hi_id AS b FROM pairs_src
-  UNION ALL
-  SELECT hi_id AS a, lo_id AS b FROM pairs_src
+WITH RECURSIVE pairs_src AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS s, hi_id AS d FROM pairs_src
+  UNION
+  SELECT hi_id AS s, lo_id AS d FROM pairs_src
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+tainted AS (
+  SELECT DISTINCT cluster_id FROM comp
+  WHERE md5('split:' || id::VARCHAR) >= '{VAL_HEX_LT}'
 ),
 moved AS (
-  SELECT DISTINCT a AS doc_id FROM sym
-  WHERE md5('split:' || a::VARCHAR) < '{VAL_HEX_LT}'
-    AND md5('split:' || b::VARCHAR) >= '{VAL_HEX_LT}'
+  SELECT c.id AS doc_id FROM comp c
+  JOIN tainted t ON c.cluster_id = t.cluster_id
+  WHERE md5('split:' || c.id::VARCHAR) < '{VAL_HEX_LT}'
 )
 SELECT d.source, count(*) AS n_docs,
        CAST(sum(CASE WHEN md5('split:' || d.doc_id::VARCHAR)

@@ -267,20 +267,14 @@ _CHUNK_ID_STRIDE = 100000
 
 
 def _chunk_relation(spark, sf_dir):
-    """(chunk_id, text) fixed-window chunk relation — the same windows
-    as q_paragraph_dedup, but carrying chunk TEXT so the MinHash miner
-    can shingle them. Map-side explode; chunk_id encodes (doc, idx)."""
-    d = _docs(spark, sf_dir)
-    length = F.length("text")
-    n_chunks = F.when(length <= PARA_SIZE, F.lit(1)).otherwise(
-        F.ceil((length - PARA_SIZE) / F.lit(PARA_SIZE)).cast("long") + 1)
-    e = d.select("doc_id", "text",
-                 F.explode(F.sequence(F.lit(0).cast("long"),
-                                      n_chunks - 1)).alias("ci"))
-    return e.select(
-        (F.col("doc_id") * _CHUNK_ID_STRIDE + F.col("ci")).alias("doc_id"),
-        F.col("text").substr((F.col("ci") * PARA_SIZE).cast("int") + 1,
-                             F.lit(PARA_SIZE)).alias("text"))
+    """(chunk_id, text) fixed-window chunk relation — the SAME
+    chunk_docs windows as q_paragraph_dedup (with_text=True; one shared
+    boundary rule, no drift), chunk_id encodes (doc, idx)."""
+    chunks = chunk_docs(_docs(spark, sf_dir), PARA_SIZE, 0, with_text=True)
+    return chunks.select(
+        (F.col("doc_id") * _CHUNK_ID_STRIDE + F.col("chunk_idx"))
+         .alias("doc_id"),
+        F.col("chunk_text").alias("text"))
 
 
 def q_paragraph_minhash_dedup(spark, sf_dir):

@@ -49,10 +49,16 @@ _ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
 
 
 def tws_available() -> bool:
-    """transformWithStateInPandas needs google.protobuf for its state
-    client; absent (or with PHOTON_SPARK_KEYED_LEGACY=1) the legacy
-    applyInPandasWithState path runs instead."""
+    """True only when transformWithStateInPandas can actually run:
+    the grouped-data API must exist (PySpark ≥ 4.0 — protobuf alone is
+    not evidence, it ships with many unrelated packages) AND
+    google.protobuf must import (the TWS state client's wire protocol).
+    PHOTON_SPARK_KEYED_LEGACY=1 forces the applyInPandasWithState path
+    regardless."""
     if os.environ.get("PHOTON_SPARK_KEYED_LEGACY") == "1":
+        return False
+    from pyspark.sql.group import GroupedData
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
         return False
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -62,10 +68,17 @@ def tws_available() -> bool:
 
 
 def _use_rocksdb(df: DataFrame) -> None:
-    # transformWithState requires the RocksDB state store; set it on the
-    # owning session before the stream starts (per-query conf snapshot).
-    df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    # transformWithState requires the RocksDB state store. NOTE: the
+    # provider class is a SESSION-scoped conf snapshotted when a stream
+    # STARTS — setting it here affects any stream started later on this
+    # session, and a checkpoint written under a different provider must
+    # not be resumed after the switch. We therefore only touch the conf
+    # when it differs, and callers mixing providers in one session
+    # should start their other streams first or use separate sessions.
+    conf = df.sparkSession.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if conf.get(key, None) != _ROCKSDB_PROVIDER:
+        conf.set(key, _ROCKSDB_PROVIDER)
 
 
 # ------------------------------------------------------ fold kernels

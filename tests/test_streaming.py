@@ -564,3 +564,51 @@ def test_keyed_fold_via_transform_with_state(spark, tmp_path):
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     assert got == {"a": (8, sum(range(8)))}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream INTERVAL join — the attribution shape
+    (purchase within 10 min of a view by the same user) as two real
+    streams with watermarks on both sides, value-identical to the batch
+    interval join over the same rows. Inner stream-stream joins emit
+    eagerly and the watermark + time-bound condition bound both sides'
+    state — the 100 TB/day shape where neither stream is ever fully
+    buffered."""
+    win_s = 600
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("etime")))
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("etime").alias("vtime"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("etime").alias("ptime"))
+
+    cond = (
+        "user_id = p_user AND "
+        f"ptime >= vtime AND ptime <= vtime + interval {win_s} seconds")
+    batch = {(r["view_id"], r["buy_id"])
+             for r in views.join(purchases, F.expr(cond)).collect()}
+    assert batch, "fixture must produce at least one attribution pair"
+
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    views.write.parquet(vdir)
+    purchases.write.parquet(pdir)
+    sv = (spark.readStream.schema(views.schema).parquet(vdir)
+          .withWatermark("vtime", "1 hour"))
+    sp = (spark.readStream.schema(purchases.schema).parquet(pdir)
+          .withWatermark("ptime", "1 hour"))
+    got = set()
+
+    def sink(bdf, _bid):
+        got.update((r["view_id"], r["buy_id"])
+                   for r in bdf.select("view_id", "buy_id").collect())
+
+    q = (sv.join(sp, F.expr(cond))
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got == batch

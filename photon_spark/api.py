@@ -47,14 +47,29 @@ class PhotonAPI:
     # ------------------------------------------------------------- events
     def post_event(self, stream_name: str, payload: str | None = None,
                    **envelope: Any) -> int:
-        """E5 POST /event: append one event; stream implicitly created."""
+        """E5 POST /event: append one event; stream implicitly created.
+        The full client envelope is accepted — including ``provenance``
+        (doc/schemas.md's caused-by triple) — and anything OUTSIDE the
+        envelope (a typo like ``event_typ``) is rejected loudly instead of
+        being silently dropped."""
+        from photon_spark.events import (_CLIENT_FIELDS, EVENT_SCHEMA,
+                                         PROVENANCE_TYPE)
+        from pyspark.sql import types as T
+
         row = {"stream_name": stream_name, "payload": payload, **envelope}
+        unknown = set(row) - set(_CLIENT_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown event envelope field(s): "
+                             f"{sorted(unknown)}; "
+                             f"envelope is {_CLIENT_FIELDS}")
+        prov = row.get("provenance")
+        if isinstance(prov, dict):
+            row["provenance"] = tuple(
+                prov.get(f.name) for f in PROVENANCE_TYPE.fields)
+        schema = T.StructType(
+            [f for f in EVENT_SCHEMA.fields if f.name in _CLIENT_FIELDS])
         df = self.store.spark.createDataFrame(
-            [tuple(row.get(c) for c in
-                   ("stream_name", "event_type", "service_id", "local_id",
-                    "schema_tag", "payload"))],
-            "stream_name string, event_type string, service_id string, "
-            "local_id string, schema_tag string, payload string")
+            [tuple(row.get(c) for c in _CLIENT_FIELDS)], schema)
         return self.store.ingest(df)
 
     def get_event(self, stream_name: str, order_id: int):
@@ -68,8 +83,15 @@ class PhotonAPI:
 
     # ------------------------------------------------------------ streams
     def streams(self) -> list[dict]:
-        """E1 GET /streams: names + total events (backed by the
-        __streams__ projection state when advanced, else the table)."""
+        """E1 GET /streams: names + total events. Advances the
+        __streams__ projection to the current high-water mark first
+        (incremental — folds only events since its resume point), so the
+        endpoint never serves totals staled by ingests that happened
+        after the last advance."""
+        proj = self.engine.projection("__streams__")
+        if proj is not None and proj.status != "failed" \
+                and self.store._exists():
+            self.engine.advance("__streams__")
         totals = self.engine.value("__streams__") or {}
         if not totals:
             rows = (self.store.read_all().groupBy("stream_name").count()

@@ -23,6 +23,7 @@ as PushedFilters — verified in tests via ``explain``.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,8 +58,22 @@ _CLIENT_FIELDS = ["stream_name", "event_type", "service_id", "local_id",
                   "schema_tag", "provenance", "payload"]
 
 
+def coerce_order_bound(from_: int) -> int:
+    """Epoch-ms → order_id-space coercion (×1000), shared by EVERY replay
+    bound: batch read_cold, streaming read_hot_cold, and retention expire.
+    The two spaces are 1000× apart, so the threshold (10^10..10^14: epoch-ms
+    between 2001 and ~5138) is unambiguous for any realistic timestamp; raw
+    order_ids pass through untouched. One definition so the batch and
+    streaming twins can never diverge on what a time bound means."""
+    from_ = int(from_)
+    if 10_000_000_000 <= from_ < 100_000_000_000_000:
+        from_ *= 1000
+    return from_
+
+
 def stamp_events(df: DataFrame, base_order_id: int = 0,
-                 partition_offsets: dict[int, int] | None = None) -> DataFrame:
+                 partition_offsets: dict[int, int] | None = None,
+                 now_ms: int | None = None) -> DataFrame:
     """Assign ``event_time`` + monotonic unique ``order_id`` to a batch.
 
     order_id = unix_millis(event_time) * 1000 + (per-ms counter mod 1000),
@@ -80,8 +95,15 @@ def stamp_events(df: DataFrame, base_order_id: int = 0,
     without offsets we fall back to a single-partition window (fine for
     small ad-hoc batches only).
     """
-    now = F.current_timestamp()
-    df = df.withColumn("event_time", now)
+    # One driver-evaluated server timestamp per batch (photon stamps the
+    # server clock too, streams.clj:296). A LITERAL rather than
+    # current_timestamp() makes the stamp DETERMINISTIC for a given
+    # (batch, base, now_ms): re-evaluating the plan can never produce
+    # different order_ids, which is what lets ingest() maintain the max-
+    # order_id high-water mark arithmetically instead of rescanning.
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    df = df.withColumn("event_time", F.timestamp_millis(F.lit(now_ms)))
     if partition_offsets is not None:
         # monotonically_increasing_id = (partitionId << 33) | row-in-
         # partition with consecutive row numbers, so the global sequence is
@@ -95,8 +117,7 @@ def stamp_events(df: DataFrame, base_order_id: int = 0,
     else:
         w = Window.orderBy(F.monotonically_increasing_id())
         seq = F.row_number().over(w).cast("long") - F.lit(1)
-    base_ms = (F.unix_millis(F.col("event_time")) * 1000)
-    candidate = base_ms + seq
+    candidate = F.lit(now_ms * 1000).cast("long") + seq
     df = df.withColumn(
         "order_id",
         F.greatest(candidate, F.lit(base_order_id + 1) + seq),
@@ -136,6 +157,13 @@ class EventStore:
         #: A9 global incoming counter (since construction, mirroring
         #: photon's since-boot atom, streams.clj:290-303).
         self.ingested = 0
+        #: max-order_id high-water mark: scanned lazily once, then
+        #: maintained arithmetically per ingest (stamping is deterministic,
+        #: see stamp_events) and invalidated by the delete/maintenance
+        #: paths. Single-writer-instance assumption, same as photon's one
+        #: server process per store: a SECOND EventStore appending to the
+        #: same path concurrently would stale this cache.
+        self._max_oid: int | None = None
 
     def _write_opts(self, writer):
         if self.fmt == "json":
@@ -153,10 +181,13 @@ class EventStore:
             not n.startswith(("_", ".")) for n in os.listdir(self.path))
 
     def max_order_id(self) -> int:
+        if self._max_oid is not None:
+            return self._max_oid
         if not self._exists():
             return 0
         row = self.read_all().agg(F.max("order_id").alias("m")).first()
-        return row["m"] or 0
+        self._max_oid = row["m"] or 0
+        return self._max_oid
 
     def ingest(self, df: DataFrame) -> int:
         """S1: validate envelope, stamp event_time/order_id, append.
@@ -184,8 +215,10 @@ class EventStore:
                 offsets[r["pid"]] = acc
                 acc += r["cnt"]
             n = acc
-            stamped = stamp_events(src, self.max_order_id(),
-                                   partition_offsets=offsets)
+            base = self.max_order_id()
+            now_ms = int(time.time() * 1000)
+            stamped = stamp_events(src, base, partition_offsets=offsets,
+                                   now_ms=now_ms)
             # sort includes the partition column: the dynamic-partition
             # writer re-sorts any task holding >1 stream by partition col
             # (unstably), which would silently break the per-file order_id
@@ -200,6 +233,11 @@ class EventStore:
              .save(self.path))
         finally:
             src.unpersist()
+        if n:
+            # stamp_events: order_id_i = greatest(now_ms*1000, base+1) + seq_i
+            # (identical seq on both greatest() arms), so the batch max is
+            # closed-form — the high-water mark advances without a rescan.
+            self._max_oid = max(now_ms * 1000, base + 1) + n - 1
         self.ingested += n
         return n
 
@@ -228,10 +266,7 @@ class EventStore:
         if stream_name != ALL_STREAMS:
             df = df.where(F.col("stream_name") == stream_name)
         if from_:
-            from_ = int(from_)
-            if 10_000_000_000 <= from_ < 100_000_000_000_000:
-                from_ *= 1000  # epoch-ms → order_id space
-            df = df.where(F.col("order_id") >= from_)
+            df = df.where(F.col("order_id") >= coerce_order_bound(from_))
         # ordered=False lets order-insensitive consumers (the fold engine
         # re-orders via its own range partitioning) skip the global sort.
         if ordered or limit is not None:
@@ -271,6 +306,7 @@ class EventStore:
         import shutil
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
+        self._max_oid = None
 
     def delete_event(self, stream_name: str, order_id: int) -> None:
         """D1 (streams.clj:323)."""
@@ -285,6 +321,7 @@ class EventStore:
         """D3 delete-all (streams.clj:324)."""
         import shutil
         shutil.rmtree(self.path, ignore_errors=True)
+        self._max_oid = None
 
     # ---------------------------------------------------------- maintenance
     def expire(self, before: int) -> int:
@@ -296,9 +333,7 @@ class EventStore:
         parquet it is a partition-parallel rewrite, on Delta/Iceberg the
         identical predicate is a metadata DELETE.
         """
-        before = int(before)
-        if 10_000_000_000 <= before < 100_000_000_000_000:
-            before *= 1000  # epoch-ms → order_id space
+        before = coerce_order_bound(before)
         removed = self.read_all().where(F.col("order_id") < before).count()
         if removed:
             self._rewrite(F.col("order_id") >= before)

@@ -141,6 +141,9 @@ class Projection:
     avg_global_time: float = 0.0     # wall-clock ms since init / processed
     mem_used: int = 0                # pickled state size, rate-limited
     status: str = "running"          # running | failed | finished
+    #: NULL-aware weight of the running native avg (count of non-null
+    #: sampled values) — the merge weight, distinct from ``processed``
+    native_weight: int = 0
 
     def touch_global_time(self) -> None:
         """A2: avg-global-time = wall-clock per processed event
@@ -260,22 +263,57 @@ class ProjectionEngine:
                  emit_states: bool = False) -> Projection:
         reducer = proj.reducer
         if isinstance(reducer, NativeReducer):
-            # 100 TB path: one Catalyst aggregate, no Python per event.
-            bounds = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("order_id").alias("mx")).first()
+            # 100 TB path: one Catalyst aggregate, no Python per event —
+            # bounds and the reducer value in a SINGLE pass. avg needs its
+            # own NULL-aware weight: F.avg skips NULL expr values, so the
+            # cross-batch merge must weight by count(expr), NOT by the row
+            # count (weighting by rows skews every avg the moment one
+            # sampled value is NULL).
+            if reducer.kind not in NativeReducer._AGGS:
+                raise ValueError(f"unknown native reducer: {reducer.kind}")
+            aggs = [F.count(F.lit(1)).alias("n"),
+                    F.max("order_id").alias("mx"),
+                    NativeReducer._AGGS[reducer.kind](reducer.expr)
+                    .alias("v")]
+            if reducer.kind == "avg":
+                aggs.append(F.count(F.expr(reducer.expr)).alias("w"))
+            bounds = df.agg(*aggs).first()
             if bounds["n"]:
-                val = reducer.aggregate(df)
                 prev = proj.current_value
-                proj.current_value = _combine_native(reducer.kind, prev, val,
-                                                     proj.processed, bounds["n"])
+                if reducer.kind == "avg":
+                    prev_w = proj.native_weight
+                    new_w = bounds["w"]
+                    if new_w:
+                        if prev is None or prev_w == 0:
+                            proj.current_value = bounds["v"]
+                        else:
+                            proj.current_value = (
+                                (prev * prev_w + bounds["v"] * new_w)
+                                / (prev_w + new_w))
+                    proj.native_weight = prev_w + new_w
+                else:
+                    proj.current_value = _combine_native(
+                        reducer.kind, prev, bounds["v"],
+                        proj.processed, bounds["n"])
                 proj.processed += bounds["n"]
                 proj.last_event = bounds["mx"]
                 proj.touch_global_time()
+            if emit_states:
+                # per-event states only exist on the serial tier; the
+                # native tier's virtual stream is per-BATCH (one state per
+                # fold call) — emit that rather than silently ignoring the
+                # flag.
+                proj.emitted = ([proj.current_value] if bounds["n"]
+                                else [])  # type: ignore[attr-defined]
             return proj
 
         if isinstance(reducer, AssociativeReducer):
-            return self._fold_associative(proj, df)
+            before = proj.processed
+            proj = self._fold_associative(proj, df)
+            if emit_states:
+                proj.emitted = ([proj.current_value]  # type: ignore[attr-defined]
+                                if proj.processed != before else [])
+            return proj
 
         return self._fold_serial(proj, df, emit_states=emit_states)
 
@@ -350,9 +388,10 @@ class ProjectionEngine:
             state, lo, n, mx = zero, None, 0, 0
             for pdf in iterator:
                 for rec in pdf.to_dict("records"):
+                    oid = rec.get("order_id", 0)
                     if lo is None:
-                        lo = rec["order_id"]
-                    mx = rec["order_id"]
+                        lo = oid
+                    mx = oid
                     state = fold(state, rec)
                     n += 1
             if n:
@@ -360,15 +399,20 @@ class ProjectionEngine:
                                     "blob": [pickle.dumps(state)]})
 
         # Range-partition so each partition is a contiguous, sorted order_id
-        # span → partials merge left-to-right correctly.
-        parts = (df.repartitionByRange("order_id")
-                   .sortWithinPartitions("order_id")
-                   .mapInPandas(fold_partition,
+        # span → partials merge left-to-right correctly. No order_id (the
+        # fold_dataframe ad-hoc contract): preserve the plan's own order in
+        # one partition, same fallback as _pack_ordered.
+        if "order_id" in df.columns:
+            df = (df.repartitionByRange("order_id")
+                    .sortWithinPartitions("order_id"))
+        else:
+            df = df.coalesce(1)
+        parts = (df.mapInPandas(fold_partition,
                                 schema="lo long, mx long, n long, blob binary")
                    .collect())
         parts.sort(key=lambda r: r["lo"])
-        state = proj.current_value if proj.processed else (
-            proj.current_value if proj.current_value is not None else zero)
+        state = (proj.current_value if proj.current_value is not None
+                 else zero)
         for p in parts:
             state = reducer.merge(state, pickle.loads(p["blob"]))
             proj.processed += p["n"]
@@ -428,8 +472,8 @@ def _combine_native(kind: str, prev: Any, new: Any, prev_n: int, new_n: int) -> 
         return prev
     if kind in ("count", "sum"):
         return prev + new
-    if kind == "avg":
-        return (prev * prev_n + new * new_n) / (prev_n + new_n)
+    if kind == "avg":  # pragma: no cover - handled NULL-aware in _fold_df
+        raise AssertionError("avg merges via proj.native_weight")
     if kind == "min":
         return min(prev, new)
     if kind == "max":

@@ -10,8 +10,18 @@ driver-side max-order_id bookkeeping, so order_ids stay globally monotonic
 across micro-batches (SURVEY.md §4 custom-work #2).
 
 Backpressure is micro-batch-native (``maxFilesPerTrigger``) — no photon
-sliding-buffer drops. Exactly-once: the checkpoint commits source offsets
-only after the batch's append completes.
+sliding-buffer drops.
+
+Delivery semantics — stated precisely, because foreachBatch is
+at-least-once: the checkpoint commits source offsets only after the
+batch's append completes, so nothing is ever LOST, but a crash between
+the append and the commit replays the batch and appends it again with
+fresh order_ids. ``dedupe=True`` upgrades that to effectively-once for
+events carrying a ``(stream_name, local_id)`` client key (the replayed
+copies anti-join away); keyless events have nothing to dedupe on and can
+duplicate under that crash window. For keyless exactly-once use the
+per-batch OVERWRITE-partition pattern (streaming/corpus.py) where the
+replay clobbers its own partial output instead of appending beside it.
 """
 
 from __future__ import annotations

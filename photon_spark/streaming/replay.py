@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from photon_spark.events import ALL_STREAMS, EVENT_SCHEMA, EventStore
+from photon_spark.events import coerce_order_bound, ALL_STREAMS, EVENT_SCHEMA, EventStore
 
 
 def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
@@ -40,7 +40,9 @@ def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
     if stream_name != ALL_STREAMS:
         df = df.where(F.col("stream_name") == stream_name)
     if from_:
-        df = df.where(F.col("order_id") >= int(from_))
+        # same epoch-ms coercion as the batch twin read_cold — a time
+        # bound must mean the same thing on both replay paths
+        df = df.where(F.col("order_id") >= coerce_order_bound(from_))
     return df
 
 

@@ -82,6 +82,44 @@ class StreamingProjectionRunner:
          .coalesce(1)
          .write.mode("append").parquet(self.state_path))
 
+    # ------------------------------------------------------------ restore
+    def restore(self) -> int:
+        """Rehydrate registered projections from the latest persisted
+        state snapshots — the missing half of durable resume: the
+        CHECKPOINT makes the source skip already-committed files, so a
+        fresh process with the same checkpoint_dir would otherwise start
+        from empty state and silently lose all previously folded history.
+        Call after registering projections, before run().
+
+        Only projections that are still at processed == 0 are touched
+        (never clobbers in-memory progress). Values round-trip through
+        JSON (tuples come back as lists; non-JSON states were persisted
+        as repr strings and are restored as those strings). Returns the
+        number of projections restored."""
+        import json
+        import os
+
+        if self.state_path is None or not os.path.isdir(self.state_path):
+            return 0
+        rows = (self.state_table()
+                .orderBy(F.col("batch_id").desc(),
+                         F.col("last_event").desc())
+                .collect())
+        latest: dict[str, object] = {}
+        for r in rows:  # first row per name = newest snapshot
+            latest.setdefault(r["projection_name"], r)
+        restored = 0
+        for name, proj in self.engine.registry.items():
+            snap = latest.get(name)
+            if snap is None or proj.processed:
+                continue
+            proj.current_value = json.loads(snap["value_json"])
+            proj.processed = snap["processed"]
+            proj.last_event = snap["last_event"]
+            proj.status = snap["status"]
+            restored += 1
+        return restored
+
     # -------------------------------------------------- virtual stream read
     def state_table(self):
         """Batch view of every persisted state snapshot (E2/E3 over Spark)."""

@@ -92,3 +92,33 @@ def test_delete_and_stats(spark, tmp_path):
     assert {d["stream"] for d in api.streams()} == {"a"}
     st = api.stats()
     assert st["incoming"] == 5 and st["total-memory"] > 0
+
+def test_post_event_round_trips_provenance_and_rejects_typos(spark, tmp_path):
+    import os
+    import pytest
+    from photon_spark.api import PhotonAPI
+
+    api = PhotonAPI(spark, os.path.join(str(tmp_path), "store"))
+    api.post_event("s", payload='{"k": 1}',
+                   provenance={"service_id": "svc", "local_id": "42",
+                               "relationship_type": "caused-by"})
+    ev = api.store.read_all().first()
+    assert ev["provenance"]["service_id"] == "svc"
+    assert ev["provenance"]["local_id"] == "42"
+    assert ev["provenance"]["relationship_type"] == "caused-by"
+    with pytest.raises(ValueError, match="event_typ"):
+        api.post_event("s", event_typ="oops")
+
+
+def test_streams_endpoint_never_serves_stale_totals(spark, tmp_path):
+    import os
+    from photon_spark.api import PhotonAPI
+
+    api = PhotonAPI(spark, os.path.join(str(tmp_path), "store"))
+    for i in range(5):
+        api.post_event("s", local_id=str(i))
+    api.projection_value("__streams__")  # advances the projection
+    for i in range(5, 10):
+        api.post_event("s", local_id=str(i))
+    # E1 must reflect the post-advance ingests, not the stale state
+    assert api.streams() == [{"stream": "s", "total-events": 10}]

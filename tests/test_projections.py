@@ -130,3 +130,80 @@ def test_pyreducer_source_persisted(engine, spark):
     engine.register("p", src, stream_name="s")
     red = engine.projection("p").reducer
     assert isinstance(red, PyReducer) and red.source == src
+
+
+def test_native_avg_skips_nulls_across_batches(spark, tmp_path):
+    """Incremental native avg must weight batch averages by the count of
+    NON-NULL sampled values, exactly like a single F.avg over everything
+    — NULLs folded in a later batch must not dilute the merge."""
+    import os
+    from photon_spark.events import EventStore
+    from photon_spark.projections.engine import NativeReducer, ProjectionEngine
+
+    store = EventStore(spark, os.path.join(str(tmp_path), "ev"))
+    engine = ProjectionEngine(store)
+    engine.register("avg_v",
+                    NativeReducer("avg", "get_json_object(payload, '$.v')"))
+
+    def post(vals):
+        rows = [("s", None, None, str(i), None,
+                 (None if v is None else f'{{"v": {v}}}'))
+                for i, v in enumerate(vals)]
+        store.ingest(spark.createDataFrame(
+            rows, "stream_name string, event_type string, service_id string,"
+                  " local_id string, schema_tag string, payload string"))
+
+    post([10.0])
+    engine.advance("avg_v")
+    assert engine.value("avg_v") == 10.0
+    post([None, 20.0, 40.0])
+    engine.advance("avg_v")
+    # true avg over non-null = (10+20+40)/3; row-weighted would give 25
+    assert abs(engine.value("avg_v") - 70.0 / 3) < 1e-9
+    post([None, None])  # all-NULL batch: value unchanged, no corruption
+    engine.advance("avg_v")
+    assert abs(engine.value("avg_v") - 70.0 / 3) < 1e-9
+    # and it matches the one-shot aggregate over the whole store
+    from pyspark.sql import functions as F
+    one_shot = store.read_all().agg(
+        F.avg(F.expr("get_json_object(payload, '$.v')"))).first()[0]
+    assert abs(engine.value("avg_v") - one_shot) < 1e-9
+
+
+def test_emit_states_supported_on_every_tier(spark, tmp_path):
+    """emit_states must not be silently ignored: serial emits per-event,
+    native/associative emit their per-batch state."""
+    import os
+    from photon_spark.events import EventStore
+    from photon_spark.projections.engine import (AssociativeReducer,
+                                                 NativeReducer,
+                                                 ProjectionEngine, PyReducer)
+
+    store = EventStore(spark, os.path.join(str(tmp_path), "ev"))
+    engine = ProjectionEngine(store)
+    rows = [("s", None, None, str(i), None, "{}") for i in range(3)]
+    store.ingest(spark.createDataFrame(
+        rows, "stream_name string, event_type string, service_id string,"
+              " local_id string, schema_tag string, payload string"))
+    engine.register("n", NativeReducer("count"))
+    engine.register("a", AssociativeReducer(
+        fold=lambda st, ev: st + 1, merge=lambda x, y: x + y, zero=0))
+    engine.register("p", PyReducer(fn=lambda st, ev: (st or 0) + 1,
+                                   source="p"))
+    assert engine.advance("n", emit_states=True).emitted == [3]
+    assert engine.advance("a", emit_states=True).emitted == [3]
+    assert engine.advance("p", emit_states=True).emitted == [1, 2, 3]
+
+
+def test_fold_dataframe_associative_without_order_id(spark):
+    """fold_dataframe advertises arbitrary DataFrames; the associative
+    tier must take the same no-order_id fallback as the serial tier."""
+    from photon_spark.projections.engine import (AssociativeReducer,
+                                                 ProjectionEngine)
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    proj = ProjectionEngine.fold_dataframe(
+        AssociativeReducer(fold=lambda st, ev: st + ev["v"],
+                           merge=lambda x, y: x + y, zero=0), df)
+    assert proj.current_value == sum(range(10))
+    assert proj.processed == 10

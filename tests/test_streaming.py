@@ -612,3 +612,67 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert got == batch
+
+
+def test_runner_restores_state_across_process_restart(spark, tmp_path):
+    """Durable resume end-to-end: a FRESH engine + runner sharing the old
+    checkpoint and state table must restore() the folded state before
+    run(), then continue folding only new events — final value identical
+    to a single uninterrupted run."""
+    from photon_spark.projections.engine import AssociativeReducer
+
+    store = _mk_store(spark, tmp_path)
+    _post(store, "a", 10, start=0)
+    ckpt = os.path.join(str(tmp_path), "ck")
+    state = os.path.join(str(tmp_path), "state")
+
+    def mk_runner():
+        engine = ProjectionEngine(store)
+        engine.register("total", AssociativeReducer(
+            fold=lambda st, ev: st + int(ev["local_id"]),
+            merge=lambda x, y: x + y, zero=0))
+        return engine, StreamingProjectionRunner(
+            engine, checkpoint_dir=ckpt, state_path=state)
+
+    e1, r1 = mk_runner()
+    r1.run(available_now=True)
+    assert e1.value("total") == sum(range(10))
+
+    # process "restarts": new engine, zero in-memory state, same dirs
+    _post(store, "a", 5, start=100)
+    e2, r2 = mk_runner()
+    assert r2.restore() == 1
+    assert e2.value("total") == sum(range(10))
+    r2.run(available_now=True)
+    assert e2.value("total") == sum(range(10)) + sum(range(100, 105))
+    # idempotent: restore never clobbers in-memory progress
+    assert r2.restore() == 0
+
+
+def test_hot_cold_from_bound_matches_batch_coercion(spark, tmp_path):
+    """read_hot_cold must interpret an epoch-ms from_ bound exactly like
+    read_cold (×1000 into order_id space) — a time bound means the same
+    thing on both replay paths."""
+    import time as _time
+
+    store = _mk_store(spark, tmp_path)
+    _post(store, "a", 3)
+    _time.sleep(0.05)  # second ingest lands in a later server ms
+    _post(store, "a", 3, start=50)
+    oids = sorted(r["order_id"] for r in
+                  store.read_all().select("order_id").collect())
+    cut_ms = oids[3] // 1000  # epoch-ms of the 4th event
+    batch_ids = {r["order_id"] for r in
+                 store.read_cold(from_=cut_ms).collect()}
+    got = set()
+
+    def sink(bdf, _bid):
+        got.update(r["order_id"] for r in bdf.collect())
+
+    q = (read_hot_cold(store, from_=cut_ms)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "c2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got == batch_ids
+    assert len(got) < 6  # the bound actually filtered something

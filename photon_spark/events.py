@@ -215,6 +215,12 @@ class EventStore:
                 offsets[r["pid"]] = acc
                 acc += r["cnt"]
             n = acc
+            if n == 0:
+                # Nothing to stamp or write — and stamp_events cannot
+                # build its partition-offset map from zero partitions
+                # (empty create_map() has no key type). Reachable via a
+                # dedupe pass that drops an entire replayed batch.
+                return 0
             base = self.max_order_id()
             now_ms = int(time.time() * 1000)
             stamped = stamp_events(src, base, partition_offsets=offsets,

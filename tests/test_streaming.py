@@ -676,3 +676,24 @@ def test_hot_cold_from_bound_matches_batch_coercion(spark, tmp_path):
     q.awaitTermination()
     assert got == batch_ids
     assert len(got) < 6  # the bound actually filtered something
+
+
+def test_ingest_dedupe_makes_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate the crash-replay (same
+    micro-batch delivered twice) directly against _apply_batch. With
+    dedupe=True and keyed events, the replayed copies anti-join away —
+    the store ends with exactly one copy per client key."""
+    from photon_spark.streaming.ingest import StreamingIngest
+
+    store = _mk_store(spark, tmp_path)
+    ing = StreamingIngest(store, source_dir=str(tmp_path / "src"),
+                          checkpoint_dir=str(tmp_path / "ck"), dedupe=True)
+    batch = spark.createDataFrame(
+        [("s", None, None, str(i), None, "{}") for i in range(7)],
+        "stream_name string, event_type string, service_id string, "
+        "local_id string, schema_tag string, payload string")
+    ing._apply_batch(batch, 0)
+    ing._apply_batch(batch, 0)  # crash-replay of the same batch
+    rows = store.read_all().collect()
+    assert len(rows) == 7
+    assert sorted(r["local_id"] for r in rows) == [str(i) for i in range(7)]

@@ -104,6 +104,31 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
     return assign_cells(base, cents, vec_col, id_col), cents
 
 
+def member_dist2(assigned: DataFrame, centroids: list[list[float]],
+                 vec_col: str = "embedding") -> DataFrame:
+    """Per-member squared distance to its assigned centroid, as the
+    quantized long ``ri = round(dist² · 10⁶)``.
+
+    The distance is the same *sequential* higher-order fold as the DuckDB
+    oracle — ``(|v|² - 2·v·c) + |c|²`` in exactly that association, with
+    ``|c|²`` pre-folded on the driver by the identical left fold — so
+    ``ri`` is bit-identical cross-engine (the kmeans profile and prune
+    oracles both hash it). Map-only: centroids ride along as literals.
+    """
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c])
+                          for c in centroids])
+    nc2_lit = F.array(*[F.lit(_seq_dot(c, c)) for c in centroids])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec = F.element_at(cents_lit, F.col("cluster_id").cast("int") + 1)
+    dot = F.aggregate(F.zip_with(v, cvec, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, t: acc + t)
+    na2 = F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, t: acc + t)
+    nc2 = F.element_at(nc2_lit, F.col("cluster_id").cast("int") + 1)
+    dist2 = (na2 - 2.0 * dot) + nc2
+    return assigned.withColumn("ri", F.round(dist2 * Q).cast("long"))
+
+
 def kmeans_cluster_profile(df: DataFrame, k: int = 8, iters: int = 2,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id") -> DataFrame:
@@ -116,20 +141,8 @@ def kmeans_cluster_profile(df: DataFrame, k: int = 8, iters: int = 2,
     integer millionths before the order-free long sum.
     """
     assigned, cents = kmeans_fit(df, k, iters, vec_col, id_col)
-    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-    nc2_lit = F.array(*[
-        F.lit(_seq_dot(c, c)) for c in cents])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cvec = F.element_at(cents_lit, F.col("cluster_id").cast("int") + 1)
-    dot = F.aggregate(F.zip_with(v, cvec, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, t: acc + t)
-    na2 = F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, t: acc + t)
-    nc2 = F.element_at(nc2_lit, F.col("cluster_id").cast("int") + 1)
-    dist2 = (na2 - 2.0 * dot) + nc2
-    ri = F.round(dist2 * Q).cast("long")
-    return (assigned
-            .select("cluster_id", ri.alias("ri"))
+    return (member_dist2(assigned, cents, vec_col)
+            .select("cluster_id", "ri")
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.round(F.sum("ri") / Q, 6).alias("inertia"),

@@ -579,6 +579,11 @@ from photon_spark import queries_substring as _ss  # noqa: E402
 QUERIES.update(_ss.QUERIES)
 ORACLES.update(_ss.ORACLES)
 
+from photon_spark import queries_training as _tr  # noqa: E402
+
+QUERIES.update(_tr.QUERIES)
+ORACLES.update(_tr.ORACLES)
+
 # --------------------------------------------------------------------------
 # Gate-window ordering
 # --------------------------------------------------------------------------
@@ -613,6 +618,10 @@ _DRIVER_CHECKED_R3_R4 = frozenset([
 # Brand-new round-5 queries: never checked by ANYONE yet, so they outrank
 # even the round-3/4 backlog for a slot in the 50-query window.
 _NEWEST_FIRST = [
+    "seeded_shuffle_plan",
+    "quality_classifier_filter",
+    "curriculum_order_plan",
+    "embedding_prune_plan",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

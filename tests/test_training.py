@@ -1,0 +1,158 @@
+"""Training-set assembly: seeded global shuffle, classifier filter,
+embedding prune plan (photon_spark/queries_training.py)."""
+
+import hashlib
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.functions.ordering import seeded_shuffle
+from photon_spark.queries_training import (CLS_BIAS, CLS_KEEP, CLS_W,
+                                           PRUNE_DIV,
+                                           q_embedding_prune_plan,
+                                           q_quality_classifier_filter,
+                                           q_seeded_shuffle_plan)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+# --------------------------------------------------------- seeded shuffle
+
+def _naive_order(ids, seed):
+    key = {i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids}
+    return sorted(ids, key=lambda i: (key[i], i))
+
+
+def test_seeded_shuffle_is_the_md5_permutation(spark, docs):
+    out = {r["doc_id"]: r["global_pos"]
+           for r in seeded_shuffle(docs, "doc_id", seed=42).collect()}
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expect = {i: p for p, i in enumerate(_naive_order(ids, 42))}
+    assert out == expect
+
+
+def test_seeded_shuffle_positions_are_a_permutation(spark, sf_dir):
+    rows = q_seeded_shuffle_plan(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    for r in rows:
+        assert r["shard_id"] == r["global_pos"] // 64
+        assert r["pos_in_shard"] == r["global_pos"] % 64
+
+
+def test_seeded_shuffle_seed_changes_order_rerun_does_not(spark, docs):
+    a = {r["doc_id"]: r["global_pos"]
+         for r in seeded_shuffle(docs, seed=42).collect()}
+    b = {r["doc_id"]: r["global_pos"]
+         for r in seeded_shuffle(docs, seed=42).collect()}
+    c = {r["doc_id"]: r["global_pos"]
+         for r in seeded_shuffle(docs, seed=7).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_seeded_shuffle_bucket_count_invariant(spark, docs):
+    # position assignment is independent of the bucket fan-out
+    a = {r["doc_id"]: r["global_pos"]
+         for r in seeded_shuffle(docs, seed=42, buckets=4).collect()}
+    b = {r["doc_id"]: r["global_pos"]
+         for r in seeded_shuffle(docs, seed=42, buckets=256).collect()}
+    assert a == b
+
+
+def test_seeded_shuffle_plan_has_no_global_window(spark, docs):
+    plan = seeded_shuffle(docs, seed=42)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the sort must be bucket-partitioned, never a single global partition
+    assert "hashpartitioning(bkt" in plan
+
+
+def test_curriculum_bands_stream_best_first(spark, sf_dir):
+    from photon_spark.queries_training import q_curriculum_order_plan
+    rows = sorted(q_curriculum_order_plan(spark, sf_dir).collect(),
+                  key=lambda r: r["global_pos"])
+    n = len(rows)
+    assert [r["global_pos"] for r in rows] == list(range(n))
+    # bands are non-decreasing along the order (best band first)
+    bands = [r["band"] for r in rows]
+    assert bands == sorted(bands)
+    assert len(set(bands)) > 1, "degenerate: single band"
+    # within a band the order is the seeded md5 shuffle of that band
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(r["doc_id"])
+    for b, ids in by_band.items():
+        assert ids == _naive_order(ids, 42)
+
+
+# ------------------------------------------------------ classifier filter
+
+def _naive_score(prof_row):
+    z = (CLS_BIAS + CLS_W[0] * prof_row["alpha_ratio"]
+         + CLS_W[1] * prof_row["stopword_ratio"]
+         + CLS_W[2] * min(prof_row["n_tokens"] / 64.0, 1.0)
+         + CLS_W[3] * prof_row["quality"])
+    s = 0.5 + 0.5 * z / (1.0 + abs(z))
+    return float(Decimal(repr(s)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def test_classifier_filter_matches_naive_recompute(spark, sf_dir, docs):
+    from photon_spark.functions import text
+    out = {(r["source"], r["kept"]): r
+           for r in q_quality_classifier_filter(spark, sf_dir).collect()}
+    prof = text.text_profile(docs).join(
+        docs.select("doc_id", "source"), "doc_id").collect()
+    agg = {}
+    for p in prof:
+        s = _naive_score(p)
+        k = (p["source"], s >= CLS_KEEP)
+        n, tot, toks = agg.get(k, (0, 0, 0))
+        agg[k] = (n + 1, tot + round(s * 1e6), toks + p["n_tokens"])
+    assert set(out) == set(agg)
+    for k, (n, tot, toks) in agg.items():
+        assert out[k]["n_docs"] == n
+        assert out[k]["total_tokens"] == toks
+        assert abs(out[k]["avg_score"] - tot / n / 1e6) < 2e-6
+    assert any(kept for _, kept in agg) and any(not kept for _, kept in agg)
+
+
+# -------------------------------------------------------- embedding prune
+
+def test_prune_plan_takes_percluster_ceil_tail(spark, sf_dir):
+    rows = q_embedding_prune_plan(spark, sf_dir).collect()
+    by_cl = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster_id"], []).append(r)
+    assert by_cl, "prune plan returned nothing"
+    for cl, rs in by_cl.items():
+        n = rs[0]["n_members"]
+        keep_n = (n + PRUNE_DIV - 1) // PRUNE_DIV
+        assert len(rs) == keep_n
+        assert sorted(r["rnk"] for r in rs) == list(range(1, keep_n + 1))
+        # ranks descend with distance; ties break by vec_id
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        for a, b in zip(rs, rs[1:]):
+            assert (a["dist2"], -a["vec_id"]) >= (b["dist2"], -b["vec_id"])
+
+
+def test_prune_plan_flags_constructed_outlier(spark):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    base = rng.normal(0.0, 0.05, size=(40, 8))
+    base[1::2] += 1.0          # two genuine clusters at 0 and 1
+    base[7] = 3.0              # moderate outlier: joins the 1-cluster,
+    #                            too close to capture a centroid of its own
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    from photon_spark.functions.clustering import kmeans_fit, member_dist2
+    assigned, cents = kmeans_fit(df, k=2, iters=2)
+    d = member_dist2(assigned, cents)
+    top = d.orderBy(F.desc("ri")).first()
+    assert top["vec_id"] == 7

@@ -622,6 +622,8 @@ _NEWEST_FIRST = [
     "quality_classifier_filter",
     "curriculum_order_plan",
     "embedding_prune_plan",
+    "cluster_split_assign",
+    "classifier_train_gd",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

@@ -189,8 +189,10 @@ def q_dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"))
 
 
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs_src AS ({{pairs}}),
+#: connected-components CTE chain (ends in ``comp(id, cluster_id)``) over a
+#: ``{pairs}`` relation — shared by the cluster-sizes oracle and the
+#: cluster-aware split oracle (queries_training).
+SQL_COMP_CTES = """pairs_src AS ({pairs}),
 edges AS (
   SELECT lo_id AS s, hi_id AS d FROM pairs_src
   UNION
@@ -203,7 +205,10 @@ reach(s, d) AS (
 ),
 comp AS (
   SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
-)
+)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SQL_COMP_CTES}
 SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id
 """
 

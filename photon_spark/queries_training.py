@@ -226,11 +226,205 @@ WHERE rnk <= (n_members + {PRUNE_DIV - 1}) // {PRUNE_DIV}
 """
 
 
+# -------------------------------------------------- cluster-aware split
+
+#: 2-hex-char split thresholds: < 'e6' train (230/256 ≈ 89.8%),
+#: < 'f3' val (13/256 ≈ 5.1%), else test (≈ 5.1%)
+SPLIT_TRAIN_LT, SPLIT_VAL_LT = "e6", "f3"
+
+
+def q_cluster_split_assign(spark, sf_dir):
+    """Leakage-free train/val/test assignment BY CONSTRUCTION: every
+    document is keyed by its near-dup cluster root (connected components
+    over the shared pair table; singletons root at themselves) and the
+    whole cluster lands in one split via a hash of the ROOT — the
+    preventive twin of the split_leakage audit (which checks a doc-hash
+    split after the fact). Per (split, source): docs, distinct clusters,
+    id checksum.
+
+    Scale shape: components over the pair relation (≪ corpus), one
+    id-only left join to stamp roots, map-side hash split, short-key agg.
+    """
+    from photon_spark import pair_cache
+    from photon_spark.functions import dedup
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir, threshold=0.7)
+    labels = dedup.dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id"))
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    rooted = (d.join(labels, "doc_id", "left")
+               .withColumn("root", F.coalesce("cluster_id", "doc_id")))
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("csplit:"), F.col("root").cast("string"))),
+        1, 2)
+    split = (F.when(pfx < SPLIT_TRAIN_LT, "train")
+              .when(pfx < SPLIT_VAL_LT, "val")
+              .otherwise("test"))
+    return dedup._own_cache(
+        rooted.withColumn("split", split)
+              .groupBy("split", "source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.countDistinct("root").alias("n_clusters"),
+                   F.sum("doc_id").cast("long").alias("doc_id_sum")),
+        getattr(pairs, "_photon_cached", []))
+
+
+def _sql_cluster_split_assign() -> str:
+    from photon_spark.queries_northstar import (SQL_COMP_CTES,
+                                                SQL_MINHASH_NEAR_DUPS)
+    comp = SQL_COMP_CTES.replace("{pairs}", SQL_MINHASH_NEAR_DUPS)
+    return f"""
+WITH RECURSIVE {comp}, rooted AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(c.cluster_id, d.doc_id) AS root
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), s AS (
+  SELECT doc_id, source, root,
+         CASE WHEN substr(md5('csplit:' || root), 1, 2)
+                   < '{SPLIT_TRAIN_LT}' THEN 'train'
+              WHEN substr(md5('csplit:' || root), 1, 2)
+                   < '{SPLIT_VAL_LT}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM rooted
+)
+SELECT split, source, count(*) AS n_docs,
+       count(DISTINCT root) AS n_clusters,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+FROM s GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- distributed GD fit
+
+#: gradient-descent fit: iterations, learning rate, label predicate
+GD_ITERS, GD_LR = 3, 1.0
+
+
+def _features(spark, sf_dir):
+    """(doc_id, f1..f4, y): the classifier features plus a declared-lang
+    label (y = 1 for 'en') — the same 6dp-rounded profile columns the
+    inference-side filter consumes."""
+    d = _docs(spark, sf_dir)
+    prof = text.text_profile(d).join(d.select("doc_id", "lang"), "doc_id")
+    return prof.select(
+        "doc_id",
+        F.col("alpha_ratio").alias("f1"),
+        F.col("stopword_ratio").alias("f2"),
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)).alias("f3"),
+        F.col("quality").alias("f4"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"))
+
+
+def _gd_z(w):
+    return (F.lit(w[0])
+            + F.lit(w[1]) * F.col("f1")
+            + F.lit(w[2]) * F.col("f2")
+            + F.lit(w[3]) * F.col("f3")
+            + F.lit(w[4]) * F.col("f4"))
+
+
+def q_classifier_train_gd(spark, sf_dir):
+    """TRAIN the quality/language classifier in-engine: {GD_ITERS} full
+    batch gradient-descent steps on a linear model with the rational
+    squash, labels = declared lang == 'en'. The distributed-ML pattern of
+    kmeans applied to supervised learning: each step is ONE map-side pass
+    emitting 5 per-coordinate gradient terms, quantized to integer
+    millionths so the cross-partition sums are order-free longs — the
+    weight trajectory is bit-identical on any partitioning and any
+    engine (the oracle unrolls the same {GD_ITERS} steps in SQL).
+    Returns the weight vector plus training accuracy and size.
+
+    At 100 TB: per step, only 5 longs + a count leave each partition.
+    """
+    feats = _features(spark, sf_dir).persist()
+    w = [0.0] * 5
+    n = None
+    for _ in range(GD_ITERS):
+        z = _gd_z(w)
+        p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+        r = F.col("y") - p
+        sums = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.round(r * fj * F.lit(1e6)).cast("long")).alias(f"s{j}")
+              for j, fj in enumerate(
+                  [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3"),
+                   F.col("f4")])]).collect()[0]
+        n = int(sums["n"])
+        w = [w[j] + GD_LR * (int(sums[f"s{j}"]) / n / 1e6)
+             for j in range(5)]
+    # final-pass training accuracy: predict 1 ⇔ z ≥ 0 (p ≥ ½ exactly)
+    z = _gd_z(w)
+    acc_row = feats.agg(
+        F.sum(((z >= 0) == (F.col("y") == 1.0)).cast("long")).alias("ok"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    feats.unpersist()
+    from decimal import ROUND_HALF_UP, Decimal
+    acc = float(Decimal(repr(int(acc_row["ok"]) / int(acc_row["n"])))
+                .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    rows = ([(f"w{j}", float(w[j])) for j in range(5)]
+            + [("train_acc", acc), ("n_docs", float(acc_row["n"]))])
+    return spark.createDataFrame(rows, "coef string, value double")
+
+
+def _sql_classifier_train_gd() -> str:
+    def z_expr(wn):
+        return (f"({wn}.w0 + {wn}.w1 * f.f1 + {wn}.w2 * f.f2 "
+                f"+ {wn}.w3 * f.f3 + {wn}.w4 * f.f4)")
+
+    def grad(wn, gn):
+        z = z_expr(wn)
+        p = f"(0.5 + 0.5 * {z} / (1.0 + abs({z})))"
+        terms = ", ".join(
+            f"SUM(CAST(round((f.y - {p}) * {fj} * 1000000.0) AS BIGINT))"
+            f" AS s{j}"
+            for j, fj in enumerate(["1.0", "f.f1", "f.f2", "f.f3", "f.f4"]))
+        return (f"{gn} AS (SELECT count(*) AS n, {terms} "
+                f"FROM f CROSS JOIN {wn})")
+
+    def step(gn, wn_prev, wn):
+        coords = ", ".join(
+            f"{wn_prev}.w{j} + {GD_LR} * ({gn}.s{j} / {gn}.n / 1000000.0)"
+            f" AS w{j}" for j in range(5))
+        return (f"{wn} AS (SELECT {coords} "
+                f"FROM {gn} CROSS JOIN {wn_prev})")
+
+    ctes = ["w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, "
+            "0.0 AS w3, 0.0 AS w4)"]
+    prev = "w0s"
+    for i in range(GD_ITERS):
+        g, nxt = f"g{i}", f"w{i + 1}s"
+        ctes.append(grad(prev, g))
+        ctes.append(step(g, prev, nxt))
+        prev = nxt
+    zf = z_expr(prev)
+    return f"""
+WITH prof AS ({SQL_TEXT_PROFILE}), f AS (
+  SELECT p.doc_id, p.alpha_ratio AS f1, p.stopword_ratio AS f2,
+         least(p.n_tokens / 64.0, 1.0) AS f3, p.quality AS f4,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM prof p JOIN documents d USING (doc_id)
+), {", ".join(ctes)}, acc AS (
+  SELECT SUM(CASE WHEN ({zf} >= 0) = (f.y = 1.0) THEN 1 ELSE 0 END) AS ok,
+         count(*) AS n
+  FROM f CROSS JOIN {prev}
+)
+SELECT 'w0' AS coef, w0 AS value FROM {prev}
+UNION ALL SELECT 'w1', w1 FROM {prev}
+UNION ALL SELECT 'w2', w2 FROM {prev}
+UNION ALL SELECT 'w3', w3 FROM {prev}
+UNION ALL SELECT 'w4', w4 FROM {prev}
+UNION ALL SELECT 'train_acc', round(ok * 1.0 / n, 6) FROM acc
+UNION ALL SELECT 'n_docs', n * 1.0 FROM acc
+"""
+
+
 QUERIES = {
     "seeded_shuffle_plan": q_seeded_shuffle_plan,
     "quality_classifier_filter": q_quality_classifier_filter,
     "curriculum_order_plan": q_curriculum_order_plan,
     "embedding_prune_plan": q_embedding_prune_plan,
+    "cluster_split_assign": q_cluster_split_assign,
+    "classifier_train_gd": q_classifier_train_gd,
 }
 
 ORACLES = {
@@ -238,4 +432,6 @@ ORACLES = {
     "quality_classifier_filter": SQL_QUALITY_CLASSIFIER_FILTER,
     "curriculum_order_plan": _sql_curriculum_order_plan(),
     "embedding_prune_plan": _sql_embedding_prune_plan(),
+    "cluster_split_assign": _sql_cluster_split_assign(),
+    "classifier_train_gd": _sql_classifier_train_gd(),
 }

@@ -122,6 +122,75 @@ def test_classifier_filter_matches_naive_recompute(spark, sf_dir, docs):
     assert any(kept for _, kept in agg) and any(not kept for _, kept in agg)
 
 
+# ---------------------------------------------------- cluster-aware split
+
+def test_cluster_split_never_splits_a_cluster(spark, sf_dir):
+    from photon_spark import pair_cache
+    from photon_spark.functions import dedup
+    from photon_spark.queries_training import (SPLIT_TRAIN_LT, SPLIT_VAL_LT,
+                                               q_cluster_split_assign)
+    out = q_cluster_split_assign(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # closure: recompute roots and check every cluster maps to ONE split
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir, threshold=0.7)
+    labels = {r["id"]: r["cluster_id"]
+              for r in dedup.dup_clusters(pairs).collect()}
+
+    def split_of(root):
+        p = hashlib.md5(f"csplit:{root}".encode()).hexdigest()[:2]
+        return ("train" if p < SPLIT_TRAIN_LT
+                else "val" if p < SPLIT_VAL_LT else "test")
+
+    by_cluster = {}
+    for r in docs.select("doc_id").collect():
+        root = labels.get(r["doc_id"], r["doc_id"])
+        by_cluster.setdefault(root, set()).add(split_of(root))
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the hash split puts the bulk in train
+    train = sum(r["n_docs"] for r in out if r["split"] == "train")
+    assert train > 0.7 * n_docs
+
+
+# ----------------------------------------------------------- GD training
+
+def test_classifier_train_gd_matches_naive_fit(spark, sf_dir):
+    from photon_spark.queries_training import (GD_ITERS, GD_LR,
+                                               q_classifier_train_gd,
+                                               _features)
+    out = {r["coef"]: r["value"]
+           for r in q_classifier_train_gd(spark, sf_dir).collect()}
+    feats = _features(spark, sf_dir).collect()
+    w = [0.0] * 5
+    for _ in range(GD_ITERS):
+        s = [0] * 5
+        for r in feats:
+            x = (1.0, r["f1"], r["f2"], r["f3"], r["f4"])
+            z = (w[0] + w[1] * x[1] + w[2] * x[2] + w[3] * x[3]
+                 + w[4] * x[4])
+            p = 0.5 + 0.5 * z / (1.0 + abs(z))
+            resid = r["y"] - p
+            for j in range(5):
+                g = resid * x[j] * 1e6
+                # Spark round(): decimal HALF_UP (away from zero)
+                s[j] += int(Decimal(repr(g)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP))
+        n = len(feats)
+        w = [w[j] + GD_LR * (s[j] / n / 1e6) for j in range(5)]
+    for j in range(5):
+        assert out[f"w{j}"] == w[j], (j, out[f"w{j}"], w[j])
+    ok = 0
+    for r in feats:
+        z = (w[0] + w[1] * r["f1"] + w[2] * r["f2"] + w[3] * r["f3"]
+             + w[4] * r["f4"])
+        ok += int((z >= 0) == (r["y"] == 1.0))
+    assert abs(out["train_acc"] - ok / len(feats)) < 2e-6
+    assert out["n_docs"] == len(feats)
+    assert any(w[j] != 0.0 for j in range(5)), "training did not move"
+
+
 # -------------------------------------------------------- embedding prune
 
 def test_prune_plan_takes_percluster_ceil_tail(spark, sf_dir):

@@ -32,7 +32,10 @@ At 100 TB: B scales to O(cluster partitions) (65 536 distinct prefixes
 max at 4 hex chars; extend the prefix for more), the counts aggregate is
 map-side-combined to B rows, and no single task ever sees more than one
 bucket's worth of rows. Cost: exactly one shuffle (the bucket window) and
-one B-row driver round-trip.
+one B-row driver round-trip. Offsets ride back as a literal map, fine to
+a few thousand buckets; past that, swap the literal for a broadcast join
+on the B-row offsets table — same plan shape, no driver-side expression
+bloat.
 """
 
 from __future__ import annotations

@@ -254,3 +254,25 @@ def test_repeated_spans_match_naive_diagonal_scan(spark, docs, L):
                                       run))
                         run = 0
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10_000),
+                    min_size=1, max_size=60, unique=True),
+       seed=st.integers(min_value=0, max_value=99),
+       buckets=st.sampled_from([1, 3, 16, 256]))
+def test_seeded_shuffle_matches_reference_sort(spark, ids, seed, buckets):
+    """For ANY id set, seed, and bucket fan-out: positions are exactly the
+    rank under sorted (md5(seed:id), id) — the two-pass bucket plan is
+    indistinguishable from the naive global sort it replaces."""
+    import hashlib as _h
+    from photon_spark.functions.ordering import seeded_shuffle
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: (r["global_pos"], r["shard_id"], r["pos_in_shard"])
+           for r in seeded_shuffle(df, "doc_id", seed=seed,
+                                   docs_per_shard=7,
+                                   buckets=buckets).collect()}
+    ranked = sorted(ids, key=lambda i: (
+        _h.md5(f"{seed}:{i}".encode()).hexdigest(), i))
+    for pos, i in enumerate(ranked):
+        assert out[i] == (pos, pos // 7, pos % 7)

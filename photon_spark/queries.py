@@ -624,6 +624,7 @@ _NEWEST_FIRST = [
     "embedding_prune_plan",
     "cluster_split_assign",
     "classifier_train_gd",
+    "vocab_coverage_audit",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

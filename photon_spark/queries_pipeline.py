@@ -202,6 +202,61 @@ def _sql_token_topk() -> str:
     return SQL_TOKEN_TOPK.replace("{toks}", _SQL_TOKS)
 
 
+#: vocab size for the coverage audit — small enough to leave an OOV tail
+#: on the synthetic corpus (31 token types); the operator is K-agnostic
+VOCAB_K = 16
+
+
+def q_vocab_coverage_audit(spark, sf_dir):
+    """Tokenizer-vocabulary QA: fix the vocab at the corpus's top-{VOCAB_K}
+    tokens (count desc, token asc — deterministic at the boundary), then
+    per source report token mass, out-of-vocabulary occurrences and types,
+    and the OOV rate — the coverage check run before freezing any vocab.
+
+    Plan: one token hash-agg (map-side partials; raw text never
+    shuffles), TakeOrderedAndProject for the top-K (≤ K rows per
+    partition move), then the vocab BROADCASTS back onto the token
+    stream — the per-source pass is map-side, so the audit costs two
+    scans and one short-key aggregate at any corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_K)
+                 .select("tok", F.lit(1).alias("iv")))
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("iv").isNull()
+    return (j.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  F.sum(oov.cast("long")).alias("n_oov"),
+                  F.round(F.sum(oov.cast("long")) / F.count(F.lit(1)), 6)
+                   .alias("oov_rate"),
+                  F.countDistinct(F.when(oov, F.col("tok")))
+                   .alias("n_oov_types")))
+
+
+def _sql_vocab_coverage_audit() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT source, lower(unnest({_SQL_TOKS})) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+  ORDER BY n DESC, tok ASC LIMIT {VOCAB_K}
+)
+SELECT t.source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate,
+       CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS BIGINT)
+         AS n_oov_types
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY 1
+"""
+
+
 # -------------------------------------------------- corpus-statistics join
 
 #: a token is "rare" when its document frequency is below this.
@@ -952,6 +1007,7 @@ QUERIES = {
     "bpe_first_merges": q_bpe_first_merges,
     "event_transition_matrix": q_event_transition_matrix,
     "bpe_merge_rounds": q_bpe_merge_rounds,
+    "vocab_coverage_audit": q_vocab_coverage_audit,
 }
 
 ORACLES = {
@@ -970,4 +1026,5 @@ ORACLES = {
     "bpe_first_merges": SQL_BPE_FIRST_MERGES,
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "bpe_merge_rounds": _sql_bpe_rounds(),
+    "vocab_coverage_audit": _sql_vocab_coverage_audit(),
 }

@@ -257,3 +257,31 @@ def test_bpe_merge_fold_is_canonical_on_overlaps(spark):
                        ELSE acc || x || ' ' END)""", [s]).fetchone()[0]
         assert got_spark == want, (s, got_spark, want)
         assert got_duck == want, (s, got_duck, want)
+
+
+def test_vocab_coverage_matches_naive(spark, sf_dir):
+    from collections import Counter
+    from photon_spark.queries_pipeline import (VOCAB_K,
+                                               q_vocab_coverage_audit)
+    out = {r["source"]: r for r in q_vocab_coverage_audit(spark,
+                                                          sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("source", "text").collect()
+    occ = Counter()
+    per_src = {}
+    for r in docs:
+        toks = [t.lower() for t in r["text"].strip().split()] \
+            if r["text"].strip() else []
+        occ.update(toks)
+        per_src.setdefault(r["source"], []).extend(toks)
+    vocab = {t for t, _ in sorted(occ.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]}
+    assert vocab, "empty corpus"
+    for src, toks in per_src.items():
+        oov = [t for t in toks if t not in vocab]
+        assert out[src]["n_tokens"] == len(toks)
+        assert out[src]["n_oov"] == len(oov)
+        assert out[src]["n_oov_types"] == len(set(oov))
+        assert abs(out[src]["oov_rate"] - len(oov) / len(toks)) < 2e-6
+    # non-degenerate on the test corpus: an OOV tail exists somewhere
+    assert any(r["n_oov"] > 0 for r in out.values())

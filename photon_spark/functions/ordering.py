@@ -48,9 +48,15 @@ DEFAULT_BUCKETS = 64
 
 
 def order_key(id_col, seed: int):
-    """``md5(seed ':' id)`` — the engine-portable shuffle key."""
+    """``md5(seed ':' id)`` — the engine-portable shuffle key.
+
+    ``concat`` (not ``concat_ws``) on purpose: a NULL id must propagate
+    to a NULL key — the oracle's ``||`` does the same — so a bad row
+    surfaces as a NULL position instead of being silently slotted under
+    ``md5(seed)``.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string")))
+    return F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
 
 
 def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
@@ -87,10 +93,13 @@ def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
               for r in keyed.groupBy("bkt").agg(
                   F.count(F.lit(1)).alias("n")).collect()}
     if not counts:
-        band_f = "band long, " if band_col is not None else ""
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, {band_f}global_pos long, shard_id long, "
-                f"pos_in_shard long")
+        from pyspark.sql.types import LongType, StructField, StructType
+        fields = [df.schema[id_col]]
+        if band_col is not None:
+            fields.append(StructField("band", LongType()))
+        fields += [StructField(n, LongType())
+                   for n in ("global_pos", "shard_id", "pos_in_shard")]
+        return df.sparkSession.createDataFrame([], StructType(fields))
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc

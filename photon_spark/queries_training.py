@@ -76,15 +76,32 @@ FROM p
 
 # ----------------------------------------------------- classifier filter
 
+def _len_feat():
+    """The length feature, ONE definition for every consumer (inference
+    filter, curriculum, GD training) — Spark form of :data:`SQL_LEN_FEAT`."""
+    return F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+
+
+#: SQL twin of :func:`_len_feat` — single source for all three oracles
+SQL_LEN_FEAT = "least(n_tokens / 64.0, 1.0)"
+
+#: SQL z-expression of the FIXED-weight head (filter + curriculum
+#: oracles); the GD oracle builds z from its CTE weights instead, but
+#: shares SQL_LEN_FEAT for the feature itself
+SQL_CLS_Z = (f"{CLS_BIAS} + {CLS_W[0]} * alpha_ratio"
+             f" + {CLS_W[1]} * stopword_ratio"
+             f" + {CLS_W[2]} * {SQL_LEN_FEAT}"
+             f" + {CLS_W[3]} * quality")
+
+
 def _cls_score(prof):
     """Rounded [0,1] score: linear head over rounded profile features,
-    rational squash. Must stay textually parallel to the SQL below —
+    rational squash. Must stay operand-order parallel to SQL_CLS_Z —
     identical operand order means identical float association."""
-    len_feat = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
     z = (F.lit(CLS_BIAS)
          + F.lit(CLS_W[0]) * F.col("alpha_ratio")
          + F.lit(CLS_W[1]) * F.col("stopword_ratio")
-         + F.lit(CLS_W[2]) * len_feat
+         + F.lit(CLS_W[2]) * _len_feat()
          + F.lit(CLS_W[3]) * F.col("quality"))
     return F.round(F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)), 6)
 
@@ -112,11 +129,7 @@ SQL_QUALITY_CLASSIFIER_FILTER = f"""
 WITH prof AS ({SQL_TEXT_PROFILE}), sc AS (
   SELECT p.doc_id, d.source, p.n_tokens,
          round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS score
-  FROM (SELECT doc_id, n_tokens,
-               {CLS_BIAS} + {CLS_W[0]} * alpha_ratio
-                          + {CLS_W[1]} * stopword_ratio
-                          + {CLS_W[2]} * least(n_tokens / 64.0, 1.0)
-                          + {CLS_W[3]} * quality AS z
+  FROM (SELECT doc_id, n_tokens, {SQL_CLS_Z} AS z
         FROM prof) p
   JOIN documents d USING (doc_id)
 )
@@ -155,11 +168,7 @@ def _sql_curriculum_order_plan() -> str:
 WITH prof AS ({SQL_TEXT_PROFILE}), sc AS (
   SELECT doc_id,
          round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS score
-  FROM (SELECT doc_id,
-               {CLS_BIAS} + {CLS_W[0]} * alpha_ratio
-                          + {CLS_W[1]} * stopword_ratio
-                          + {CLS_W[2]} * least(n_tokens / 64.0, 1.0)
-                          + {CLS_W[3]} * quality AS z
+  FROM (SELECT doc_id, {SQL_CLS_Z} AS z
         FROM prof)
 ), b AS (
   SELECT doc_id,
@@ -309,7 +318,7 @@ def _features(spark, sf_dir):
         "doc_id",
         F.col("alpha_ratio").alias("f1"),
         F.col("stopword_ratio").alias("f2"),
-        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)).alias("f3"),
+        _len_feat().alias("f3"),
         F.col("quality").alias("f4"),
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
          .alias("y"))
@@ -331,7 +340,11 @@ def q_classifier_train_gd(spark, sf_dir):
     emitting 5 per-coordinate gradient terms, quantized to integer
     millionths so the cross-partition sums are order-free longs — the
     weight trajectory is bit-identical on any partitioning and any
-    engine (the oracle unrolls the same {GD_ITERS} steps in SQL).
+    engine (the oracle unrolls the same {GD_ITERS} steps in SQL; both
+    sides cast the long sum to double BEFORE dividing, so the parity
+    argument is cast-then-divide by construction and survives even the
+    |sum| > 2^53 regime where the quantized sum itself would stop being
+    exactly representable).
     Returns the weight vector plus training accuracy and size.
 
     At 100 TB: per step, only 5 longs + a count leave each partition.
@@ -350,7 +363,11 @@ def q_classifier_train_gd(spark, sf_dir):
                   [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3"),
                    F.col("f4")])]).collect()[0]
         n = int(sums["n"])
-        w = [w[j] + GD_LR * (int(sums[f"s{j}"]) / n / 1e6)
+        # float() first: mirror the oracle's BIGINT→DOUBLE cast before the
+        # divide. Python's exact-int division would round from the exact
+        # rational instead — last-ulp divergence once |s_j| > 2^53
+        # (~2e10 rows at these feature scales).
+        w = [w[j] + GD_LR * (float(sums[f"s{j}"]) / n / 1e6)
              for j in range(5)]
     # final-pass training accuracy: predict 1 ⇔ z ≥ 0 (p ≥ ½ exactly)
     z = _gd_z(w)
@@ -400,7 +417,7 @@ def _sql_classifier_train_gd() -> str:
     return f"""
 WITH prof AS ({SQL_TEXT_PROFILE}), f AS (
   SELECT p.doc_id, p.alpha_ratio AS f1, p.stopword_ratio AS f2,
-         least(p.n_tokens / 64.0, 1.0) AS f3, p.quality AS f4,
+         {SQL_LEN_FEAT} AS f3, p.quality AS f4,
          CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM prof p JOIN documents d USING (doc_id)
 ), {", ".join(ctes)}, acc AS (

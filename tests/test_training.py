@@ -64,6 +64,15 @@ def test_seeded_shuffle_bucket_count_invariant(spark, docs):
     assert a == b
 
 
+def test_seeded_shuffle_empty_input_keeps_id_type(spark):
+    df = spark.createDataFrame([], "doc_uuid string")
+    out = seeded_shuffle(df, "doc_uuid", seed=1)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_uuid"] == "string"
+    assert [f for f, _ in out.dtypes] == ["doc_uuid", "global_pos",
+                                          "shard_id", "pos_in_shard"]
+
+
 def test_seeded_shuffle_plan_has_no_global_window(spark, docs):
     plan = seeded_shuffle(docs, seed=42)._jdf.queryExecution() \
         .executedPlan().toString()
@@ -129,12 +138,14 @@ def test_cluster_split_never_splits_a_cluster(spark, sf_dir):
     from photon_spark.functions import dedup
     from photon_spark.queries_training import (SPLIT_TRAIN_LT, SPLIT_VAL_LT,
                                                q_cluster_split_assign)
-    out = q_cluster_split_assign(spark, sf_dir).collect()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
-    assert sum(r["n_docs"] for r in out) == n_docs
-    assert {r["split"] for r in out} <= {"train", "val", "test"}
-    # closure: recompute roots and check every cluster maps to ONE split
+    out = {(r["split"], r["source"]): r
+           for r in q_cluster_split_assign(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source").collect()
+    # independent naive recompute: roots from dup_clusters, split from the
+    # root hash — then compare the QUERY's aggregates against it, so a
+    # query that hashed doc_id instead of root (cluster-splitting leakage)
+    # fails on the per-(split, source) counts
     pairs = pair_cache.near_dup_pairs(spark, sf_dir, threshold=0.7)
     labels = {r["id"]: r["cluster_id"]
               for r in dedup.dup_clusters(pairs).collect()}
@@ -144,14 +155,32 @@ def test_cluster_split_never_splits_a_cluster(spark, sf_dir):
         return ("train" if p < SPLIT_TRAIN_LT
                 else "val" if p < SPLIT_VAL_LT else "test")
 
-    by_cluster = {}
-    for r in docs.select("doc_id").collect():
+    expect = {}
+    for r in docs:
         root = labels.get(r["doc_id"], r["doc_id"])
-        by_cluster.setdefault(root, set()).add(split_of(root))
-    assert all(len(s) == 1 for s in by_cluster.values())
-    # the hash split puts the bulk in train
-    train = sum(r["n_docs"] for r in out if r["split"] == "train")
-    assert train > 0.7 * n_docs
+        k = (split_of(root), r["source"])
+        n, roots, idsum = expect.get(k, (0, set(), 0))
+        roots = roots | {root}
+        expect[k] = (n + 1, roots, idsum + r["doc_id"])
+    assert set(out) == set(expect)
+    for k, (n, roots, idsum) in expect.items():
+        assert out[k]["n_docs"] == n
+        assert out[k]["n_clusters"] == len(roots)
+        assert out[k]["doc_id_sum"] == idsum
+    # non-degenerate: at least one multi-member cluster exists, and it
+    # landed intact (its docs share one split by the root construction —
+    # verified here against the query's own counts, not the formula)
+    multi = [c for c, ms in _members(labels).items() if len(ms) > 1]
+    assert multi, "corpus has no near-dup cluster; test is vacuous"
+    train = sum(v[0] for k, v in expect.items() if k[0] == "train")
+    assert train > 0.7 * len(docs)
+
+
+def _members(labels):
+    ms = {}
+    for i, c in labels.items():
+        ms.setdefault(c, []).append(i)
+    return ms
 
 
 # ----------------------------------------------------------- GD training

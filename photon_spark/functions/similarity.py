@@ -171,6 +171,44 @@ def lsh_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
 
 # ---------------------------------------------------------------------- IVF
 
+def ivf_train_cells(df: DataFrame, n_cells: int,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic IVF 'training': coarse centroids are the ``n_cells``
+    lowest-id vectors, as (cell_id = source id, vector) pairs — the
+    convention every IVF oracle in this repo reproduces with
+    ``ORDER BY vec_id LIMIT n_cells``."""
+    crows = df.orderBy(id_col).limit(n_cells) \
+              .select(F.col(id_col).alias("cell_id"), F.col(vec_col)).collect()
+    return [(int(r["cell_id"]), [float(x) for x in r[vec_col]])
+            for r in crows]
+
+
+def ivf_assign_cells(df: DataFrame, cents: list[tuple[int, list[float]]],
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Map-only coarse assignment: argmax cosine over the centroids in one
+    Arrow-batched numpy GEMM per batch — (batch × dim) @ (dim × n_cells),
+    no crossJoin, no shuffle. cents are id-sorted, so np.argmax's
+    first-max tie-break = lowest cell_id (the oracle's ``ORDER BY cos
+    DESC, cell_id`` rule). Assignment is a *screening* step: GEMM
+    re-association only moves vectors whose best-vs-second-best margin is
+    within float noise (~1e-13), pinned far larger in tests."""
+    cmat = np.array([c[1] for c in cents], dtype=np.float64).T
+    cnorm = np.linalg.norm(cmat, axis=0)
+    cell_arr = np.array([c[0] for c in cents], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _assign(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        sims = (m @ cmat) / (np.linalg.norm(m, axis=1, keepdims=True)
+                             * cnorm + 1e-300)
+        return pd.Series(cell_arr[np.argmax(sims, axis=1)])
+
+    return df.select(F.col(id_col), F.col(vec_col)) \
+             .withColumn("cell_id", _assign(F.col(vec_col)))
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -198,30 +236,12 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
         qid = query_vec
         query_vec = _query_vector(df, id_col, vec_col, query_vec)
 
-    crows = df.orderBy(id_col).limit(n_cells) \
-              .select(F.col(id_col).alias("cell_id"), F.col(vec_col)).collect()
-    cents = [(int(r["cell_id"]), [float(x) for x in r[vec_col]])
-             for r in crows]
+    cents = ivf_train_cells(df, n_cells, vec_col, id_col)
 
     def norm_py(v):
         return math.sqrt(sum(x * x for x in v))
 
-    # (dim × n_cells) centroid matrix; cents are id-sorted, so np.argmax's
-    # first-max tie-break = lowest cell_id (same rule as the struct-max
-    # formulation this replaces).
-    cmat = np.array([c[1] for c in cents], dtype=np.float64).T
-    cnorm = np.linalg.norm(cmat, axis=0)
-    cell_arr = np.array([c[0] for c in cents], dtype=np.int64)
-
-    @F.pandas_udf("long")
-    def _assign(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
-        sims = (m @ cmat) / (np.linalg.norm(m, axis=1, keepdims=True)
-                             * cnorm + 1e-300)
-        return pd.Series(cell_arr[np.argmax(sims, axis=1)])
-
-    assigned = df.select(F.col(id_col), F.col(vec_col)) \
-                 .withColumn("cell_id", _assign(F.col(vec_col)))
+    assigned = ivf_assign_cells(df, cents, vec_col, id_col)
 
     # Probe cells: nearest centroids to the query (driver-side, tiny).
     def cos_py(a, b):

@@ -652,6 +652,139 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {ANN_MULTI_K}
 """
 
 
+# --------------------------------------------------- ANN recall audit
+
+#: batch-IVF parameters for the recall audit
+RECALL_CELLS, RECALL_PROBE = 16, 4
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """Recall@k of batch IVF against batch exact — the eval every ANN
+    deployment runs before trusting an index: for the same query batch as
+    ann_topk_multi, compute exact top-{ANN_MULTI_K} and IVF
+    (probe {RECALL_PROBE}/{RECALL_CELLS} cells) top-{ANN_MULTI_K}, then
+    per query the overlap count and recall fraction.
+
+    Scale shape: corpus cell-assignment is the map-only GEMM screen
+    (similarity.ivf_assign_cells); PROBE selection is Catalyst's exact
+    sequential-fold cosine over queries × {RECALL_CELLS} centroids (a
+    broadcast-tiny crossJoin), so probe choice carries no GEMM
+    re-association risk; candidates join probed cells by cell_id (at
+    100 TB: partition pruning on a cell-bucketed table) and only
+    (query_id, vec_id, cosine) triples reach the per-query
+    WindowGroupLimit rank. The recall join is ids-only.
+    """
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
+                                                   ivf_train_cells)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    corpus = e.where(~is_q)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+
+    # exact batch top-k (the ann_topk_multi relation, ids only)
+    exact = (corpus.crossJoin(F.broadcast(q))
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                            .alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id"))
+
+    # batch IVF: train on the FULL table (ivf_topk convention), assign the
+    # corpus, probe per query with the exact Catalyst cosine
+    cents = ivf_train_cells(e, RECALL_CELLS)
+    assigned = ivf_assign_cells(corpus, cents)
+    cents_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell_id long, cv array<double>")
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
+                                                F.col("cell_id"))
+    probe = (q.crossJoin(F.broadcast(cents_df))
+              .select("query_id", "cell_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("ccos"))
+              .withColumn("prank", F.row_number().over(wp))
+              .where(F.col("prank") <= RECALL_PROBE)
+              .select("query_id", "cell_id"))
+    ivf = (assigned.join(F.broadcast(probe), "cell_id")
+                   .join(F.broadcast(q), "query_id")
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                            .alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id", F.lit(1).alias("hit")))
+
+    return (exact.join(ivf, ["query_id", "vec_id"], "left")
+                 .groupBy("query_id")
+                 .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                       .alias("n_hits"),
+                      F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                              / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
+SQL_ANN_RECALL_AUDIT = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % {ANN_QMOD} = 0
+), corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {ANN_QMOD} != 0
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base
+  ORDER BY vec_id LIMIT {RECALL_CELLS}
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, ce.cv) DESC, ce.cell_id
+           ) AS rn
+    FROM corpus c CROSS JOIN cents ce) WHERE rn = 1
+), probe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, ce.cv) DESC, ce.cell_id
+           ) AS prank
+    FROM q CROSS JOIN cents ce) WHERE prank <= {RECALL_PROBE}
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN probe p ON p.cell_id = a.cell_id
+    JOIN q ON q.query_id = p.query_id) WHERE rank <= {ANN_MULTI_K}
+)
+SELECT e.query_id,
+       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / {ANN_MULTI_K}, 6) AS recall
+FROM exact e
+LEFT JOIN ivf i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
 # ----------------------------------------------- token-budget selection
 
 #: per-source token budget for the trim audit (binds at sf >= 0.01)
@@ -951,6 +1084,7 @@ QUERIES = {
     "corpus_datacard": q_corpus_datacard,
     "ann_topk_filtered": q_ann_topk_filtered,
     "containment_pairs": q_containment_pairs,
+    "ann_recall_audit": q_ann_recall_audit,
 }
 
 ORACLES = {
@@ -967,6 +1101,7 @@ ORACLES = {
     "corpus_datacard": SQL_CORPUS_DATACARD,
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "containment_pairs": _sql_containment_pairs(),
+    "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
 }
 
 

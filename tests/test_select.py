@@ -375,3 +375,44 @@ def test_split_repair_is_closed_and_supersets_audit(spark, sf_dir):
     want = Counter(src_of[m] for m in moved)
     for src, p in plan.items():
         assert p["n_moved"] == want.get(src, 0)
+
+
+def test_ann_recall_audit_matches_naive(spark, sf_dir):
+    import numpy as np
+    from photon_spark.queries_select import (ANN_MULTI_K, ANN_QMOD,
+                                             RECALL_CELLS, RECALL_PROBE,
+                                             q_ann_recall_audit)
+    out = {r["query_id"]: r for r in q_ann_recall_audit(spark,
+                                                        sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").collect()
+    vid = np.array([r["vec_id"] for r in rows])
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    is_q = vid % ANN_QMOD == 0
+    cents_idx = np.argsort(vid)[:RECALL_CELLS]
+
+    def cos(a, b):
+        return float(mat[a] @ mat[b] / (nrm[a] * nrm[b]))
+
+    corpus = [i for i in range(len(vid)) if not is_q[i]]
+    # corpus cell assignment: argmax cosine, lowest cell id on ties
+    assign = {}
+    for i in corpus:
+        best = min(((-(cos(i, j)), vid[j]) for j in cents_idx))
+        assign[i] = best[1]
+    expected = {}
+    for qi in (i for i in range(len(vid)) if is_q[i]):
+        exact = sorted(corpus,
+                       key=lambda i: (-round(cos(qi, i), 6), vid[i]))[:ANN_MULTI_K]
+        probes = {vid[j] for j in sorted(
+            cents_idx, key=lambda j: (-cos(qi, j), vid[j]))[:RECALL_PROBE]}
+        cand = [i for i in corpus if assign[i] in probes]
+        ivf = sorted(cand,
+                     key=lambda i: (-round(cos(qi, i), 6), vid[i]))[:ANN_MULTI_K]
+        hits = len(set(exact) & set(ivf))
+        expected[int(vid[qi])] = hits
+    assert set(out) == set(expected)
+    for q, hits in expected.items():
+        assert out[q]["n_hits"] == hits
+        assert abs(out[q]["recall"] - hits / ANN_MULTI_K) < 2e-6

@@ -89,28 +89,27 @@ def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
         keyed = keyed.withColumn(
             "bkt", F.col("band") * F.lit(buckets) + F.col("bkt"))
 
+    # NULL ids → NULL key → NULL bucket: excluded from the offset table,
+    # so their positions come out NULL (they never consume a slot) and the
+    # bad rows surface instead of crashing or silently slotting.
     counts = {int(r["bkt"]): int(r["n"])
               for r in keyed.groupBy("bkt").agg(
-                  F.count(F.lit(1)).alias("n")).collect()}
-    if not counts:
-        from pyspark.sql.types import LongType, StructField, StructType
-        fields = [df.schema[id_col]]
-        if band_col is not None:
-            fields.append(StructField("band", LongType()))
-        fields += [StructField(n, LongType())
-                   for n in ("global_pos", "shard_id", "pos_in_shard")]
-        return df.sparkSession.createDataFrame([], StructType(fields))
+                  F.count(F.lit(1)).alias("n")).collect()
+              if r["bkt"] is not None}
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    off_map = F.create_map(
-        *[x for b in sorted(offsets)
-          for x in (F.lit(b), F.lit(offsets[b]))])
+    if offsets:
+        off_map = F.create_map(
+            *[x for b in sorted(offsets)
+              for x in (F.lit(b), F.lit(offsets[b]))])
+        offset = F.element_at(off_map, F.col("bkt").cast("int"))
+    else:  # empty input (or nothing but NULL ids)
+        offset = F.lit(None).cast("long")
 
     w = Window.partitionBy("bkt").orderBy("okey", id_col)
-    pos = (F.element_at(off_map, F.col("bkt").cast("int"))
-           + F.row_number().over(w) - 1).cast("long")
+    pos = (offset + F.row_number().over(w) - 1).cast("long")
     keep = [F.col(id_col)] + ([F.col("band")] if band_col is not None else [])
     return (keyed
             .select(*keep, pos.alias("global_pos"))

@@ -687,14 +687,9 @@ def q_ann_recall_audit(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("vec_id"))
 
-    # exact batch top-k (the ann_topk_multi relation, ids only)
-    exact = (corpus.crossJoin(F.broadcast(q))
-                   .select("query_id", "vec_id",
-                           F.round(cosine(F.col("embedding"), F.col("qv")), 6)
-                            .alias("cosine"))
-                   .withColumn("rank", F.row_number().over(w))
-                   .where(F.col("rank") <= ANN_MULTI_K)
-                   .select("query_id", "vec_id"))
+    # exact ground truth IS the ann_topk_multi relation — call it, so the
+    # audit can never desynchronize from the query it audits
+    exact = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
 
     # batch IVF: train on the FULL table (ivf_topk convention), assign the
     # corpus, probe per query with the exact Catalyst cosine

@@ -82,8 +82,15 @@ def _len_feat():
     return F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
 
 
-#: SQL twin of :func:`_len_feat` — single source for all three oracles
-SQL_LEN_FEAT = "least(n_tokens / 64.0, 1.0)"
+def sql_len_feat(prefix: str = "") -> str:
+    """SQL twin of :func:`_len_feat`; pass a table qualifier (e.g.
+    ``"p."``) in multi-table FROM contexts so the reference stays
+    unambiguous if another relation ever gains an n_tokens column."""
+    return f"least({prefix}n_tokens / 64.0, 1.0)"
+
+
+#: unqualified form, for single-relation (prof-only) contexts
+SQL_LEN_FEAT = sql_len_feat()
 
 #: SQL z-expression of the FIXED-weight head (filter + curriculum
 #: oracles); the GD oracle builds z from its CTE weights instead, but
@@ -417,7 +424,7 @@ def _sql_classifier_train_gd() -> str:
     return f"""
 WITH prof AS ({SQL_TEXT_PROFILE}), f AS (
   SELECT p.doc_id, p.alpha_ratio AS f1, p.stopword_ratio AS f2,
-         {SQL_LEN_FEAT} AS f3, p.quality AS f4,
+         {sql_len_feat("p.")} AS f3, p.quality AS f4,
          CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM prof p JOIN documents d USING (doc_id)
 ), {", ".join(ctes)}, acc AS (

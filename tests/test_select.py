@@ -416,3 +416,29 @@ def test_ann_recall_audit_matches_naive(spark, sf_dir):
     for q, hits in expected.items():
         assert out[q]["n_hits"] == hits
         assert abs(out[q]["recall"] - hits / ANN_MULTI_K) < 2e-6
+
+
+def test_recall_probe_margins_dominate_float_error():
+    # The recall audit picks probe cells by ranking UNROUNDED cosines on
+    # both engines (Catalyst sequential fold vs DuckDB
+    # list_cosine_similarity — different associations). Pin the per-query
+    # margin between the PROBE-th and (PROBE+1)-th nearest centroid at
+    # every gate sf, so a ~1-ulp disagreement can never flip a probe set
+    # and flake the hash gate (mirror of the ivf assignment-margin pin).
+    import numpy as np
+    import pyarrow.parquet as pq
+    from photon_spark.queries_select import (ANN_QMOD, RECALL_CELLS,
+                                             RECALL_PROBE)
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        vid = np.array(t["vec_id"])
+        order = np.argsort(vid)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+        vid = vid[order]
+        c = m[:RECALL_CELLS]
+        qs = m[vid % ANN_QMOD == 0]
+        sims = (qs / np.linalg.norm(qs, axis=1, keepdims=True)) @ \
+               (c / np.linalg.norm(c, axis=1, keepdims=True)).T
+        ranked = np.sort(sims, axis=1)[:, ::-1]
+        margins = ranked[:, RECALL_PROBE - 1] - ranked[:, RECALL_PROBE]
+        assert margins.min() > 1e-9, (sf, margins.min())

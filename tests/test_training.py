@@ -64,6 +64,16 @@ def test_seeded_shuffle_bucket_count_invariant(spark, docs):
     assert a == b
 
 
+def test_seeded_shuffle_null_ids_get_null_positions(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,), (None,)],
+                               "doc_id long")
+    rows = {r["doc_id"]: r["global_pos"]
+            for r in seeded_shuffle(df, "doc_id", seed=3).collect()}
+    # NULL ids surface as NULL positions; real ids still get 0..n-1
+    assert rows[None] is None
+    assert sorted(v for k, v in rows.items() if k is not None) == [0, 1]
+
+
 def test_seeded_shuffle_empty_input_keeps_id_type(spark):
     df = spark.createDataFrame([], "doc_uuid string")
     out = seeded_shuffle(df, "doc_uuid", seed=1)

@@ -626,6 +626,7 @@ _NEWEST_FIRST = [
     "classifier_train_gd",
     "vocab_coverage_audit",
     "ann_recall_audit",
+    "matryoshka_recall_audit",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

@@ -780,6 +780,88 @@ GROUP BY 1
 """
 
 
+#: Matryoshka audit: leading dims kept by the truncated index
+MRL_DIM = 16
+
+
+def q_matryoshka_recall_audit(spark, sf_dir):
+    """Matryoshka-truncation audit: recall@k of top-k search run on the
+    LEADING {MRL_DIM} dimensions against full-dimension top-k, per query —
+    the decision input for MRL-style tiered indexes (store a short prefix
+    hot, re-rank the survivors against the full vector cold). Both sides
+    are exact rounded cosines with vec_id tie-breaks — fully deterministic
+    on both engines (no GEMM anywhere in this audit, unlike the IVF one).
+
+    Scale shape: identical to ann_topk_multi twice — broadcast query
+    batch, corpus scans map-side, WindowGroupLimit rank; the truncated
+    pass reads {MRL_DIM}/dim of the vector bytes (at 100 TB with a
+    column-sliced layout, proportionally less I/O)."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import cosine
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    tr = F.slice(F.col("embedding"), 1, MRL_DIM)
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"),
+                  tr.alias("qt")))
+    corpus = e.where(~is_q).select("vec_id", tr.alias("vt"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    full = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
+    short = (corpus.crossJoin(F.broadcast(q))
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("vt"), F.col("qt")), 6)
+                            .alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    return (full.join(short, ["query_id", "vec_id"], "left")
+                .groupBy("query_id")
+                .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                      .alias("n_hits"),
+                     F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                             / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
+SQL_MATRYOSHKA_RECALL_AUDIT = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, v[1:{MRL_DIM}] AS qt
+  FROM base WHERE vec_id % {ANN_QMOD} = 0
+), corpus AS (
+  SELECT vec_id, v, v[1:{MRL_DIM}] AS vt
+  FROM base WHERE vec_id % {ANN_QMOD} != 0
+), full_k AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+), short_k AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.vt, q.qt), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+)
+SELECT f.query_id,
+       CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / {ANN_MULTI_K}, 6) AS recall
+FROM full_k f
+LEFT JOIN short_k s ON s.query_id = f.query_id AND s.vec_id = f.vec_id
+GROUP BY 1
+"""
+
+
 # ----------------------------------------------- token-budget selection
 
 #: per-source token budget for the trim audit (binds at sf >= 0.01)
@@ -1080,6 +1162,7 @@ QUERIES = {
     "ann_topk_filtered": q_ann_topk_filtered,
     "containment_pairs": q_containment_pairs,
     "ann_recall_audit": q_ann_recall_audit,
+    "matryoshka_recall_audit": q_matryoshka_recall_audit,
 }
 
 ORACLES = {
@@ -1097,6 +1180,7 @@ ORACLES = {
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "containment_pairs": _sql_containment_pairs(),
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
+    "matryoshka_recall_audit": SQL_MATRYOSHKA_RECALL_AUDIT,
 }
 
 

@@ -168,6 +168,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "ann_topk_multi",
         # same broadcast query batch + queries × n_cells probe cross
         "ann_recall_audit",
+        # broadcast query batch twice (full-dim + truncated passes)
+        "matryoshka_recall_audit",
         # broadcast anchor batch (fixed HN_ANCHORS list — 9 rows)
         "hard_negative_mining",
         # source-pair matrix: |sources|² tiny-by-construction cross

@@ -442,3 +442,35 @@ def test_recall_probe_margins_dominate_float_error():
         ranked = np.sort(sims, axis=1)[:, ::-1]
         margins = ranked[:, RECALL_PROBE - 1] - ranked[:, RECALL_PROBE]
         assert margins.min() > 1e-9, (sf, margins.min())
+
+
+def test_matryoshka_recall_audit_matches_naive(spark, sf_dir):
+    import numpy as np
+    from photon_spark.queries_select import (ANN_MULTI_K, ANN_QMOD, MRL_DIM,
+                                             q_matryoshka_recall_audit)
+    out = {r["query_id"]: r
+           for r in q_matryoshka_recall_audit(spark, sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").collect()
+    vid = np.array([r["vec_id"] for r in rows])
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    is_q = vid % ANN_QMOD == 0
+    corpus = [i for i in range(len(vid)) if not is_q[i]]
+
+    def topk(qi, dims):
+        def cos(i):
+            a, b = mat[qi][:dims], mat[i][:dims]
+            return round(float(a @ b /
+                               (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        return set(sorted(corpus, key=lambda i: (-cos(i), vid[i]))
+                   [:ANN_MULTI_K])
+
+    expected = {}
+    for qi in (i for i in range(len(vid)) if is_q[i]):
+        full = topk(qi, mat.shape[1])
+        short = topk(qi, MRL_DIM)
+        expected[int(vid[qi])] = len(full & short)
+    assert set(out) == set(expected)
+    for q, hits in expected.items():
+        assert out[q]["n_hits"] == hits
+        assert abs(out[q]["recall"] - hits / ANN_MULTI_K) < 2e-6

@@ -627,6 +627,8 @@ _NEWEST_FIRST = [
     "vocab_coverage_audit",
     "ann_recall_audit",
     "matryoshka_recall_audit",
+    "small_quantity_revenue",
+    "lone_late_supplier",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

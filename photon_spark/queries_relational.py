@@ -516,6 +516,103 @@ QUERIES = {
 
 # ------------------------------------------------ exact correlation
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in small-quantity orders — lines
+    whose quantity is below 20% of their part's average, rolled up per
+    brand as forgone average-yearly revenue. The correlated-scalar-
+    subquery classic, decorrelated the way Catalyst does: the per-part
+    aggregate is an ordinary relation joined back on partkey (at scale:
+    one shuffle each side on l_partkey, or broadcast when parts fit).
+    The 20%-of-average predicate cross-multiplies to exact integers
+    (5·qty·cnt < Σqty in cents) — no float threshold to disagree on."""
+    li = _rd(spark, sf_dir, "lineitem")
+    p = _rd(spark, sf_dir, "part")
+    qc = _cents(F.col("l_quantity"))
+    pc = _cents(F.col("l_extendedprice"))
+    per_part = (li.groupBy("l_partkey")
+                  .agg(F.count(F.lit(1)).alias("cnt"),
+                       F.sum(qc).alias("sq")))
+    j = (li.select("l_partkey", qc.alias("qc"), pc.alias("pc"))
+           .join(per_part, "l_partkey")
+           .where(F.col("qc") * F.col("cnt") * 5 < F.col("sq"))
+           .join(p.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+                 "l_partkey"))
+    return (j.groupBy("p_brand")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.round(F.sum("pc") / 100 / 7.0, 2).alias("avg_yearly")))
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey, count(*) AS cnt,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand, count(*) AS n_lines,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN per_part pp ON pp.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * pp.cnt * 5 < pp.sq
+GROUP BY 1
+"""
+
+
+#: a line is "late" when it ships more than 60 days after the order date
+_LATE_NS = 60 * 86_400_000_000_000
+
+
+def q_lone_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who single-handedly kept multi-supplier
+    orders waiting — on orders served by >1 supplier, exactly one of whom
+    shipped late (> 60 days after order date), count the offenses per
+    supplier. The EXISTS / NOT-EXISTS double-correlation classic,
+    expressed as two keyed aggregates over the (order, supplier) late-flag
+    relation instead of correlated subqueries — the shape that scales
+    (two shuffles on orderkey, one small supplier join). Time arithmetic
+    is pure epoch-ns integers on both engines (the _t contract)."""
+    from photon_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    f = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max((F.col("l_shipdate") - F.col("o_orderdate")
+                       > _LATE_NS).cast("int")).alias("late")))
+    a = f.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("ns"),
+                                    F.sum("late").alias("nl"))
+    lone = (f.join(a, "l_orderkey")
+             .where((F.col("late") == 1) & (F.col("ns") > 1)
+                    & (F.col("nl") == 1)))
+    s = _rd(spark, sf_dir, "supplier")
+    return (lone.groupBy("l_suppkey")
+                .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+                .join(s.select(F.col("s_suppkey").alias("l_suppkey"),
+                               "s_name"), "l_suppkey")
+                .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",
+                        "numwait"))
+
+
+SQL_LONE_LATE_SUPPLIER = f"""
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN epoch_ns(l_shipdate) - epoch_ns(o_orderdate)
+                       > {_LATE_NS} THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), a AS (
+  SELECT l_orderkey, count(*) AS ns, sum(late) AS nl FROM f GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM f JOIN a USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+WHERE f.late = 1 AND a.ns > 1 AND a.nl = 1
+GROUP BY 1, 2
+"""
+
+
 def q_price_quantity_corr(spark, sf_dir):
     """Pearson correlation of quantity vs extended price per return
     flag — single-pass distributed statistics done hash-gateably: the
@@ -581,6 +678,8 @@ FROM g ORDER BY 1
 QUERIES["nation_trade_volume"] = q_nation_trade_volume
 QUERIES["promo_revenue_share"] = q_promo_revenue_share
 QUERIES["price_quantity_corr"] = q_price_quantity_corr
+QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+QUERIES["lone_late_supplier"] = q_lone_late_supplier
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
@@ -595,4 +694,6 @@ ORACLES = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "price_quantity_corr": SQL_PRICE_QUANTITY_CORR,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "lone_late_supplier": SQL_LONE_LATE_SUPPLIER,
 }

@@ -127,3 +127,59 @@ def test_price_quantity_corr_matches_numpy(spark, sf_dir):
         assert n == len(pts)
         assert abs(got - want) < 1e-6
         assert -1.0 <= got <= 1.0
+
+
+def test_small_quantity_revenue_matches_naive(spark, sf_dir):
+    from collections import defaultdict
+    from photon_spark.queries_relational import q_small_quantity_revenue
+    out = {r["p_brand"]: r for r in q_small_quantity_revenue(spark,
+                                                             sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+    brand = {r["p_partkey"]: r["p_brand"]
+             for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()}
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        k = r["l_partkey"]
+        agg[k][0] += 1
+        agg[k][1] += round(r["l_quantity"] * 100)
+    exp = defaultdict(lambda: [0, 0])
+    for r in li:
+        cnt, sq = agg[r["l_partkey"]]
+        if round(r["l_quantity"] * 100) * cnt * 5 < sq:
+            b = brand[r["l_partkey"]]
+            exp[b][0] += 1
+            exp[b][1] += round(r["l_extendedprice"] * 100)
+    assert set(out) == set(exp)
+    for b, (n, cents) in exp.items():
+        assert out[b]["n_lines"] == n
+        assert abs(out[b]["avg_yearly"] - cents / 100 / 7.0) < 0.02
+
+
+def test_lone_late_supplier_matches_naive(spark, sf_dir):
+    from collections import defaultdict
+    from photon_spark.queries_relational import (_LATE_NS,
+                                                 q_lone_late_supplier)
+    from photon_spark.queries import _t
+    out = {r["s_suppkey"]: r["numwait"]
+           for r in q_lone_late_supplier(spark, sf_dir).collect()}
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+    od = {r["o_orderkey"]: r["o_orderdate"]
+          for r in _t(spark, sf_dir, "orders").collect()}
+    late = {}
+    for r in li:
+        k = (r["l_orderkey"], r["l_suppkey"])
+        is_late = r["l_shipdate"] - od[r["l_orderkey"]] > _LATE_NS
+        late[k] = late.get(k, False) or is_late
+    per_order = defaultdict(lambda: [0, 0])
+    for (ok, sk), fl in late.items():
+        per_order[ok][0] += 1
+        per_order[ok][1] += int(fl)
+    exp = defaultdict(int)
+    for (ok, sk), fl in late.items():
+        ns, nl = per_order[ok]
+        if fl and ns > 1 and nl == 1:
+            exp[sk] += 1
+    assert out == dict(exp)
+    assert exp, "no lone-late suppliers in corpus — query is vacuous"

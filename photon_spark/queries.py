@@ -629,6 +629,7 @@ _NEWEST_FIRST = [
     "matryoshka_recall_audit",
     "small_quantity_revenue",
     "lone_late_supplier",
+    "session_packing",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

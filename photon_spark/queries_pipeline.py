@@ -84,6 +84,75 @@ FROM g GROUP BY event_type
 """
 
 
+#: behavioral-pretraining packing: events per training sequence
+SESSION_PACK_BUDGET = 64
+
+
+def q_session_packing(spark, sf_dir):
+    """Events AS training data: user sessions become the 'documents' of a
+    behavioral-pretraining corpus and are packed into fixed-budget
+    training sequences — sessionize → session sizes → the same bucketed
+    prefix-sum packing the text corpus uses (functions/chunking.py).
+    Output is the per-sequence manifest (sessions, events, boundary
+    straddlers) a sequence loader consumes.
+
+    Scale shape: one keyed shuffle for sessionization, one bucketed
+    prefix-sum exchange for packing, one short-key aggregate — no stage
+    touches raw events twice."""
+    from photon_spark.functions.chunking import pack_sequences
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    s = session_bounds(e, ["user_id"], ts_col="ts",
+                       tiebreak_col="event_id", gap_ns=GAP_NS)
+    d = s.select((F.col("user_id") * F.lit(1 << 20)
+                  + F.col("session_idx")).alias("session_key"),
+                 F.col("n_events"))
+    packed = pack_sequences(d, SESSION_PACK_BUDGET, "n_events",
+                            id_col="session_key")
+    return (packed.groupBy(F.col("first_seq").alias("seq_id"))
+                  .agg(F.count(F.lit(1)).alias("n_sessions"),
+                       F.sum("n_tokens").alias("n_events"),
+                       F.sum(F.col("spans_boundary").cast("long"))
+                        .alias("n_boundary_sessions")))
+
+
+SQL_SESSION_PACKING = f"""
+WITH o AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+), m AS (
+  SELECT *, CASE WHEN tns - lag(tns) OVER w IS NULL
+                   OR tns - lag(tns) OVER w > {{gap}} THEN 1 ELSE 0 END
+            AS is_new
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                              ORDER BY tns, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+), g AS (
+  SELECT user_id * {1 << 20} + session_idx AS session_key,
+         count(*) AS c
+  FROM s GROUP BY user_id, session_idx
+), cum AS (
+  SELECT session_key, c,
+         sum(c) OVER (ORDER BY session_key ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), p AS (
+  SELECT session_key, c,
+         CAST(floor((cum - c) / {SESSION_PACK_BUDGET}) AS BIGINT)
+           AS first_seq,
+         CAST(floor((cum - 1) / {SESSION_PACK_BUDGET}) AS BIGINT)
+           AS last_seq
+  FROM cum
+)
+SELECT first_seq AS seq_id, count(*) AS n_sessions,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN first_seq != last_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_sessions
+FROM p GROUP BY 1
+"""
+
+
 # ------------------------------------------------------- event-time window
 
 def q_events_rate_window(spark, sf_dir):
@@ -1008,6 +1077,7 @@ QUERIES = {
     "event_transition_matrix": q_event_transition_matrix,
     "bpe_merge_rounds": q_bpe_merge_rounds,
     "vocab_coverage_audit": q_vocab_coverage_audit,
+    "session_packing": q_session_packing,
 }
 
 ORACLES = {
@@ -1027,4 +1097,5 @@ ORACLES = {
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "bpe_merge_rounds": _sql_bpe_rounds(),
     "vocab_coverage_audit": _sql_vocab_coverage_audit(),
+    "session_packing": SQL_SESSION_PACKING.replace("{gap}", str(GAP_NS)),
 }

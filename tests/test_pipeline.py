@@ -285,3 +285,43 @@ def test_vocab_coverage_matches_naive(spark, sf_dir):
         assert abs(out[src]["oov_rate"] - len(oov) / len(toks)) < 2e-6
     # non-degenerate on the test corpus: an OOV tail exists somewhere
     assert any(r["n_oov"] > 0 for r in out.values())
+
+
+def test_session_packing_matches_naive(spark, sf_dir):
+    from collections import defaultdict
+    from photon_spark.queries_pipeline import (GAP_NS, SESSION_PACK_BUDGET,
+                                               q_session_packing)
+    from photon_spark.queries import _t
+    out = {r["seq_id"]: r for r in q_session_packing(spark,
+                                                     sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    sizes = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        idx, prev = 0, None
+        for ts, _eid in rows:
+            if prev is None or ts - prev > GAP_NS:
+                idx += 1
+            sizes[u * (1 << 20) + idx] = sizes.get(u * (1 << 20) + idx,
+                                                   0) + 1
+            prev = ts
+    exp = defaultdict(lambda: [0, 0, 0])
+    cum = 0
+    for sk in sorted(sizes):
+        c = sizes[sk]
+        first = (cum) // SESSION_PACK_BUDGET
+        last = (cum + c - 1) // SESSION_PACK_BUDGET
+        cum += c
+        exp[first][0] += 1
+        exp[first][1] += c
+        exp[first][2] += int(first != last)
+    assert set(out) == set(exp)
+    for sid, (ns, nev, nb) in exp.items():
+        assert out[sid]["n_sessions"] == ns
+        assert out[sid]["n_events"] == nev
+        assert out[sid]["n_boundary_sessions"] == nb
+    assert sum(v[1] for v in exp.values()) == len(ev)  # conservation

@@ -630,6 +630,9 @@ _NEWEST_FIRST = [
     "small_quantity_revenue",
     "lone_late_supplier",
     "session_packing",
+    "revenue_cube",
+    "user_journeys",
+    "customer_spend_quartiles",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

@@ -613,6 +613,122 @@ GROUP BY 1, 2
 """
 
 
+def q_revenue_cube(spark, sf_dir):
+    """CUBE aggregate: revenue by (customer nation × order year) with ALL
+    subtotal combinations and a grouping_id marking which axes each row
+    aggregates away — the OLAP lattice shape (GROUP BY CUBE), distinct
+    from the linear ROLLUP already gated. Cent-exact sums; year from the
+    epoch-ns contract under the pinned UTC session."""
+    from photon_spark.queries import _t
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.timestamp_seconds(F.expr("o_orderdate div 1000000000")))
+         .alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.cube("n_name", "yr")
+             .agg(F.grouping_id().cast("long").alias("gid"),
+                  F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("cents") / 100, 2).alias("revenue")))
+
+
+SQL_REVENUE_CUBE = """
+SELECT n.n_name, year(o.o_orderdate) AS yr,
+       CAST(GROUPING(n.n_name, year(o.o_orderdate)) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (n.n_name, year(o.o_orderdate))
+"""
+
+
+#: leading events kept per user journey
+JOURNEY_LEN = 10
+
+
+def q_user_journeys(spark, sf_dir):
+    """Ordered-array aggregation: each user's first {JOURNEY_LEN} event
+    types in (ts, event_id) order as an array column — behavioral
+    sequences as data (the journey relation a sequence model trains on),
+    and the gate's exercise of deterministic ORDER-SENSITIVE list
+    aggregation. One keyed shuffle; the sort is per-group."""
+    from photon_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    arr = F.array_sort(F.collect_list(
+        F.struct("ts", "event_id", "event_type")))
+    g = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"),
+                                 arr.alias("a"))
+    journey = F.slice(
+        F.transform("a", lambda s: s["event_type"]), 1, JOURNEY_LEN)
+    return g.select("user_id", "n_events", journey.alias("journey"))
+
+
+SQL_USER_JOURNEYS = f"""
+WITH o AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       (list(event_type ORDER BY tns, event_id))[1:{JOURNEY_LEN}]
+         AS journey
+FROM o GROUP BY user_id
+"""
+
+
+def q_customer_spend_quartiles(spark, sf_dir):
+    """ntile quartiles: customers ranked into spend quartiles WITHIN their
+    market segment (ntile's equal-fill bucket rule, deterministic under
+    the (spend desc, custkey) total order), rolled up per (segment,
+    quartile) — the cohort-banding shape every LTV analysis uses. The
+    window partitions by segment, so no single-partition sort."""
+    from pyspark.sql import Window
+
+    o = _rd(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("sc"),
+                                       F.count(F.lit(1)).alias("n_ord"))
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = c.join(spend, c.c_custkey == spend.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("sc"),
+                                                   "c_custkey")
+    q = j.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return (q.groupBy("c_mktsegment", "quartile")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.sum("n_ord").alias("n_orders"),
+                  F.round(F.sum("sc") / 100, 2).alias("total_spend"),
+                  F.round(F.sum("sc") / F.count(F.lit(1)) / 100, 6)
+                   .alias("avg_spend")))
+
+
+SQL_CUSTOMER_SPEND_QUARTILES = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
+         count(*) AS n_ord
+  FROM orders GROUP BY 1
+), q AS (
+  SELECT c.c_mktsegment, s.sc, s.n_ord,
+         CAST(ntile(4) OVER (PARTITION BY c.c_mktsegment
+                             ORDER BY s.sc DESC, c.c_custkey) AS BIGINT)
+           AS quartile
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+)
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       CAST(sum(n_ord) AS BIGINT) AS n_orders,
+       round(sum(sc) / 100.0, 2) AS total_spend,
+       round(sum(sc) * 1.0 / count(*) / 100, 6) AS avg_spend
+FROM q GROUP BY 1, 2
+"""
+
+
 def q_price_quantity_corr(spark, sf_dir):
     """Pearson correlation of quantity vs extended price per return
     flag — single-pass distributed statistics done hash-gateably: the
@@ -680,6 +796,9 @@ QUERIES["promo_revenue_share"] = q_promo_revenue_share
 QUERIES["price_quantity_corr"] = q_price_quantity_corr
 QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
 QUERIES["lone_late_supplier"] = q_lone_late_supplier
+QUERIES["revenue_cube"] = q_revenue_cube
+QUERIES["user_journeys"] = q_user_journeys
+QUERIES["customer_spend_quartiles"] = q_customer_spend_quartiles
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
@@ -696,4 +815,7 @@ ORACLES = {
     "price_quantity_corr": SQL_PRICE_QUANTITY_CORR,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "lone_late_supplier": SQL_LONE_LATE_SUPPLIER,
+    "revenue_cube": SQL_REVENUE_CUBE,
+    "user_journeys": SQL_USER_JOURNEYS,
+    "customer_spend_quartiles": SQL_CUSTOMER_SPEND_QUARTILES,
 }

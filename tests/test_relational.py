@@ -183,3 +183,57 @@ def test_lone_late_supplier_matches_naive(spark, sf_dir):
             exp[sk] += 1
     assert out == dict(exp)
     assert exp, "no lone-late suppliers in corpus — query is vacuous"
+
+
+def test_revenue_cube_lattice_consistency(spark, sf_dir):
+    from photon_spark.queries_relational import q_revenue_cube
+    rows = q_revenue_cube(spark, sf_dir).collect()
+    base = [r for r in rows if r["gid"] == 0]
+    by_nation = {r["n_name"]: r for r in rows
+                 if r["gid"] == 1 and r["n_name"] is not None}
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    # every lattice level conserves the order count
+    assert sum(r["n_orders"] for r in base) == total[0]["n_orders"]
+    for name, r in by_nation.items():
+        assert r["n_orders"] == sum(b["n_orders"] for b in base
+                                    if b["n_name"] == name)
+    assert len({r["gid"] for r in rows}) == 4  # all four cube cells
+
+
+def test_user_journeys_matches_naive(spark, sf_dir):
+    from collections import defaultdict
+    from photon_spark.queries import _t
+    from photon_spark.queries_relational import (JOURNEY_LEN,
+                                                 q_user_journeys)
+    out = {r["user_id"]: r for r in q_user_journeys(spark,
+                                                    sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"],
+                                      r["event_type"]))
+    assert set(out) == set(by_user)
+    for u, rows in by_user.items():
+        rows.sort()
+        assert out[u]["n_events"] == len(rows)
+        assert list(out[u]["journey"]) == [t for _, _, t in
+                                           rows[:JOURNEY_LEN]]
+
+
+def test_customer_spend_quartiles_balanced(spark, sf_dir):
+    from photon_spark.queries_relational import q_customer_spend_quartiles
+    rows = q_customer_spend_quartiles(spark, sf_dir).collect()
+    seg = {}
+    for r in rows:
+        seg.setdefault(r["c_mktsegment"], {})[r["quartile"]] = r
+    for s, qs in seg.items():
+        assert set(qs) <= {1, 2, 3, 4}
+        counts = [qs[q]["n_customers"] for q in sorted(qs)]
+        # ntile fill rule: sizes differ by at most 1, larger buckets first
+        assert max(counts) - min(counts) <= 1
+        assert counts == sorted(counts, reverse=True)
+        # spend is non-increasing across quartiles (avg per quartile)
+        avgs = [qs[q]["avg_spend"] for q in sorted(qs)]
+        assert avgs == sorted(avgs, reverse=True)

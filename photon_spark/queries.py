@@ -633,6 +633,7 @@ _NEWEST_FIRST = [
     "revenue_cube",
     "user_journeys",
     "customer_spend_quartiles",
+    "events_hour_window_features",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

@@ -84,6 +84,45 @@ FROM g GROUP BY event_type
 """
 
 
+#: RANGE-frame lookback for per-event hourly features
+HOUR_NS = 3600 * 1_000_000_000
+
+
+def q_events_hour_window_features(spark, sf_dir):
+    """Per-event trailing-HOUR features (count and spend over the last
+    hour of the same user) — the RANGE-frame window mode, distinct from
+    the ROWS frame of events_rolling_stats: the frame is bounded by the
+    TIME VALUE, so simultaneous events are peers and enter each other's
+    frames identically on both engines. One shuffle keyed by user_id;
+    state per key is the hour's worth of rows."""
+    from photon_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"))
+    w = (Window.partitionBy("user_id").orderBy("ts")
+               .rangeBetween(-HOUR_NS, 0))
+    return e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("hr_n"),
+        F.round(F.sum("c").over(w) / 100, 2).alias("hr_sum"))
+
+
+SQL_EVENTS_HOUR_WINDOW_FEATURES = f"""
+WITH o AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id,
+       count(*) OVER w AS hr_n,
+       round(sum(c) OVER w / 100.0, 2) AS hr_sum
+FROM o
+WINDOW w AS (PARTITION BY user_id ORDER BY tns
+             RANGE BETWEEN {HOUR_NS} PRECEDING AND CURRENT ROW)
+"""
+
+
 #: behavioral-pretraining packing: events per training sequence
 SESSION_PACK_BUDGET = 64
 
@@ -1078,6 +1117,7 @@ QUERIES = {
     "bpe_merge_rounds": q_bpe_merge_rounds,
     "vocab_coverage_audit": q_vocab_coverage_audit,
     "session_packing": q_session_packing,
+    "events_hour_window_features": q_events_hour_window_features,
 }
 
 ORACLES = {
@@ -1098,4 +1138,5 @@ ORACLES = {
     "bpe_merge_rounds": _sql_bpe_rounds(),
     "vocab_coverage_audit": _sql_vocab_coverage_audit(),
     "session_packing": SQL_SESSION_PACKING.replace("{gap}", str(GAP_NS)),
+    "events_hour_window_features": SQL_EVENTS_HOUR_WINDOW_FEATURES,
 }

@@ -325,3 +325,25 @@ def test_session_packing_matches_naive(spark, sf_dir):
         assert out[sid]["n_events"] == nev
         assert out[sid]["n_boundary_sessions"] == nb
     assert sum(v[1] for v in exp.values()) == len(ev)  # conservation
+
+
+def test_hour_window_features_match_naive(spark, sf_dir):
+    from collections import defaultdict
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import (HOUR_NS,
+                                               q_events_hour_window_features)
+    out = {r["event_id"]: r
+           for r in q_events_hour_window_features(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "value").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    for u, rows in by_user.items():
+        for r in rows:
+            frame = [x for x in rows
+                     if r["ts"] - HOUR_NS <= x["ts"] <= r["ts"]]
+            cents = sum(round(x["value"] * 100) for x in frame)
+            assert out[r["event_id"]]["hr_n"] == len(frame)
+            assert abs(out[r["event_id"]]["hr_sum"] - cents / 100) < 0.005
+    assert any(r["hr_n"] > 1 for r in out.values()), "no hour overlap"

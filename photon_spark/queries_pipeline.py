@@ -84,10 +84,6 @@ FROM g GROUP BY event_type
 """
 
 
-#: RANGE-frame lookback for per-event hourly features
-HOUR_NS = 3600 * 1_000_000_000
-
-
 def q_events_hour_window_features(spark, sf_dir):
     """Per-event trailing-HOUR features (count and spend over the last
     hour of the same user) — the RANGE-frame window mode, distinct from
@@ -126,6 +122,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tns
 #: behavioral-pretraining packing: events per training sequence
 SESSION_PACK_BUDGET = 64
 
+#: composite session-key shift: session_key = user_id·2^SHIFT + session_idx.
+#: ONE definition shared by the Spark side, the oracle, and the test; the
+#: Spark side raises if a user ever exceeds 2^SHIFT sessions (key bleed
+#: into the next user's space would silently corrupt the packing order).
+SESSION_KEY_SHIFT = 20
+
 
 def q_session_packing(spark, sf_dir):
     """Events AS training data: user sessions become the 'documents' of a
@@ -143,8 +145,13 @@ def q_session_packing(spark, sf_dir):
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
     s = session_bounds(e, ["user_id"], ts_col="ts",
                        tiebreak_col="event_id", gap_ns=GAP_NS)
-    d = s.select((F.col("user_id") * F.lit(1 << 20)
-                  + F.col("session_idx")).alias("session_key"),
+    guarded_idx = F.when(
+        F.col("session_idx") < F.lit(1 << SESSION_KEY_SHIFT),
+        F.col("session_idx")).otherwise(F.raise_error(F.lit(
+            f"session_idx >= 2^{SESSION_KEY_SHIFT}: composite session_key "
+            "would collide — widen SESSION_KEY_SHIFT")))
+    d = s.select((F.col("user_id") * F.lit(1 << SESSION_KEY_SHIFT)
+                  + guarded_idx).alias("session_key"),
                  F.col("n_events"))
     packed = pack_sequences(d, SESSION_PACK_BUDGET, "n_events",
                             id_col="session_key")
@@ -160,7 +167,7 @@ WITH o AS (
   SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
 ), m AS (
   SELECT *, CASE WHEN tns - lag(tns) OVER w IS NULL
-                   OR tns - lag(tns) OVER w > {{gap}} THEN 1 ELSE 0 END
+                   OR tns - lag(tns) OVER w > {GAP_NS} THEN 1 ELSE 0 END
             AS is_new
   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
 ), s AS (
@@ -169,7 +176,7 @@ WITH o AS (
                               ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM m
 ), g AS (
-  SELECT user_id * {1 << 20} + session_idx AS session_key,
+  SELECT user_id * {1 << SESSION_KEY_SHIFT} + session_idx AS session_key,
          count(*) AS c
   FROM s GROUP BY user_id, session_idx
 ), cum AS (
@@ -1137,6 +1144,6 @@ ORACLES = {
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "bpe_merge_rounds": _sql_bpe_rounds(),
     "vocab_coverage_audit": _sql_vocab_coverage_audit(),
-    "session_packing": SQL_SESSION_PACKING.replace("{gap}", str(GAP_NS)),
+    "session_packing": SQL_SESSION_PACKING,
     "events_hour_window_features": SQL_EVENTS_HOUR_WINDOW_FEATURES,
 }

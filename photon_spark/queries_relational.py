@@ -667,8 +667,9 @@ def q_user_journeys(spark, sf_dir):
         F.struct("ts", "event_id", "event_type")))
     g = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"),
                                  arr.alias("a"))
-    journey = F.slice(
-        F.transform("a", lambda s: s["event_type"]), 1, JOURNEY_LEN)
+    # slice BEFORE projecting: touch at most JOURNEY_LEN elements per user
+    journey = F.transform(
+        F.slice("a", 1, JOURNEY_LEN), lambda s: s["event_type"])
     return g.select("user_id", "n_events", journey.alias("journey"))
 
 

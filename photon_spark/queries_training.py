@@ -61,16 +61,18 @@ WITH k AS (
   SELECT doc_id,
          md5('{SHUFFLE_SEED}' || ':' || doc_id) AS okey
   FROM documents
-), p AS (
+), nn AS (
+  -- rank over NON-NULL keys only: a NULL id must get a NULL position
+  -- (never consume a slot) on BOTH engines, matching the Spark side
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY okey, doc_id) - 1 AS BIGINT)
            AS global_pos
-  FROM k
+  FROM k WHERE okey IS NOT NULL
 )
-SELECT doc_id, global_pos,
-       global_pos // {DOCS_PER_SHARD} AS shard_id,
-       global_pos % {DOCS_PER_SHARD} AS pos_in_shard
-FROM p
+SELECT k.doc_id, nn.global_pos,
+       nn.global_pos // {DOCS_PER_SHARD} AS shard_id,
+       nn.global_pos % {DOCS_PER_SHARD} AS pos_in_shard
+FROM k LEFT JOIN nn ON k.doc_id = nn.doc_id
 """
 
 
@@ -182,16 +184,17 @@ WITH prof AS ({SQL_TEXT_PROFILE}), sc AS (
          CAST({BAND_BASE} - floor(score * {BAND_SCALE}) AS BIGINT) AS band,
          md5('{SHUFFLE_SEED}' || ':' || doc_id) AS okey
   FROM sc
-), p AS (
+), nn AS (
+  -- NULL ids never consume a permutation slot (see seeded-shuffle oracle)
   SELECT doc_id, band,
          CAST(row_number() OVER (ORDER BY band, okey, doc_id) - 1 AS BIGINT)
            AS global_pos
-  FROM b
+  FROM b WHERE okey IS NOT NULL
 )
-SELECT doc_id, band, global_pos,
-       global_pos // {DOCS_PER_SHARD} AS shard_id,
-       global_pos % {DOCS_PER_SHARD} AS pos_in_shard
-FROM p
+SELECT b.doc_id, b.band, nn.global_pos,
+       nn.global_pos // {DOCS_PER_SHARD} AS shard_id,
+       nn.global_pos % {DOCS_PER_SHARD} AS pos_in_shard
+FROM b LEFT JOIN nn ON b.doc_id = nn.doc_id
 """
 
 

@@ -296,6 +296,7 @@ def test_session_packing_matches_naive(spark, sf_dir):
                                                      sf_dir).collect()}
     ev = _t(spark, sf_dir, "events") \
         .select("user_id", "ts", "event_id").collect()
+    from photon_spark.queries_pipeline import SESSION_KEY_SHIFT
     by_user = defaultdict(list)
     for r in ev:
         by_user[r["user_id"]].append((r["ts"], r["event_id"]))
@@ -306,8 +307,8 @@ def test_session_packing_matches_naive(spark, sf_dir):
         for ts, _eid in rows:
             if prev is None or ts - prev > GAP_NS:
                 idx += 1
-            sizes[u * (1 << 20) + idx] = sizes.get(u * (1 << 20) + idx,
-                                                   0) + 1
+            k = (u << SESSION_KEY_SHIFT) + idx
+            sizes[k] = sizes.get(k, 0) + 1
             prev = ts
     exp = defaultdict(lambda: [0, 0, 0])
     cum = 0

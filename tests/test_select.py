@@ -425,12 +425,20 @@ def test_recall_probe_margins_dominate_float_error():
     # margin between the PROBE-th and (PROBE+1)-th nearest centroid at
     # every gate sf, so a ~1-ulp disagreement can never flip a probe set
     # and flake the hash gate (mirror of the ivf assignment-margin pin).
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
+    from tests.conftest import SF_DIR
     from photon_spark.queries_select import (ANN_QMOD, RECALL_CELLS,
                                              RECALL_PROBE)
-    for sf in ("sf0.001", "sf0.01"):
-        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+    # the configured test sf plus the driver's gate sf, where present
+    dirs = {SF_DIR, "/root/testdata/sf0.01"}
+    dirs = [d for d in sorted(dirs)
+            if os.path.exists(f"{d}/embeddings.parquet")]
+    assert dirs, "no embeddings testdata found"
+    for sf in dirs:
+        t = pq.read_table(f"{sf}/embeddings.parquet")
         vid = np.array(t["vec_id"])
         order = np.argsort(vid)
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]

@@ -74,6 +74,26 @@ def test_seeded_shuffle_null_ids_get_null_positions(spark):
     assert sorted(v for k, v in rows.items() if k is not None) == [0, 1]
 
 
+def test_seeded_shuffle_null_ids_oracle_parity(spark):
+    # BOTH engines must give NULL ids NULL positions: the Spark side via
+    # the NULL bucket exclusion, the oracle via its non-null-ranked CTE.
+    import duckdb
+    from photon_spark.queries_training import SQL_SEEDED_SHUFFLE_PLAN
+    rows = [(1,), (None,), (7,), (None,), (3,)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    s_rows = sorted(((r["doc_id"], r["global_pos"], r["shard_id"],
+                      r["pos_in_shard"])
+                     for r in seeded_shuffle(df, "doc_id", seed=42).collect()),
+                    key=str)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?)", rows)
+    o_rows = sorted(con.execute(SQL_SEEDED_SHUFFLE_PLAN).fetchall(),
+                    key=str)
+    assert s_rows == o_rows
+    assert sum(1 for r in s_rows if r[1] is None) == 2
+
+
 def test_seeded_shuffle_empty_input_keeps_id_type(spark):
     df = spark.createDataFrame([], "doc_uuid string")
     out = seeded_shuffle(df, "doc_uuid", seed=1)

@@ -634,6 +634,7 @@ _NEWEST_FIRST = [
     "user_journeys",
     "customer_spend_quartiles",
     "events_hour_window_features",
+    "classifier_eval_split",
     "exact_substring_dedup",
     "exact_substring_doc_fraction",
     "paragraph_dedup",

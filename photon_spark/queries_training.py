@@ -252,20 +252,12 @@ WHERE rnk <= (n_members + {PRUNE_DIV - 1}) // {PRUNE_DIV}
 SPLIT_TRAIN_LT, SPLIT_VAL_LT = "e6", "f3"
 
 
-def q_cluster_split_assign(spark, sf_dir):
-    """Leakage-free train/val/test assignment BY CONSTRUCTION: every
-    document is keyed by its near-dup cluster root (connected components
-    over the shared pair table; singletons root at themselves) and the
-    whole cluster lands in one split via a hash of the ROOT — the
-    preventive twin of the split_leakage audit (which checks a doc-hash
-    split after the fact). Per (split, source): docs, distinct clusters,
-    id checksum.
-
-    Scale shape: components over the pair relation (≪ corpus), one
-    id-only left join to stamp roots, map-side hash split, short-key agg.
-    """
+def _doc_splits(spark, sf_dir):
+    """(doc_id, source, root, split) — the leakage-free cluster-rooted
+    split relation, plus the pair table's cached handles (pass to
+    dedup._own_cache on whatever DataFrame the caller returns)."""
     from photon_spark import pair_cache
-    from photon_spark.functions import dedup
+    from photon_spark.functions import dedup  # noqa: F401 (caller use)
     pairs = pair_cache.near_dup_pairs(spark, sf_dir, threshold=0.7)
     labels = dedup.dup_clusters(pairs).select(
         F.col("id").alias("doc_id"), F.col("cluster_id"))
@@ -278,25 +270,44 @@ def q_cluster_split_assign(spark, sf_dir):
     split = (F.when(pfx < SPLIT_TRAIN_LT, "train")
               .when(pfx < SPLIT_VAL_LT, "val")
               .otherwise("test"))
+    return (rooted.withColumn("split", split),
+            getattr(pairs, "_photon_cached", []))
+
+
+def q_cluster_split_assign(spark, sf_dir):
+    """Leakage-free train/val/test assignment BY CONSTRUCTION: every
+    document is keyed by its near-dup cluster root (connected components
+    over the shared pair table; singletons root at themselves) and the
+    whole cluster lands in one split via a hash of the ROOT — the
+    preventive twin of the split_leakage audit (which checks a doc-hash
+    split after the fact). Per (split, source): docs, distinct clusters,
+    id checksum.
+
+    Scale shape: components over the pair relation (≪ corpus), one
+    id-only left join to stamp roots, map-side hash split, short-key agg.
+    """
+    from photon_spark.functions import dedup
+    rooted, cached = _doc_splits(spark, sf_dir)
     return dedup._own_cache(
-        rooted.withColumn("split", split)
-              .groupBy("split", "source")
+        rooted.groupBy("split", "source")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.countDistinct("root").alias("n_clusters"),
                    F.sum("doc_id").cast("long").alias("doc_id_sum")),
-        getattr(pairs, "_photon_cached", []))
+        cached)
 
 
-def _sql_cluster_split_assign() -> str:
+def _sql_split_ctes() -> str:
+    """CTE chain ending in ``splits(doc_id, source, root, split)`` — the
+    SQL twin of :func:`_doc_splits`, shared by the assignment oracle and
+    the split-aware training oracle."""
     from photon_spark.queries_northstar import (SQL_COMP_CTES,
                                                 SQL_MINHASH_NEAR_DUPS)
     comp = SQL_COMP_CTES.replace("{pairs}", SQL_MINHASH_NEAR_DUPS)
-    return f"""
-WITH RECURSIVE {comp}, rooted AS (
+    return f"""{comp}, rooted AS (
   SELECT d.doc_id, d.source,
          COALESCE(c.cluster_id, d.doc_id) AS root
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-), s AS (
+), splits AS (
   SELECT doc_id, source, root,
          CASE WHEN substr(md5('csplit:' || root), 1, 2)
                    < '{SPLIT_TRAIN_LT}' THEN 'train'
@@ -304,11 +315,16 @@ WITH RECURSIVE {comp}, rooted AS (
                    < '{SPLIT_VAL_LT}' THEN 'val'
               ELSE 'test' END AS split
   FROM rooted
-)
+)"""
+
+
+def _sql_cluster_split_assign() -> str:
+    return f"""
+WITH RECURSIVE {_sql_split_ctes()}
 SELECT split, source, count(*) AS n_docs,
        count(DISTINCT root) AS n_clusters,
        CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
-FROM s GROUP BY 1, 2
+FROM splits GROUP BY 1, 2
 """
 
 
@@ -445,6 +461,97 @@ UNION ALL SELECT 'n_docs', n * 1.0 FROM acc
 """
 
 
+# ------------------------------------------------ split-aware training
+
+def q_classifier_eval_split(spark, sf_dir):
+    """The full train/eval protocol, leakage-free by construction: GD
+    weights fit on the CLUSTER-SPLIT train set only (so no near-duplicate
+    of an eval doc was trained on), then accuracy reported per split —
+    train vs val vs test. The honest generalization readout a quality
+    filter needs before deployment; composes classifier_train_gd and
+    cluster_split_assign. Same quantized-gradient determinism: the only
+    change is a train-split predicate on the gradient pass."""
+    from photon_spark.functions import dedup
+    rooted, cached = _doc_splits(spark, sf_dir)
+    feats = (_features(spark, sf_dir)
+             .join(rooted.select("doc_id", "split"), "doc_id").persist())
+    train = feats.where(F.col("split") == "train")
+    w = [0.0] * 5
+    for _ in range(GD_ITERS):
+        z = _gd_z(w)
+        p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+        r = F.col("y") - p
+        sums = train.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.round(r * fj * F.lit(1e6)).cast("long")).alias(f"s{j}")
+              for j, fj in enumerate(
+                  [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3"),
+                   F.col("f4")])]).collect()[0]
+        n = int(sums["n"])
+        w = [w[j] + GD_LR * (float(sums[f"s{j}"]) / n / 1e6)
+             for j in range(5)]
+    z = _gd_z(w)
+    out = (feats.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(((z >= 0) == (F.col("y") == 1.0)).cast("long"))
+                      .alias("n_correct"),
+                     F.round(F.sum(((z >= 0) == (F.col("y") == 1.0))
+                                   .cast("long"))
+                             / F.count(F.lit(1)), 6).alias("accuracy")))
+    out = dedup._own_cache(out, cached + [feats])
+    return out
+
+
+def _sql_classifier_eval_split() -> str:
+    def z_expr(wn):
+        return (f"({wn}.w0 + {wn}.w1 * f.f1 + {wn}.w2 * f.f2 "
+                f"+ {wn}.w3 * f.f3 + {wn}.w4 * f.f4)")
+
+    def grad(wn, gn):
+        z = z_expr(wn)
+        p = f"(0.5 + 0.5 * {z} / (1.0 + abs({z})))"
+        terms = ", ".join(
+            f"SUM(CAST(round((f.y - {p}) * {fj} * 1000000.0) AS BIGINT))"
+            f" AS s{j}"
+            for j, fj in enumerate(["1.0", "f.f1", "f.f2", "f.f3", "f.f4"]))
+        return (f"{gn} AS (SELECT count(*) AS n, {terms} "
+                f"FROM f CROSS JOIN {wn} WHERE f.split = 'train')")
+
+    def step(gn, wn_prev, wn):
+        coords = ", ".join(
+            f"{wn_prev}.w{j} + {GD_LR} * ({gn}.s{j} / {gn}.n / 1000000.0)"
+            f" AS w{j}" for j in range(5))
+        return (f"{wn} AS (SELECT {coords} "
+                f"FROM {gn} CROSS JOIN {wn_prev})")
+
+    ctes = ["w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, "
+            "0.0 AS w3, 0.0 AS w4)"]
+    prev = "w0s"
+    for i in range(GD_ITERS):
+        g, nxt = f"eg{i}", f"ew{i + 1}s"
+        ctes.append(grad(prev, g))
+        ctes.append(step(g, prev, nxt))
+        prev = nxt
+    zf = z_expr(prev)
+    return f"""
+WITH RECURSIVE {_sql_split_ctes()}, prof AS ({SQL_TEXT_PROFILE}), f AS (
+  SELECT p.doc_id, p.alpha_ratio AS f1, p.stopword_ratio AS f2,
+         {sql_len_feat("p.")} AS f3, p.quality AS f4,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         sp.split AS split
+  FROM prof p JOIN documents d USING (doc_id)
+  JOIN splits sp ON sp.doc_id = p.doc_id
+), {", ".join(ctes)}
+SELECT f.split, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN ({zf} >= 0) = (f.y = 1.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(SUM(CASE WHEN ({zf} >= 0) = (f.y = 1.0)
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+FROM f CROSS JOIN {prev}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "seeded_shuffle_plan": q_seeded_shuffle_plan,
     "quality_classifier_filter": q_quality_classifier_filter,
@@ -452,6 +559,7 @@ QUERIES = {
     "embedding_prune_plan": q_embedding_prune_plan,
     "cluster_split_assign": q_cluster_split_assign,
     "classifier_train_gd": q_classifier_train_gd,
+    "classifier_eval_split": q_classifier_eval_split,
 }
 
 ORACLES = {
@@ -461,4 +569,5 @@ ORACLES = {
     "embedding_prune_plan": _sql_embedding_prune_plan(),
     "cluster_split_assign": _sql_cluster_split_assign(),
     "classifier_train_gd": _sql_classifier_train_gd(),
+    "classifier_eval_split": _sql_classifier_eval_split(),
 }

@@ -284,3 +284,44 @@ def test_prune_plan_flags_constructed_outlier(spark):
     d = member_dist2(assigned, cents)
     top = d.orderBy(F.desc("ri")).first()
     assert top["vec_id"] == 7
+
+
+def test_classifier_eval_split_matches_naive(spark, sf_dir):
+    from photon_spark.queries_training import (GD_ITERS, GD_LR,
+                                               _doc_splits, _features,
+                                               q_classifier_eval_split)
+    out = {r["split"]: r
+           for r in q_classifier_eval_split(spark, sf_dir).collect()}
+    rooted, _cached = _doc_splits(spark, sf_dir)
+    split_of = {r["doc_id"]: r["split"] for r in rooted.collect()}
+    feats = _features(spark, sf_dir).collect()
+    train = [r for r in feats if split_of[r["doc_id"]] == "train"]
+    w = [0.0] * 5
+    for _ in range(GD_ITERS):
+        s = [0] * 5
+        for r in train:
+            x = (1.0, r["f1"], r["f2"], r["f3"], r["f4"])
+            z = sum(w[j] * x[j] for j in range(5))
+            # identical association to _gd_z: left-to-right adds
+            z = (w[0] + w[1] * x[1] + w[2] * x[2] + w[3] * x[3]
+                 + w[4] * x[4])
+            p = 0.5 + 0.5 * z / (1.0 + abs(z))
+            for j in range(5):
+                s[j] += int(Decimal(repr((r["y"] - p) * x[j] * 1e6))
+                            .quantize(Decimal("1"),
+                                      rounding=ROUND_HALF_UP))
+        w = [w[j] + GD_LR * (float(s[j]) / len(train) / 1e6)
+             for j in range(5)]
+    expect = {}
+    for r in feats:
+        sp = split_of[r["doc_id"]]
+        z = (w[0] + w[1] * r["f1"] + w[2] * r["f2"] + w[3] * r["f3"]
+             + w[4] * r["f4"])
+        n, ok = expect.get(sp, (0, 0))
+        expect[sp] = (n + 1, ok + int((z >= 0) == (r["y"] == 1.0)))
+    assert set(out) == set(expect)
+    for sp, (n, ok) in expect.items():
+        assert out[sp]["n_docs"] == n
+        assert out[sp]["n_correct"] == ok
+        assert abs(out[sp]["accuracy"] - ok / n) < 2e-6
+    assert "train" in expect and len(train) > 0

@@ -101,10 +101,16 @@ def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
         offsets[b] = acc
         acc += counts[b]
     if offsets:
+        # keys and values stay LONG end-to-end: composite band·B+bucket
+        # keys from a large band (epoch-day, id-derived) overflow int32,
+        # and F.lit of a Python int picks int32 vs int64 by magnitude —
+        # mixed key types would make the map lookup return NULL. Explicit
+        # casts pin one type for every entry and for the probe column.
         off_map = F.create_map(
             *[x for b in sorted(offsets)
-              for x in (F.lit(b), F.lit(offsets[b]))])
-        offset = F.element_at(off_map, F.col("bkt").cast("int"))
+              for x in (F.lit(int(b)).cast("long"),
+                        F.lit(int(offsets[b])).cast("long"))])
+        offset = F.element_at(off_map, F.col("bkt"))
     else:  # empty input (or nothing but NULL ids)
         offset = F.lit(None).cast("long")
 

@@ -265,7 +265,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
 
 def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
             m_sub: int = 4, ks: int = 16, rerank: int = 100,
-            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            candidates: DataFrame | None = None) -> DataFrame:
     """Product-quantization ANN with exact re-ranking: split each vector
     into ``m_sub`` subvectors, encode every subvector as its nearest of
     ``ks`` codewords (deterministic codebook = the sub-slices of the
@@ -289,7 +290,13 @@ def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     sequential left-fold association ``(q·q − 2·q·c) + c·c`` that
     DuckDB's list_dot_product reproduces bit-for-bit; the ``m_sub``-term
     score sum is explicitly left-associated on both engines; shortlist
-    and final cuts tie-break on id."""
+    and final cuts tie-break on id.
+
+    ``candidates``: optional (id, vec) subset to encode and ADC-score
+    instead of the full table — the IVF-PQ composition hook (codebook
+    training stays on ``df`` so the index is probe-independent). The
+    exact re-rank always reads ``df``; shortlist ⊆ candidates ⊆ df, so
+    the semi-join is unchanged."""
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
@@ -331,7 +338,8 @@ def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
         adc.append([(qq - 2.0 * _seq_dot(qm, c)) + _seq_dot(c, c)
                     for c in books[m]])
 
-    enc = df.select(F.col(id_col), _encode(F.col(vec_col)).alias("code"))
+    src = candidates if candidates is not None else df
+    enc = src.select(F.col(id_col), _encode(F.col(vec_col)).alias("code"))
     score = None
     for m in range(m_sub):
         tbl = F.array(*[F.lit(d) for d in adc[m]])
@@ -347,6 +355,59 @@ def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
               .select(F.col(id_col),
                       F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
               .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def ivf_pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
+                n_cells: int = 16, n_probe: int = 4,
+                m_sub: int = 4, ks: int = 16, rerank: int = 100,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF + PQ composed — the production 100 TB ANN serving index
+    (FAISS's IVFPQ shape): the IVF coarse quantizer prunes the corpus to
+    ``n_probe/n_cells`` of its cells (at scale: partition pruning on a
+    cell-bucketed table — ``n_probe/n_cells`` of the FILES are read),
+    then PQ ADC scores only the probed candidates from the
+    ``m_sub·log2(ks)``-bit codes (no original vectors touched), and the
+    exact cosine re-ranks the ``rerank``-row shortlist. Neither index
+    alone has both properties: IVF-flat still reads full vectors in
+    probed cells; PQ-alone ADC-scans the whole corpus's codes.
+
+    Composition determinism: cell training/assignment/probing are
+    exactly :func:`ivf_topk`'s conventions (first-``n_cells``-by-id
+    centroids, GEMM argmax screen with first-max tie-break, driver-side
+    exact probe ranking); the codebook trains on the FULL table (first
+    ``ks`` by id), so codes are probe-independent — re-probing never
+    re-encodes. One divergence from textbook IVFPQ, on purpose: codes
+    quantize the raw vectors, not the residuals (v − centroid), so the
+    codebook is global and the SQL oracle can rebuild it without
+    per-cell codebook CTEs; residual PQ is a drop-in swap inside
+    ``_encode`` if recall at a given bit-rate ever needs it.
+    """
+    import math
+
+    qid = None
+    if isinstance(query_vec, int):
+        qid = query_vec
+        query_vec = _query_vector(df, id_col, vec_col, query_vec)
+
+    cents = ivf_train_cells(df, n_cells, vec_col, id_col)
+    assigned = ivf_assign_cells(df, cents, vec_col, id_col)
+
+    def norm_py(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = norm_py(a), norm_py(b)
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(cents, key=lambda c: (-cos_py(c[1], query_vec), c[0]))
+    probe_cells = [c[0] for c in ranked[:n_probe]]
+    cand = (assigned.where(F.col("cell_id").isin(probe_cells))
+                    .select(id_col, vec_col))
+    return pq_topk(df, query_vec if qid is None else qid, k=k,
+                   m_sub=m_sub, ks=ks, rerank=rerank,
+                   vec_col=vec_col, id_col=id_col, candidates=cand)
 
 
 # ---------------------------------------------------------- quantization

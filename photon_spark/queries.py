@@ -587,14 +587,14 @@ ORACLES.update(_tr.ORACLES)
 # --------------------------------------------------------------------------
 # Gate-window ordering
 # --------------------------------------------------------------------------
-# The driver hash-checks the FIRST 50 registry entries per round
-# (CORRECTNESS_r03/r04.json both stop at entry 50). Rounds 3-4 therefore
-# never driver-checked anything past `events_anomaly_zscore`. Reorder so
-# never-driver-checked queries come first: new round-5 entries, then the 61
-# that rounds 3-4 never reached, then the 50 already-green rows. Values are
-# untouched — this is dict ordering only.
+# The driver hash-checks the FIRST 50 registry entries per round. After
+# five rounds the r01-r05 union covers 96 of 137 entries; the 41 never
+# driver-checked (`pricing_summary` … `value_mad_outliers` block) must
+# occupy this round's window, together with the queries whose gated
+# OUTPUT or PLAN round 6 changed. Values are untouched — dict order only.
 
-_DRIVER_CHECKED_R3_R4 = frozenset([
+# Union of every query green in the driver's CORRECTNESS_r01..r05 files.
+_DRIVER_CHECKED_R1_R5 = frozenset([
     "cold_replay", "stream_contents", "time_range_count", "point_lookup",
     "streams_totals", "distinct_streams", "stream_version_totals",
     "schema_inference", "projection_count_all", "projection_sum_by_stream",
@@ -612,50 +612,49 @@ _DRIVER_CHECKED_R3_R4 = frozenset([
     "rare_token_rate", "contamination_check", "bigram_lift_topk",
     "quality_quantiles_by_lang", "events_funnel", "events_sliding_window",
     "events_rolling_stats", "events_anomaly_zscore",
+    # r05 window (49 green + the user_journeys red row, re-listed in
+    # _CHANGED_THIS_ROUND below because its gated output changed)
+    "seeded_shuffle_plan", "quality_classifier_filter",
+    "curriculum_order_plan", "embedding_prune_plan", "cluster_split_assign",
+    "classifier_train_gd", "vocab_coverage_audit", "ann_recall_audit",
+    "matryoshka_recall_audit", "small_quantity_revenue",
+    "lone_late_supplier", "session_packing", "revenue_cube",
+    "user_journeys", "customer_spend_quartiles",
+    "events_hour_window_features", "classifier_eval_split",
+    "exact_substring_dedup", "exact_substring_doc_fraction",
+    "paragraph_dedup", "paragraph_minhash_dedup", "exact_substring_trim",
+    "export_shard_plan", "split_repair_plan", "embedding_coverage_audit",
+    "media_keep_best", "dedup_keep_best", "split_leakage",
+    "cross_source_dups", "dup_graph_clustering", "pagerank_dup_graph",
+    "dedup_incremental", "semdedup_pairs", "kmeans_embeddings",
+    "cluster_balanced_sample", "token_surprisal_by_source",
+    "quality_filter_funnel", "events_asof_join", "mixture_reweight_plan",
+    "mixture_resample", "events_range_join", "event_transition_matrix",
+    "bpe_first_merges", "bpe_merge_rounds", "doc_chunking",
+    "sequence_packing",
 ])
 
 
-# Brand-new round-5 queries: never checked by ANYONE yet, so they outrank
-# even the round-3/4 backlog for a slot in the 50-query window.
+# Brand-new round-6 queries: never checked by ANYONE yet — first claim on
+# window slots.
 _NEWEST_FIRST = [
-    "seeded_shuffle_plan",
-    "quality_classifier_filter",
-    "curriculum_order_plan",
-    "embedding_prune_plan",
-    "cluster_split_assign",
-    "classifier_train_gd",
-    "vocab_coverage_audit",
-    "ann_recall_audit",
-    "matryoshka_recall_audit",
-    "small_quantity_revenue",
-    "lone_late_supplier",
-    "session_packing",
-    "revenue_cube",
-    "user_journeys",
-    "customer_spend_quartiles",
-    "events_hour_window_features",
-    "classifier_eval_split",
-    "exact_substring_dedup",
-    "exact_substring_doc_fraction",
-    "paragraph_dedup",
-    "paragraph_minhash_dedup",
-    "exact_substring_trim",
-    "export_shard_plan",
-    "split_repair_plan",
-    "embedding_coverage_audit",
-    "media_keep_best",
+    "ivf_pq_topk",
+    "order_count_distribution",
+    "events_gap_fill",
+    "changelog_compaction",
+    "watermark_late_audit",
+    "pair_table_incremental_audit",
 ]
 
 
-# Queries whose PLANS this round rewired (shared pair table, staged
-# event store): previously driver-green, but the code at highest
-# regression risk from the round-5 diff — they outrank the untouched
-# backlog for window slots so the driver re-verifies the rewiring.
+# Queries whose gated OUTPUT or PLAN round 6 changed: user_journeys (array
+# journey → '>'-joined string, the r05 red row), ann_recall_audit (probe
+# cosines now 6dp-rounded before ranking), zorder_skipping_audit (bucketed
+# rank replaces the global window; hash pinned identical locally). The
+# driver must re-verify each. feature_hash_vectors also changed (vec →
+# ','-joined string) but is already in the never-checked block below.
 _CHANGED_THIS_ROUND = [
-    "dedup_clusters", "dedup_keep_best", "split_leakage",
-    "cross_source_dups", "dup_graph_degree", "dup_graph_clustering",
-    "pagerank_dup_graph", "projection_streaming_fold",
-    "projection_keyed_streaming_fold",
+    "user_journeys", "ann_recall_audit", "zorder_skipping_audit",
 ]
 
 
@@ -665,9 +664,9 @@ def _gate_order(registry: dict) -> list[str]:
                if n in registry and n not in newest]
     head = set(newest) | set(changed)
     fresh = [n for n in registry
-             if n not in _DRIVER_CHECKED_R3_R4 and n not in head]
+             if n not in _DRIVER_CHECKED_R1_R5 and n not in head]
     seen = [n for n in registry
-            if n in _DRIVER_CHECKED_R3_R4 and n not in head]
+            if n in _DRIVER_CHECKED_R1_R5 and n not in head]
     return newest + changed + fresh + seen
 
 

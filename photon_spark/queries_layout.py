@@ -22,6 +22,7 @@ HOUR_NS = 3_600_000_000_000
 T0_NS = 1_704_067_200_000_000_000          # 2024-01-01 00:00:00 UTC
 GRID_BITS = 8                               #: normalized grid per dim
 FILE_ROWS = 250                             #: rows per "file", both layouts
+ZBUCKETS = 32                               #: range buckets for the z rank
 #: audited query shapes: a user-only range, an hour-only range, a 2-D box
 UQ = (40, 45)
 HQ = (200, 240)
@@ -44,10 +45,16 @@ def q_zorder_skipping_audit(spark, sf_dir):
     (resp. insertion-sorted) order; a file is scanned when its min-max
     box intersects the query — exactly parquet row-group pruning.
 
-    The rank window here is the deterministic stand-in for the
-    production writer (functions/layout.py: repartitionByRange on the
-    z-value — a sampled range sort, no global window); the audit itself
-    is two keyed aggregations plus three 1-row conditional-sum passes.
+    File assignment is the bucketed-rank kernel (functions/ordering.py's
+    shape), NOT a global `row_number` window: the z-value's leading bits
+    give a deterministic order-monotone range bucket ({ZBUCKETS}
+    independent per-bucket sorts), bucket offsets are a {ZBUCKETS}-row
+    driver rollup, and the global rank — hence the file grid — is
+    identical to the single-window form while no task ever sorts more
+    than one bucket. The production writer (functions/layout.py:
+    repartitionByRange on z) shares the same no-global-sort property;
+    the audit itself is two keyed aggregations plus three 1-row
+    conditional-sum passes.
     """
     e = _events(spark, sf_dir).select(
         "event_id", "user_id",
@@ -59,11 +66,32 @@ def q_zorder_skipping_audit(spark, sf_dir):
         F.expr(f"(user_id * 256) div ({max_u} + 1)").alias("ux"),
         F.expr(f"(hour * 256) div ({max_h} + 1)").alias("hx"))
     z = F.expr(zvalue_expr("ux", "hx", GRID_BITS, "spark"))
-    lay = g.select(
+    # z ∈ [0, 2^(2·GRID_BITS)); leading bits → order-monotone bucket, so
+    # ordering by (bkt, z, event_id) IS the global (z, event_id) order
+    zspace = 1 << (2 * GRID_BITS)
+    keyed = g.select(
+        "event_id", "user_id", "hour", z.alias("z"),
+        F.expr(f"event_id div {FILE_ROWS}").alias("linfile")) \
+        .withColumn("bkt",
+                    F.floor(F.col("z") * F.lit(ZBUCKETS) / F.lit(zspace))
+                     .cast("long"))
+    counts = {int(r["bkt"]): int(r["n"])
+              for r in keyed.groupBy("bkt")
+                            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[x for b in sorted(offsets)
+          for x in (F.lit(int(b)).cast("long"),
+                    F.lit(int(offsets[b])).cast("long"))])
+    w = Window.partitionBy("bkt").orderBy("z", "event_id")
+    rank = F.element_at(off_map, F.col("bkt")) + F.row_number().over(w) - 1
+    lay = keyed.select(
         "user_id", "hour",
-        ((F.row_number().over(Window.orderBy(z.asc(), F.col("event_id")))
-          - 1).cast("long") / F.lit(FILE_ROWS)).cast("long").alias("zfile"),
-        F.expr(f"event_id div {FILE_ROWS}").alias("linfile"))
+        (rank.cast("long") / F.lit(FILE_ROWS)).cast("long").alias("zfile"),
+        "linfile")
 
     u1, u2 = UQ
     h1, h2 = HQ

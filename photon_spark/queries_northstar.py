@@ -736,6 +736,119 @@ ORDER BY cosine DESC, e.vec_id LIMIT {_TOPK}
 """
 
 
+# ----------------------------------------------------------- IVF-PQ ANN
+
+_IVFPQ_CELLS, _IVFPQ_PROBE = 16, 4
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF + PQ composed (similarity.ivf_pq_topk) — the FAISS-IVFPQ
+    serving shape: coarse cells prune the corpus to
+    {_IVFPQ_PROBE}/{_IVFPQ_CELLS} (partition pruning at scale), PQ ADC
+    scores only probed candidates from 2-byte codes, exact cosine
+    re-ranks the shortlist. The oracle composes the already-gated IVF
+    assign/probe CTEs with the PQ codebook/enc/ADC CTEs — same
+    conventions, one SQL rebuild."""
+    return similarity.ivf_pq_topk(_emb(spark, sf_dir), _QUERY_ID, k=_TOPK,
+                                  n_cells=_IVFPQ_CELLS,
+                                  n_probe=_IVFPQ_PROBE,
+                                  m_sub=_PQ_M, ks=_PQ_KS,
+                                  rerank=_PQ_RERANK)
+
+
+def _sql_ivf_pq_topk() -> str:
+    ds = 64 // _PQ_M
+    sub = lambda src, m: f"list_slice({src}, {m * ds + 1}, {(m + 1) * ds})"  # noqa: E731
+    enc_joins = "\n".join(
+        f"JOIN (SELECT vec_id, code FROM enc WHERE m = {m}) e{m} "
+        f"ON e{m}.vec_id = b.vec_id" for m in range(_PQ_M))
+    adc_joins = "\n".join(
+        f"JOIN adc a{m} ON a{m}.m = {m} AND a{m}.j = e{m}.code"
+        for m in range(_PQ_M))
+    score = "((a0.d + a1.d) + a2.d) + a3.d"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base
+  ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT b.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c) WHERE rn = 1
+), probe AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(c.cv, q.v) DESC, c.cell_id
+           ) AS rn
+    FROM cents c, (SELECT v FROM base WHERE vec_id = {_QUERY_ID}) q)
+  WHERE rn <= {_IVFPQ_PROBE}
+), cand AS (
+  SELECT a.vec_id FROM assign a
+  WHERE a.cell_id IN (SELECT cell_id FROM probe)
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_PQ_KS})
+), cbs AS (
+  SELECT j, 0 AS m, {sub('v', 0)} AS cm FROM cb UNION ALL
+  SELECT j, 1, {sub('v', 1)} FROM cb UNION ALL
+  SELECT j, 2, {sub('v', 2)} FROM cb UNION ALL
+  SELECT j, 3, {sub('v', 3)} FROM cb
+), subv AS (
+  SELECT b.vec_id, 0 AS m, {sub('b.v', 0)} AS vm
+  FROM base b JOIN cand USING (vec_id) UNION ALL
+  SELECT b.vec_id, 1, {sub('b.v', 1)}
+  FROM base b JOIN cand USING (vec_id) UNION ALL
+  SELECT b.vec_id, 2, {sub('b.v', 2)}
+  FROM base b JOIN cand USING (vec_id) UNION ALL
+  SELECT b.vec_id, 3, {sub('b.v', 3)}
+  FROM base b JOIN cand USING (vec_id)
+), enc AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT s.vec_id, s.m, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(c.cm, c.cm)
+                      - 2 * list_dot_product(s.vm, c.cm) ASC, c.j ASC) AS rn
+    FROM subv s JOIN cbs c ON s.m = c.m) WHERE rn = 1
+), q AS (
+  SELECT m, vm AS qm FROM (
+    SELECT 0 AS m, {sub('v', 0)} AS vm FROM base
+    WHERE vec_id = {_QUERY_ID} UNION ALL
+    SELECT 1, {sub('v', 1)} FROM base WHERE vec_id = {_QUERY_ID} UNION ALL
+    SELECT 2, {sub('v', 2)} FROM base WHERE vec_id = {_QUERY_ID} UNION ALL
+    SELECT 3, {sub('v', 3)} FROM base WHERE vec_id = {_QUERY_ID})
+), adc AS (
+  SELECT c.m, c.j,
+         (list_dot_product(q.qm, q.qm)
+          - 2 * list_dot_product(q.qm, c.cm))
+         + list_dot_product(c.cm, c.cm) AS d
+  FROM cbs c JOIN q ON q.m = c.m
+), scored AS (
+  SELECT b.vec_id, {score} AS dist2
+  FROM cand b
+  {enc_joins}
+  {adc_joins}
+), short AS (
+  SELECT vec_id FROM scored WHERE vec_id != {_QUERY_ID}
+  ORDER BY dist2 ASC, vec_id LIMIT {_PQ_RERANK}
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings e
+JOIN short s ON e.vec_id = s.vec_id,
+     (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) q
+ORDER BY cosine DESC, e.vec_id LIMIT {_TOPK}
+"""
+
+
 # ------------------------------------------------------ media phash dedup
 
 #: Hamming ceiling for perceptual near-dup verification
@@ -1034,6 +1147,7 @@ QUERIES = {
     "media_phash_near_dups": q_media_phash_near_dups,
     "media_keep_best": q_media_keep_best,
     "ann_topk_pq": q_ann_topk_pq,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "knn_graph": q_knn_graph,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
@@ -1063,6 +1177,7 @@ ORACLES = {
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "ann_topk_pq": _sql_ann_topk_pq(),
+    "ivf_pq_topk": _sql_ivf_pq_topk(),
     "knn_graph": SQL_KNN_GRAPH,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(

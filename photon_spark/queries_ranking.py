@@ -541,6 +541,12 @@ def q_feature_hash_vectors(spark, sf_dir):
     collapse the token stream) → per-doc map assembly. Only (doc_id,
     bucket, sum) triples shuffle — ≤ {FH_DIM} rows per doc regardless of
     document length.
+
+    The gated output renders the vector as the ','-joined string of its
+    {FH_DIM} components in bucket order (scalar-primitive rule: the
+    driver's canonicalizer cannot hash raw array cells — round-5
+    verdict). The exact-integer md5 recompute pin in tests/test_ranking
+    checks the same fixed-width rendering.
     """
     from photon_spark.functions.sketches import _h60
     d = _docs(spark, sf_dir).where(F.col("doc_id") % FH_SAMPLE_MOD == 0)
@@ -553,8 +559,10 @@ def q_feature_hash_vectors(spark, sf_dir):
                 .groupBy("doc_id", "bucket")
                 .agg(F.sum("sign").alias("v")))
     m = F.map_from_entries(F.collect_list(F.struct("bucket", "v")))
-    vec = F.transform(F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
-                      lambda i: F.coalesce(m[i], F.lit(0)))
+    vec = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+                    lambda i: F.coalesce(m[i], F.lit(0)).cast("string")),
+        ",")
     return (cell.groupBy("doc_id")
                 .agg(vec.alias("vec"),
                      F.sum(F.abs(F.col("v"))).alias("l1_mass")))
@@ -579,7 +587,7 @@ WITH toks AS (
   LEFT JOIN cell c2 ON c2.doc_id = c.doc_id AND c2.bucket = g.b
   GROUP BY 1, 2
 )
-SELECT d.doc_id, list(d.v ORDER BY d.b) AS vec, m.l1_mass
+SELECT d.doc_id, string_agg(d.v, ',' ORDER BY d.b) AS vec, m.l1_mass
 FROM dense d
 JOIN (SELECT doc_id, CAST(sum(abs(v)) AS BIGINT) AS l1_mass
       FROM cell GROUP BY 1) m

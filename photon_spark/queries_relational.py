@@ -655,10 +655,15 @@ JOURNEY_LEN = 10
 
 def q_user_journeys(spark, sf_dir):
     """Ordered-array aggregation: each user's first {JOURNEY_LEN} event
-    types in (ts, event_id) order as an array column — behavioral
-    sequences as data (the journey relation a sequence model trains on),
-    and the gate's exercise of deterministic ORDER-SENSITIVE list
-    aggregation. One keyed shuffle; the sort is per-group."""
+    types in (ts, event_id) order — behavioral sequences as data (the
+    journey relation a sequence model trains on), and the gate's exercise
+    of deterministic ORDER-SENSITIVE list aggregation. One keyed shuffle;
+    the sort is per-group. The gated output is the '>'-joined STRING form
+    of the sequence (not the raw array): every gated output column must be
+    a scalar primitive, because the driver's canonicalizer sorts raw
+    columns with pandas and cannot hash array cells (round-5 verdict —
+    the order-sensitivity this query exists to prove survives the join
+    verbatim)."""
     from photon_spark.queries import _t
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
@@ -668,8 +673,8 @@ def q_user_journeys(spark, sf_dir):
     g = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"),
                                  arr.alias("a"))
     # slice BEFORE projecting: touch at most JOURNEY_LEN elements per user
-    journey = F.transform(
-        F.slice("a", 1, JOURNEY_LEN), lambda s: s["event_type"])
+    journey = F.array_join(F.transform(
+        F.slice("a", 1, JOURNEY_LEN), lambda s: s["event_type"]), ">")
     return g.select("user_id", "n_events", journey.alias("journey"))
 
 
@@ -678,8 +683,8 @@ WITH o AS (
   SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
 )
 SELECT user_id, count(*) AS n_events,
-       (list(event_type ORDER BY tns, event_id))[1:{JOURNEY_LEN}]
-         AS journey
+       array_to_string((list(event_type ORDER BY tns, event_id))
+                       [1:{JOURNEY_LEN}], '>') AS journey
 FROM o GROUP BY user_id
 """
 

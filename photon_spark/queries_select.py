@@ -699,9 +699,15 @@ def q_ann_recall_audit(spark, sf_dir):
         [(c, v) for c, v in cents], "cell_id long, cv array<double>")
     wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
                                                 F.col("cell_id"))
+    # probe cosines are ROUNDED to 6dp before ranking (repo float-parity
+    # policy): the two engines compute them with different kernels
+    # (Catalyst sequential fold vs DuckDB list_cosine_similarity), and an
+    # unrounded rank could flip on a sub-ulp disagreement; at 6dp ties
+    # break on cell_id identically on both sides
     probe = (q.crossJoin(F.broadcast(cents_df))
               .select("query_id", "cell_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("ccos"))
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                       .alias("ccos"))
               .withColumn("prank", F.row_number().over(wp))
               .where(F.col("prank") <= RECALL_PROBE)
               .select("query_id", "cell_id"))
@@ -754,7 +760,8 @@ WITH base AS (
     SELECT q.query_id, ce.cell_id,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qv, ce.cv) DESC, ce.cell_id
+             ORDER BY round(list_cosine_similarity(q.qv, ce.cv), 6) DESC,
+                      ce.cell_id
            ) AS prank
     FROM q CROSS JOIN cents ce) WHERE prank <= {RECALL_PROBE}
 ), ivf AS (
@@ -1219,12 +1226,21 @@ def q_corpus_build_e2e(spark, sf_dir):
               .agg(F.min("doc_id").alias("doc_id")))
     s2 = s1.join(keep, ["fingerprint", "doc_id"])
 
-    # global threshold-trick budget over (q_int) levels
+    # global threshold-trick budget over (q_int) levels. The level
+    # cumsum runs best-first (q_int desc); levels are bounded at 1e6+1
+    # rows, but even that must not become one task's sort at 100 TB —
+    # the bucketed prefix-sum kernel (chunking.cumulative_by_bucket)
+    # computes the identical inclusive cumsum with per-bucket windows +
+    # a ≤245-row driver offset rollup. `ord` = 1e6 − q_int makes the
+    # kernel's ascending order the desired descending-quality order.
+    from photon_spark.functions.chunking import cumulative_by_bucket
     lev = s2.groupBy("q_int").agg(F.sum("n_tokens").alias("tok_l"))
-    wl = (Window.orderBy(F.col("q_int").desc())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    lev = (lev.withColumn("cum", F.sum("tok_l").over(wl))
-              .withColumn("cum_before", F.col("cum") - F.col("tok_l")))
+    lev = cumulative_by_bucket(
+        lev.withColumn("ord", (F.lit(1_000_000) - F.col("q_int"))
+           .cast("long")),
+        "tok_l", "ord", bucket_width=4096)
+    lev = (lev.withColumn("cum_before", F.col("cum") - F.col("tok_l"))
+              .drop("ord"))
     B = F.lit(E2E_BUDGET)
     docs2 = s2.join(F.broadcast(lev.select("q_int", "cum", "cum_before")),
                     "q_int")

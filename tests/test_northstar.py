@@ -276,6 +276,35 @@ def test_ivf_topk_recall(emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_pq_topk_recall_and_pruning(emb):
+    # The composed index must (a) keep recall comparable to PQ-alone on
+    # this corpus, and (b) only ever return ids from the probed cells —
+    # the pruning property that makes it the 100 TB serving shape.
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, 0, k=10).collect()]
+    got = [r["vec_id"] for r in
+           similarity.ivf_pq_topk(emb, 0, k=10, n_cells=16, n_probe=4,
+                                  m_sub=4, ks=16, rerank=100).collect()]
+    assert len(got) == 10
+    assert len(set(exact) & set(got)) >= 3
+    cents = similarity.ivf_train_cells(emb, 16)
+    assigned = {r["vec_id"]: r["cell_id"]
+                for r in similarity.ivf_assign_cells(emb, cents).collect()}
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    def cos(a, b):
+        import math
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = [c for c, _ in sorted(
+        cents, key=lambda c: (-cos(c[1], qv), c[0]))[:4]]
+    assert all(assigned[v] in probe for v in got)
+
+
 def test_quantize_error_bounded_by_half_scale(emb):
     # symmetric int8: reconstruction error of any element is ≤ scale/2
     # (+1 ulp headroom); exactly the max-|x| element(s) reach full scale

@@ -139,3 +139,28 @@ def test_no_engine_private_types_in_any_oracle(sf_dir):
         if bad:
             offenders[name] = bad
     assert offenders == {}
+
+
+def test_lint_flags_complex_typed_output_columns(sf_dir):
+    # Round-5 postmortem (VERDICT.md): `user_journeys` returned a raw
+    # array<string> column; the driver's canonicalizer sorts raw columns
+    # with pandas and died with `unhashable type: 'list'` — a red gate
+    # row for a correct answer. Pin: the lint flags ANY top-level
+    # complex-typed output column (even with fully portable element
+    # types), so the next array-returning query fails locally before it
+    # ever reaches a driver window.
+    from tools.lint_oracle_types import bad_columns, connect
+
+    con = connect(sf_dir)
+    for sql, col in [
+        ("SELECT 1 AS ok, ['a', 'b'] AS seq", "seq"),          # LIST
+        ("SELECT {'a': 1} AS st", "st"),                       # STRUCT
+        ("SELECT map(['k'], [1]) AS m", "m"),                  # MAP
+        ("SELECT list(event_id) AS ids FROM events", "ids"),   # agg list
+    ]:
+        bad = bad_columns(con, sql)
+        assert [c for c, _ in bad] == [col], (sql, bad)
+        assert "driver-unhashable" in bad[0][1]
+    # scalar rendering of the same data passes
+    assert bad_columns(
+        con, "SELECT array_to_string(['a', 'b'], '>') AS seq") == []

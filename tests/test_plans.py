@@ -223,3 +223,37 @@ def test_substring_spans_join_only_on_gram_and_id_keys(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_audit_has_no_global_window(spark, sf_dir):
+    """Round-6 rewrite pin: the z-file assignment uses the bucketed-rank
+    kernel (Window partitioned by the z-range bucket), never a global
+    `row_number() OVER (ORDER BY z)` — the single-partition sort that
+    would OOM one task at 100×. Every Window node in the plan must carry
+    a partition spec."""
+    from photon_spark.queries_layout import q_zorder_skipping_audit
+
+    plan = (q_zorder_skipping_audit(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            # unpartitioned windows render `windowspecdefinition(col ASC`
+            # (no partition columns before the sort spec); partitioned
+            # ones render `windowspecdefinition(part..., sort...`
+            assert "bkt" in ln or "partitionBy" in ln, ln
+
+
+def test_corpus_e2e_budget_cumsum_is_bucketed(spark, sf_dir):
+    """Round-6 rewrite pin: the e2e budget stage's level cumsum runs on
+    chunking.cumulative_by_bucket (per-bucket windows + driver offset
+    rollup) — the plan must contain no unpartitioned Window node."""
+    from photon_spark.queries_select import q_corpus_build_e2e
+
+    df = q_corpus_build_e2e(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for c in getattr(df, "_photon_cached", []):
+        c.unpersist()
+    assert "_bucket" in plan  # the kernel's bucket key is in the plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "_bucket" in ln or "q_int" in ln, ln

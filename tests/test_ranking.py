@@ -301,7 +301,10 @@ def test_rrf_matches_recompute_from_legs(spark, sf_dir):
 
 def test_feature_hash_matches_python(spark, sf_dir):
     import hashlib
-    rows = {r["doc_id"]: (list(r["vec"]), r["l1_mass"])
+    # gated `vec` is the ','-joined fixed-width rendering (driver
+    # scalar-primitive rule); parse it back to ints for the exact pin
+    rows = {r["doc_id"]: ([int(x) for x in r["vec"].split(",")],
+                          r["l1_mass"])
             for r in qr.q_feature_hash_vectors(spark, sf_dir).collect()}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
                      .where(F.col("doc_id") % qr.FH_SAMPLE_MOD == 0) \

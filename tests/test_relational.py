@@ -218,8 +218,10 @@ def test_user_journeys_matches_naive(spark, sf_dir):
     for u, rows in by_user.items():
         rows.sort()
         assert out[u]["n_events"] == len(rows)
-        assert list(out[u]["journey"]) == [t for _, _, t in
-                                           rows[:JOURNEY_LEN]]
+        # gated journey is the '>'-joined string rendering (driver
+        # scalar-primitive rule); order must match the naive sort exactly
+        assert out[u]["journey"] == ">".join(
+            t for _, _, t in rows[:JOURNEY_LEN])
 
 
 def test_customer_spend_quartiles_balanced(spark, sf_dir):

@@ -419,12 +419,13 @@ def test_ann_recall_audit_matches_naive(spark, sf_dir):
 
 
 def test_recall_probe_margins_dominate_float_error():
-    # The recall audit picks probe cells by ranking UNROUNDED cosines on
-    # both engines (Catalyst sequential fold vs DuckDB
-    # list_cosine_similarity — different associations). Pin the per-query
-    # margin between the PROBE-th and (PROBE+1)-th nearest centroid at
-    # every gate sf, so a ~1-ulp disagreement can never flip a probe set
-    # and flake the hash gate (mirror of the ivf assignment-margin pin).
+    # The recall audit now ROUNDS probe cosines to 6dp before ranking
+    # (both engines), so a flip needs a true cosine within kernel
+    # disagreement (~1e-13) of a 5e-7 rounding boundary. This pin is the
+    # second belt: the PROBE-th/(PROBE+1)-th margin dominates float error
+    # at EVERY testdata scale factor (enumerated from /root/testdata, not
+    # a hardcoded pair, so a future gate sf is covered automatically).
+    import glob
     import os
 
     import numpy as np
@@ -432,8 +433,8 @@ def test_recall_probe_margins_dominate_float_error():
     from tests.conftest import SF_DIR
     from photon_spark.queries_select import (ANN_QMOD, RECALL_CELLS,
                                              RECALL_PROBE)
-    # the configured test sf plus the driver's gate sf, where present
-    dirs = {SF_DIR, "/root/testdata/sf0.01"}
+    # the configured test sf plus every driver testdata sf present
+    dirs = {SF_DIR, *glob.glob("/root/testdata/sf*")}
     dirs = [d for d in sorted(dirs)
             if os.path.exists(f"{d}/embeddings.parquet")]
     assert dirs, "no embeddings testdata found"

@@ -75,15 +75,21 @@ def bad_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[str, str
         base = t.split("(")[0].split("[")[0]
         if base.startswith("STRUCT") or base.startswith("LIST") \
                 or base.startswith("MAP") or t.endswith("[]"):
-            # Complex types: require EVERY base type named anywhere in the
-            # rendering to be allowlisted (not just a HUGEINT substring
-            # check — UBIGINT/UUID/INTERVAL as a struct field or list
-            # element must fail too).
-            for tok in _base_type_tokens(t):
-                if not any(tok == p or tok.startswith(p + "_")
-                           for p in ALLOWED_PREFIXES):
-                    out.append((name, t))
-                    break
+            # ANY top-level complex type is driver-unhashable, no matter
+            # how portable its element types are: the driver's
+            # canonicalizer sorts raw result columns with pandas, and
+            # sort_values on array/struct cells dies with `unhashable
+            # type: 'list'` (round-5 `user_journeys` red row). Gated
+            # outputs must render sequences as scalar strings
+            # (array_join / array_to_string) or pivot to one row per
+            # element. The base-type recursion below is secondary — it
+            # names WHICH nested type is also non-portable when one is.
+            bad_base = [tok for tok in _base_type_tokens(t)
+                        if not any(tok == p or tok.startswith(p + "_")
+                                   for p in ALLOWED_PREFIXES)]
+            detail = f" (non-portable base: {', '.join(bad_base)})" \
+                if bad_base else ""
+            out.append((name, f"{t} [complex: driver-unhashable]{detail}"))
             continue
         if not any(base == p for p in ALLOWED_PREFIXES):
             out.append((name, t))

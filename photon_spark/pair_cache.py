@@ -30,6 +30,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from photon_spark.functions import dedup
 
@@ -55,6 +56,114 @@ def _cleanup() -> None:
     for path in _PAIR_TABLES.values():
         shutil.rmtree(path, ignore_errors=True)
     _PAIR_TABLES.clear()
+
+
+class PairTable:
+    """Durable near-dup pair table maintained INCREMENTALLY — the
+    store-adjacent promotion of the process-scoped cache above, and the
+    real mine-once pipeline shape at 100 TB: the corpus is mined exactly
+    once (`build`), and every later batch extends the table through the
+    LSH band index (`update`) without ever re-scanning corpus text.
+
+    Three relations persist under ``path`` (on a cluster: shared-storage
+    tables, bucketed by (band, bucket) / id):
+
+    - ``pairs/``   — (lo_id, hi_id, jaccard), the product relation the
+      seven consumer queries read;
+    - ``bands/``   — (id, band, bucket), the LSH index new batches probe;
+    - ``shingles/`` — (id, sh), the shingle arrays exact verification
+      fetches for candidate ids only. (At extreme scale one would store
+      just signatures and re-shingle candidates from source text; the
+      table layout is the same either way.)
+
+    Update math: a MinHash candidate pair exists iff the two docs share a
+    band bucket — a doc-local property — so
+    ``pairs(A ∪ B) = pairs(A) ∪ probe(B × (A ∪ B))`` exactly: batch docs
+    probe the stored index for cross pairs and mine among themselves for
+    within-batch pairs; no stored pair is ever revisited. The
+    `pair_table_incremental_audit` gate query hash-checks this identity
+    against DuckDB's full-corpus re-mine.
+
+    Verification (exact Jaccard, 6dp) goes through the single shared
+    :func:`photon_spark.functions.dedup.verify_candidate_pairs`, so the
+    incremental path can never drift from the batch miner's values.
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int = 3, threshold: float = 0.7) -> None:
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+
+    def _p(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    def build(self, docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> None:
+        """Mine the initial corpus and materialize all three relations.
+        One shingle pass feeds the signature/banding branch, candidate
+        verification AND the persisted shingle table."""
+        sh = dedup._shingled(docs, text_col, id_col,
+                             self.shingle_n).persist()
+        buckets = dedup.minhash_band_buckets(sh, self.num_hashes,
+                                             self.bands)
+        cands = dedup.minhash_lsh_candidates(
+            docs, text_col, id_col, self.num_hashes, self.bands,
+            self.shingle_n, _shingled_df=sh)
+        pairs = dedup.verify_candidate_pairs(cands, sh, self.threshold)
+        sh.write.mode("overwrite").parquet(self._p("shingles"))
+        buckets.write.mode("overwrite").parquet(self._p("bands"))
+        pairs.write.mode("overwrite").parquet(self._p("pairs"))
+        sh.unpersist()
+
+    def update(self, new_docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> None:
+        """Fold a new batch into the table: batch×corpus pairs via the
+        stored band index, batch×batch pairs via a batch-local mine;
+        append pairs + the batch's index/shingle rows. Corpus text is
+        never touched — only candidate ids fetch stored shingles."""
+        sh_new = dedup._shingled(new_docs, text_col, id_col,
+                                 self.shingle_n).persist()
+        b_new = dedup.minhash_band_buckets(sh_new, self.num_hashes,
+                                           self.bands)
+        b_old = self.spark.read.parquet(self._p("bands"))
+        sh_old = self.spark.read.parquet(self._p("shingles"))
+
+        cross = (b_new.alias("a")
+                 .join(b_old.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket")))
+                 .select(F.col("a.id").alias("new_id"),
+                         F.col("b.id").alias("corp_id"))
+                 .distinct())
+        cross_hits = dedup.verify_candidate_pairs(
+            cross, sh_new, self.threshold,
+            left="new_id", right="corp_id", sh_right=sh_old)
+        cross_pairs = cross_hits.select(
+            F.least("new_id", "corp_id").alias("lo_id"),
+            F.greatest("new_id", "corp_id").alias("hi_id"),
+            "jaccard")
+
+        within = dedup.minhash_lsh_candidates(
+            new_docs, text_col, id_col, self.num_hashes, self.bands,
+            self.shingle_n, _shingled_df=sh_new)
+        within_pairs = dedup.verify_candidate_pairs(
+            within, sh_new, self.threshold)
+
+        # cross (new×old) and within (new×new) candidate sets are
+        # disjoint by id membership, so the union never double-counts
+        cross_pairs.unionByName(within_pairs) \
+            .write.mode("append").parquet(self._p("pairs"))
+        b_new.write.mode("append").parquet(self._p("bands"))
+        sh_new.write.mode("append").parquet(self._p("shingles"))
+        sh_new.unpersist()
+
+    def pairs(self) -> DataFrame:
+        return self.spark.read.parquet(self._p("pairs"))
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str,

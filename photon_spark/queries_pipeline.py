@@ -1106,6 +1106,193 @@ ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------- timeline gap filling
+
+#: 2024-01-01 00:00:00 UTC — hour-bucket origin (same epoch the layout
+#: audit uses)
+T0_NS = 1_704_067_200_000_000_000
+#: gate samples every GAPFILL_MOD-th user (the full transform is the
+#: operator; the gate bounds its output)
+GAPFILL_MOD = 7
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Timeline densification + forward fill: each sampled user's hourly
+    activity from their first to their last active hour, with MISSING
+    hours materialized (n_events = 0) and the last known hourly spend
+    carried forward — the resample/ffill step every per-entity
+    time-series feature pipeline runs before windowed models.
+
+    Plan: one (user, hour) aggregate collapses the event log; the spine
+    is a per-user `sequence(min_hour, max_hour)` explode (rows bounded
+    by each user's own span — never a global calendar cross-join); the
+    left join and the forward-fill window both ride the same user-keyed
+    exchange. Money stays exact: cents are summed as longs; the only
+    doubles are final single divisions rounded to 2dp on both engines.
+    """
+    e = _events(spark, sf_dir).where(
+        F.col("user_id") % GAPFILL_MOD == 0)
+    hourly = (e.select("user_id",
+                       F.expr(f"(ts - {T0_NS}) div {HOUR_NS}")
+                        .alias("hour"),
+                       F.round(F.col("value") * 100).cast("long")
+                        .alias("cents"))
+               .groupBy("user_id", "hour")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum("cents").alias("cents")))
+    span = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"),
+                                         F.max("hour").alias("h1"))
+    spine = span.select("user_id",
+                        F.explode(F.sequence("h0", "h1")).alias("hour"))
+    j = (spine.join(hourly, ["user_id", "hour"], "left"))
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ff = F.last("cents", ignorenulls=True).over(w)
+    return j.select(
+        "user_id", "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.coalesce("cents", F.lit(0)) / 100.0, 2).alias("spend"),
+        F.round(ff / 100.0, 2).alias("last_active_spend"),
+        (F.col("n_events").isNull()).cast("long").alias("is_gap"))
+
+
+SQL_EVENTS_GAP_FILL = f"""
+WITH hourly AS (
+  SELECT user_id, (epoch_ns(ts) - {T0_NS}) // {HOUR_NS} AS hour,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE user_id % {GAPFILL_MOD} = 0
+  GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM span
+)
+SELECT s.user_id, s.hour,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       round(coalesce(h.cents, 0) / 100.0, 2) AS spend,
+       round(last_value(h.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+         AS last_active_spend,
+       CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_gap
+FROM spine s
+LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+"""
+
+
+# ----------------------------------------------- watermark lateness audit
+
+#: the watermark delay policy under audit (10 minutes)
+WATERMARK_DELAY_NS = 600_000_000_000
+
+
+def q_watermark_late_audit(spark, sf_dir):
+    """Out-of-orderness audit for watermark sizing: replay each stream in
+    ARRIVAL order (event_id — photon's order_id is assigned at ingest,
+    streams.clj:296-301, so arrival order is the stream order) and
+    measure every event's lateness against the running event-time
+    high-water mark. Reports, per stream: how many events arrive behind
+    the max-seen event time at all, how many a
+    {WATERMARK_DELAY_NS // 1_000_000_000}s watermark would DROP, and the
+    worst lateness — exactly the evidence that decides
+    `withWatermark`'s delay before a streaming job ships.
+
+    Plan: one stream-keyed window (running max over the preceding
+    frame), then a per-stream aggregate on the same exchange. Integer ns
+    end-to-end; the drop rate is one final division."""
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts")
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hwm = F.max("ts").over(w)
+    late_ns = F.greatest(F.coalesce(hwm - F.col("ts"), F.lit(0)),
+                         F.lit(0))
+    d = e.select(F.col("event_type").alias("stream_name"),
+                 late_ns.alias("late_ns"))
+    return (d.groupBy("stream_name")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum((F.col("late_ns") > 0).cast("long"))
+                   .alias("n_out_of_order"),
+                  F.sum((F.col("late_ns") > WATERMARK_DELAY_NS)
+                        .cast("long")).alias("n_dropped"),
+                  F.max("late_ns").alias("max_late_ns"),
+                  F.round(F.sum((F.col("late_ns") > WATERMARK_DELAY_NS)
+                                .cast("long")) / F.count(F.lit(1)), 6)
+                   .alias("drop_rate")))
+
+
+SQL_WATERMARK_LATE_AUDIT = f"""
+WITH d AS (
+  SELECT event_type AS stream_name,
+         greatest(coalesce(
+           max(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                   ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+           - epoch_ns(ts), 0), 0) AS late_ns
+  FROM events
+)
+SELECT stream_name, count(*) AS n_events,
+       CAST(sum(CASE WHEN late_ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       CAST(sum(CASE WHEN late_ns > {WATERMARK_DELAY_NS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       max(late_ns) AS max_late_ns,
+       round(sum(CASE WHEN late_ns > {WATERMARK_DELAY_NS}
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS drop_rate
+FROM d GROUP BY 1
+"""
+
+
+# --------------------------------------------------- changelog compaction
+
+def q_changelog_compaction(spark, sf_dir):
+    """Latest-record-wins compaction: read the event log as a CDC
+    changelog keyed by (user_id, event_type) — each event supersedes the
+    key's previous state — and emit every key's CURRENT record plus how
+    many versions it compacted away. This is the MERGE/upsert-compaction
+    semantics of a Delta/Hudi-style table, expressed as a query: the
+    state photon's keyed projections hold live (streams.clj:125-145) is
+    exactly this relation's value column.
+
+    Plan: ONE keyed shuffle serves both the rank and the version count
+    (same window spec family); the rn = 1 filter compiles to
+    WindowGroupLimit, so no key materializes more than its top row after
+    the partial limit. Version order is (ts, event_id) with the id
+    tie-break — total, so compaction is deterministic."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "event_id",
+                                      "ts", "value")
+    wk = Window.partitionBy("user_id", "event_type")
+    w = wk.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+             .withColumn("n_versions", F.count(F.lit(1)).over(wk))
+             .where(F.col("rn") == 1)
+             .select("user_id", "event_type",
+                     F.col("event_id").alias("last_event_id"),
+                     F.col("ts").alias("last_ts_ns"),
+                     F.round("value", 2).alias("last_value"),
+                     F.col("n_versions").cast("long").alias("n_versions"),
+                     (F.col("n_versions") - 1).cast("long")
+                      .alias("n_superseded")))
+
+
+SQL_CHANGELOG_COMPACTION = """
+SELECT user_id, event_type, last_event_id, last_ts_ns, last_value,
+       n_versions, n_versions - 1 AS n_superseded
+FROM (
+  SELECT user_id, event_type, event_id AS last_event_id,
+         epoch_ns(ts) AS last_ts_ns, round(value, 2) AS last_value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+           AS n_versions
+  FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -1125,6 +1312,9 @@ QUERIES = {
     "vocab_coverage_audit": q_vocab_coverage_audit,
     "session_packing": q_session_packing,
     "events_hour_window_features": q_events_hour_window_features,
+    "events_gap_fill": q_events_gap_fill,
+    "watermark_late_audit": q_watermark_late_audit,
+    "changelog_compaction": q_changelog_compaction,
 }
 
 ORACLES = {
@@ -1146,4 +1336,7 @@ ORACLES = {
     "vocab_coverage_audit": _sql_vocab_coverage_audit(),
     "session_packing": SQL_SESSION_PACKING,
     "events_hour_window_features": SQL_EVENTS_HOUR_WINDOW_FEATURES,
+    "events_gap_fill": SQL_EVENTS_GAP_FILL,
+    "watermark_late_audit": SQL_WATERMARK_LATE_AUDIT,
+    "changelog_compaction": SQL_CHANGELOG_COMPACTION,
 }

@@ -801,7 +801,43 @@ QUERIES["nation_trade_volume"] = q_nation_trade_volume
 QUERIES["promo_revenue_share"] = q_promo_revenue_share
 QUERIES["price_quantity_corr"] = q_price_quantity_corr
 QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+def q_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 flavor: the distribution of orders-per-customer
+    INCLUDING the zero bucket — customers with no (non-urgent) orders
+    only exist through the outer join, the relational shape no inner
+    join can express (and the one §2.8 gap row the gate didn't yet
+    demonstrate: left-outer + double aggregation).
+
+    Plan shape: aggregate orders FIRST (one custkey shuffle with
+    map-side combine collapses the fact table to ≤ |customers| rows),
+    then left-join customers and aggregate the counts — never a
+    customers×orders join of raw rows. At 100 TB the first aggregate is
+    the only heavy exchange and AQE broadcasts the collapsed side."""
+    o = (_rd(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT")
+         .groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).alias("c_count")))
+    c = _rd(spark, sf_dir, "customer").select("c_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .select(F.coalesce("c_count", F.lit(0)).cast("long")
+                      .alias("c_count"))
+             .groupBy("c_count")
+             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+
 QUERIES["lone_late_supplier"] = q_lone_late_supplier
+QUERIES["order_count_distribution"] = q_order_count_distribution
 QUERIES["revenue_cube"] = q_revenue_cube
 QUERIES["user_journeys"] = q_user_journeys
 QUERIES["customer_spend_quartiles"] = q_customer_spend_quartiles
@@ -821,6 +857,7 @@ ORACLES = {
     "price_quantity_corr": SQL_PRICE_QUANTITY_CORR,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "lone_late_supplier": SQL_LONE_LATE_SUPPLIER,
+    "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "revenue_cube": SQL_REVENUE_CUBE,
     "user_journeys": SQL_USER_JOURNEYS,
     "customer_spend_quartiles": SQL_CUSTOMER_SPEND_QUARTILES,

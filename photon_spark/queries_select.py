@@ -385,6 +385,48 @@ def _sql_dedup_incremental() -> str:
             .replace("{mins}", mins).replace("{bands}", bands))
 
 
+# ------------------------------------- durable pair table (incremental)
+
+def q_pair_table_incremental_audit(spark, sf_dir):
+    """The durable shared pair table, PROVEN incremental: build the table
+    on the base corpus (doc_id % {NEW_MOD} != {NEW_REM}), fold the
+    remaining ~10% in as a later batch through the persisted LSH band
+    index (pair_cache.PairTable.update — batch×corpus probe + batch-local
+    mine, corpus text untouched), and return the table's full pair
+    relation. The oracle is DuckDB's from-scratch full-corpus mine
+    (`_sql_minhash`), so a hash match is the identity
+    pairs(A ∪ B) = pairs(A) ∪ probe(B × (A ∪ B)) checked cross-engine —
+    the guarantee that lets a 100 TB pipeline mine once and append
+    forever instead of re-mining per batch.
+
+    The table lives in a per-call tempdir (the gate exercises the
+    MAINTENANCE, not a cache); rows are collected before cleanup — the
+    pair relation is ≪ corpus by construction."""
+    import shutil
+    import tempfile
+    from photon_spark.pair_cache import PairTable
+
+    d = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
+    base = tempfile.mkdtemp(prefix="photon_pairtab_")
+    try:
+        pt = PairTable(spark, base, num_hashes=_NUM_HASHES, bands=_BANDS,
+                       shingle_n=3, threshold=NEAR_DUP_T)
+        pt.build(d.where(~is_new))
+        pt.update(d.where(is_new))
+        rows = [(int(r["lo_id"]), int(r["hi_id"]), float(r["jaccard"]))
+                for r in pt.pairs().collect()]
+        return spark.createDataFrame(
+            rows, "lo_id long, hi_id long, jaccard double")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _sql_pair_table_incremental_audit() -> str:
+    from photon_spark.queries_northstar import _sql_minhash
+    return _sql_minhash("documents")
+
+
 # -------------------------------------------------- Bloom decontamination
 
 def _pow2(bit):
@@ -1159,6 +1201,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "split_repair_plan": q_split_repair_plan,
     "dedup_incremental": q_dedup_incremental,
+    "pair_table_incremental_audit": q_pair_table_incremental_audit,
     "contamination_bloom": q_contamination_bloom,
     "cross_source_dups": q_cross_source_dups,
     "lang_confusion": q_lang_confusion,
@@ -1177,6 +1220,7 @@ ORACLES = {
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "split_repair_plan": SQL_SPLIT_REPAIR_PLAN,
     "dedup_incremental": _sql_dedup_incremental(),
+    "pair_table_incremental_audit": _sql_pair_table_incremental_audit(),
     "contamination_bloom": _sql_contamination_bloom(),
     "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
     "lang_confusion": SQL_LANG_CONFUSION,

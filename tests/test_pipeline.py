@@ -348,3 +348,97 @@ def test_hour_window_features_match_naive(spark, sf_dir):
             assert out[r["event_id"]]["hr_n"] == len(frame)
             assert abs(out[r["event_id"]]["hr_sum"] - cents / 100) < 0.005
     assert any(r["hr_n"] > 1 for r in out.values()), "no hour overlap"
+
+
+# ----------------------------------------- gap fill / lateness / compaction
+
+def test_events_gap_fill_matches_naive(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import (GAPFILL_MOD, HOUR_NS, T0_NS,
+                                               q_events_gap_fill)
+    out = {(r["user_id"], r["hour"]): r
+           for r in q_events_gap_fill(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .where(F.col("user_id") % GAPFILL_MOD == 0) \
+        .select("user_id", "ts", "value").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        h = (r["ts"] - T0_NS) // HOUR_NS
+        cents = int(Decimal(repr(r["value"] * 100))
+                    .quantize(Decimal("1"), ROUND_HALF_UP))
+        agg[(r["user_id"], h)][0] += 1
+        agg[(r["user_id"], h)][1] += cents
+    spans = defaultdict(lambda: [10**18, -10**18])
+    for (u, h) in agg:
+        spans[u][0] = min(spans[u][0], h)
+        spans[u][1] = max(spans[u][1], h)
+    expect_keys = {(u, h) for u, (h0, h1) in spans.items()
+                   for h in range(h0, h1 + 1)}
+    assert set(out) == expect_keys  # spine = contiguous per-user hours
+    for u, (h0, h1) in spans.items():
+        last = None
+        for h in range(h0, h1 + 1):
+            r = out[(u, h)]
+            n, cents = agg.get((u, h), (0, 0))
+            assert r["n_events"] == n
+            assert r["is_gap"] == (1 if n == 0 else 0)
+            assert abs(r["spend"] - round(cents / 100.0, 2)) < 1e-9
+            if n:
+                last = cents
+            assert last is not None  # spine starts at an active hour
+            assert abs(r["last_active_spend"]
+                       - round(last / 100.0, 2)) < 1e-9
+
+
+def test_watermark_late_audit_matches_naive(spark, sf_dir):
+    from collections import defaultdict
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import (WATERMARK_DELAY_NS,
+                                               q_watermark_late_audit)
+    out = {r["stream_name"]: r
+           for r in q_watermark_late_audit(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("event_type", "event_id", "ts").collect()
+    by_stream = defaultdict(list)
+    for r in ev:
+        by_stream[r["event_type"]].append((r["event_id"], r["ts"]))
+    assert set(out) == set(by_stream)
+    for s, rows in by_stream.items():
+        rows.sort()  # arrival order = event_id
+        hwm, n_ooo, n_drop, mx = None, 0, 0, 0
+        for _, ts in rows:
+            if hwm is not None and ts < hwm:
+                late = hwm - ts
+                n_ooo += 1
+                mx = max(mx, late)
+                if late > WATERMARK_DELAY_NS:
+                    n_drop += 1
+            hwm = ts if hwm is None else max(hwm, ts)
+        r = out[s]
+        assert (r["n_events"], r["n_out_of_order"], r["n_dropped"],
+                r["max_late_ns"]) == (len(rows), n_ooo, n_drop, mx)
+
+
+def test_changelog_compaction_matches_naive(spark, sf_dir):
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import q_changelog_compaction
+    out = {(r["user_id"], r["event_type"]): r
+           for r in q_changelog_compaction(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "event_id", "ts", "value").collect()
+    latest, counts = {}, {}
+    for r in ev:
+        k = (r["user_id"], r["event_type"])
+        counts[k] = counts.get(k, 0) + 1
+        cur = latest.get(k)
+        if cur is None or (r["ts"], r["event_id"]) > (cur["ts"],
+                                                      cur["event_id"]):
+            latest[k] = r
+    assert set(out) == set(latest)
+    for k, r in latest.items():
+        assert out[k]["last_event_id"] == r["event_id"]
+        assert out[k]["last_ts_ns"] == r["ts"]
+        assert out[k]["n_versions"] == counts[k]
+        assert out[k]["n_superseded"] == counts[k] - 1

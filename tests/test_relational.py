@@ -239,3 +239,23 @@ def test_customer_spend_quartiles_balanced(spark, sf_dir):
         # spend is non-increasing across quartiles (avg per quartile)
         avgs = [qs[q]["avg_spend"] for q in sorted(qs)]
         assert avgs == sorted(avgs, reverse=True)
+
+
+def test_order_count_distribution_conserves(spark, sf_dir):
+    from photon_spark.queries_relational import (_rd,
+                                                 q_order_count_distribution)
+    rows = q_order_count_distribution(spark, sf_dir).collect()
+    n_cust = _rd(spark, sf_dir, "customer").count()
+    n_orders = _rd(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") != "1-URGENT").count()
+    # the histogram partitions ALL customers (zero bucket via the outer
+    # join) and its weighted sum re-counts every non-urgent order
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["c_count"] * r["n_customers"] for r in rows) == n_orders
+    # zero bucket == customers with NO non-urgent order (outer-join rows);
+    # exact, because at small sf every customer may well have orders
+    with_orders = _rd(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") != "1-URGENT") \
+        .select("o_custkey").distinct().count()
+    zero = sum(r["n_customers"] for r in rows if r["c_count"] == 0)
+    assert zero == n_cust - with_orders

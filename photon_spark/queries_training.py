@@ -461,6 +461,63 @@ UNION ALL SELECT 'n_docs', n * 1.0 FROM acc
 """
 
 
+# --------------------------------------------------- calibration curve
+
+#: reliability-diagram bands over the [0,1] score
+CAL_BANDS = 10
+
+
+def q_classifier_calibration_curve(spark, sf_dir):
+    """Reliability diagram for the classifier: bucket the fixed-weight
+    head's score into {CAL_BANDS} bands and compare each band's mean
+    predicted score against the band's ACTUAL positive rate (label =
+    declared lang == 'en', the GD training target) — the calibration
+    evidence every score-thresholded corpus filter owes its threshold.
+    An over-confident band (avg_score ≫ pos_rate) means the {CLS_KEEP}
+    cutoff admits worse docs than the score claims.
+
+    Float story: scores are the 6dp-rounded shared `_cls_score`; band =
+    floor(score·{CAL_BANDS}) clamped to the last band (score 1.0);
+    means are integer-millionth sums divided once and rounded — the
+    same parity pattern as quality_classifier_filter. One Arrow profile
+    pass + a {CAL_BANDS}-row aggregate; text never shuffles."""
+    d = _docs(spark, sf_dir)
+    prof = text.text_profile(d).join(d.select("doc_id", "lang"), "doc_id")
+    sc = prof.withColumn("score", _cls_score(prof))
+    band = F.least(F.floor(F.col("score") * CAL_BANDS),
+                   F.lit(CAL_BANDS - 1)).cast("long")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    s_int = F.round(F.col("score") * 1e6).cast("long")
+    return (sc.select(band.alias("band"), s_int.alias("s"), y.alias("y"))
+              .groupBy("band")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.round(F.sum("s") / F.count(F.lit(1)) / 1e6, 6)
+                    .alias("avg_score"),
+                   F.sum("y").cast("long").alias("n_pos"),
+                   F.round(F.sum("y") / F.count(F.lit(1)), 6)
+                    .alias("pos_rate")))
+
+
+SQL_CLASSIFIER_CALIBRATION_CURVE = f"""
+WITH prof AS ({SQL_TEXT_PROFILE}), sc AS (
+  SELECT p.doc_id, d.lang,
+         round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS score
+  FROM (SELECT doc_id, n_tokens, {SQL_CLS_Z} AS z FROM prof) p
+  JOIN documents d USING (doc_id)
+)
+SELECT least(CAST(floor(score * {CAL_BANDS}) AS BIGINT),
+             {CAL_BANDS - 1}) AS band,
+       count(*) AS n_docs,
+       round(SUM(CAST(round(score * 1000000) AS BIGINT)) * 1.0
+             / count(*) / 1000000, 6) AS avg_score,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS pos_rate
+FROM sc GROUP BY 1
+"""
+
+
 # ------------------------------------------------ split-aware training
 
 def q_classifier_eval_split(spark, sf_dir):
@@ -560,6 +617,7 @@ QUERIES = {
     "cluster_split_assign": q_cluster_split_assign,
     "classifier_train_gd": q_classifier_train_gd,
     "classifier_eval_split": q_classifier_eval_split,
+    "classifier_calibration_curve": q_classifier_calibration_curve,
 }
 
 ORACLES = {
@@ -570,4 +628,5 @@ ORACLES = {
     "cluster_split_assign": _sql_cluster_split_assign(),
     "classifier_train_gd": _sql_classifier_train_gd(),
     "classifier_eval_split": _sql_classifier_eval_split(),
+    "classifier_calibration_curve": SQL_CLASSIFIER_CALIBRATION_CURVE,
 }

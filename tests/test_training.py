@@ -325,3 +325,31 @@ def test_classifier_eval_split_matches_naive(spark, sf_dir):
         assert out[sp]["n_correct"] == ok
         assert abs(out[sp]["accuracy"] - ok / n) < 2e-6
     assert "train" in expect and len(train) > 0
+
+
+def test_calibration_curve_matches_naive(spark, sf_dir):
+    # Naive recompute from the per-doc score relation: band membership,
+    # integer-millionth mean score, and positive rate must all agree.
+    from collections import defaultdict
+    from photon_spark.functions import text
+    from photon_spark.queries_training import (CAL_BANDS, _cls_score,
+                                               _docs,
+                                               q_classifier_calibration_curve)
+    out = {r["band"]: r
+           for r in q_classifier_calibration_curve(spark, sf_dir).collect()}
+    d = _docs(spark, sf_dir)
+    prof = text.text_profile(d).join(d.select("doc_id", "lang"), "doc_id")
+    rows = prof.withColumn("score", _cls_score(prof)) \
+               .select("score", "lang").collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_s_int, n_pos
+    for r in rows:
+        b = min(int(r["score"] * CAL_BANDS), CAL_BANDS - 1)
+        agg[b][0] += 1
+        agg[b][1] += round(r["score"] * 1e6)
+        agg[b][2] += 1 if r["lang"] == "en" else 0
+    assert set(out) == set(agg)
+    for b, (n, s, p) in agg.items():
+        assert out[b]["n_docs"] == n
+        assert out[b]["n_pos"] == p
+        assert abs(out[b]["avg_score"] - s / n / 1e6) < 2e-6
+        assert abs(out[b]["pos_rate"] - p / n) < 2e-6

@@ -51,11 +51,25 @@ class StreamingCorpusIngest:
                  index_dir: str, checkpoint_dir: str | None = None,
                  num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
                  threshold: float = 0.7,
-                 exact_dedup_watermark: str | None = None):
+                 exact_dedup_watermark: str | None = None,
+                 pair_dir: str | None = None, reject: bool = True):
         self.spark = spark
         self.source_dir = source_dir
         self.corpus_dir = corpus_dir
         self.index_dir = index_dir
+        #: ``pair_dir``: when set, every verified near-dup pair this
+        #: ingest discovers (cross-batch AND within-batch) is appended as
+        #: (lo_id, hi_id, jaccard) — a per-batch partition of the SAME
+        #: shared pair relation pair_cache.PairTable maintains in batch
+        #: mode, so streaming ingest and the seven batch consumers read
+        #: one table. ``reject=False`` turns rejection off (annotate-only
+        #: mode: every doc enters the corpus + index, duplicates are
+        #: RECORDED, keep-best is decided downstream) — in that mode the
+        #: accumulated pair table over any batch sequence equals the
+        #: batch miner's full-corpus mine exactly (pinned in tests),
+        #: because band membership is doc-local.
+        self.pair_dir = pair_dir
+        self.reject = reject
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="photon_spark_corpus_ckpt_")
         self.num_hashes, self.bands = num_hashes, bands
@@ -115,6 +129,7 @@ class StreamingCorpusIngest:
             sh_new, self.num_hashes, self.bands).persist()
 
         rejected_ids = None
+        hits = None
 
         # 1. cross-batch: new docs vs the persisted index. Exclude THIS
         # batch's own partition: after a crash between the writes and the
@@ -138,7 +153,7 @@ class StreamingCorpusIngest:
                          .join(corp_ids, "doc_id", "left_semi"))
             sh_corp = dedup._shingled(corp_docs, "text", "doc_id",
                                       self.shingle_n)
-            hits = self._jaccard_pairs(cands, sh_new, sh_corp)
+            hits = self._jaccard_pairs(cands, sh_new, sh_corp).persist()
             rejected_ids = hits.select(F.col("a").alias("doc_id")).distinct()
 
         # 2. within-batch: keep-lowest-id among batch near-dups
@@ -149,10 +164,32 @@ class StreamingCorpusIngest:
                         & (F.col("x.id") < F.col("y.id")))
                   .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
                   .distinct())
-        bhits = (self._jaccard_pairs(bcands, sh_new, sh_new)
-                 .select(F.col("b").alias("doc_id")).distinct())
+        bpairs = self._jaccard_pairs(bcands, sh_new, sh_new).persist()
+        bhits = bpairs.select(F.col("b").alias("doc_id")).distinct()
         rejected_ids = (bhits if rejected_ids is None
                         else rejected_ids.unionByName(bhits).distinct())
+
+        if self.pair_dir is not None:
+            # shared pair relation: normalized (lo_id, hi_id, jaccard),
+            # per-batch partition with OVERWRITE (same replay-clobber
+            # contract as the corpus/index writes)
+            pairs = bpairs.select(F.col("a").alias("lo_id"),
+                                  F.col("b").alias("hi_id"), "jaccard")
+            if hits is not None:
+                pairs = pairs.unionByName(
+                    hits.select(F.least("a", "b").alias("lo_id"),
+                                F.greatest("a", "b").alias("hi_id"),
+                                "jaccard"))
+            pairs.write.mode("overwrite").parquet(
+                f"{self.pair_dir}/batch={cur}")
+
+        if not self.reject:
+            # annotate-only mode: duplicates are recorded, not dropped —
+            # every doc enters the corpus and the index, so later batches
+            # still pair against it (the mine-once table stays COMPLETE;
+            # rejection mode, by contrast, deliberately forgets dropped
+            # docs and prunes their future pairs)
+            rejected_ids = docs.select("doc_id").limit(0)
         rejected_ids = rejected_ids.persist()
 
         accepted = docs.join(rejected_ids, "doc_id", "left_anti")
@@ -172,8 +209,10 @@ class StreamingCorpusIngest:
         self.accepted += n_acc
         self.rejected += n_input - n_acc
         self._has_corpus = True
-        for df in (docs, sh_new, buckets_new, rejected_ids):
+        for df in (docs, sh_new, buckets_new, rejected_ids, bpairs):
             df.unpersist()
+        if hits is not None:
+            hits.unpersist()
 
     # --------------------------------------------------------------- run
 

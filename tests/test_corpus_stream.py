@@ -188,3 +188,31 @@ def test_hybrid_exact_dedup_stage(spark, tmp_path):
     texts = [r["text"] for r in
              spark.read.parquet(str(tmp_path / "corpus")).collect()]
     assert len(texts) == len(set(texts))
+
+
+def test_annotate_mode_pair_table_equals_batch_mine(spark, sf_dir,
+                                                    tmp_path):
+    """Annotate-only mode (reject=False, pair_dir set): nothing is
+    dropped, every discovered pair is recorded — and the accumulated
+    streaming pair table over a 3-batch drive equals the batch miner's
+    full-corpus mine EXACTLY (ids and 6dp jaccards). This is the
+    streaming half of the shared mine-once pair relation
+    (pair_cache.PairTable is the batch half; both rest on band
+    membership being doc-local)."""
+    src, corpus, index, pairs_dir = (str(tmp_path / d) for d in
+                                     ("src", "corpus", "index", "pairs"))
+    n_rows = _drop_batches(spark, sf_dir, src)
+    ing = StreamingCorpusIngest(spark, src, corpus, index,
+                                checkpoint_dir=str(tmp_path / "ckpt"),
+                                pair_dir=pairs_dir, reject=False, **MINER)
+    acc, rej = ing.run()
+    assert (acc, rej) == (n_rows, 0)  # annotate mode never drops
+    got = {(r["lo_id"], r["hi_id"], r["jaccard"]) for r in
+           spark.read.parquet(pairs_dir)
+                .select("lo_id", "hi_id", "jaccard").collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = dedup.minhash_near_duplicates(docs, **MINER)
+    want = {(r["lo_id"], r["hi_id"], r["jaccard"])
+            for r in full.collect()}
+    dedup.release_cache(full)
+    assert want and got == want

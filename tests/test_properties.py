@@ -169,7 +169,9 @@ def test_feature_hash_additive_over_concatenation(spark, tmp_path_factory,
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long").write.mode("overwrite").parquet(d)
-    out = {r["doc_id"]: list(r["vec"])
+    # gated `vec` is the ','-joined fixed-width string (driver
+    # scalar-primitive rule); parse back to ints for the linearity check
+    out = {r["doc_id"]: [int(x) for x in r["vec"].split(",")]
            for r in qr.q_feature_hash_vectors(
                spark, os.path.dirname(d)).collect()}
     assert [a + b for a, b in zip(out[0], out[50])] == out[100]

@@ -1063,6 +1063,79 @@ SELECT id, nbr, cosine FROM ranked WHERE rn <= {KNN_K}
 """
 
 
+# ------------------------------------------------- kNN label-purity eval
+
+KNN_EVAL_K = 5
+
+
+def q_knn_label_eval(spark, sf_dir):
+    """kNN classification eval — the embedding-quality probe every vector
+    store runs: predict each vector's label as the majority label of its
+    {KNN_EVAL_K} exact nearest neighbors (tie → lowest label), score
+    against the declared label, report per-label accuracy. Low kNN
+    accuracy on a label = that class is not linearly separated in
+    embedding space — the signal that decides whether cluster-based
+    curation (SemDeDup, prune plans) can be trusted for it.
+
+    Plan: the neighbor relation IS the gated blocked-GEMM kNN kernel
+    (similarity.knn_graph — vectors shuffle once into packed blocks);
+    everything after is id+label joins (labels ride integer columns,
+    vectors never shuffle again), one vote aggregate, one
+    WindowGroupLimit argmax, one 4-row accuracy rollup."""
+    from pyspark.sql import Window
+
+    g = similarity.knn_graph(_emb(spark, sf_dir), k=KNN_EVAL_K)
+    e = _emb(spark, sf_dir).select("vec_id", "label")
+    lab = (g.join(e.select(F.col("vec_id").alias("nbr"),
+                           F.col("label").alias("nbr_label")), "nbr")
+            .join(e.select(F.col("vec_id").alias("id"),
+                           F.col("label").alias("true_label")), "id"))
+    votes = (lab.groupBy("id", "true_label", "nbr_label")
+                .agg(F.count(F.lit(1)).alias("v")))
+    w = Window.partitionBy("id").orderBy(F.desc("v"), F.asc("nbr_label"))
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1))
+    hit = (F.col("nbr_label") == F.col("true_label")).cast("long")
+    return (pred.groupBy(F.col("true_label").cast("long").alias("label"))
+                .agg(F.count(F.lit(1)).alias("n_vectors"),
+                     F.sum(hit).alias("n_correct"),
+                     F.round(F.sum(hit) / F.count(F.lit(1)), 6)
+                      .alias("knn_accuracy")))
+
+
+SQL_KNN_LABEL_EVAL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id, a.label AS true_label,
+         b.vec_id AS nbr, b.label AS nbr_label,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT id, true_label, nbr_label FROM (
+    SELECT id, true_label, nbr_label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cosine DESC, nbr) AS rn
+    FROM pairs) WHERE rn <= {KNN_EVAL_K}
+), votes AS (
+  SELECT id, true_label, nbr_label, count(*) AS v
+  FROM knn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT id, true_label, nbr_label FROM (
+    SELECT id, true_label, nbr_label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY v DESC, nbr_label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       count(*) AS n_vectors,
+       CAST(sum(CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS knn_accuracy
+FROM pred GROUP BY 1
+"""
+
+
 # ------------------------------------------------- IVF-pruned kNN graph
 
 KNN_IVF_PROBE = 3
@@ -1149,6 +1222,7 @@ QUERIES = {
     "ann_topk_pq": q_ann_topk_pq,
     "ivf_pq_topk": q_ivf_pq_topk,
     "knn_graph": q_knn_graph,
+    "knn_label_eval": q_knn_label_eval,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1179,6 +1253,7 @@ ORACLES = {
     "ann_topk_pq": _sql_ann_topk_pq(),
     "ivf_pq_topk": _sql_ivf_pq_topk(),
     "knn_graph": SQL_KNN_GRAPH,
+    "knn_label_eval": SQL_KNN_LABEL_EVAL,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

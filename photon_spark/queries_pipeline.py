@@ -1293,6 +1293,73 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------- schema drift audit
+
+WEEK_NS = 7 * 24 * 3_600_000_000_000
+
+
+def q_schema_drift_audit(spark, sf_dir):
+    """Schema drift over time: for every (stream, payload field), the
+    week it first/last appeared, how many weeks it was present, and
+    whether it arrived LATE (after the stream's own first week) — the
+    governance twin of the gated schema-inference projection
+    (default_projs.clj:8-26 infers what fields exist; this audits WHEN
+    they appeared, which is what breaks downstream consumers). A field
+    with late_arrival = 1 is a producer-side schema change nobody
+    declared.
+
+    Plan: one pass explodes top-level JSON keys (json_object_keys —
+    JVM-side, no UDF), one (stream, field) aggregate, and a
+    5-row per-stream aggregate broadcast back. Payload text never
+    shuffles — only (stream, week, key) triples."""
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("stream_name"),
+        F.expr(f"(ts - {T0_NS}) div {WEEK_NS}").alias("week"),
+        "props")
+    keys = e.select("stream_name", "week",
+                    F.explode(F.json_object_keys("props"))
+                     .alias("field_path"))
+    per = (keys.groupBy("stream_name", "field_path")
+               .agg(F.min("week").alias("first_week"),
+                    F.max("week").alias("last_week"),
+                    F.count_distinct("week").alias("n_weeks"),
+                    F.count(F.lit(1)).alias("n_events_with_field")))
+    s0 = (keys.groupBy("stream_name")
+              .agg(F.min("week").alias("stream_first_week"),
+                   F.count_distinct("week").alias("stream_weeks")))
+    return (per.join(F.broadcast(s0), "stream_name")
+               .select("stream_name", "field_path", "first_week",
+                       "last_week", "n_weeks", "n_events_with_field",
+                       "stream_weeks",
+                       (F.col("first_week") > F.col("stream_first_week"))
+                       .cast("long").alias("late_arrival")))
+
+
+SQL_SCHEMA_DRIFT_AUDIT = f"""
+WITH keys AS (
+  SELECT event_type AS stream_name,
+         (epoch_ns(ts) - {T0_NS}) // {WEEK_NS} AS week,
+         unnest(json_keys(props)) AS field_path
+  FROM events
+), per AS (
+  SELECT stream_name, field_path,
+         min(week) AS first_week, max(week) AS last_week,
+         CAST(count(DISTINCT week) AS BIGINT) AS n_weeks,
+         count(*) AS n_events_with_field
+  FROM keys GROUP BY 1, 2
+), s0 AS (
+  SELECT stream_name, min(week) AS stream_first_week,
+         CAST(count(DISTINCT week) AS BIGINT) AS stream_weeks
+  FROM keys GROUP BY 1
+)
+SELECT p.stream_name, p.field_path, p.first_week, p.last_week,
+       p.n_weeks, p.n_events_with_field, s.stream_weeks,
+       CAST(CASE WHEN p.first_week > s.stream_first_week
+            THEN 1 ELSE 0 END AS BIGINT) AS late_arrival
+FROM per p JOIN s0 s USING (stream_name)
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_rate_window": q_events_rate_window,
@@ -1315,6 +1382,7 @@ QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "watermark_late_audit": q_watermark_late_audit,
     "changelog_compaction": q_changelog_compaction,
+    "schema_drift_audit": q_schema_drift_audit,
 }
 
 ORACLES = {
@@ -1339,4 +1407,5 @@ ORACLES = {
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "watermark_late_audit": SQL_WATERMARK_LATE_AUDIT,
     "changelog_compaction": SQL_CHANGELOG_COMPACTION,
+    "schema_drift_audit": SQL_SCHEMA_DRIFT_AUDIT,
 }

@@ -60,3 +60,37 @@ def test_knn_graph_ivf_recall_floor(spark, sf_dir):
     assert recall >= 0.45, recall
     # ids covered: every vector still gets k neighbors from its manifest
     assert {i for i, _ in approx} == {i for i, _ in exact}
+
+
+def test_knn_label_eval_matches_numpy(spark, sf_dir):
+    # Full numpy recompute: exact rounded cosines, k nearest with id
+    # tie-break, majority vote with lowest-label tie-break.
+    import numpy as np
+    from collections import Counter
+    from photon_spark.queries_northstar import (KNN_EVAL_K,
+                                                q_knn_label_eval)
+    out = {r["label"]: r for r in q_knn_label_eval(spark, sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+                .select("vec_id", "embedding", "label").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    vid = np.array([r["vec_id"] for r in rows])
+    lab = np.array([r["label"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    per_label = {}
+    for i in range(len(vid)):
+        cand = [(round(float(sims[i, j]), 6), vid[j], lab[j])
+                for j in range(len(vid)) if j != i]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        votes = Counter(l for _, _, l in cand[:KNN_EVAL_K])
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        # tie -> LOWEST label: max over (count, -label)
+        pred = best[0]
+        n, ok = per_label.get(lab[i], (0, 0))
+        per_label[int(lab[i])] = (n + 1, ok + (1 if pred == lab[i] else 0))
+    assert set(out) == set(per_label)
+    for l, (n, ok) in per_label.items():
+        assert out[l]["n_vectors"] == n
+        assert out[l]["n_correct"] == ok
+        assert abs(out[l]["knn_accuracy"] - ok / n) < 2e-6

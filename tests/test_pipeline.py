@@ -442,3 +442,36 @@ def test_changelog_compaction_matches_naive(spark, sf_dir):
         assert out[k]["last_ts_ns"] == r["ts"]
         assert out[k]["n_versions"] == counts[k]
         assert out[k]["n_superseded"] == counts[k] - 1
+
+
+def test_schema_drift_audit_matches_naive(spark, sf_dir):
+    import json as _json
+    from collections import defaultdict
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import (T0_NS, WEEK_NS,
+                                               q_schema_drift_audit)
+    out = {(r["stream_name"], r["field_path"]): r
+           for r in q_schema_drift_audit(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("event_type", "ts", "props").collect()
+    weeks = defaultdict(set)      # (stream, field) -> weeks present
+    counts = defaultdict(int)     # (stream, field) -> events with field
+    stream_weeks = defaultdict(set)
+    for r in ev:
+        w = (r["ts"] - T0_NS) // WEEK_NS
+        ks = list(_json.loads(r["props"]).keys()) if r["props"] else []
+        for k in ks:
+            weeks[(r["event_type"], k)].add(w)
+            counts[(r["event_type"], k)] += 1
+        if ks:
+            stream_weeks[r["event_type"]].add(w)
+    assert set(out) == set(weeks)
+    for key, ws in weeks.items():
+        r = out[key]
+        assert r["first_week"] == min(ws)
+        assert r["last_week"] == max(ws)
+        assert r["n_weeks"] == len(ws)
+        assert r["n_events_with_field"] == counts[key]
+        assert r["stream_weeks"] == len(stream_weeks[key[0]])
+        assert r["late_arrival"] == (
+            1 if min(ws) > min(stream_weeks[key[0]]) else 0)

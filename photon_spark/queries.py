@@ -644,10 +644,17 @@ _NEWEST_FIRST = [
     "changelog_compaction",
     "watermark_late_audit",
     "pair_table_incremental_audit",
-    # classifier_calibration_curve is deliberately NOT pinned here: as a
-    # never-checked entry it sorts into the fresh block anyway, and the
-    # window is exactly full at 50 with it included — pinning it ahead
-    # would push a backlog row out.
+    "knn_label_eval",
+]
+
+
+# Round-6 queries that yield their window slot to the five-round-old
+# never-checked backlog (window capacity is 50; the backlog + changed
+# rows + the seven newest fill it exactly). These sort AFTER the other
+# fresh entries and become the head of the round-7 window.
+_DEFER_PAST_BACKLOG = [
+    "schema_drift_audit",
+    "classifier_calibration_curve",
 ]
 
 
@@ -669,6 +676,9 @@ def _gate_order(registry: dict) -> list[str]:
     head = set(newest) | set(changed)
     fresh = [n for n in registry
              if n not in _DRIVER_CHECKED_R1_R5 and n not in head]
+    # deferred round-6 entries rank behind the older never-checked rows
+    fresh = ([n for n in fresh if n not in _DEFER_PAST_BACKLOG]
+             + [n for n in _DEFER_PAST_BACKLOG if n in fresh])
     seen = [n for n in registry
             if n in _DRIVER_CHECKED_R1_R5 and n not in head]
     return newest + changed + fresh + seen

@@ -65,16 +65,22 @@ class PairTable:
     once (`build`), and every later batch extends the table through the
     LSH band index (`update`) without ever re-scanning corpus text.
 
-    Three relations persist under ``path`` (on a cluster: shared-storage
+    Two relations persist under ``path`` (on a cluster: shared-storage
     tables, bucketed by (band, bucket) / id):
 
-    - ``pairs/``   — (lo_id, hi_id, jaccard), the product relation the
+    - ``pairs/`` — (lo_id, hi_id, jaccard), the product relation the
       seven consumer queries read;
-    - ``bands/``   — (id, band, bucket), the LSH index new batches probe;
-    - ``shingles/`` — (id, sh), the shingle arrays exact verification
-      fetches for candidate ids only. (At extreme scale one would store
-      just signatures and re-shingle candidates from source text; the
-      table layout is the same either way.)
+    - ``bands/`` — (id, band, bucket), the LSH index new batches probe.
+
+    Deliberately NOT stored: shingle arrays. Exact verification needs
+    the shingle sets of CANDIDATE corpus docs only, and candidates are
+    ≪ corpus by construction — so `update` fetches just those docs from
+    the corpus relation (a partition-prunable id semi-join) and
+    re-shingles them, exactly like the streaming ingest
+    (streaming/corpus.py) does. Storing the index as short digests and
+    re-deriving verification inputs from source text is the 100 TB
+    layout: the index stays tiny and the corpus is read only where the
+    index says it matters.
 
     Update math: a MinHash candidate pair exists iff the two docs share a
     band bucket — a doc-local property — so
@@ -104,9 +110,9 @@ class PairTable:
 
     def build(self, docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> None:
-        """Mine the initial corpus and materialize all three relations.
-        One shingle pass feeds the signature/banding branch, candidate
-        verification AND the persisted shingle table."""
+        """Mine the initial corpus and materialize pairs + band index.
+        One shingle pass feeds the signature/banding branch and candidate
+        verification."""
         sh = dedup._shingled(docs, text_col, id_col,
                              self.shingle_n).persist()
         buckets = dedup.minhash_band_buckets(sh, self.num_hashes,
@@ -115,23 +121,22 @@ class PairTable:
             docs, text_col, id_col, self.num_hashes, self.bands,
             self.shingle_n, _shingled_df=sh)
         pairs = dedup.verify_candidate_pairs(cands, sh, self.threshold)
-        sh.write.mode("overwrite").parquet(self._p("shingles"))
         buckets.write.mode("overwrite").parquet(self._p("bands"))
         pairs.write.mode("overwrite").parquet(self._p("pairs"))
         sh.unpersist()
 
-    def update(self, new_docs: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> None:
+    def update(self, new_docs: DataFrame, corpus_docs: DataFrame,
+               text_col: str = "text", id_col: str = "doc_id") -> None:
         """Fold a new batch into the table: batch×corpus pairs via the
         stored band index, batch×batch pairs via a batch-local mine;
-        append pairs + the batch's index/shingle rows. Corpus text is
-        never touched — only candidate ids fetch stored shingles."""
+        append pairs + the batch's index rows. ``corpus_docs`` is the
+        already-indexed corpus relation — read ONLY at candidate ids (a
+        semi-join the storage layout can prune), never scanned."""
         sh_new = dedup._shingled(new_docs, text_col, id_col,
                                  self.shingle_n).persist()
         b_new = dedup.minhash_band_buckets(sh_new, self.num_hashes,
                                            self.bands)
         b_old = self.spark.read.parquet(self._p("bands"))
-        sh_old = self.spark.read.parquet(self._p("shingles"))
 
         cross = (b_new.alias("a")
                  .join(b_old.alias("b"),
@@ -140,6 +145,11 @@ class PairTable:
                  .select(F.col("a.id").alias("new_id"),
                          F.col("b.id").alias("corp_id"))
                  .distinct())
+        # fetch + re-shingle ONLY candidate corpus docs
+        cand_ids = cross.select(F.col("corp_id").alias(id_col)).distinct()
+        sh_old = dedup._shingled(
+            corpus_docs.join(cand_ids, id_col, "left_semi"),
+            text_col, id_col, self.shingle_n)
         cross_hits = dedup.verify_candidate_pairs(
             cross, sh_new, self.threshold,
             left="new_id", right="corp_id", sh_right=sh_old)
@@ -159,7 +169,6 @@ class PairTable:
         cross_pairs.unionByName(within_pairs) \
             .write.mode("append").parquet(self._p("pairs"))
         b_new.write.mode("append").parquet(self._p("bands"))
-        sh_new.write.mode("append").parquet(self._p("shingles"))
         sh_new.unpersist()
 
     def pairs(self) -> DataFrame:

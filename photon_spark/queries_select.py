@@ -413,7 +413,7 @@ def q_pair_table_incremental_audit(spark, sf_dir):
         pt = PairTable(spark, base, num_hashes=_NUM_HASHES, bands=_BANDS,
                        shingle_n=3, threshold=NEAR_DUP_T)
         pt.build(d.where(~is_new))
-        pt.update(d.where(is_new))
+        pt.update(d.where(is_new), corpus_docs=d.where(~is_new))
         rows = [(int(r["lo_id"]), int(r["hi_id"]), float(r["jaccard"]))
                 for r in pt.pairs().collect()]
         return spark.createDataFrame(

@@ -498,8 +498,11 @@ def test_pair_table_multi_batch_update_equals_full_mine(spark, sf_dir,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pt = PairTable(spark, str(tmp_path / "pt"))
     pt.build(docs.where(F.col("doc_id") % 3 == 0))
-    pt.update(docs.where(F.col("doc_id") % 3 == 1))
-    pt.update(docs.where(F.col("doc_id") % 3 == 2))
+    # corpus_docs = everything already indexed at each update's point
+    pt.update(docs.where(F.col("doc_id") % 3 == 1),
+              corpus_docs=docs.where(F.col("doc_id") % 3 == 0))
+    pt.update(docs.where(F.col("doc_id") % 3 == 2),
+              corpus_docs=docs.where(F.col("doc_id") % 3 != 2))
     got = {(r["lo_id"], r["hi_id"], r["jaccard"])
            for r in pt.pairs().collect()}
     full = dedup.minhash_near_duplicates(docs)

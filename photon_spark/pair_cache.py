@@ -115,15 +115,24 @@ class PairTable:
         verification."""
         sh = dedup._shingled(docs, text_col, id_col,
                              self.shingle_n).persist()
+        # ONE signature pass: the persisted band index is also the
+        # candidate generator (self-join on (band, bucket)), exactly the
+        # relation later updates probe
         buckets = dedup.minhash_band_buckets(sh, self.num_hashes,
-                                             self.bands)
-        cands = dedup.minhash_lsh_candidates(
-            docs, text_col, id_col, self.num_hashes, self.bands,
-            self.shingle_n, _shingled_df=sh)
+                                             self.bands).persist()
+        cands = (buckets.alias("a")
+                 .join(buckets.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.id") < F.col("b.id")))
+                 .select(F.col("a.id").alias("lo_id"),
+                         F.col("b.id").alias("hi_id"))
+                 .distinct())
         pairs = dedup.verify_candidate_pairs(cands, sh, self.threshold)
         buckets.write.mode("overwrite").parquet(self._p("bands"))
         pairs.write.mode("overwrite").parquet(self._p("pairs"))
         sh.unpersist()
+        buckets.unpersist()
 
     def update(self, new_docs: DataFrame, corpus_docs: DataFrame,
                text_col: str = "text", id_col: str = "doc_id") -> None:
@@ -134,8 +143,10 @@ class PairTable:
         semi-join the storage layout can prune), never scanned."""
         sh_new = dedup._shingled(new_docs, text_col, id_col,
                                  self.shingle_n).persist()
+        # one signature pass for the batch; b_new feeds THREE consumers
+        # (cross probe, within-batch self-join, index append)
         b_new = dedup.minhash_band_buckets(sh_new, self.num_hashes,
-                                           self.bands)
+                                           self.bands).persist()
         b_old = self.spark.read.parquet(self._p("bands"))
 
         cross = (b_new.alias("a")
@@ -158,9 +169,14 @@ class PairTable:
             F.greatest("new_id", "corp_id").alias("hi_id"),
             "jaccard")
 
-        within = dedup.minhash_lsh_candidates(
-            new_docs, text_col, id_col, self.num_hashes, self.bands,
-            self.shingle_n, _shingled_df=sh_new)
+        within = (b_new.alias("x")
+                  .join(b_new.alias("y"),
+                        (F.col("x.band") == F.col("y.band"))
+                        & (F.col("x.bucket") == F.col("y.bucket"))
+                        & (F.col("x.id") < F.col("y.id")))
+                  .select(F.col("x.id").alias("lo_id"),
+                          F.col("y.id").alias("hi_id"))
+                  .distinct())
         within_pairs = dedup.verify_candidate_pairs(
             within, sh_new, self.threshold)
 
@@ -170,6 +186,7 @@ class PairTable:
             .write.mode("append").parquet(self._p("pairs"))
         b_new.write.mode("append").parquet(self._p("bands"))
         sh_new.unpersist()
+        b_new.unpersist()
 
     def pairs(self) -> DataFrame:
         return self.spark.read.parquet(self._p("pairs"))

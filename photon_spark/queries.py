@@ -655,6 +655,7 @@ _NEWEST_FIRST = [
 _DEFER_PAST_BACKLOG = [
     "schema_drift_audit",
     "classifier_calibration_curve",
+    "pii_scrub_stats",
 ]
 
 

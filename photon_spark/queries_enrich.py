@@ -341,6 +341,95 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- PII scrub stats
+
+#: deterministic PII-bearing synthetic docs (the driver corpus is clean
+#: word-salad, so the scrub is gated on a closed-form table instead —
+#: the media_stats precedent)
+PII_N = 40
+
+
+def _pii_docs(spark):
+    """PII_N docs with one email / ipv4 / ssn / card / phone span each,
+    from closed forms over the row index — both engines rebuild the
+    identical text, so the gate checks Java-regex vs RE2 semantics on
+    REAL spans, not on an all-zeros corpus."""
+    i = F.col("id")
+    text = F.concat_ws(
+        " ",
+        F.lit("doc"), i.cast("string"),
+        F.lit("mail"), F.format_string("user%d@host%d.com", i, i % 7),
+        F.lit("ip"), F.format_string("10.%d.%d.%d",
+                                     i % 256, (i * 7) % 256, i % 200),
+        F.lit("ssn"), F.format_string("%03d-%02d-%04d",
+                                      100 + i % 900, 10 + i % 90,
+                                      1000 + i),
+        F.lit("card"), (F.lit(4000000000000) + i).cast("string"),
+        F.lit("tel"), F.format_string("+1 555 123 45%02d", i % 100),
+        F.lit("tail"))
+    return spark.range(PII_N).select("id", text.alias("text"))
+
+
+def q_pii_scrub_stats(spark, sf_dir):
+    """The PII scrub under the hash gate: per-kind span counts over the
+    synthetic table PLUS the md5 of every redacted document (id order) —
+    one hash pins detection counts AND the priority-ordered redaction
+    output across Java regex (Spark codegen regexp_count/replace) and
+    RE2 (DuckDB). Patterns deliberately overlap (an SSN also matches the
+    phone shape): counts run on RAW text so both engines double-count
+    identically, and the redaction order (email → … → phone) decides
+    which placeholder wins — exactly what the md5 certifies."""
+    from photon_spark.functions.pii import pii_profile, redact
+
+    docs = _pii_docs(spark)
+    prof = pii_profile(docs, "text", "id")
+    red = redact(docs).select("id", F.col("text").alias("red"))
+    arr = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("id", "red"))),
+                    lambda x: x["red"]), "|")
+    sums = prof.agg(
+        *[F.sum(f"n_{k}").alias(f"n_{k}")
+          for k in ("email", "ipv4", "ssn", "card", "phone")],
+        F.sum("n_pii").alias("n_pii"),
+        F.sum(F.col("has_pii").cast("long")).alias("n_docs_with_pii"))
+    digest = red.agg(F.md5(arr).alias("redacted_md5"))
+    return sums.crossJoin(digest)
+
+
+def _sql_pii_scrub_stats() -> str:
+    from photon_spark.functions.pii import PII_PATTERNS
+    text = ("'doc ' || i || ' mail ' || printf('user%d@host%d.com', i, i % 7)"
+            " || ' ip ' || printf('10.%d.%d.%d', i % 256, (i * 7) % 256,"
+            " i % 200)"
+            " || ' ssn ' || printf('%03d-%02d-%04d', 100 + i % 900,"
+            " 10 + i % 90, 1000 + i)"
+            " || ' card ' || (4000000000000 + i)"
+            " || ' tel ' || printf('+1 555 123 45%02d', i % 100)"
+            " || ' tail'")
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{k}"
+        for k, pat in PII_PATTERNS.items())
+    red = "text"
+    for k, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{k.upper()}]', 'g')"
+    total = " + ".join(f"c_{k}" for k in PII_PATTERNS)
+    sums = ", ".join(f"CAST(sum(c_{k}) AS BIGINT) AS n_{k}"
+                     for k in PII_PATTERNS)
+    return f"""
+WITH d AS (
+  SELECT i, {text} AS text FROM range({PII_N}) t(i)
+), c AS (
+  SELECT i, {counts}, {red} AS red FROM d
+)
+SELECT {sums},
+       CAST(sum({total}) AS BIGINT) AS n_pii,
+       CAST(sum(CASE WHEN {total} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       md5(string_agg(red, '|' ORDER BY i)) AS redacted_md5
+FROM c
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_join,
     "token_surprisal_by_source": q_token_surprisal_by_source,
@@ -348,6 +437,7 @@ QUERIES = {
     "mixture_reweight_plan": q_mixture_reweight_plan,
     "mixture_resample": q_mixture_resample,
     "events_range_join": q_events_range_join,
+    "pii_scrub_stats": q_pii_scrub_stats,
 }
 
 ORACLES = {
@@ -357,4 +447,5 @@ ORACLES = {
     "mixture_reweight_plan": SQL_MIXTURE_REWEIGHT_PLAN,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "pii_scrub_stats": _sql_pii_scrub_stats(),
 }

@@ -127,3 +127,30 @@ def test_surprisal_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["mean_surprisal_bits"] <= total.bit_length()
         assert r["n_distinct_tokens"] <= r["n_tokens"]
+
+
+def test_pii_scrub_stats_matches_python_re(spark, sf_dir):
+    # Python `re` recompute over the same closed-form docs: counts per
+    # kind AND the priority-ordered redaction output — a third engine
+    # agreeing with the Spark/DuckDB pair.
+    import re as _re
+    from photon_spark.functions.pii import PII_PATTERNS
+    from photon_spark.queries_enrich import _pii_docs, q_pii_scrub_stats
+    row = q_pii_scrub_stats(spark, sf_dir).collect()[0]
+    docs = sorted((r["id"], r["text"]) for r in _pii_docs(spark).collect())
+    counts = {k: 0 for k in PII_PATTERNS}
+    reds = []
+    for _, t in docs:
+        for k, pat in PII_PATTERNS.items():
+            counts[k] += len(_re.findall(pat, t))
+        red = t
+        for k, pat in PII_PATTERNS.items():
+            red = _re.sub(pat, f"[{k.upper()}]", red)
+        reds.append(red)
+    for k in PII_PATTERNS:
+        assert row[f"n_{k}"] == counts[k], k
+    assert row["n_pii"] == sum(counts.values())
+    assert row["n_docs_with_pii"] == len(docs)
+    import hashlib
+    want = hashlib.md5("|".join(reds).encode()).hexdigest()
+    assert row["redacted_md5"] == want

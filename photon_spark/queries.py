@@ -656,6 +656,7 @@ _DEFER_PAST_BACKLOG = [
     "schema_drift_audit",
     "classifier_calibration_curve",
     "pii_scrub_stats",
+    "skew_salted_agg",
 ]
 
 

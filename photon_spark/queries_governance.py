@@ -536,8 +536,72 @@ FROM per GROUP BY label
 """
 
 
+# ------------------------------------------------ skew-salted aggregates
+
+def q_skew_salted_agg(spark, sf_dir):
+    """The skew toolkit under the hash gate: event_type is this table's
+    maximal skew key (5 values across every row), so both manual
+    mitigations run against it and their outputs hash-check against the
+    PLAIN forms — salting is value-transparent or it is wrong.
+
+    - `skew.salted_collect_list` gathers every type's cent values in
+      ≤ 1/{SALT}-of-a-hot-key partial lists; the gated column is the md5
+      of the ','-joined ASCENDING list (scalar-primitive rule; multiset
+      equality is what salting must preserve).
+    - `skew.salted_join` joins each event row to its type's 5-row stats
+      relation through (key, salt) sub-keys; the offset checksum
+      Σ(event_id − type min_id) is exact-integer proof every row met the
+      right stats row. (A 5-row small side would of course broadcast in
+      production — the point here is gating the salted plan's values,
+      and the small side is replicated salt×, never the events.)
+    """
+    from photon_spark.functions import skew
+
+    from photon_spark.queries import _t
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    lists = skew.salted_collect_list(e, "event_type", "cents",
+                                     sorted_lists=True)
+    digest = lists.select(
+        "event_type",
+        F.md5(F.array_join(
+            F.transform("values", lambda x: x.cast("string")), ","))
+         .alias("values_md5"))
+    stats = e.groupBy("event_type").agg(F.min("event_id").alias("min_id"))
+    j = skew.salted_join(e, stats, on="event_type")
+    agg = (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
+                 F.sum(F.col("event_id") - F.col("min_id"))
+                  .alias("offset_checksum")))
+    return agg.join(digest, "event_type")
+
+
+SQL_SKEW_SALTED_AGG = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_type, min(event_id) AS min_id FROM e GROUP BY 1
+), d AS (
+  SELECT event_type,
+         md5(string_agg(cents, ',' ORDER BY cents)) AS values_md5
+  FROM e GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.cents) / 100.0, 2) AS sum_value,
+       CAST(sum(e.event_id - s.min_id) AS BIGINT) AS offset_checksum,
+       d.values_md5
+FROM e JOIN s USING (event_type) JOIN d USING (event_type)
+GROUP BY e.event_type, d.values_md5
+"""
+
+
 QUERIES = {
     "constraint_audit": q_constraint_audit,
+    "skew_salted_agg": q_skew_salted_agg,
     "embedding_coverage_audit": q_embedding_coverage_audit,
     "cohort_retention": q_cohort_retention,
     "dup_graph_clustering": q_dup_graph_clustering,
@@ -548,6 +612,7 @@ QUERIES = {
 
 ORACLES = {
     "constraint_audit": SQL_CONSTRAINT_AUDIT,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "embedding_coverage_audit": SQL_EMBEDDING_COVERAGE_AUDIT,
     "cohort_retention": SQL_COHORT_RETENTION,
     "dup_graph_clustering": _sql_clustering(),

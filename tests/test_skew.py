@@ -82,3 +82,23 @@ def test_salted_collect_list_spreads_duplicate_values(spark):
     assert n_buckets >= 4
     out = salted_collect_list(df, "k", "v").collect()
     assert len(out) == 1 and len(out[0]["values"]) == 40_000
+
+
+def test_skew_salted_agg_plan_uses_salt_keys(spark, sf_dir):
+    # The gated query must actually take the salted path: both the list
+    # aggregation and the join shuffle on composite (_salt-bearing) keys.
+    from photon_spark.queries_governance import q_skew_salted_agg
+    plan = (q_skew_salted_agg(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    # list aggregation: a real (key, _salt) exchange splits the hot key
+    salt_exchanges = [ln for ln in plan.splitlines()
+                      if "Exchange hashpartitioning" in ln
+                      and "_salt" in ln]
+    assert len(salt_exchanges) >= 1, plan
+    # join: keys carry _salt (the tiny replicated side rightly
+    # broadcasts here, so the sub-keys appear on the join, not on an
+    # exchange — with a non-broadcastable small side the same plan
+    # shuffles on them)
+    salt_joins = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "_salt" in ln]
+    assert salt_joins, plan

@@ -59,6 +59,42 @@ def order_key(id_col, seed: int):
     return F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
 
 
+def bucketed_global_rank(df: DataFrame, bucket_col: str,
+                         order_cols: list) -> DataFrame:
+    """THE bucketed-rank kernel, shared by every consumer that needs a
+    global 0-based rank without a single-partition window
+    (seeded_shuffle, the z-order audit): ``bucket_col`` must be
+    order-monotone in the sort key, so ordering by (bucket, order_cols)
+    IS the global order. Per-bucket ``row_number`` windows run in
+    parallel; bucket offsets are a ≤|buckets|-row driver rollup
+    re-broadcast as a LONG-keyed literal map (int64 end-to-end — mixed
+    int32/int64 map keys silently return NULL, the bug this shared copy
+    exists to fix exactly once).
+
+    Rows with a NULL bucket get a NULL rank (they never consume a slot)
+    — the caller's signal for bad keys, matching seeded_shuffle's NULL-id
+    contract."""
+    counts = {int(r["b"]): int(r["n"])
+              for r in df.groupBy(F.col(bucket_col).alias("b"))
+                         .agg(F.count(F.lit(1)).alias("n")).collect()
+              if r["b"] is not None}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        off_map = F.create_map(
+            *[x for b in sorted(offsets)
+              for x in (F.lit(int(b)).cast("long"),
+                        F.lit(int(offsets[b])).cast("long"))])
+        offset = F.element_at(off_map, F.col(bucket_col).cast("long"))
+    else:  # empty input (or nothing but NULL buckets)
+        offset = F.lit(None).cast("long")
+    w = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    return df.withColumn(
+        "global_rank", (offset + F.row_number().over(w) - 1).cast("long"))
+
+
 def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
                    docs_per_shard: int = 64,
                    buckets: int = DEFAULT_BUCKETS,
@@ -89,36 +125,13 @@ def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
         keyed = keyed.withColumn(
             "bkt", F.col("band") * F.lit(buckets) + F.col("bkt"))
 
-    # NULL ids → NULL key → NULL bucket: excluded from the offset table,
-    # so their positions come out NULL (they never consume a slot) and the
-    # bad rows surface instead of crashing or silently slotting.
-    counts = {int(r["bkt"]): int(r["n"])
-              for r in keyed.groupBy("bkt").agg(
-                  F.count(F.lit(1)).alias("n")).collect()
-              if r["bkt"] is not None}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    if offsets:
-        # keys and values stay LONG end-to-end: composite band·B+bucket
-        # keys from a large band (epoch-day, id-derived) overflow int32,
-        # and F.lit of a Python int picks int32 vs int64 by magnitude —
-        # mixed key types would make the map lookup return NULL. Explicit
-        # casts pin one type for every entry and for the probe column.
-        off_map = F.create_map(
-            *[x for b in sorted(offsets)
-              for x in (F.lit(int(b)).cast("long"),
-                        F.lit(int(offsets[b])).cast("long"))])
-        offset = F.element_at(off_map, F.col("bkt"))
-    else:  # empty input (or nothing but NULL ids)
-        offset = F.lit(None).cast("long")
-
-    w = Window.partitionBy("bkt").orderBy("okey", id_col)
-    pos = (offset + F.row_number().over(w) - 1).cast("long")
+    # NULL ids → NULL key → NULL bucket → NULL position via the shared
+    # kernel (they never consume a slot): the bad rows surface instead
+    # of crashing or silently slotting.
+    ranked = bucketed_global_rank(keyed, "bkt", ["okey", id_col])
     keep = [F.col(id_col)] + ([F.col("band")] if band_col is not None else [])
-    return (keyed
-            .select(*keep, pos.alias("global_pos"))
+    return (ranked
+            .select(*keep, F.col("global_rank").alias("global_pos"))
             .withColumn("shard_id",
                         F.floor(F.col("global_pos") / F.lit(docs_per_shard))
                          .cast("long"))

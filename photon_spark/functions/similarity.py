@@ -184,6 +184,30 @@ def ivf_train_cells(df: DataFrame, n_cells: int,
             for r in crows]
 
 
+def probe_cells(cents: list[tuple[int, list[float]]],
+                query_vec: list[float], n_probe: int) -> list[int]:
+    """Driver-side probe-cell choice shared by every IVF consumer
+    (ivf_topk, ivf_pq_topk): cells ranked by query-centroid cosine
+    ROUNDED to 6dp (repo float-parity policy — the oracles compute the
+    same cosine with a different kernel, and an unrounded rank could
+    flip on a sub-ulp disagreement), ties broken on cell_id. One shared
+    definition so a convention change can never desynchronize the gated
+    IVF queries' probe sets."""
+    import math
+
+    def norm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = norm(a), norm(b)
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(cents,
+                    key=lambda c: (-round(cos(c[1], query_vec), 6), c[0]))
+    return [c[0] for c in ranked[:n_probe]]
+
+
 def ivf_assign_cells(df: DataFrame, cents: list[tuple[int, list[float]]],
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
@@ -229,31 +253,19 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     reads n_probe/n_cells of the data via partition pruning; centroids come
     from a real k-means over a sample (MLlib) — the plumbing is identical.
     """
-    import math
-
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
         query_vec = _query_vector(df, id_col, vec_col, query_vec)
 
     cents = ivf_train_cells(df, n_cells, vec_col, id_col)
-
-    def norm_py(v):
-        return math.sqrt(sum(x * x for x in v))
-
     assigned = ivf_assign_cells(df, cents, vec_col, id_col)
-
-    # Probe cells: nearest centroids to the query (driver-side, tiny).
-    def cos_py(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na, nb = norm_py(a), norm_py(b)
-        return d / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(cents, key=lambda c: (-cos_py(c[1], query_vec), c[0]))
-    probe_cells = [c[0] for c in ranked[:n_probe]]
+    # Probe cells: nearest centroids to the query (driver-side, tiny;
+    # shared 6dp-rounded ranking — see probe_cells).
+    probes = probe_cells(cents, query_vec, n_probe)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = (assigned.where(F.col("cell_id").isin(probe_cells))
+    out = (assigned.where(F.col("cell_id").isin(probes))
                    .select(F.col(id_col),
                            F.round(cosine(F.col(vec_col), q), 6).alias("cosine")))
     if qid is not None:
@@ -383,8 +395,6 @@ def ivf_pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     per-cell codebook CTEs; residual PQ is a drop-in swap inside
     ``_encode`` if recall at a given bit-rate ever needs it.
     """
-    import math
-
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
@@ -392,18 +402,8 @@ def ivf_pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
 
     cents = ivf_train_cells(df, n_cells, vec_col, id_col)
     assigned = ivf_assign_cells(df, cents, vec_col, id_col)
-
-    def norm_py(v):
-        return math.sqrt(sum(x * x for x in v))
-
-    def cos_py(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na, nb = norm_py(a), norm_py(b)
-        return d / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(cents, key=lambda c: (-cos_py(c[1], query_vec), c[0]))
-    probe_cells = [c[0] for c in ranked[:n_probe]]
-    cand = (assigned.where(F.col("cell_id").isin(probe_cells))
+    cand = (assigned.where(F.col("cell_id")
+                           .isin(probe_cells(cents, query_vec, n_probe)))
                     .select(id_col, vec_col))
     return pq_topk(df, query_vec if qid is None else qid, k=k,
                    m_sub=m_sub, ks=ks, rerank=rerank,

@@ -129,10 +129,27 @@ class PairTable:
                          F.col("b.id").alias("hi_id"))
                  .distinct())
         pairs = dedup.verify_candidate_pairs(cands, sh, self.threshold)
-        buckets.write.mode("overwrite").parquet(self._p("bands"))
-        pairs.write.mode("overwrite").parquet(self._p("pairs"))
+        # wipe any previous table at this path, then land the base mine
+        # in its own batch partition (see _write_batch's replay contract)
+        for rel in ("bands", "pairs"):
+            shutil.rmtree(self._p(rel), ignore_errors=True)
+        self._write_batch("base", pairs, buckets)
         sh.unpersist()
         buckets.unpersist()
+
+    def _write_batch(self, tag: str, pairs: DataFrame,
+                     bands: DataFrame) -> None:
+        """Land one batch's rows as ``batch=<tag>`` partition dirs written
+        with OVERWRITE — the replay contract the streaming ingest uses:
+        a crashed-and-retried update (at-least-once callers) clobbers its
+        own partial partition instead of double-appending, so the
+        pairs(A∪B) identity survives retries. Non-atomicity across the
+        two writes is likewise healed by the retry (same tag, both dirs
+        rewritten)."""
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self._p("pairs"), f"batch={tag}"))
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self._p("bands"), f"batch={tag}"))
 
     def update(self, new_docs: DataFrame, corpus_docs: DataFrame,
                text_col: str = "text", id_col: str = "doc_id") -> None:
@@ -181,15 +198,24 @@ class PairTable:
             within, sh_new, self.threshold)
 
         # cross (new×old) and within (new×new) candidate sets are
-        # disjoint by id membership, so the union never double-counts
-        cross_pairs.unionByName(within_pairs) \
-            .write.mode("append").parquet(self._p("pairs"))
-        b_new.write.mode("append").parquet(self._p("bands"))
+        # disjoint by id membership, so the union never double-counts.
+        # The batch tag derives from the batch's own ids (min id is
+        # unique per batch under the global-id-uniqueness contract), so
+        # a RETRY of the same batch reuses its tag and overwrites its
+        # own partitions instead of double-appending.
+        head = new_docs.agg(F.min(id_col).alias("mn"),
+                            F.count(F.lit(1)).alias("n")).collect()[0]
+        tag = f"u{head['mn']}-{head['n']}"
+        self._write_batch(tag, cross_pairs.unionByName(within_pairs),
+                          b_new)
         sh_new.unpersist()
         b_new.unpersist()
 
     def pairs(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("pairs"))
+        # drop the batch partition column — consumers see the pure
+        # (lo_id, hi_id, jaccard) relation
+        return (self.spark.read.parquet(self._p("pairs"))
+                .select("lo_id", "hi_id", "jaccard"))
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str,

@@ -13,7 +13,6 @@ arithmetic, so the audit hash-matches DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from photon_spark.functions.layout import zvalue_expr
@@ -69,28 +68,17 @@ def q_zorder_skipping_audit(spark, sf_dir):
     # z ∈ [0, 2^(2·GRID_BITS)); leading bits → order-monotone bucket, so
     # ordering by (bkt, z, event_id) IS the global (z, event_id) order
     zspace = 1 << (2 * GRID_BITS)
+    from photon_spark.functions.ordering import bucketed_global_rank
     keyed = g.select(
         "event_id", "user_id", "hour", z.alias("z"),
         F.expr(f"event_id div {FILE_ROWS}").alias("linfile")) \
         .withColumn("bkt",
                     F.floor(F.col("z") * F.lit(ZBUCKETS) / F.lit(zspace))
                      .cast("long"))
-    counts = {int(r["bkt"]): int(r["n"])
-              for r in keyed.groupBy("bkt")
-                            .agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    off_map = F.create_map(
-        *[x for b in sorted(offsets)
-          for x in (F.lit(int(b)).cast("long"),
-                    F.lit(int(offsets[b])).cast("long"))])
-    w = Window.partitionBy("bkt").orderBy("z", "event_id")
-    rank = F.element_at(off_map, F.col("bkt")) + F.row_number().over(w) - 1
-    lay = keyed.select(
+    lay = bucketed_global_rank(keyed, "bkt", ["z", "event_id"]).select(
         "user_id", "hour",
-        (rank.cast("long") / F.lit(FILE_ROWS)).cast("long").alias("zfile"),
+        (F.col("global_rank") / F.lit(FILE_ROWS)).cast("long")
+         .alias("zfile"),
         "linfile")
 
     u1, u2 = UQ

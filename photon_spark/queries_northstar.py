@@ -397,10 +397,13 @@ WITH base AS (
            ) AS rn
     FROM base b CROSS JOIN cents c) WHERE rn = 1
 ), probe AS (
+  -- 6dp round-before-rank: the Spark side picks probes with a different
+  -- cosine kernel (probe_cells' sequential fold); see similarity.py
   SELECT cell_id FROM (
     SELECT c.cell_id,
            row_number() OVER (
-             ORDER BY list_cosine_similarity(c.cv, q.v) DESC, c.cell_id
+             ORDER BY round(list_cosine_similarity(c.cv, q.v), 6) DESC,
+                      c.cell_id
            ) AS rn
     FROM cents c, (SELECT v FROM base WHERE vec_id = {_QUERY_ID}) q)
   WHERE rn <= 4
@@ -782,10 +785,12 @@ WITH base AS (
            ) AS rn
     FROM base b CROSS JOIN cents c) WHERE rn = 1
 ), probe AS (
+  -- 6dp round-before-rank, same convention as the IVF oracle above
   SELECT cell_id FROM (
     SELECT c.cell_id,
            row_number() OVER (
-             ORDER BY list_cosine_similarity(c.cv, q.v) DESC, c.cell_id
+             ORDER BY round(list_cosine_similarity(c.cv, q.v), 6) DESC,
+                      c.cell_id
            ) AS rn
     FROM cents c, (SELECT v FROM base WHERE vec_id = {_QUERY_ID}) q)
   WHERE rn <= {_IVFPQ_PROBE}

@@ -292,16 +292,7 @@ def test_ivf_pq_topk_recall_and_pruning(emb):
                 for r in similarity.ivf_assign_cells(emb, cents).collect()}
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
-
-    def cos(a, b):
-        import math
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    probe = [c for c, _ in sorted(
-        cents, key=lambda c: (-cos(c[1], qv), c[0]))[:4]]
+    probe = similarity.probe_cells(cents, qv, 4)
     assert all(assigned[v] in probe for v in got)
 
 

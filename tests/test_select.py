@@ -511,3 +511,23 @@ def test_pair_table_multi_batch_update_equals_full_mine(spark, sf_dir,
     dedup.release_cache(full)
     assert want  # corpus has near-dups; an empty compare proves nothing
     assert got == want
+
+
+def test_pair_table_update_retry_is_idempotent(spark, sf_dir, tmp_path):
+    # At-least-once callers may retry an update; the batch=<tag>
+    # overwrite contract must make the retry clobber its own partitions,
+    # never double-append pairs.
+    from photon_spark.pair_cache import PairTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pt = PairTable(spark, str(tmp_path / "pt"))
+    base, batch = (docs.where(F.col("doc_id") % 2 == 0),
+                   docs.where(F.col("doc_id") % 2 == 1))
+    pt.build(base)
+    pt.update(batch, corpus_docs=base)
+    first = sorted((r["lo_id"], r["hi_id"], r["jaccard"])
+                   for r in pt.pairs().collect())
+    pt.update(batch, corpus_docs=base)  # the retry
+    second = sorted((r["lo_id"], r["hi_id"], r["jaccard"])
+                    for r in pt.pairs().collect())
+    assert first and second == first

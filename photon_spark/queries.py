@@ -657,6 +657,7 @@ _DEFER_PAST_BACKLOG = [
     "classifier_calibration_curve",
     "pii_scrub_stats",
     "skew_salted_agg",
+    "events_unpivot",
 ]
 
 

@@ -836,8 +836,61 @@ GROUP BY c_count
 """
 
 
+def q_events_unpivot(spark, sf_dir):
+    """UNPIVOT (stack): melt the wide per-cohort pivot report back into
+    long (cohort, metric, n) form and summarize per metric — the
+    wide→long reshape that completes the pivot/unpivot pair
+    (`events_pivot` is the long→wide half). `stack` is a map-side
+    Generate: zero extra shuffles beyond the pivot's own aggregate, and
+    the melt is where a 100-column feature report becomes the
+    (entity, feature, value) triples a feature store ingests."""
+    from photon_spark.queries import _t
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "purchase", "signup", "view", "error"]
+    wide = (e.groupBy(F.pmod("user_id", F.lit(10)).alias("cohort"))
+             .pivot("event_type", types)
+             .agg(F.count(F.lit(1)))
+             .na.fill(0, types))
+    stack_args = ", ".join(f"'{t}', {t}" for t in types)
+    long = wide.select(
+        "cohort",
+        F.expr(f"stack({len(types)}, {stack_args}) AS (metric, n)"))
+    return (long.groupBy("metric")
+                .agg(F.count(F.lit(1)).alias("n_cohorts"),
+                     F.sum((F.col("n") > 0).cast("long"))
+                      .alias("n_cohorts_active"),
+                     F.sum("n").cast("long").alias("total"),
+                     F.max("n").cast("long").alias("max_per_cohort")))
+
+
+SQL_EVENTS_UNPIVOT = """
+WITH long AS (
+  SELECT user_id % 10 AS cohort, event_type AS metric, count(*) AS n
+  FROM events
+  WHERE event_type IN ('click', 'purchase', 'signup', 'view', 'error')
+  GROUP BY 1, 2
+), cohorts AS (
+  SELECT DISTINCT user_id % 10 AS cohort FROM events
+), metrics AS (
+  SELECT unnest(['click', 'purchase', 'signup', 'view', 'error'])
+    AS metric
+), dense AS (
+  SELECT c.cohort, m.metric, coalesce(l.n, 0) AS n
+  FROM cohorts c CROSS JOIN metrics m
+  LEFT JOIN long l ON l.cohort = c.cohort AND l.metric = m.metric
+)
+SELECT metric, count(*) AS n_cohorts,
+       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cohorts_active,
+       CAST(sum(n) AS BIGINT) AS total,
+       CAST(max(n) AS BIGINT) AS max_per_cohort
+FROM dense GROUP BY metric
+"""
+
+
 QUERIES["lone_late_supplier"] = q_lone_late_supplier
 QUERIES["order_count_distribution"] = q_order_count_distribution
+QUERIES["events_unpivot"] = q_events_unpivot
 QUERIES["revenue_cube"] = q_revenue_cube
 QUERIES["user_journeys"] = q_user_journeys
 QUERIES["customer_spend_quartiles"] = q_customer_spend_quartiles
@@ -858,6 +911,7 @@ ORACLES = {
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "lone_late_supplier": SQL_LONE_LATE_SUPPLIER,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
     "revenue_cube": SQL_REVENUE_CUBE,
     "user_journeys": SQL_USER_JOURNEYS,
     "customer_spend_quartiles": SQL_CUSTOMER_SPEND_QUARTILES,

@@ -259,3 +259,20 @@ def test_order_count_distribution_conserves(spark, sf_dir):
         .select("o_custkey").distinct().count()
     zero = sum(r["n_customers"] for r in rows if r["c_count"] == 0)
     assert zero == n_cust - with_orders
+
+
+def test_events_unpivot_conserves_counts(spark, sf_dir):
+    from photon_spark.queries import _t
+    from photon_spark.queries_relational import q_events_unpivot
+    rows = {r["metric"]: r for r in q_events_unpivot(spark,
+                                                     sf_dir).collect()}
+    e = _t(spark, sf_dir, "events")
+    per_type = {r["event_type"]: r["n"] for r in
+                e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    n_cohorts = e.select(F.pmod("user_id", F.lit(10))).distinct().count()
+    assert set(rows) == set(per_type)  # all five streams melt back out
+    for t, n in per_type.items():
+        assert rows[t]["total"] == n          # melt loses nothing
+        assert rows[t]["n_cohorts"] == n_cohorts
+        assert rows[t]["n_cohorts_active"] <= n_cohorts

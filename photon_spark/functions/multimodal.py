@@ -126,6 +126,52 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("win_idx", T.IntegerType()),
+    T.StructField("win_start_ms", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def audio_window_features(df: DataFrame, window_ms: int = 500,
+                          max_windows: int = 8) -> DataFrame:
+    """Windowed audio features: split each audio payload into
+    ``min(max_windows, duration_ms // window_ms)`` equal byte windows and
+    emit per-window energy (byte sum) and peak — the 1:N audio analogue
+    of video frame sampling (speech/VAD pipelines consume exactly this
+    relation before any model runs).
+
+    Decode seam: a real pipeline decodes PCM and sums |samples|; this
+    container has no codecs, so energy runs over the raw payload bytes —
+    integer-exact, so the whole relation is oracle-checkable from the
+    synthetic blob's closed form. Map-only Arrow pass; blobs never
+    shuffle — only (id, 5 scalars) per window leave the scan."""
+
+    def windows(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                dur = int(rec.duration_ms or 0)
+                content = bytes(rec.content) if rec.content is not None \
+                    else b""
+                n = min(max_windows, max(1, dur // window_ms))
+                ln = len(content)
+                for k in range(n):
+                    a, b = k * ln // n, (k + 1) * ln // n
+                    seg = content[a:b]
+                    out.append((rec.media_id, k, k * dur // n,
+                                b - a, sum(seg),
+                                max(seg) if seg else 0))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             AUDIO_WINDOW_SCHEMA.fields])
+
+    return df.mapInPandas(windows, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def phash_bands(df: DataFrame, content_col: str = "content",
                 id_col: str = "media_id") -> DataFrame:
     """64-bit aHash-style perceptual fingerprint, emitted as 4 × 16-bit

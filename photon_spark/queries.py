@@ -658,6 +658,7 @@ _DEFER_PAST_BACKLOG = [
     "pii_scrub_stats",
     "skew_salted_agg",
     "events_unpivot",
+    "audio_window_energy",
 ]
 
 

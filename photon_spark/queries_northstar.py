@@ -614,6 +614,49 @@ FROM fr
 """
 
 
+#: audio window parameters for the gated feature relation
+AUDIO_WIN_MS, AUDIO_MAX_WIN = 500, 8
+
+
+def q_audio_window_energy(spark, sf_dir):
+    """Audio windowed energy under the hash gate: the full per-window
+    feature relation (id, window, start, bytes, energy, peak) over the
+    deterministic synthetic audio table — the oracle rebuilds every
+    window sum from the blob's closed form (byte j of media i =
+    (31i+7j) mod 256, length 256+(i mod 5)·64, duration 1000·(1+i mod
+    10) ms) entirely in SQL, so the gate certifies the 1:N mapInPandas
+    plumbing value-for-value, not just counts."""
+    media = multimodal.synthesize_media(spark, n=64, kind="audio")
+    return multimodal.audio_window_features(media, window_ms=AUDIO_WIN_MS,
+                                            max_windows=AUDIO_MAX_WIN)
+
+
+SQL_AUDIO_WINDOW_ENERGY = f"""
+WITH m AS (
+  SELECT i, 256 + (i % 5) * 64 AS len, 1000 * (1 + i % 10) AS dur,
+         least({AUDIO_MAX_WIN},
+               greatest(1, (1000 * (1 + i % 10)) // {AUDIO_WIN_MS})) AS n
+  FROM range(64) t(i)
+), bytes AS (
+  -- byte j of media i belongs to window k = ⌊((j+1)·n − 1) / len⌋ —
+  -- the exact inverse of the Python slice a_k = k·len // n (DuckDB's
+  -- generate_series can't take lateral column bounds, so windows are
+  -- assigned per byte instead of bytes enumerated per window)
+  SELECT m.i, m.dur, m.n,
+         ((g.j + 1) * m.n - 1) // m.len AS k,
+         (31 * m.i + 7 * g.j) % 256 AS v
+  FROM m CROSS JOIN generate_series(0, 511) g(j)
+  WHERE g.j < m.len
+)
+SELECT i AS media_id, CAST(k AS INTEGER) AS win_idx,
+       (k * dur) // n AS win_start_ms,
+       count(*) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS energy,
+       CAST(max(v) AS INTEGER) AS peak
+FROM bytes GROUP BY i, k, dur, n
+"""
+
+
 # ---------------------------------------------------------- n-gram novelty
 
 def q_doc_ngram_novelty(spark, sf_dir):
@@ -1228,6 +1271,7 @@ QUERIES = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "knn_graph": q_knn_graph,
     "knn_label_eval": q_knn_label_eval,
+    "audio_window_energy": q_audio_window_energy,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1259,6 +1303,7 @@ ORACLES = {
     "ivf_pq_topk": _sql_ivf_pq_topk(),
     "knn_graph": SQL_KNN_GRAPH,
     "knn_label_eval": SQL_KNN_LABEL_EVAL,
+    "audio_window_energy": SQL_AUDIO_WINDOW_ENERGY,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

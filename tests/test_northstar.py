@@ -450,3 +450,27 @@ def test_media_keep_best_invariants(spark, sf_dir):
         assert r["keep_bytes"] == sizes[best]
         assert r["dropped_bytes"] == sum(sizes[i] for i in members) \
             - sizes[best]
+
+
+def test_audio_window_features_batch_shape_and_python(spark):
+    # 1:N mapInPandas plumbing + exact python recompute of every window.
+    from photon_spark.functions import multimodal
+    media = multimodal.synthesize_media(spark, n=16, kind="audio")
+    rows = multimodal.audio_window_features(
+        media, window_ms=500, max_windows=8).collect()
+    src = {r["media_id"]: (bytes(r["content"]), r["duration_ms"])
+           for r in media.collect()}
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r)
+    assert set(got) == set(src)
+    for mid, (blob, dur) in src.items():
+        n = min(8, max(1, dur // 500))
+        ws = sorted(got[mid], key=lambda r: r["win_idx"])
+        assert [w["win_idx"] for w in ws] == list(range(n))
+        assert sum(w["n_bytes"] for w in ws) == len(blob)  # no byte lost
+        for k, w in enumerate(ws):
+            a, b = k * len(blob) // n, (k + 1) * len(blob) // n
+            assert w["energy"] == sum(blob[a:b])
+            assert w["peak"] == max(blob[a:b])
+            assert w["win_start_ms"] == k * dur // n

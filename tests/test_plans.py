@@ -161,6 +161,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     nlj_ok = {
         # block-pair GEMM manifest: non-equi join over n_blocks packed rows
         "knn_graph", "knn_graph_ivf", "embedding_near_dup_pairs",
+        # consumes the knn_graph manifest above, then id+label equi-joins
+        "knn_label_eval",
+        # crossJoin of two 1-row aggregates (counts × redaction digest)
+        "pii_scrub_stats",
         # crossJoin(broadcast(<1-row totals>)) — scalar denominators
         "bigram_lift_topk", "token_surprisal_by_source",
         "mixture_reweight_plan", "mixture_resample",

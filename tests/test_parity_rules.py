@@ -164,3 +164,40 @@ def test_lint_flags_complex_typed_output_columns(sf_dir):
     # scalar rendering of the same data passes
     assert bad_columns(
         con, "SELECT array_to_string(['a', 'b'], '>') AS seq") == []
+
+
+def test_gate_window_covers_unverified_backlog():
+    # The driver hash-checks only the FIRST 50 registry entries per
+    # round. Invariant: every query never seen green in a driver
+    # CORRECTNESS file must sit inside the window (or be explicitly
+    # parked in _DEFER_PAST_BACKLOG) — a registry edit that silently
+    # pushes an unverified query past position 50 re-opens the
+    # five-round trust gap round 6 closed.
+    import glob
+    import json
+    import os
+
+    from photon_spark import queries as q
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    union = set()
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            rec = json.load(open(p))
+        except Exception:
+            continue
+        union |= {k for k, v in rec.items()
+                  if isinstance(v, dict) and v.get("hash_match")}
+    if not union:  # no driver records present (fresh clone)
+        return
+    order = list(q.QUERIES.keys())
+    window = set(order[:50])
+    missing = [n for n in order
+               if n not in union and n not in window
+               and n not in q._DEFER_PAST_BACKLOG]
+    assert missing == [], missing
+    # deferred entries must still be adjacent to the window, not lost at
+    # the registry tail
+    for n in q._DEFER_PAST_BACKLOG:
+        if n in order:
+            assert order.index(n) < 50 + len(q._DEFER_PAST_BACKLOG) + 5, n

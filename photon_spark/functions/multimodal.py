@@ -162,10 +162,16 @@ def audio_window_features(df: DataFrame, window_ms: int = 500,
                 ln = len(content)
                 for k in range(n):
                     a, b = k * ln // n, (k + 1) * ln // n
+                    if a == b:
+                        # zero-byte window (blob shorter than n): the
+                        # per-byte oracle grouping has no row for it, so
+                        # emit none here either — the engines agree for
+                        # arbitrary short/empty blobs, not just the
+                        # gated synth data
+                        continue
                     seg = content[a:b]
                     out.append((rec.media_id, k, k * dur // n,
-                                b - a, sum(seg),
-                                max(seg) if seg else 0))
+                                b - a, sum(seg), max(seg)))
             yield pd.DataFrame(out, columns=[f.name for f in
                                              AUDIO_WINDOW_SCHEMA.fields])
 

@@ -166,15 +166,35 @@ class PairTable:
                                            self.bands).persist()
         b_old = self.spark.read.parquet(self._p("bands"))
 
+        # A RETRIED update finds its own bands already in the store —
+        # exclude the batch's own ids from the probe (batch-self pairs
+        # are the within-batch mine's job), so retry candidates reduce to
+        # exactly the first attempt's.
+        new_ids = b_new.select(F.col("id").alias("corp_id")).distinct()
         cross = (b_new.alias("a")
                  .join(b_old.alias("b"),
                        (F.col("a.band") == F.col("b.band"))
                        & (F.col("a.bucket") == F.col("b.bucket")))
                  .select(F.col("a.id").alias("new_id"),
                          F.col("b.id").alias("corp_id"))
-                 .distinct())
+                 .distinct()
+                 .join(new_ids, "corp_id", "left_anti"))
         # fetch + re-shingle ONLY candidate corpus docs
         cand_ids = cross.select(F.col("corp_id").alias(id_col)).distinct()
+        # corpus_docs must cover every already-indexed doc: a candidate id
+        # absent from it would silently vanish through the inner shingle
+        # join in verify_candidate_pairs, breaking the pairs(A∪B)
+        # identity. Id-only anti-join (corpus text untouched; cand_ids is
+        # broadcast-sized), fail loudly instead.
+        missing = (cand_ids
+                   .join(corpus_docs.select(id_col), id_col, "left_anti")
+                   .limit(5).collect())
+        if missing:
+            raise ValueError(
+                "PairTable.update: corpus_docs is missing indexed docs "
+                f"referenced by the band index (e.g. ids "
+                f"{[r[id_col] for r in missing]}); pass the FULL "
+                "already-indexed corpus relation")
         sh_old = dedup._shingled(
             corpus_docs.join(cand_ids, id_col, "left_semi"),
             text_col, id_col, self.shingle_n)

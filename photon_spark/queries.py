@@ -587,11 +587,12 @@ ORACLES.update(_tr.ORACLES)
 # --------------------------------------------------------------------------
 # Gate-window ordering
 # --------------------------------------------------------------------------
-# The driver hash-checks the FIRST 50 registry entries per round. After
-# five rounds the r01-r05 union covers 96 of 137 entries; the 41 never
-# driver-checked (`pricing_summary` … `value_mad_outliers` block) must
-# occupy this round's window, together with the queries whose gated
-# OUTPUT or PLAN round 6 changed. Values are untouched — dict order only.
+# The driver hash-checks the FIRST 50 registry entries per round. The
+# r01-r06 union covers 144 of the 150 round-6 entries; round 7's window
+# leads with the six never-driver-checked queries (deferred from round 6),
+# then any brand-new round-7 queries, then queries whose gated OUTPUT or
+# PLAN changed since their last driver check. Values are untouched — dict
+# order only.
 
 # Union of every query green in the driver's CORRECTNESS_r01..r05 files.
 _DRIVER_CHECKED_R1_R5 = frozenset([
@@ -635,41 +636,63 @@ _DRIVER_CHECKED_R1_R5 = frozenset([
 ])
 
 
-# Brand-new round-6 queries: never checked by ANYONE yet — first claim on
-# window slots.
+# Round-6 driver window (CORRECTNESS_r06.json — all 50 green).
+_DRIVER_CHECKED_R6 = frozenset([
+    "ann_recall_audit", "ann_topk_filtered", "ann_topk_multi", "bm25_topk",
+    "budget_trim", "changelog_compaction", "cohort_retention",
+    "constraint_audit", "containment_pairs", "contamination_bloom",
+    "copurchase_pairs", "corpus_build_e2e", "corpus_datacard",
+    "countmin_token_freq", "embedding_gram_int8", "events_decay_popularity",
+    "events_gap_fill", "events_pivot", "events_trending_users",
+    "feature_hash_vectors", "hard_negative_mining", "hll_distinct_audit",
+    "hybrid_rrf_topk", "idle_customers", "ivf_pq_topk",
+    "join_size_estimate", "kmv_distinct_audit", "kmv_source_overlap",
+    "knn_label_eval", "lang_confusion", "large_orders",
+    "minhash_calibration", "nation_trade_volume",
+    "order_count_distribution", "pair_table_incremental_audit",
+    "price_quantity_corr", "pricing_summary", "priority_sample",
+    "promo_revenue_share", "quality_histogram_quantiles",
+    "revenue_by_nation", "revenue_rollup", "revenue_trend",
+    "shipping_priority", "source_diversity", "top_customers_per_segment",
+    "user_journeys", "value_mad_outliers", "watermark_late_audit",
+    "zorder_skipping_audit",
+])
+
+_DRIVER_CHECKED = _DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
+
+
+# Round-7 window head: the six round-6 queries that have never been in a
+# driver window (deferred past the round-6 backlog per the pinned
+# gate-window invariant), then brand-new round-7 queries.
 _NEWEST_FIRST = [
-    "ivf_pq_topk",
-    "order_count_distribution",
-    "events_gap_fill",
-    "changelog_compaction",
-    "watermark_late_audit",
-    "pair_table_incremental_audit",
-    "knn_label_eval",
-]
-
-
-# Round-6 queries that yield their window slot to the five-round-old
-# never-checked backlog (window capacity is 50; the backlog + changed
-# rows + the seven newest fill it exactly). These sort AFTER the other
-# fresh entries and become the head of the round-7 window.
-_DEFER_PAST_BACKLOG = [
     "schema_drift_audit",
     "classifier_calibration_curve",
     "pii_scrub_stats",
     "skew_salted_agg",
     "events_unpivot",
     "audio_window_energy",
+    # brand-new round-7 queries
+    "image_decode_stats",
 ]
 
 
-# Queries whose gated OUTPUT or PLAN round 6 changed: user_journeys (array
-# journey → '>'-joined string, the r05 red row), ann_recall_audit (probe
-# cosines now 6dp-rounded before ranking), zorder_skipping_audit (bucketed
-# rank replaces the global window; hash pinned identical locally). The
-# driver must re-verify each. feature_hash_vectors also changed (vec →
-# ','-joined string) but is already in the never-checked block below.
+_DEFER_PAST_BACKLOG: list = []
+
+
+# Queries whose gated OUTPUT or PLAN changed since their last driver
+# check, so the driver must re-verify them this round:
+# - ann_topk_ivf: round 6's shared probe_cells 6dp round-before-rank also
+#   rewrote its oracle SQL, but only ann_recall_audit was re-driver-checked
+#   (round-6 ADVICE item) — close that gap now.
+# - changelog_compaction: last_value now uses the integer-cents float
+#   pattern (round-6 ADVICE item); hash pinned identical locally.
+# - pair_table_incremental_audit: driver-side collect removed — plan
+#   changed, output identical.
+# - audio_window_energy: zero-byte window semantics aligned with the
+#   oracle for short blobs (round-6 ADVICE item) — listed in
+#   _NEWEST_FIRST already, so no entry here.
 _CHANGED_THIS_ROUND = [
-    "user_journeys", "ann_recall_audit", "zorder_skipping_audit",
+    "ann_topk_ivf", "changelog_compaction", "pair_table_incremental_audit",
 ]
 
 
@@ -679,12 +702,12 @@ def _gate_order(registry: dict) -> list[str]:
                if n in registry and n not in newest]
     head = set(newest) | set(changed)
     fresh = [n for n in registry
-             if n not in _DRIVER_CHECKED_R1_R5 and n not in head]
-    # deferred round-6 entries rank behind the older never-checked rows
+             if n not in _DRIVER_CHECKED and n not in head]
+    # deferred entries rank behind the older never-checked rows
     fresh = ([n for n in fresh if n not in _DEFER_PAST_BACKLOG]
              + [n for n in _DEFER_PAST_BACKLOG if n in fresh])
     seen = [n for n in registry
-            if n in _DRIVER_CHECKED_R1_R5 and n not in head]
+            if n in _DRIVER_CHECKED and n not in head]
     return newest + changed + fresh + seen
 
 

@@ -1257,12 +1257,17 @@ def q_changelog_compaction(spark, sf_dir):
     exactly this relation's value column.
 
     Plan: ONE keyed shuffle serves both the rank and the version count
-    (same window spec family); the rn = 1 filter compiles to
-    WindowGroupLimit, so no key materializes more than its top row after
-    the partial limit. Version order is (ts, event_id) with the id
-    tie-break — total, so compaction is deterministic."""
-    e = _events(spark, sf_dir).select("user_id", "event_type", "event_id",
-                                      "ts", "value")
+    (same window spec family). Note the unordered count(*) window must
+    see every row of its key, so the rn = 1 filter canNOT push below it
+    as a WindowGroupLimit — both windows evaluate over the full key
+    group, then the filter keeps the top row. Version order is
+    (ts, event_id) with the id tie-break — total, so compaction is
+    deterministic. Money follows the repo's integer-cents pattern (cents
+    long at scan, one divide+round at output) so Spark's BigDecimal
+    HALF_UP and DuckDB's round can never disagree on halfway doubles."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
     wk = Window.partitionBy("user_id", "event_type")
     w = wk.orderBy(F.desc("ts"), F.desc("event_id"))
     return (e.withColumn("rn", F.row_number().over(w))
@@ -1271,7 +1276,8 @@ def q_changelog_compaction(spark, sf_dir):
              .select("user_id", "event_type",
                      F.col("event_id").alias("last_event_id"),
                      F.col("ts").alias("last_ts_ns"),
-                     F.round("value", 2).alias("last_value"),
+                     F.round(F.col("cents") / 100.0, 2)
+                      .alias("last_value"),
                      F.col("n_versions").cast("long").alias("n_versions"),
                      (F.col("n_versions") - 1).cast("long")
                       .alias("n_superseded")))
@@ -1282,7 +1288,9 @@ SELECT user_id, event_type, last_event_id, last_ts_ns, last_value,
        n_versions, n_versions - 1 AS n_superseded
 FROM (
   SELECT user_id, event_type, event_id AS last_event_id,
-         epoch_ns(ts) AS last_ts_ns, round(value, 2) AS last_value,
+         epoch_ns(ts) AS last_ts_ns,
+         round(CAST(round(value * 100) AS BIGINT) / 100.0, 2)
+           AS last_value,
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY epoch_ns(ts) DESC, event_id DESC)
            AS rn,

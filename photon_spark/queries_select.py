@@ -400,8 +400,10 @@ def q_pair_table_incremental_audit(spark, sf_dir):
     forever instead of re-mining per batch.
 
     The table lives in a per-call tempdir (the gate exercises the
-    MAINTENANCE, not a cache); rows are collected before cleanup — the
-    pair relation is ≪ corpus by construction."""
+    MAINTENANCE, not a cache), cleaned at interpreter exit so the
+    returned relation stays parquet-backed — no driver collect; the
+    caller scans the table the way production consumers would."""
+    import atexit
     import shutil
     import tempfile
     from photon_spark.pair_cache import PairTable
@@ -409,17 +411,15 @@ def q_pair_table_incremental_audit(spark, sf_dir):
     d = _docs(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
     base = tempfile.mkdtemp(prefix="photon_pairtab_")
-    try:
-        pt = PairTable(spark, base, num_hashes=_NUM_HASHES, bands=_BANDS,
-                       shingle_n=3, threshold=NEAR_DUP_T)
-        pt.build(d.where(~is_new))
-        pt.update(d.where(is_new), corpus_docs=d.where(~is_new))
-        rows = [(int(r["lo_id"]), int(r["hi_id"]), float(r["jaccard"]))
-                for r in pt.pairs().collect()]
-        return spark.createDataFrame(
-            rows, "lo_id long, hi_id long, jaccard double")
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    pt = PairTable(spark, base, num_hashes=_NUM_HASHES, bands=_BANDS,
+                   shingle_n=3, threshold=NEAR_DUP_T)
+    pt.build(d.where(~is_new))
+    pt.update(d.where(is_new), corpus_docs=d.where(~is_new))
+    return pt.pairs().select(
+        F.col("lo_id").cast("long").alias("lo_id"),
+        F.col("hi_id").cast("long").alias("hi_id"),
+        F.col("jaccard").cast("double").alias("jaccard"))
 
 
 def _sql_pair_table_incremental_audit() -> str:

@@ -513,6 +513,24 @@ def test_pair_table_multi_batch_update_equals_full_mine(spark, sf_dir,
     assert got == want
 
 
+def test_pair_table_update_rejects_partial_corpus(spark, sf_dir, tmp_path):
+    # corpus_docs must be the FULL already-indexed corpus: a candidate id
+    # missing from it would silently vanish through the inner shingle
+    # join, breaking the pairs(A∪B) identity — update() must fail loudly
+    # instead.
+    from photon_spark.pair_cache import PairTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pt = PairTable(spark, str(tmp_path / "pt"))
+    base, batch = (docs.where(F.col("doc_id") % 2 == 0),
+                   docs.where(F.col("doc_id") % 2 == 1))
+    pt.build(base)
+    # base has near-dup pairs (asserted by the identity test above), so a
+    # half-empty corpus is guaranteed to strand some candidate ids
+    with pytest.raises(ValueError, match="missing indexed docs"):
+        pt.update(batch, corpus_docs=base.where(F.col("doc_id") % 4 == 0))
+
+
 def test_pair_table_update_retry_is_idempotent(spark, sf_dir, tmp_path):
     # At-least-once callers may retry an update; the batch=<tag>
     # overwrite contract must make the retry clobber its own partitions,

@@ -614,6 +614,45 @@ FROM fr
 """
 
 
+#: PNG fixture size for the gated decode relation
+PNG_N = 48
+
+
+def q_image_decode_stats(spark, sf_dir):
+    """REAL image decode under the hash gate: per-image pixel statistics
+    (dims, exact luma sum, min/max, 6dp mean) from actually-decoded PNG
+    pixel data — the fixture encodes each image with all five PNG
+    scanline filters cycling per row, and the engine decodes with the
+    pure-stdlib codec (multimodal.decode_png: zlib inflate + per-row
+    unfilter, CRC-checked; no PIL). The oracle re-derives every statistic
+    from the pixel closed form (pixel (x,y) of image i =
+    (31i + 7y + 3x) mod 256, dims (16 + i mod 9) × (12 + i mod 7))
+    entirely in SQL — a hash match therefore proves
+    encode → inflate → unfilter reproduces ground-truth pixels
+    value-for-value. Map-only Arrow pass; blobs never shuffle."""
+    media = multimodal.synthesize_png_media(spark, n=PNG_N)
+    return multimodal.image_decode_features(media)
+
+
+SQL_IMAGE_DECODE_STATS = f"""
+WITH m AS (
+  SELECT i, 16 + i % 9 AS w, 12 + i % 7 AS h FROM range({PNG_N}) t(i)
+), px AS (
+  SELECT m.i, m.w, m.h,
+         (31 * m.i + 7 * (g.j // m.w) + 3 * (g.j % m.w)) % 256 AS v
+  FROM m CROSS JOIN generate_series(0, 24 * 18 - 1) g(j)
+  WHERE g.j < m.w * m.h
+)
+SELECT i AS media_id, CAST(w AS INTEGER) AS decoded_w,
+       CAST(h AS INTEGER) AS decoded_h,
+       count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS luma_sum,
+       CAST(min(v) AS INTEGER) AS min_luma,
+       CAST(max(v) AS INTEGER) AS max_luma,
+       round(CAST(sum(v) AS BIGINT) / (count(*) * 1.0), 6) AS mean_luma
+FROM px GROUP BY i, w, h
+"""
+
+
 #: audio window parameters for the gated feature relation
 AUDIO_WIN_MS, AUDIO_MAX_WIN = 500, 8
 
@@ -1272,6 +1311,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "knn_label_eval": q_knn_label_eval,
     "audio_window_energy": q_audio_window_energy,
+    "image_decode_stats": q_image_decode_stats,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1304,6 +1344,7 @@ ORACLES = {
     "knn_graph": SQL_KNN_GRAPH,
     "knn_label_eval": SQL_KNN_LABEL_EVAL,
     "audio_window_energy": SQL_AUDIO_WINDOW_ENERGY,
+    "image_decode_stats": SQL_IMAGE_DECODE_STATS,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

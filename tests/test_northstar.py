@@ -407,6 +407,69 @@ def test_decode_stub_raises_on_null(spark):
         multimodal._decode_image(None, 4, 4)
 
 
+def test_png_roundtrip_grey_all_filters():
+    # the fixture's filter schedule (y % 5) exercises every PNG scanline
+    # filter; round-trip must reproduce the exact pixels
+    for i in (0, 3, 11):
+        w, h = 16 + i % 9, 12 + i % 7
+        px = bytes((31 * i + 7 * y + 3 * x) % 256
+                   for y in range(h) for x in range(w))
+        blob = multimodal.encode_png(px, w, h)
+        assert multimodal.decode_png(blob) == (w, h, 1, px)
+
+
+def test_png_roundtrip_rgb():
+    import random
+    rng = random.Random(42)
+    w, h = 13, 9
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    blob = multimodal.encode_png(px, w, h, channels=3)
+    assert multimodal.decode_png(blob) == (w, h, 3, px)
+
+
+def test_png_decode_rejects_corruption():
+    px = bytes(range(64))
+    blob = bytearray(multimodal.encode_png(px, 8, 8))
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"JUNK" + blob[4:])
+    blob[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(blob))
+
+
+def test_decode_image_routes_png_to_real_decoder():
+    px = bytes((7 * y + 3 * x) % 256 for y in range(6) for x in range(5))
+    d = multimodal._decode_image(multimodal.encode_png(px, 5, 6), 5, 6)
+    assert d["n_pixels"] == 30
+    assert d["luma_sum"] == sum(px)
+    assert (d["min_luma"], d["max_luma"]) == (min(px), max(px))
+    assert (d["decoded_w"], d["decoded_h"]) == (5, 6)
+    # RGB luma is the integer Rec.601 weighting of real channel values
+    rgb = bytes([200, 100, 50] * 4)
+    d3 = multimodal._decode_image(multimodal.encode_png(rgb, 2, 2,
+                                                        channels=3), 2, 2)
+    assert d3["luma_sum"] == 4 * ((299 * 200 + 587 * 100 + 114 * 50)
+                                  // 1000)
+    # non-PNG payloads still take the documented byte-mean fake seam
+    assert "n_pixels" not in multimodal._decode_image(b"\x01\x02\x03", 3, 1)
+
+
+def test_image_decode_features_blob_free_output(spark):
+    media = multimodal.synthesize_png_media(spark, n=12)
+    feats = multimodal.image_decode_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        w, h = 16 + i % 9, 12 + i % 7
+        px = [(31 * i + 7 * y + 3 * x) % 256
+              for y in range(h) for x in range(w)]
+        assert (r["decoded_w"], r["decoded_h"]) == (w, h)
+        assert r["n_pixels"] == w * h and r["luma_sum"] == sum(px)
+    # map-only: no exchange in the decode plan
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_media_stats_prunes_blobs(spark):
     media = multimodal.synthesize_media(spark, n=16)
     stats = multimodal.media_stats(media).collect()

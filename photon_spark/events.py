@@ -71,9 +71,42 @@ def coerce_order_bound(from_: int) -> int:
     return from_
 
 
+def _writer_start_slot(base_order_id: int, now_ms: int,
+                       writer_id: int, n_writers: int) -> tuple[int, int, int]:
+    """First free writer-slot for a batch: returns ``(start_slot, lo,
+    width)`` where writer ``writer_id`` owns counter positions
+    ``[lo, lo+width)`` of each ms and slot ``k`` encodes as
+    ``order_id = (k // width)*1000 + lo + (k % width)``.
+
+    The sub-ranges partition the per-ms 0..999 counter space, so ids from
+    different writers are disjoint BY CONSTRUCTION — uniqueness never
+    depends on a writer observing the others' high-water marks, which is
+    what makes concurrent ingest safe under the reference's encoding
+    ceiling (streams.clj:298-301). ``start_slot`` is the smallest own
+    slot that is both > ``base_order_id`` and not before the wall
+    clock's first slot of ``now_ms``."""
+    if not (1 <= n_writers <= 1000):
+        raise ValueError("n_writers must be in [1, 1000]")
+    if not (0 <= writer_id < n_writers):
+        raise ValueError(f"writer_id {writer_id} out of range "
+                         f"[0, {n_writers})")
+    width = 1000 // n_writers
+    lo = writer_id * width
+    t = base_order_id + 1          # minimum permitted order_id
+    ms_b, off = divmod(t, 1000)
+    if off <= lo:
+        after_base = ms_b * width
+    elif off > lo + width - 1:
+        after_base = (ms_b + 1) * width
+    else:
+        after_base = ms_b * width + (off - lo)
+    return max(after_base, now_ms * width), lo, width
+
+
 def stamp_events(df: DataFrame, base_order_id: int = 0,
                  partition_offsets: dict[int, int] | None = None,
-                 now_ms: int | None = None) -> DataFrame:
+                 now_ms: int | None = None, writer_id: int = 0,
+                 n_writers: int = 1) -> DataFrame:
     """Assign ``event_time`` + monotonic unique ``order_id`` to a batch.
 
     order_id = unix_millis(event_time) * 1000 + (per-ms counter mod 1000),
@@ -86,6 +119,14 @@ def stamp_events(df: DataFrame, base_order_id: int = 0,
     ``base_order_id``: max order_id already in the table, so appended batches
     stay globally monotonic across micro-batches (driver-side bookkeeping in
     the streaming ingest path, SURVEY.md §4 custom-work #2).
+
+    ``writer_id``/``n_writers``: concurrent-ingest support. Each writer
+    owns a ``1000 // n_writers``-wide sub-range of the per-ms counter
+    (see :func:`_writer_start_slot`), so two writers appending to the
+    same store can never collide even when their views of the table max
+    are stale; each writer's own ids stay monotonic. The default (one
+    writer owning the whole 0..999 range) reproduces the single-writer
+    formula bit-for-bit.
 
     Sequence assignment: with ``partition_offsets`` (cumulative row offsets
     per input partition id, as :meth:`EventStore.ingest` computes from one
@@ -117,11 +158,16 @@ def stamp_events(df: DataFrame, base_order_id: int = 0,
     else:
         w = Window.orderBy(F.monotonically_increasing_id())
         seq = F.row_number().over(w).cast("long") - F.lit(1)
-    candidate = F.lit(now_ms * 1000).cast("long") + seq
-    df = df.withColumn(
-        "order_id",
-        F.greatest(candidate, F.lit(base_order_id + 1) + seq),
-    )
+    start, lo, width = _writer_start_slot(base_order_id, now_ms,
+                                          writer_id, n_writers)
+    # integer `div`, not `/`: slots reach ~1.8e15 (ms × width), where
+    # double-division floor can misround near exact multiples
+    df = (df.withColumn("_slot", F.lit(start).cast("long") + seq)
+            .withColumn(
+                "order_id",
+                F.expr(f"(_slot div {width}) * 1000L + {lo} "
+                       f"+ _slot % {width}").cast("long"))
+            .drop("_slot"))
     return df.select(*[F.col(c) for c in _CLIENT_FIELDS], "event_time", "order_id")
 
 
@@ -147,22 +193,38 @@ class EventStore:
     _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
     def __init__(self, spark: SparkSession, path: str,
-                 fmt: str = "parquet"):
+                 fmt: str = "parquet", writer_id: int = 0,
+                 n_writers: int = 1):
         if fmt not in self.FORMATS:
             raise ValueError(f"unsupported backend format {fmt!r}; "
                              f"one of {self.FORMATS}")
         self.spark = spark
         self.path = path
         self.fmt = fmt
+        #: concurrent-ingest identity: this handle stamps order_ids only
+        #: inside its own 1000//n_writers-wide sub-range of the per-ms
+        #: counter (see stamp_events), so N handles with distinct
+        #: writer_ids can append to one store without coordination and
+        #: never collide — the reference's single-process design ceiling
+        #: (streams.clj:298-301) lifted to multi-writer.
+        if not (1 <= n_writers <= 1000):
+            raise ValueError("n_writers must be in [1, 1000]")
+        if not (0 <= writer_id < n_writers):
+            raise ValueError(f"writer_id {writer_id} out of range "
+                             f"[0, {n_writers})")
+        self.writer_id = writer_id
+        self.n_writers = n_writers
         #: A9 global incoming counter (since construction, mirroring
         #: photon's since-boot atom, streams.clj:290-303).
         self.ingested = 0
         #: max-order_id high-water mark: scanned lazily once, then
         #: maintained arithmetically per ingest (stamping is deterministic,
         #: see stamp_events) and invalidated by the delete/maintenance
-        #: paths. Single-writer-instance assumption, same as photon's one
-        #: server process per store: a SECOND EventStore appending to the
-        #: same path concurrently would stale this cache.
+        #: paths. With n_writers > 1 this tracks THIS writer's high-water
+        #: (concurrent appends by other writers are invisible to it) —
+        #: safe, because sub-range disjointness makes uniqueness
+        #: independent of cache freshness; only own-monotonicity needs
+        #: the own mark.
         self._max_oid: int | None = None
 
     def _write_opts(self, writer):
@@ -224,7 +286,9 @@ class EventStore:
             base = self.max_order_id()
             now_ms = int(time.time() * 1000)
             stamped = stamp_events(src, base, partition_offsets=offsets,
-                                   now_ms=now_ms)
+                                   now_ms=now_ms,
+                                   writer_id=self.writer_id,
+                                   n_writers=self.n_writers)
             # sort includes the partition column: the dynamic-partition
             # writer re-sorts any task holding >1 stream by partition col
             # (unstably), which would silently break the per-file order_id
@@ -240,10 +304,13 @@ class EventStore:
         finally:
             src.unpersist()
         if n:
-            # stamp_events: order_id_i = greatest(now_ms*1000, base+1) + seq_i
-            # (identical seq on both greatest() arms), so the batch max is
-            # closed-form — the high-water mark advances without a rescan.
-            self._max_oid = max(now_ms * 1000, base + 1) + n - 1
+            # stamp_events assigns slots start..start+n-1 of this writer's
+            # sub-range, so the batch max is closed-form — the high-water
+            # mark advances without a rescan.
+            start, lo, width = _writer_start_slot(
+                base, now_ms, self.writer_id, self.n_writers)
+            last = start + n - 1
+            self._max_oid = (last // width) * 1000 + lo + last % width
         self.ingested += n
         return n
 

@@ -235,3 +235,52 @@ def test_pluggable_backend_formats(spark, tmp_path):
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination(120)
         assert spark.sql(f"SELECT * FROM bk_{fmt}").first()["count"] == 16, fmt
+
+
+def test_multi_writer_ingest_no_collision(spark, tmp_path):
+    # Two uncoordinated writer handles on one store: writer-id sub-ranges
+    # of the per-ms counter keep order_ids globally unique and each
+    # writer's own sequence monotonic, even though neither handle ever
+    # sees the other's high-water mark (each caches only its own).
+    path = str(tmp_path / "events")
+    w0 = EventStore(spark, path, writer_id=0, n_writers=2)
+    w1 = EventStore(spark, path, writer_id=1, n_writers=2)
+    seen, per_writer = [], {0: [], 1: []}
+    for rnd in range(3):  # interleave: w0, w1, w0, w1, ...
+        for w, st in ((0, w0), (1, w1)):
+            n = st.ingest(make_events(spark, 7, stream=f"s{w}"))
+            assert n == 7
+            ids = [r["order_id"] for r in
+                   st.read_cold(f"s{w}").collect()]
+            per_writer[w] = sorted(ids)
+    all_ids = [r["order_id"] for r in w0.read_all().collect()]
+    assert len(all_ids) == 42
+    assert len(set(all_ids)) == 42  # no collisions across writers
+    # each id's counter position sits inside its writer's sub-range
+    for w in (0, 1):
+        assert all(w * 500 <= oid % 1000 < (w + 1) * 500
+                   for oid in per_writer[w]), per_writer[w]
+    # per-writer batches stayed monotonic: replay order == ingest order
+    for w, st in ((0, w0), (1, w1)):
+        replay = [r["local_id"] for r in
+                  st.read_cold(f"s{w}").orderBy("order_id").collect()]
+        assert replay == [f"local-{i}" for i in range(7)] * 3
+
+
+def test_multi_writer_dense_batch_spills_within_subrange(spark, tmp_path):
+    # A batch denser than the writer's per-ms slot width spills into the
+    # SAME writer's slots of later ms values — never into a neighbor's
+    # sub-range.
+    st = EventStore(spark, str(tmp_path / "ev"), writer_id=3, n_writers=4)
+    st.ingest(make_events(spark, 600))  # width is 250 slots/ms
+    ids = sorted(r["order_id"] for r in st.read_all().collect())
+    assert len(set(ids)) == 600
+    assert all(750 <= oid % 1000 < 1000 for oid in ids)
+    assert ids[-1] == st.max_order_id()
+
+
+def test_writer_id_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="out of range"):
+        EventStore(spark, str(tmp_path / "x"), writer_id=2, n_writers=2)
+    with pytest.raises(ValueError, match="n_writers"):
+        EventStore(spark, str(tmp_path / "y"), n_writers=0)

@@ -434,16 +434,30 @@ class EventStore:
                    for f in files if f.endswith(ext))
 
     # -------------------------------------------------------- export/import
-    def export_stream(self, stream_name: str, out_path: str) -> int:
+    def export_stream(self, stream_name: str, out_path: str,
+                      shard_threshold: int = 100_000) -> int:
         """S3: cold-replay a stream into gzipped JSON-lines (api.clj:103-129).
 
-        Returns number of exported events; file line count equals the cold
-        count (export_test.clj:43-58 golden behavior).
+        Returns number of exported events; total line count equals the
+        cold count (export_test.clj:43-58 golden behavior).
+
+        Streams up to ``shard_threshold`` events keep photon's
+        single-file semantics (one gzip part, one writer task). Larger
+        streams SHARD: range-partitioned by order_id into
+        ``ceil(n / shard_threshold)`` parts, each internally order_id-
+        sorted — a single coalesce(1) writer task is the scale killer at
+        100 TB, and a directory of ordered gzip parts is what
+        :meth:`import_stream` (and any line reader) consumes either way.
         """
         df = self.read_cold(stream_name)
         n = df.count()
-        (df.coalesce(1)
-         .write.mode("overwrite").option("compression", "gzip")
+        if n > shard_threshold:
+            n_shards = -(-n // shard_threshold)
+            df = (df.repartitionByRange(n_shards, "order_id")
+                    .sortWithinPartitions("order_id"))
+        else:
+            df = df.coalesce(1)
+        (df.write.mode("overwrite").option("compression", "gzip")
          .json(out_path))
         return n
 

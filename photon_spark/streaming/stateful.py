@@ -75,12 +75,22 @@ class StreamingProjectionRunner:
                     "stream_name string, processed long, last_event long, "
                     "status string, value_json string")
 
-    def _persist_snapshots(self, snaps: list[tuple]) -> None:
+    def _persist_snapshots(self, snaps: list[tuple],
+                           batch_id: int) -> None:
+        """Land one micro-batch's snapshots as a ``batch=<id>`` partition
+        dir written with OVERWRITE — the PairTable replay contract
+        (pair_cache._write_batch): foreachBatch is at-least-once, so a
+        crashed-and-retried batch clobbers its OWN partial partition
+        instead of double-appending state rows; restore() then sees
+        exactly-once state."""
         if not snaps or self.state_path is None:
             return
+        import os
+
         (self.engine.store.spark.createDataFrame(snaps, self.STATE_SCHEMA)
          .coalesce(1)
-         .write.mode("append").parquet(self.state_path))
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.state_path, f"batch={int(batch_id)}")))
 
     # ------------------------------------------------------------ restore
     def restore(self) -> int:
@@ -121,9 +131,14 @@ class StreamingProjectionRunner:
         return restored
 
     # -------------------------------------------------- virtual stream read
+    #: projection of the data columns, dropping the ``batch`` overwrite-
+    #: partition directory column the idempotent writer adds
+    _STATE_COLS = [c.split()[0] for c in STATE_SCHEMA.split(", ")]
+
     def state_table(self):
         """Batch view of every persisted state snapshot (E2/E3 over Spark)."""
-        return self.engine.store.spark.read.parquet(self.state_path)
+        return (self.engine.store.spark.read.parquet(self.state_path)
+                .select(self._STATE_COLS))
 
     def subscribe_projection(self, name: str):
         """R2 over a virtual stream: a streaming DataFrame of a projection's
@@ -132,6 +147,7 @@ class StreamingProjectionRunner:
         return (self.engine.store.spark.readStream
                 .schema(self.STATE_SCHEMA)
                 .parquet(self.state_path)
+                .select(self._STATE_COLS)
                 .where(SF.col("projection_name") == name))
 
     # ------------------------------------------------------------ per batch
@@ -169,7 +185,7 @@ class StreamingProjectionRunner:
                                   proj.status, value_json))
         finally:
             batch_df.unpersist()
-        self._persist_snapshots(snaps)
+        self._persist_snapshots(snaps, batch_id)
         self.batches += 1
 
     # ----------------------------------------------------------------- run

@@ -115,6 +115,35 @@ def test_export_line_count(store, spark, tmp_path):
     assert json.loads(json.loads(lines[0])["payload"]) == CHATTER
 
 
+def test_export_shards_above_threshold_and_roundtrips(store, spark,
+                                                      tmp_path):
+    # Above shard_threshold the export range-shards by order_id (several
+    # gzip parts, each internally ordered); below it, photon's one-file
+    # semantics hold. Both shapes must import back losslessly.
+    store.ingest(make_events(spark, 60, stream="big"))
+    store.ingest(make_events(spark, 5, stream="small"))
+
+    small = str(tmp_path / "small")
+    assert store.export_stream("small", small, shard_threshold=20) == 5
+    assert len(glob.glob(small + "/part-*.json.gz")) == 1
+
+    big = str(tmp_path / "big")
+    assert store.export_stream("big", big, shard_threshold=20) == 60
+    parts = sorted(glob.glob(big + "/part-*.json.gz"))
+    assert len(parts) == 3
+    all_lines = []
+    for part in parts:
+        with gzip.open(part, "rt") as fh:
+            ids = [json.loads(ln)["order_id"] for ln in fh if ln.strip()]
+        assert ids == sorted(ids)  # within-shard order_id order
+        all_lines += ids
+    assert len(all_lines) == 60 and len(set(all_lines)) == 60
+
+    for path, want in ((small, 5), (big, 60)):
+        name = store.import_stream(path)
+        assert store.read_cold(name).count() == want
+
+
 def test_import_with_name_dedupe(store, spark, tmp_path):
     store.ingest(make_events(spark, 3, stream="imported"))
     src = tmp_path / "imported.json"

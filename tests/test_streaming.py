@@ -649,6 +649,46 @@ def test_runner_restores_state_across_process_restart(spark, tmp_path):
     assert r2.restore() == 0
 
 
+def test_snapshot_write_is_idempotent_per_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch's snapshot write
+    (the crash-mid-write retry) must OVERWRITE the batch's own partition,
+    not double-append — restore() sees exactly-once state. Preventive
+    twin of the restart-restore test above."""
+    from photon_spark.projections.engine import AssociativeReducer
+
+    store = _mk_store(spark, tmp_path)
+    _post(store, "a", 8, start=0)
+    state = os.path.join(str(tmp_path), "state")
+    engine = ProjectionEngine(store)
+    engine.register("total", AssociativeReducer(
+        fold=lambda st, ev: st + int(ev["local_id"]),
+        merge=lambda x, y: x + y, zero=0))
+    runner = StreamingProjectionRunner(
+        engine, checkpoint_dir=os.path.join(str(tmp_path), "ck"),
+        state_path=state)
+    runner.run(available_now=True)
+    first = sorted(map(tuple, runner.state_table().collect()))
+    assert first  # at least one snapshot row landed
+
+    # retry batch 0's write verbatim (same batch_id, same rows) — e.g. a
+    # crash after the parquet write but before the checkpoint commit
+    snap = [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in first
+            if r[0] == first[0][0]]
+    runner._persist_snapshots(snap, batch_id=first[0][0])
+    assert sorted(map(tuple, runner.state_table().collect())) == first
+
+    # a fresh process restores the exactly-once state
+    e2 = ProjectionEngine(store)
+    e2.register("total", AssociativeReducer(
+        fold=lambda st, ev: st + int(ev["local_id"]),
+        merge=lambda x, y: x + y, zero=0))
+    r2 = StreamingProjectionRunner(
+        e2, checkpoint_dir=os.path.join(str(tmp_path), "ck"),
+        state_path=state)
+    assert r2.restore() == 1
+    assert e2.value("total") == sum(range(8))
+
+
 def test_hot_cold_from_bound_matches_batch_coercion(spark, tmp_path):
     """read_hot_cold must interpret an epoch-ms from_ bound exactly like
     read_cold (×1000 into order_id space) — a time bound means the same

@@ -273,6 +273,48 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id"):
+    """Materialize the IVF index as CELL-PARTITIONED parquet
+    (``cell_id=K/`` dirs) — the serving layout behind every "probe reads
+    n_probe/n_cells of the data" claim: a probe's cell filter becomes a
+    parquet PartitionFilter, so unprobed cells' files are never opened.
+    One writer task per cell (repartition on the partition key). Returns
+    the centroid list to probe with."""
+    cents = ivf_train_cells(df, n_cells, vec_col, id_col)
+    assigned = ivf_assign_cells(df, cents, vec_col, id_col)
+    (assigned.repartition("cell_id")
+     .write.mode("overwrite").partitionBy("cell_id").parquet(out_dir))
+    return cents
+
+
+def ivf_topk_from_index(spark, index_dir: str,
+                        cents: list[tuple[int, list[float]]],
+                        query_vec: list[float] | int, k: int = 10,
+                        n_probe: int = 4, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """IVF probe over a :func:`materialize_ivf_index` table: same
+    semantics as :func:`ivf_topk` (shared probe_cells ranking, exact
+    Catalyst cosine scoring), but the cell filter prunes PARTITIONS of
+    the stored index instead of screening rows — the difference between
+    "scan everything, keep 1/4" and "read 1/4 of the files"."""
+    idx = spark.read.parquet(index_dir)
+    qid = None
+    if isinstance(query_vec, int):
+        qid = query_vec
+        query_vec = _query_vector(idx, id_col, vec_col, query_vec)
+    probes = probe_cells(cents, query_vec, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = (idx.where(F.col("cell_id").isin(probes))
+              .select(F.col(id_col),
+                      F.round(cosine(F.col(vec_col), q), 6)
+                       .alias("cosine")))
+    if qid is not None:
+        out = out.where(F.col(id_col) != qid)
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 # ------------------------------------------------------------------- PQ
 
 def pq_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,

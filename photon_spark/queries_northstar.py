@@ -1168,11 +1168,26 @@ def q_knn_label_eval(spark, sf_dir):
     (similarity.knn_graph — vectors shuffle once into packed blocks);
     everything after is id+label joins (labels ride integer columns,
     vectors never shuffle again), one vote aggregate, one
-    WindowGroupLimit argmax, one 4-row accuracy rollup."""
+    WindowGroupLimit argmax, one 4-row accuracy rollup.
+
+    Scale path: the gate runs the EXACT graph tier (O(n²) flops by
+    contract — the small-n audit configuration); at corpus scale run the
+    same eval on similarity.knn_graph_ivf's relation via
+    :func:`label_eval_from_graph` (identical schema, IVF-manifest-pruned
+    flops) — agreement with the exact tier is recall-floor-pinned in
+    tests/test_knn.py."""
+    g = similarity.knn_graph(_emb(spark, sf_dir), k=KNN_EVAL_K)
+    return label_eval_from_graph(g, _emb(spark, sf_dir))
+
+
+def label_eval_from_graph(g, emb):
+    """Per-label kNN accuracy from ANY (id, nbr, cosine) neighbor
+    relation — exact (similarity.knn_graph) and IVF-manifest
+    (similarity.knn_graph_ivf) tiers share this consumer, so switching
+    tiers at scale is a one-argument change, not a rewrite."""
     from pyspark.sql import Window
 
-    g = similarity.knn_graph(_emb(spark, sf_dir), k=KNN_EVAL_K)
-    e = _emb(spark, sf_dir).select("vec_id", "label")
+    e = emb.select("vec_id", "label")
     lab = (g.join(e.select(F.col("vec_id").alias("nbr"),
                            F.col("label").alias("nbr_label")), "nbr")
             .join(e.select(F.col("vec_id").alias("id"),

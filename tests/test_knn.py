@@ -94,3 +94,30 @@ def test_knn_label_eval_matches_numpy(spark, sf_dir):
         assert out[l]["n_vectors"] == n
         assert out[l]["n_correct"] == ok
         assert abs(out[l]["knn_accuracy"] - ok / n) < 2e-6
+
+
+def test_label_eval_composes_on_ivf_graph(spark, sf_dir):
+    # The documented scale path: knn_label_eval's consumer runs unchanged
+    # on knn_graph_ivf's relation (same schema), and because edge recall
+    # is floor-pinned above, the per-vector predictions must largely
+    # agree with the exact tier — pin that agreement so the IVF manifest
+    # stays a drop-in default at scale, with the O(n²) exact tier
+    # explicitly the small-n/audit configuration.
+    from photon_spark.queries_northstar import label_eval_from_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = label_eval_from_graph(
+        similarity.knn_graph(emb, k=3), emb).collect()
+    approx = label_eval_from_graph(
+        similarity.knn_graph_ivf(emb, k=3, n_cells=8, n_probe=3),
+        emb).collect()
+    ex = {r["label"]: r for r in exact}
+    ap = {r["label"]: r for r in approx}
+    assert set(ex) == set(ap)  # every label still evaluated
+    n = sum(r["n_vectors"] for r in exact)
+    assert sum(r["n_vectors"] for r in approx) == n  # every vector voted
+    # aggregate accuracy within 10pp of exact on near-uniform sf0.001
+    # embeddings (real clustered corpora agree far more tightly)
+    acc_ex = sum(r["n_correct"] for r in exact) / n
+    acc_ap = sum(r["n_correct"] for r in approx) / n
+    assert abs(acc_ex - acc_ap) <= 0.10, (acc_ex, acc_ap)

@@ -105,6 +105,50 @@ def test_lsh_signature_partition_pruning(spark, emb, tmp_path):
     assert probed.count() + 1 <= full.count()  # strict subset of the rows
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
+    # SCALE.md's central ANN claim, as a CHECKED plan property: an IVF
+    # probe over the materialized cell-partitioned index carries
+    # PartitionFilters on cell_id and opens only the n_probe probed
+    # cells' files — n_probe/n_cells of the data, not a full scan.
+    import os
+    n_cells, n_probe = 8, 3
+    path = os.path.join(str(tmp_path), "ivf_index")
+    sample = emb.limit(400)
+    cents = similarity.materialize_ivf_index(sample, path,
+                                             n_cells=n_cells)
+    spark.catalog.clearCache()
+    qv = [float(x) for x in sample.orderBy("vec_id").first()["embedding"]]
+    top = similarity.ivf_topk_from_index(spark, path, cents, qv, k=10,
+                                         n_probe=n_probe)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # behavioral proof the unprobed cells' files are never OPENED (a
+    # plan string alone could lie): corrupt one unprobed cell's parquet
+    # file — the probe must still succeed, a full scan must fail
+    probes = set(similarity.probe_cells(cents, qv, n_probe))
+    all_cells = {int(f.split("cell_id=")[1].split("/")[0])
+                 for f in spark.read.parquet(path).inputFiles()}
+    assert len(all_cells) > n_probe  # pruning is meaningful
+    victim = sorted(all_cells - probes)[0]
+    import glob as _glob
+    for pf in _glob.glob(os.path.join(path, f"cell_id={victim}",
+                                      "*.parquet")):
+        with open(pf, "wb") as fh:
+            fh.write(b"not a parquet file")
+    spark.catalog.clearCache()
+    # index-path results == in-memory screening path (same semantics),
+    # computed WITH the corrupted unprobed cell in place
+    want = [(r["vec_id"], r["cosine"]) for r in
+            similarity.ivf_topk(sample, qv, k=10, n_cells=n_cells,
+                                n_probe=n_probe).collect()]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           similarity.ivf_topk_from_index(spark, path, cents, qv, k=10,
+                                          n_probe=n_probe).collect()]
+    assert got == want
+    with pytest.raises(Exception):
+        spark.read.parquet(path).select("vec_id").collect()
+
+
 def test_token_topk_rank_limit_pushdown(spark, sf_dir):
     # The heavy-hitter query's rank <= k filter must compile to the
     # two-stage WindowGroupLimit (Partial before the exchange, Final

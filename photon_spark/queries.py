@@ -673,6 +673,10 @@ _NEWEST_FIRST = [
     "audio_window_energy",
     # brand-new round-7 queries
     "image_decode_stats",
+    "bigram_lm_doc_bits",
+    "part_value_concentration",
+    "top_supplier_revenue",
+    "idle_rich_customers",
 ]
 
 

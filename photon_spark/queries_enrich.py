@@ -124,6 +124,83 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------- bigram LM perplexity
+
+def q_bigram_lm_doc_bits(spark, sf_dir):
+    """Per-document bigram-LM score — the CCNet/Wikipedia-LM perplexity
+    filter, self-trained on the corpus and kept integer-exact: each
+    bigram occurrence costs ``floor(log2((c1 + V) div (c12 + 1)))`` bits
+    (add-one-smoothed conditional rarity, the floor-log2 trick the
+    unigram surprisal query established — no cross-engine ``ln``), and a
+    document's mean bits-per-bigram is its perplexity proxy. High mean =
+    improbable token transitions = the doc a perplexity filter drops.
+
+    Plan: doc-level bigram counts aggregate FIRST (map-side combine on
+    (doc, w1, w2) — repeated bigrams within a doc collapse before
+    anything joins); the LM tables (c12, c1) re-aggregate from that
+    compacted relation, the vocabulary size broadcasts as one row, and
+    the scoring join runs compacted-relation × LM — at 100 TB the join
+    input is |distinct doc-bigrams|, never the token stream. Bigram
+    construction is pure Catalyst array arithmetic (sequence +
+    transform), no UDF."""
+    d = _docs(spark, sf_dir)
+    t = (d.select("doc_id", text.tokens("text").alias("t"))
+          .where(F.size("t") >= 2))
+    bg = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t)-2), "
+            "i -> struct(t[i] AS w1, t[i+1] AS w2))")).alias("b"))
+    db = (bg.select("doc_id", F.col("b.w1").alias("w1"),
+                    F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("k")))
+    c12 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = (d.select(F.explode(text.tokens("text")).alias("tok"))
+          .agg(F.count_distinct("tok").alias("v")))
+    bits = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
+               .select("w1", "w2",
+                       (F.length(F.bin(F.expr("(c1 + v) div (c12 + 1)")))
+                        - 1).cast("long").alias("bits")))
+    return (db.join(bits, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.sum("k").alias("n_bigrams"),
+                   F.sum(F.col("k") * F.col("bits")).alias("sum_bits"),
+                   F.round(F.sum(F.col("k") * F.col("bits"))
+                           / F.sum("k"), 6).alias("mean_bits")))
+
+
+def _sql_bigram_lm_doc_bits() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+), db AS (
+  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM db GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+), bits AS (
+  SELECT w1, w2, CAST(length(bin((c1 + v) // (c12 + 1))) - 1 AS BIGINT)
+           AS bits
+  FROM c12 JOIN c1 USING (w1), v
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * bits) AS BIGINT) AS sum_bits,
+       round(sum(k * bits) * 1.0 / sum(k), 6) AS mean_bits
+FROM db JOIN bits USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------ filter funnel
 
 def q_quality_filter_funnel(spark, sf_dir):
@@ -438,6 +515,7 @@ QUERIES = {
     "mixture_resample": q_mixture_resample,
     "events_range_join": q_events_range_join,
     "pii_scrub_stats": q_pii_scrub_stats,
+    "bigram_lm_doc_bits": q_bigram_lm_doc_bits,
 }
 
 ORACLES = {
@@ -448,4 +526,5 @@ ORACLES = {
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "pii_scrub_stats": _sql_pii_scrub_stats(),
+    "bigram_lm_doc_bits": _sql_bigram_lm_doc_bits(),
 }

@@ -888,12 +888,155 @@ FROM dense GROUP BY metric
 """
 
 
+# --------------------------------------------- Q11: value concentration
+
+def q_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp table in the testdata, so
+    lineitem revenue stands in for stock value): parts whose total
+    revenue exceeds 1.2× the average part's — the group-by + HAVING
+    against a scalar subquery over the SAME aggregate.
+
+    Plan: ONE shuffle (groupBy partkey over cents); the grand
+    total/count re-aggregate from the ~|parts| relation and broadcast
+    back as one row. The threshold compare is INTEGER-exact
+    (rev·5·n > 6·total ⇔ rev > 1.2·avg) — no double boundary to flip
+    cross-engine; the share divides once at output."""
+    li = _rd(spark, sf_dir, "lineitem")
+    rev = F.col("revenue_c")
+    parts = (li.groupBy("l_partkey")
+               .agg(F.sum(_cents(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))))
+                     .alias("revenue_c")))
+    tot = parts.agg(F.sum("revenue_c").alias("t"),
+                    F.count(F.lit(1)).alias("n"))
+    return (parts.crossJoin(F.broadcast(tot))
+                 .where(rev * 5 * F.col("n") > 6 * F.col("t"))
+                 .select("l_partkey",
+                         F.round(rev / 100, 2).alias("revenue"),
+                         F.round(rev / F.col("t"), 6).alias("share")))
+
+
+SQL_PART_VALUE_CONCENTRATION = """
+WITH parts AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS revenue_c
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(revenue_c) AS t, count(*) AS n FROM parts
+)
+SELECT l_partkey, round(revenue_c / 100.0, 2) AS revenue,
+       round(revenue_c * 1.0 / t, 6) AS share
+FROM parts, tot
+WHERE revenue_c * 5 * n > 6 * t
+"""
+
+
+# ------------------------------------------------- Q15: top supplier
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with THE maximum revenue over a
+    ship-date quarter — the revenue-view + scalar-max + equality-join
+    form (ties kept, exactly Q15's contract).
+
+    Plan: window-filtered lineitem aggregates once by suppkey (cents,
+    exact); the one-row max broadcasts back; the equality filter keeps
+    the top tie set; the supplier dim broadcasts for the name. Integer
+    equality — no float boundary."""
+    from photon_spark.queries import _t
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= _Q14_LO_NS)
+                 & (F.col("l_shipdate") < _Q14_HI_NS)))
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.sum(_cents(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                   .alias("revenue_c")))
+    mx = rev.agg(F.max("revenue_c").alias("mx"))
+    s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+               .where(F.col("revenue_c") == F.col("mx"))
+               .join(F.broadcast(s),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .select(F.col("s_suppkey"), F.col("s_name"),
+                       F.round(F.col("revenue_c") / 100, 2)
+                        .alias("total_revenue")))
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS revenue_c
+  FROM lineitem
+  WHERE epoch_ns(l_shipdate) >= 852076800000000000
+    AND epoch_ns(l_shipdate) < 867715200000000000
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, round(r.revenue_c / 100.0, 2)
+         AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.revenue_c = (SELECT max(revenue_c) FROM rev)
+"""
+
+
+# --------------------------------------------- Q22: idle rich customers
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with an above-average (among positive
+    balances) account balance and no RECENT order (none in the final
+    data year — every synthetic customer has SOME order, so the literal
+    "no orders ever" predicate is vacuous here), rolled up by nation.
+    The Q22 form survives intact: scalar-subquery threshold + NOT
+    EXISTS anti-join.
+
+    Plan: the positive-balance average reduces to one broadcast row; the
+    anti probe is against date-filtered DISTINCT o_custkey
+    (aggregate-then-join); threshold compare is integer-exact
+    (bal·n_pos > sum_pos)."""
+    from photon_spark.queries import _t
+    c = (_rd(spark, sf_dir, "customer")
+         .withColumn("bal_c", _cents(F.col("c_acctbal"))))
+    pos = (c.where(F.col("bal_c") > 0)
+            .agg(F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") >= _IDLE_CUT_NS)
+         .select("o_custkey").distinct())
+    return (c.crossJoin(F.broadcast(pos))
+             .where(F.col("bal_c") * F.col("n") > F.col("s"))
+             .join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+             .agg(F.count(F.lit(1)).alias("n_custs"),
+                  F.round(F.sum("bal_c") / 100, 2).alias("total_acctbal")))
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), pos AS (
+  SELECT sum(bal_c) AS s, count(*) AS n FROM c WHERE bal_c > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_custs,
+       round(sum(bal_c) / 100.0, 2) AS total_acctbal
+FROM c, pos
+WHERE bal_c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES["lone_late_supplier"] = q_lone_late_supplier
 QUERIES["order_count_distribution"] = q_order_count_distribution
 QUERIES["events_unpivot"] = q_events_unpivot
 QUERIES["revenue_cube"] = q_revenue_cube
 QUERIES["user_journeys"] = q_user_journeys
 QUERIES["customer_spend_quartiles"] = q_customer_spend_quartiles
+QUERIES["part_value_concentration"] = q_part_value_concentration
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+QUERIES["idle_rich_customers"] = q_idle_rich_customers
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
@@ -915,4 +1058,7 @@ ORACLES = {
     "revenue_cube": SQL_REVENUE_CUBE,
     "user_journeys": SQL_USER_JOURNEYS,
     "customer_spend_quartiles": SQL_CUSTOMER_SPEND_QUARTILES,
+    "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
 }

@@ -230,6 +230,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "dup_graph_clustering",
         # 1-row est x exact stat join
         "join_size_estimate",
+        # crossJoin(broadcast(<1-row vocab-size/avg/max aggregates>)) —
+        # scalar LM denominator / HAVING thresholds (Q11/Q15/Q22 shapes)
+        "bigram_lm_doc_bits", "part_value_concentration",
+        "top_supplier_revenue", "idle_rich_customers",
     }
     failures = []
     for name, fn in q.QUERIES.items():

@@ -154,3 +154,34 @@ def test_pii_scrub_stats_matches_python_re(spark, sf_dir):
     import hashlib
     want = hashlib.md5("|".join(reds).encode()).hexdigest()
     assert row["redacted_md5"] == want
+
+
+def test_bigram_lm_bits_naive_recompute(spark, sf_dir):
+    # Full naive recompute of the bigram-LM doc scores on a corpus
+    # sample: add-one-smoothed conditional rarity in floor-log2 bits,
+    # LM trained on the SAME full corpus the query trains on.
+    import math
+    from collections import Counter
+    from photon_spark.queries_enrich import q_bigram_lm_doc_bits
+
+    docs = {r["doc_id"]: r["text"].split()
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+                          .collect()}
+    c12, c1, vocab = Counter(), Counter(), set()
+    for toks in docs.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    want = {}
+    for did, toks in docs.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        bits = [int(math.log2((c1[a] + v) // (c12[(a, b)] + 1)))
+                for a, b in bgs]
+        want[did] = (len(bgs), sum(bits))
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_bits"])
+           for r in q_bigram_lm_doc_bits(spark, sf_dir).collect()}
+    assert got == want

@@ -1,0 +1,120 @@
+"""Watermarked event-time windows: batch/streaming parity, append-mode
+emission, and the late-data DROP contract (the behavior watermark_late_
+audit sizes the delay for)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.streaming.windows import session_agg, windowed_agg
+
+BASE = 1_700_000_000  # epoch seconds, aligned enough for hour windows
+
+
+def _ev(spark, rows):
+    # rows: (offset_seconds, stream_name)
+    return spark.createDataFrame(
+        [(int(BASE + off), name) for off, name in rows],
+        "sec long, stream_name string"
+    ).select(F.timestamp_seconds("sec").alias("event_time"),
+             "stream_name")
+
+
+def test_windowed_agg_batch_counts(spark):
+    rows = [(0, "a"), (60, "a"), (3700, "a"), (10, "b")]
+    got = {(r["win_start"].timestamp(), r["stream_name"]): r["n_events"]
+           for r in windowed_agg(_ev(spark, rows),
+                                 window="1 hour").collect()}
+    h0 = BASE - BASE % 3600
+    assert got == {(h0, "a"): 2, (h0 + 3600, "a"): 1, (h0, "b"): 1}
+
+
+def test_sliding_window_overlap(spark):
+    rows = [(0, "a"), (1800, "a")]
+    got = sorted((r["win_start"].timestamp(), r["n_events"])
+                 for r in windowed_agg(_ev(spark, rows), window="1 hour",
+                                       slide="30 minutes").collect())
+    h0 = BASE - BASE % 1800
+    # each event lands in two overlapping hour windows
+    assert sum(n for _, n in got) == 4
+    assert any(n == 2 for _, n in got)  # the window holding both
+
+
+def test_session_agg_gap_merge(spark):
+    rows = [(0, "a"), (600, "a"), (5000, "a"), (0, "b")]
+    got = sorted((r["stream_name"], r["n_events"],
+                  int(r["session_end"].timestamp()
+                      - r["session_start"].timestamp()))
+                 for r in session_agg(_ev(spark, rows),
+                                      gap="30 minutes").collect())
+    # a: events at 0s and 600s merge (gap 10min < 30min); 5000s starts a
+    # new session. Session end extends gap past the last event.
+    assert got == [("a", 1, 1800), ("a", 2, 600 + 1800), ("b", 1, 1800)]
+
+
+def test_streaming_windowed_agg_drops_late_rows(spark, tmp_path):
+    """The watermark contract end-to-end: a straggler older than the
+    in-effect watermark is silently DROPPED, and append mode emits each
+    window exactly once. The watermark takes effect with a one-batch
+    lag (in-effect wm for batch N is the value published at the end of
+    batch N−1, computed from batch N−2's data — observed Spark
+    semantics), so the late row arrives two triggers after the row that
+    advanced event time."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows, mtime):
+        d = os.path.join(src, name)
+        # one file per batch: each file is its own trigger under
+        # maxFilesPerTrigger=1, and intra-batch rows must arrive
+        # together; mtimes pin the source's file order
+        _ev(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # b1: two events in hour H + one far ahead (advances event time so
+    # wm = H+3h − 10min once it propagates)
+    write_batch("b1", [(0, "a"), (60, "a"), (3 * 3600, "a")], 1_000_000)
+    # b2: on-time filler — the batch during which the advanced watermark
+    # becomes effective and hour H closes + emits
+    write_batch("b2", [(3 * 3600 + 60, "a")], 2_000_000)
+    # b3: the STRAGGLER back in hour H (now behind the in-effect
+    # watermark → dropped) plus an on-time row
+    write_batch("b3", [(120, "a"), (3 * 3600 + 120, "a")], 3_000_000)
+
+    stream = (spark.readStream
+              .schema("event_time timestamp, stream_name string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    agg = windowed_agg(stream, window="1 hour", watermark="10 minutes")
+    q = (agg.writeStream.format("memory").queryName("winlate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM winlate").collect()
+    h0 = BASE - BASE % 3600
+    hour_h = [r for r in rows
+              if int(r["win_start"].timestamp()) == h0]
+    # hour H emitted EXACTLY ONCE, with b1's two rows only — the b3
+    # straggler was dropped, not appended as a duplicate window row
+    assert [r["n_events"] for r in hour_h] == [2], rows
+    # the still-open current hour (H+3h) never emitted in append mode
+    assert all(int(r["win_start"].timestamp()) < h0 + 3 * 3600
+               for r in rows), rows
+
+
+def test_streaming_session_agg_runs(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    os.makedirs(src)
+    _ev(spark, [(0, "a"), (300, "a"), (9000, "a")]) \
+        .write.parquet(os.path.join(src, "b1"))
+    stream = (spark.readStream
+              .schema("event_time timestamp, stream_name string")
+              .parquet(src + "/*"))
+    agg = session_agg(stream, gap="30 minutes", watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("sess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess").collect()
+    assert sorted(r["n_events"] for r in rows) == [1, 2]

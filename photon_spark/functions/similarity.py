@@ -277,16 +277,49 @@ def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id"):
     """Materialize the IVF index as CELL-PARTITIONED parquet
-    (``cell_id=K/`` dirs) — the serving layout behind every "probe reads
-    n_probe/n_cells of the data" claim: a probe's cell filter becomes a
-    parquet PartitionFilter, so unprobed cells' files are never opened.
-    One writer task per cell (repartition on the partition key). Returns
-    the centroid list to probe with."""
+    (``batch=base/cell_id=K/`` dirs) — the serving layout behind every
+    "probe reads n_probe/n_cells of the data" claim: a probe's cell
+    filter becomes a parquet PartitionFilter, so unprobed cells' files
+    are never opened. One writer task per cell (repartition on the
+    partition key). The ``batch=`` level is the same OVERWRITE replay
+    contract the PairTable uses, so :func:`append_to_ivf_index` can fold
+    later batches in idempotently. Returns the centroid list to probe
+    with."""
+    import os
+    import shutil
+
     cents = ivf_train_cells(df, n_cells, vec_col, id_col)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _write_ivf_batch(df, out_dir, "base", cents, vec_col, id_col)
+    return cents
+
+
+def _write_ivf_batch(df: DataFrame, out_dir: str, tag: str, cents,
+                     vec_col: str, id_col: str) -> None:
+    import os
+
     assigned = ivf_assign_cells(df, cents, vec_col, id_col)
     (assigned.repartition("cell_id")
-     .write.mode("overwrite").partitionBy("cell_id").parquet(out_dir))
-    return cents
+     .write.mode("overwrite").partitionBy("cell_id")
+     .parquet(os.path.join(out_dir, f"batch={tag}")))
+
+
+def append_to_ivf_index(spark, index_dir: str,
+                        cents: list[tuple[int, list[float]]],
+                        new_df: DataFrame, tag: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> None:
+    """Fold a batch of new vectors into a materialized IVF index — the
+    FAISS ``add`` shape: assignment uses the index's FIXED centroids
+    (appending never re-trains, so existing cell membership and every
+    previously served probe stay valid), and the batch lands as its own
+    ``batch=<tag>`` partition written with OVERWRITE — a crashed-and-
+    retried append clobbers its own partial partition instead of
+    double-inserting vectors. Probes over the root see base ∪ batches
+    with cell pruning intact (cell_id remains a partition level under
+    every batch dir); identity index(A)+add(B) ≡ index over A∪B assigned
+    with A's centroids is pinned in tests."""
+    _write_ivf_batch(new_df, index_dir, tag, cents, vec_col, id_col)
 
 
 def ivf_topk_from_index(spark, index_dir: str,

@@ -121,3 +121,38 @@ def test_label_eval_composes_on_ivf_graph(spark, sf_dir):
     acc_ex = sum(r["n_correct"] for r in exact) / n
     acc_ap = sum(r["n_correct"] for r in approx) / n
     assert abs(acc_ex - acc_ap) <= 0.10, (acc_ex, acc_ap)
+
+
+def test_ivf_index_append_identity_and_retry(spark, sf_dir, tmp_path):
+    # FAISS-add contract: index(A) + add(B) with A's FIXED centroids is
+    # row-identical to assigning A∪B with those centroids; a retried
+    # add overwrites its own batch partition (no double inserts); cell
+    # pruning stays intact across base ∪ batches.
+    import os
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    path = os.path.join(str(tmp_path), "ivf")
+    cents = similarity.materialize_ivf_index(a, path, n_cells=8)
+    similarity.append_to_ivf_index(spark, path, cents, b, tag="b1")
+
+    got = {(r["vec_id"], r["cell_id"]) for r in
+           spark.read.parquet(path).select("vec_id", "cell_id").collect()}
+    want = {(r["vec_id"], r["cell_id"]) for r in
+            similarity.ivf_assign_cells(emb, cents).collect()}
+    assert got == want and len(got) == emb.count()
+
+    # retry the same batch verbatim — state unchanged
+    similarity.append_to_ivf_index(spark, path, cents, b, tag="b1")
+    again = {(r["vec_id"], r["cell_id"]) for r in
+             spark.read.parquet(path).select("vec_id",
+                                             "cell_id").collect()}
+    assert again == got
+
+    # probes over the composed index still partition-prune on cell_id
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    top = similarity.ivf_topk_from_index(spark, path, cents, qv, k=5,
+                                         n_probe=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    assert len(top.collect()) == 5

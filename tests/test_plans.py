@@ -131,8 +131,10 @@ def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
     assert len(all_cells) > n_probe  # pruning is meaningful
     victim = sorted(all_cells - probes)[0]
     import glob as _glob
-    for pf in _glob.glob(os.path.join(path, f"cell_id={victim}",
-                                      "*.parquet")):
+    victims = _glob.glob(os.path.join(path, "**", f"cell_id={victim}",
+                                      "*.parquet"), recursive=True)
+    assert victims  # the corruption below must actually hit files
+    for pf in victims:
         with open(pf, "wb") as fh:
             fh.write(b"not a parquet file")
     spark.catalog.clearCache()

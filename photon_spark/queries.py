@@ -677,6 +677,7 @@ _NEWEST_FIRST = [
     "part_value_concentration",
     "top_supplier_revenue",
     "idle_rich_customers",
+    "session_window_stats",
 ]
 
 

@@ -1368,8 +1368,65 @@ FROM per p JOIN s0 s USING (stream_name)
 """
 
 
+# ------------------------------------------------ session_window parity
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes in µs
+
+
+def q_session_window_stats(spark, sf_dir):
+    """Spark's native ``session_window`` operator cross-validated
+    against the classic gaps-and-islands SQL: per (user, session) —
+    first/last event time and event count, sessions merged while
+    consecutive events are ≤ 30 min apart (boundary pinned empirically:
+    diff == gap MERGES, diff > gap breaks; the oracle encodes exactly
+    that). This is the operator the streaming session_agg
+    (streaming/windows.py) runs under a watermark — gating its batch
+    form proves the session semantics against an engine that has no
+    session_window at all.
+
+    Both engines work at µs precision (the testdata's ns timestamps
+    truncate identically), and outputs are min/max EVENT times, not the
+    window's gap-extended end — conventions that cannot drift. One keyed
+    shuffle; session assignment is Spark-native state-free batch
+    grouping."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("us"))
+    ev = e.select("user_id", "us",
+                  F.timestamp_micros(F.col("us")).alias("et"))
+    return (ev.groupBy(F.session_window("et", "30 minutes").alias("w"),
+                       "user_id")
+              .agg(F.min("us").alias("session_start_us"),
+                   F.max("us").alias("session_last_us"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .select("user_id", "session_start_us", "session_last_us",
+                      "n_events"))
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+), o AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {SESSION_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(us) AS session_start_us, max(us) AS session_last_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "events_sessionize": q_events_sessionize,
+    "session_window_stats": q_session_window_stats,
     "events_rate_window": q_events_rate_window,
     "stratified_sample": q_stratified_sample,
     "token_topk": q_token_topk,
@@ -1395,6 +1452,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "session_window_stats": SQL_SESSION_WINDOW_STATS,
     "events_rate_window": SQL_EVENTS_RATE_WINDOW,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "token_topk": _sql_token_topk(),

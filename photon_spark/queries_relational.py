@@ -1062,3 +1062,370 @@ ORACLES = {
     "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
 }
+
+
+# ---------------------------------------------- late-shipment priorities
+
+#: Q4-flavor order window, epoch-ns (1997-Q1) and the 60-day lateness bar
+_Q4_LO_NS = 852_076_800 * 1_000_000_000
+_Q4_HI_NS = 859_852_800 * 1_000_000_000
+_Q4_LATE_NS = 60 * 86_400 * 1_000_000_000
+
+
+def q_late_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders placed in one quarter that had at least
+    one line shipped more than 60 days after the order date, counted by
+    priority — the correlated-EXISTS pattern. Spark compiles the EXISTS
+    to a LEFT SEMI hash join on orderkey; the cross-table lateness
+    predicate (l_shipdate > o_orderdate + 60d, pure ns-long arithmetic)
+    rides along as the join's residual condition, so the fact table is
+    touched once and nothing but orderkeys shuffle wide. The quarter
+    filter prunes the orders scan before the join."""
+    from photon_spark.queries import _t
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= _Q4_LO_NS)
+                & (F.col("o_orderdate") < _Q4_HI_NS))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate + F.lit(_Q4_LATE_NS)),
+                   "left_semi"))
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_late_orders")))
+
+
+SQL_LATE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------- min-cost supplier (Q2)
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for every part in a slice (STANDARD type, small
+    sizes), the supplier(s) with the MINIMUM total supply cost — the
+    min-per-group + tie-keeping-join-back pattern (the testdata has no
+    partsupp table, so cost is the exact-cents total each supplier
+    billed for the part across lineitem; same correlated-min shape).
+    Cost is an exact integer, so the tie-keeping min compare is safe
+    cross-engine. Plan: the fact is scanned ONCE — a (partkey, suppkey)
+    shuffle builds the cost relation, then the per-part min is an
+    unbounded window over the already-reduced relation (suppliers per
+    part, not lineitems), so the second exchange moves only
+    (partkey, suppkey, cost) longs; a min-per-group + join-back
+    formulation would scan and aggregate the fact twice (Catalyst does
+    not reuse the common subtree across a self-join). Supplier
+    (100 rows at sf0.01) and nation broadcast onto the winners."""
+    from pyspark.sql import Window
+    p = (_rd(spark, sf_dir, "part")
+         .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
+         .select("p_partkey"))
+    li = _rd(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("c"))
+    cost = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("c").alias("cost_c")))
+    wmin = F.min("cost_c").over(Window.partitionBy("l_partkey"))
+    s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                              "s_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (cost.withColumn("min_c", wmin)
+                .where(F.col("cost_c") == F.col("min_c"))
+                .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .select(F.col("l_partkey").alias("partkey"),
+                        F.col("s_name").alias("supplier"),
+                        F.col("n_name").alias("nation"),
+                        F.round(F.col("cost_c") / 100, 2)
+                         .alias("supply_cost")))
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey AS bp, min(cost_c) AS min_c FROM cost GROUP BY 1
+)
+SELECT c.l_partkey AS partkey, s.s_name AS supplier, n.n_name AS nation,
+       round(c.cost_c / 100.0, 2) AS supply_cost
+FROM cost c
+JOIN best b ON c.l_partkey = b.bp AND c.cost_c = b.min_c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+# ------------------------------------------- disjunctive revenue (Q19)
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue over an OR of three brand/size/quantity
+    conjunct groups — the disjunctive-pushdown pattern. Catalyst factors
+    the common join key and pushes the derivable bounds into BOTH scans
+    (part: brand IN (...) AND size <= 15; lineitem: quantity <= 30) while
+    the full disjunction evaluates after the broadcast join — exactly
+    what you want at 100 TB: the fact scan is pre-pruned by the weakest
+    common envelope, and no second pass is needed for the OR."""
+    li = _rd(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (_cents(F.col("l_extendedprice"))
+         * _cents(F.lit(1.0) - F.col("l_discount"))).alias("rev4"))
+    p = _rd(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (((b == "Brand#12") & z.between(1, 5) & q.between(1, 11))
+            | ((b == "Brand#23") & z.between(1, 10) & q.between(10, 20))
+            | ((b == "Brand#4") & z.between(1, 15) & q.between(20, 30)))
+    return (j.where(disj)
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum("rev4") / 10000, 2).alias("revenue")))
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l_discount) * 100) AS BIGINT))
+             / 10000.0, 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ------------------------------------------ excess-quantity suppliers
+
+#: Q20-flavor ship year (1998) and the per-(supplier, part) quantity bar
+_Q20_LO_NS = 883_612_800 * 1_000_000_000
+_Q20_HI_NS = 915_148_800 * 1_000_000_000
+_Q20_QTY_BAR = 40
+
+
+def q_excess_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers that moved an outsized quantity
+    (> 40 units in the 1998 ship year) of some red part — the
+    chained-semi-join pattern: a name-predicate part slice gates the
+    fact scan, a (suppkey, partkey) aggregate crosses the threshold, and
+    suppliers are kept by a DISTINCT-reduced semi probe. Quantities are
+    integral by construction (2dp-exact), so the bar is an exact-integer
+    compare. Nothing wider than (suppkey, partkey, qty) ever shuffles;
+    supplier and nation broadcast onto the ~1% of survivors."""
+    from photon_spark.queries import _t
+    p = (_rd(spark, sf_dir, "part")
+         .where(F.col("p_name").startswith("red"))
+         .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= _Q20_LO_NS)
+                 & (F.col("l_shipdate") < _Q20_HI_NS))
+          .select("l_partkey", "l_suppkey",
+                  F.round(F.col("l_quantity")).cast("long").alias("units")))
+    excess = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                .groupBy("l_suppkey", "l_partkey")
+                .agg(F.sum("units").alias("qty"))
+                .where(F.col("qty") > _Q20_QTY_BAR))
+    s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                              "s_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (excess.groupBy("l_suppkey")
+                  .agg(F.count(F.lit(1)).alias("n_excess_parts"),
+                       F.sum("qty").alias("total_units"))
+                  .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+                  .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                  .select(F.col("s_suppkey").alias("suppkey"),
+                          F.col("s_name").alias("supplier"),
+                          F.col("n_name").alias("nation"),
+                          "n_excess_parts", "total_units"))
+
+
+SQL_EXCESS_PART_SUPPLIERS = f"""
+WITH q AS (
+  SELECT l_suppkey, l_partkey, CAST(sum(round(l_quantity)) AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l.l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1, 2
+), ex AS (
+  SELECT l_suppkey, count(*) AS n_excess_parts,
+         CAST(sum(qty) AS BIGINT) AS total_units
+  FROM q WHERE qty > {_Q20_QTY_BAR} GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier, n.n_name AS nation,
+       ex.n_excess_parts, ex.total_units
+FROM ex
+JOIN supplier s ON ex.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+# --------------------------------------------- returned-item customers
+
+#: Q10-flavor order window, epoch-ns (1997-Q3)
+_Q10_LO_NS = 867_715_200 * 1_000_000_000
+_Q10_HI_NS = 875_664_000 * 1_000_000_000
+_Q10_TOPK = 20
+
+
+def q_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: the top 20 customers by revenue lost to RETURNED
+    items for orders placed in one quarter — filter-join-aggregate-rank.
+    The returnflag filter rides the lineitem scan and the quarter filter
+    the orders scan; revenue aggregates per customer BEFORE the
+    (broadcast) customer/nation attribute join, and the top-k is ranked
+    on the exact integer rev4 with the unique custkey as tie-break, so
+    the cutoff is total and engine-stable. Compiles to
+    TakeOrderedAndProject — no global sort materializes."""
+    from photon_spark.queries import _t
+    li = (_rd(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (_cents(F.col("l_extendedprice"))
+                   * _cents(F.lit(1.0) - F.col("l_discount")))
+                  .alias("rev4")))
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= _Q10_LO_NS)
+                & (F.col("o_orderdate") < _Q10_HI_NS))
+         .select("o_orderkey", "o_custkey"))
+    per_cust = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .groupBy("o_custkey")
+                  .agg(F.count(F.lit(1)).alias("n_returned"),
+                       F.sum("rev4").alias("rev4")))
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_name",
+                                              "c_acctbal", "c_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (per_cust
+            .orderBy(F.desc("rev4"), F.asc("o_custkey"))
+            .limit(_Q10_TOPK)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("c_name").alias("customer"),
+                    F.col("n_name").alias("nation"),
+                    F.col("n_returned"),
+                    F.round(F.col("rev4") / 10000, 2).alias("lost_revenue"),
+                    F.round(_cents(F.col("c_acctbal")) / 100, 2)
+                     .alias("acctbal")))
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey, count(*) AS n_returned,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS rev4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+    AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  GROUP BY 1
+), topk AS (
+  SELECT * FROM per_cust ORDER BY rev4 DESC, o_custkey ASC
+  LIMIT {_Q10_TOPK}
+)
+SELECT t.o_custkey AS custkey, c.c_name AS customer, n.n_name AS nation,
+       t.n_returned, round(t.rev4 / 10000.0, 2) AS lost_revenue,
+       round(CAST(round(c.c_acctbal * 100) AS BIGINT) / 100.0, 2)
+         AS acctbal
+FROM topk t
+JOIN customer c ON t.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# --------------------------------------------------- market share (Q8)
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_7's share of PROMO-part revenue delivered
+    into ASIA, per order year — the five-join star with a two-level
+    (conditional-sum over group) aggregate. Every dimension chain
+    (part slice, supplier→nation, customer→nation→region) broadcasts;
+    the single wide shuffle is lineitem ⋈ orders on orderkey. The year
+    comes from the ns-long order date via the repo's exact
+    div-1e9 → timestamp_seconds idiom pinned to UTC (identical to
+    DuckDB's year() on the µs-read value, dates being day-aligned), and
+    the share is one bigint/bigint division rounded once."""
+    from photon_spark.queries import _t
+    li = _rd(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents(F.col("l_extendedprice"))
+         * _cents(F.lit(1.0) - F.col("l_discount"))).alias("rev4"))
+    p = (_rd(spark, sf_dir, "part")
+         .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = (_rd(spark, sf_dir, "nation")
+          .where(F.col("n_regionkey") == 2).select("n_nationkey"))
+    sn = (_rd(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation")))
+    s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key")))
+    year = F.year(F.timestamp_seconds(
+        F.expr("o_orderdate div 1000000000")))
+    target = F.when(F.col("supp_nation") == "NATION_7", F.col("rev4")) \
+              .otherwise(F.lit(0))
+    return (j.groupBy(year.alias("order_year"))
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum(target) / 10000, 2).alias("nation_revenue"),
+                  F.round(F.sum("rev4") / 10000, 2).alias("total_revenue"),
+                  F.round(F.sum(target).cast("double")
+                          / F.sum("rev4").cast("double"), 6)
+                   .alias("mkt_share")))
+
+
+SQL_MARKET_SHARE = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS order_year, sn.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT) AS rev4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey AND cn.n_regionkey = 2
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+)
+SELECT order_year, count(*) AS n_items,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev4 ELSE 0 END)
+             / 10000.0, 2) AS nation_revenue,
+       round(sum(rev4) / 10000.0, 2) AS total_revenue,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev4
+                 ELSE 0 END)::DOUBLE / sum(rev4)::DOUBLE, 6) AS mkt_share
+FROM j GROUP BY 1
+"""
+
+
+QUERIES["late_order_priority"] = q_late_order_priority
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+QUERIES["disjunctive_revenue"] = q_disjunctive_revenue
+QUERIES["excess_part_suppliers"] = q_excess_part_suppliers
+QUERIES["returned_item_customers"] = q_returned_item_customers
+QUERIES["market_share"] = q_market_share
+ORACLES["late_order_priority"] = SQL_LATE_ORDER_PRIORITY
+ORACLES["min_cost_supplier"] = SQL_MIN_COST_SUPPLIER
+ORACLES["disjunctive_revenue"] = SQL_DISJUNCTIVE_REVENUE
+ORACLES["excess_part_suppliers"] = SQL_EXCESS_PART_SUPPLIERS
+ORACLES["returned_item_customers"] = SQL_RETURNED_ITEM_CUSTOMERS
+ORACLES["market_share"] = SQL_MARKET_SHARE

@@ -311,3 +311,51 @@ def test_corpus_e2e_budget_cumsum_is_bucketed(spark, sf_dir):
     for ln in plan.splitlines():
         if "Window" in ln and "windowspecdefinition" in ln:
             assert "_bucket" in ln or "q_int" in ln, ln
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    # the correlated EXISTS is a LEFT SEMI hash join on orderkey with the
+    # cross-table lateness predicate as the residual condition — never a
+    # nested-loop re-probe per order.
+    from photon_spark.queries_relational import q_late_order_priority
+    plan = _plan(q_late_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_pushes_envelopes_to_both_scans(spark, sf_dir):
+    # Catalyst must factor the OR-of-conjuncts: the quantity envelope
+    # (union of the three ranges) reaches the lineitem scan and the
+    # brand/size disjunction the part scan — the fact never streams
+    # unfiltered at 100 TB.
+    from photon_spark.queries_relational import q_disjunctive_revenue
+    plan = _formatted(q_disjunctive_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "EqualTo(p_brand,Brand#12)" in plan
+
+
+def test_q2_min_cost_scans_fact_once(spark, sf_dir):
+    # window-min formulation: ONE lineitem scan; the per-part min runs
+    # over the reduced (partkey, suppkey, cost) relation, not a
+    # join-back against a second aggregation of the fact.
+    from photon_spark.queries_relational import q_min_cost_supplier
+    plan = _formatted(q_min_cost_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    # the top-20 ranks on the exact integer rev4 with the unique custkey
+    # tie-break and compiles to TakeOrderedAndProject — no global sort.
+    from photon_spark.queries_relational import q_returned_item_customers
+    plan = _plan(q_returned_item_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

@@ -475,3 +475,52 @@ def test_schema_drift_audit_matches_naive(spark, sf_dir):
         assert r["stream_weeks"] == len(stream_weeks[key[0]])
         assert r["late_arrival"] == (
             1 if min(ws) > min(stream_weeks[key[0]]) else 0)
+
+
+def test_upsert_merge_matches_naive(spark, sf_dir):
+    # Re-derive the merge changelog from the raw log driver-side: base =
+    # latest per key before the cut, batch = latest per key in the
+    # window; classify keep/insert/update/delete with the cents%10==0
+    # tombstone rule, absent-key tombstones emit nothing.
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import (_MERGE_CUT_NS, _MERGE_END_NS,
+                                               q_upsert_merge)
+    out = {(r["user_id"], r["event_type"]): r
+           for r in q_upsert_merge(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "event_id", "ts", "value").collect()
+    base, hot = {}, {}
+    for r in ev:
+        if r["ts"] >= _MERGE_END_NS:
+            continue
+        side = hot if r["ts"] >= _MERGE_CUT_NS else base
+        k = (r["user_id"], r["event_type"])
+        cur = side.get(k)
+        if cur is None or (r["ts"], r["event_id"]) > (cur["ts"],
+                                                      cur["event_id"]):
+            side[k] = r
+    expect = {}
+    for k in set(base) | set(hot):
+        b, h = base.get(k), hot.get(k)
+        tomb = h is not None and round(h["value"] * 100) % 10 == 0
+        if h is None:
+            expect[k] = ("keep", b)
+        elif b is None and tomb:
+            continue
+        elif b is None:
+            expect[k] = ("insert", h)
+        elif tomb:
+            expect[k] = ("delete", b)
+        else:
+            expect[k] = ("update", h)
+    assert set(out) == set(expect)
+    acts = set()
+    for k, (act, src) in expect.items():
+        r = out[k]
+        acts.add(act)
+        assert r["merge_action"] == act
+        assert r["last_event_id"] == src["event_id"]
+        assert r["last_ts_ns"] == src["ts"]
+        assert r["last_value"] == round(round(src["value"] * 100) / 100.0, 2)
+    # the fixture exercises every action at either gate sf
+    assert acts == {"keep", "insert", "update", "delete"}

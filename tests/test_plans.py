@@ -359,3 +359,14 @@ def test_q10_topk_is_take_ordered(spark, sf_dir):
     from photon_spark.queries_relational import q_returned_item_customers
     plan = _plan(q_returned_item_customers(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_upsert_merge_is_single_shuffle_no_join(spark, sf_dir):
+    # MERGE INTO as one partial-then-final aggregate: both sides compact
+    # via null-skipping struct max in the SAME group-by — no join, no
+    # window, exactly one exchange of compacted key state.
+    from photon_spark.queries_pipeline import q_upsert_merge
+    plan = _plan(q_upsert_merge(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

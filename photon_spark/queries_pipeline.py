@@ -1424,6 +1424,57 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# ---------------------------------------------------- SCD type-2 history
+
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2: turn the changelog into the
+    full VERSION HISTORY of every (user_id, event_type) key — each
+    record becomes a validity interval [valid_from, valid_to) that
+    closes when the next version arrives; the newest version stays open
+    (valid_to NULL, is_current=1). This is the dimension-table build
+    every warehouse does for as-of joins, and the relation
+    events_asof_join would probe with BETWEEN instead of a window.
+
+    Plan: ONE keyed shuffle serves both windows (lead and row_number
+    share the (key, ts, event_id) sort). Versions are numbered from 1 in
+    arrival order; duration is exact ns integer arithmetic; money
+    follows the integer-cents pattern."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    nxt = F.lead("ts").over(w)
+    return (e.withColumn("version_n", F.row_number().over(w))
+             .withColumn("valid_to_ns", nxt)
+             .select("user_id", "event_type",
+                     F.col("version_n").cast("long").alias("version_n"),
+                     F.col("event_id").alias("src_event_id"),
+                     F.col("ts").alias("valid_from_ns"),
+                     "valid_to_ns",
+                     (F.col("valid_to_ns") - F.col("ts"))
+                      .alias("valid_for_ns"),
+                     F.when(F.col("valid_to_ns").isNull(), 1).otherwise(0)
+                      .cast("long").alias("is_current"),
+                     F.round(F.col("cents") / 100.0, 2).alias("value")))
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id, event_type,
+       CAST(row_number() OVER w AS BIGINT) AS version_n,
+       event_id AS src_event_id,
+       epoch_ns(ts) AS valid_from_ns,
+       lead(epoch_ns(ts)) OVER w AS valid_to_ns,
+       lead(epoch_ns(ts)) OVER w - epoch_ns(ts) AS valid_for_ns,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current,
+       round(CAST(round(value * 100) AS BIGINT) / 100.0, 2) AS value
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY epoch_ns(ts), event_id)
+"""
+
+
 # ------------------------------------------------------- upsert merge
 
 #: MERGE window: base snapshot is state before Jan 3; the incoming batch
@@ -1539,6 +1590,7 @@ QUERIES = {
     "changelog_compaction": q_changelog_compaction,
     "schema_drift_audit": q_schema_drift_audit,
     "upsert_merge": q_upsert_merge,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLES = {
@@ -1566,4 +1618,5 @@ ORACLES = {
     "changelog_compaction": SQL_CHANGELOG_COMPACTION,
     "schema_drift_audit": SQL_SCHEMA_DRIFT_AUDIT,
     "upsert_merge": SQL_UPSERT_MERGE,
+    "scd2_history": SQL_SCD2_HISTORY,
 }

@@ -1,0 +1,117 @@
+"""Continuous CDC merge maintenance — the streaming twin of
+``queries_pipeline.q_upsert_merge``.
+
+A ``CdcMergeTable`` keeps the compacted latest-record-per-key state of a
+changelog under continuous micro-batch arrival, with MERGE semantics
+(latest record wins; a winning tombstone deletes the key). It is the
+state photon's keyed projections hold live (streams.clj:125-145) made
+durable and restartable.
+
+Scale design (the PairTable philosophy, pair_cache.py):
+
+- **Write cost is O(batch), never O(table).** Each micro-batch first
+  compacts ITSELF to one record per touched key (map-side struct max),
+  then lands as a ``batch=<id>`` partition dir — existing state is never
+  rewritten on the hot path.
+- **Reads compact lazily.** ``state()`` is one keyed aggregate over the
+  partition union: argmax by the total (ts, event_id) order, then drop
+  keys whose winning record is a tombstone. Because argmax is
+  associative, N incremental batches and one big batch produce the SAME
+  state (pinned in tests) — ordering across batches does not matter, so
+  late/replayed data is safe.
+- **At-least-once replay is idempotent.** The ``batch=<id>`` partition
+  is written with OVERWRITE (the pair_cache._write_batch replay
+  contract): a crashed-and-retried foreachBatch clobbers its own
+  partial output instead of double-appending.
+- **``compact()`` bounds read amplification**: folds all partitions into
+  a single base partition (tombstones whose keys are dead are dropped
+  for good), exactly a Delta/Hudi minor compaction.
+
+At 100 TB, write the table bucketed by the key columns so ``state()``'s
+aggregate and any downstream as-of probe are co-located; the relation
+holds only keys + order columns + compact payloads, never wide rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CdcMergeTable:
+    """Durable, incrementally-maintained MERGE state.
+
+    ``key_cols`` identify an entity; ``ord_cols`` must be a total
+    deterministic order (e.g. ``["ts", "event_id"]`` with a unique id
+    tie-break); ``tombstone_col`` is a boolean column in the changelog —
+    a record with it true deletes the key when it wins the argmax.
+    All other columns are carried as payload.
+    """
+
+    def __init__(self, spark, path: str, key_cols: list[str],
+                 ord_cols: list[str], tombstone_col: str = "is_tombstone"):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.ord_cols = list(ord_cols)
+        self.tombstone_col = tombstone_col
+
+    # ------------------------------------------------------------ write
+    def _compact_batch(self, batch_df: DataFrame) -> DataFrame:
+        """One record per key: null-skipping max over (ord..., payload)
+        structs — partial-then-final, no window, no join."""
+        payload = [c for c in batch_df.columns
+                   if c not in self.key_cols]
+        rec = F.struct(*self.ord_cols,
+                       *[c for c in payload if c not in self.ord_cols])
+        return (batch_df.groupBy(*self.key_cols)
+                        .agg(F.max(rec).alias("rec"))
+                        .select(*self.key_cols, "rec.*"))
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int | str) -> None:
+        """Compact one changelog micro-batch and land it as its own
+        ``batch=<id>`` OVERWRITE partition. Safe under at-least-once
+        replay; cost is O(batch)."""
+        (self._compact_batch(batch_df)
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.path, f"batch={batch_id}")))
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` over a changelog
+        stream whose rows match the constructor's column contract."""
+        def _apply(df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(df, batch_id)
+        return _apply
+
+    # ------------------------------------------------------------- read
+    def state(self, include_tombstones: bool = False) -> DataFrame:
+        """The compacted current state: per key, the record winning the
+        total (ord_cols) order across every batch partition; keys whose
+        winner is a tombstone are deleted (or flagged, when
+        ``include_tombstones``). One keyed aggregate — associative, so
+        batch boundaries are invisible."""
+        raw = self.spark.read.parquet(self.path).drop("batch")
+        out = self._compact_batch(raw)
+        if include_tombstones:
+            return out
+        return out.where(~F.col(self.tombstone_col)) \
+                  .drop(self.tombstone_col)
+
+    # -------------------------------------------------------- maintain
+    def compact(self, tag: str = "base") -> None:
+        """Minor compaction: fold every batch partition into a single
+        ``batch=<tag>`` base (keeping winning tombstones — they must
+        still beat stale replays of older batches), then drop the
+        superseded partitions. State is unchanged (pinned in tests);
+        read amplification resets to one partition."""
+        snap = self.state(include_tombstones=True).cache()
+        snap.count()  # materialize before the partition swap
+        (snap.write.mode("overwrite")
+             .parquet(os.path.join(self.path, f"batch={tag}")))
+        import shutil
+        for d in os.listdir(self.path):
+            if d.startswith("batch=") and d != f"batch={tag}":
+                shutil.rmtree(os.path.join(self.path, d))
+        snap.unpersist()

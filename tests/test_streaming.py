@@ -737,3 +737,79 @@ def test_ingest_dedupe_makes_batch_replay_idempotent(spark, tmp_path):
     rows = store.read_all().collect()
     assert len(rows) == 7
     assert sorted(r["local_id"] for r in rows) == [str(i) for i in range(7)]
+
+
+# ------------------------------------------------------ CDC merge table
+
+def _cdc_changelog(spark, sf_dir):
+    from photon_spark.queries import _t
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return ev.withColumn("is_tombstone", F.col("cents") % 10 == 0)
+
+
+def test_cdc_merge_incremental_equals_batch_and_naive(spark, sf_dir,
+                                                      tmp_path):
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    c1, c2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+
+    inc = CdcMergeTable(spark, str(tmp_path / "inc"), keys, order)
+    inc.apply_batch(ev.where(F.col("ts") < c1), 0)
+    inc.apply_batch(ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), 1)
+    inc.apply_batch(ev.where(F.col("ts") >= c2), 2)
+
+    one = CdcMergeTable(spark, str(tmp_path / "one"), keys, order)
+    one.apply_batch(ev, 0)
+
+    s_inc = {tuple(r) for r in inc.state().collect()}
+    s_one = {tuple(r) for r in one.state().collect()}
+    assert s_inc == s_one and s_inc
+
+    # naive reference: per-key argmax by (ts, event_id); a winning
+    # tombstone deletes the key
+    best = {}
+    for r in ev.collect():
+        k = (r["user_id"], r["event_type"])
+        if k not in best or (r["ts"], r["event_id"]) > (best[k]["ts"],
+                                                        best[k]["event_id"]):
+            best[k] = r
+    expect = {(r["user_id"], r["event_type"], r["ts"], r["event_id"],
+               r["cents"])
+              for r in best.values() if not r["is_tombstone"]}
+    assert s_inc == expect
+    ev.unpersist()
+
+
+def test_cdc_merge_replay_and_compaction_idempotent(spark, sf_dir,
+                                                    tmp_path):
+    import os
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    t = CdcMergeTable(spark, str(tmp_path / "t"), keys, order)
+    t.apply_batch(ev.where(F.col("ts") < cut), 0)
+    t.apply_batch(ev.where(F.col("ts") >= cut), 1)
+    s0 = {tuple(r) for r in t.state().collect()}
+
+    # at-least-once: re-applying batch 1 VERBATIM leaves state unchanged
+    t.apply_batch(ev.where(F.col("ts") >= cut), 1)
+    assert {tuple(r) for r in t.state().collect()} == s0
+
+    # minor compaction: same state, one surviving partition
+    t.compact()
+    assert {tuple(r) for r in t.state().collect()} == s0
+    parts = [d for d in os.listdir(str(tmp_path / "t"))
+             if d.startswith("batch=")]
+    assert parts == ["batch=base"]
+
+    # tombstones survive compaction: a stale replay of batch 0 (all
+    # older records) still cannot resurrect a deleted key
+    t.apply_batch(ev.where(F.col("ts") < cut), 0)
+    assert {tuple(r) for r in t.state().collect()} == s0
+    ev.unpersist()

@@ -813,3 +813,37 @@ def test_cdc_merge_replay_and_compaction_idempotent(spark, sf_dir,
     t.apply_batch(ev.where(F.col("ts") < cut), 0)
     assert {tuple(r) for r in t.state().collect()} == s0
     ev.unpersist()
+
+
+def test_cdc_merge_foreach_batch_stream_equals_batch(spark, sf_dir,
+                                                     tmp_path):
+    """End-to-end: readStream over the events parquet → foreachBatch →
+    CdcMergeTable. availableNow processes everything and the resulting
+    state equals one batch application of the same changelog."""
+    from photon_spark.streaming.cdc import CdcMergeTable
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    kind = {f.name: f.dataType.typeName() for f in raw.fields}["ts"]
+    ns = (F.col("ts") if kind == "long"
+          else F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    keys, order = ["user_id", "event_type"], ["ts_ns", "event_id"]
+
+    def shape(df):
+        return (df.select("user_id", "event_type", "event_id",
+                          ns.alias("ts_ns"),
+                          F.round(F.col("value") * 100).cast("long")
+                           .alias("cents"))
+                  .withColumn("is_tombstone", F.col("cents") % 10 == 0))
+
+    t = CdcMergeTable(spark, str(tmp_path / "stream"), keys, order)
+    stream = spark.readStream.schema(raw).option("maxFilesPerTrigger", 1) \
+        .parquet(f"{sf_dir}/events.par*")
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: t.foreach_batch()(shape(df), bid))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    ref = CdcMergeTable(spark, str(tmp_path / "batch"), keys, order)
+    ref.apply_batch(shape(spark.read.parquet(f"{sf_dir}/events.parquet")), 0)
+    got = {tuple(r) for r in t.state().collect()}
+    assert got == {tuple(r) for r in ref.state().collect()} and got

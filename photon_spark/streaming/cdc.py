@@ -99,19 +99,50 @@ class CdcMergeTable:
         return out.where(~F.col(self.tombstone_col)) \
                   .drop(self.tombstone_col)
 
+    def state_at(self, batch_id: int | str,
+                 include_tombstones: bool = False) -> DataFrame:
+        """Time travel: the compacted state as of ``batch_id`` — the same
+        associative argmax restricted to partitions with batch ≤ id, so
+        the cost of an as-of read is proportional to the history read,
+        not to a replay. Partition pruning on the ``batch`` column keeps
+        unread batches untouched on disk. ``compact()`` folds history
+        into its highest folded batch id, so as-of reads at or above the
+        fold point stay exact; asking for a boundary the compaction
+        erased raises instead of answering wrong."""
+        ids = [int(r["batch"]) for r in
+               self.spark.read.parquet(self.path)
+                   .select("batch").distinct().collect()]
+        if int(batch_id) < min(ids):
+            raise ValueError(
+                f"state_at({batch_id}): batches below {min(ids)} were "
+                "folded by compact(); that boundary no longer exists")
+        raw = (self.spark.read.parquet(self.path)
+               .where(F.col("batch").cast("long") <= int(batch_id))
+               .drop("batch"))
+        out = self._compact_batch(raw)
+        if include_tombstones:
+            return out
+        return out.where(~F.col(self.tombstone_col)) \
+                  .drop(self.tombstone_col)
+
     # -------------------------------------------------------- maintain
-    def compact(self, tag: str = "base") -> None:
+    def compact(self) -> None:
         """Minor compaction: fold every batch partition into a single
-        ``batch=<tag>`` base (keeping winning tombstones — they must
-        still beat stale replays of older batches), then drop the
-        superseded partitions. State is unchanged (pinned in tests);
-        read amplification resets to one partition."""
+        base tagged with the HIGHEST folded batch id (keeping winning
+        tombstones — they must still beat stale replays of older
+        batches), then drop the superseded partitions. State is
+        unchanged (pinned in tests); read amplification resets to one
+        partition; ``state_at`` stays exact at and above the fold point
+        and refuses erased boundaries below it."""
+        tag = max(int(d.split("=", 1)[1]) for d in os.listdir(self.path)
+                  if d.startswith("batch="))
         snap = self.state(include_tombstones=True).cache()
         snap.count()  # materialize before the partition swap
-        (snap.write.mode("overwrite")
-             .parquet(os.path.join(self.path, f"batch={tag}")))
         import shutil
-        for d in os.listdir(self.path):
-            if d.startswith("batch=") and d != f"batch={tag}":
-                shutil.rmtree(os.path.join(self.path, d))
+        tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
+        snap.write.mode("overwrite").parquet(tmp)
         snap.unpersist()
+        for d in os.listdir(self.path):
+            if d.startswith("batch="):
+                shutil.rmtree(os.path.join(self.path, d))
+        os.rename(tmp, os.path.join(self.path, f"batch={tag}"))

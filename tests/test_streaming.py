@@ -801,12 +801,13 @@ def test_cdc_merge_replay_and_compaction_idempotent(spark, sf_dir,
     t.apply_batch(ev.where(F.col("ts") >= cut), 1)
     assert {tuple(r) for r in t.state().collect()} == s0
 
-    # minor compaction: same state, one surviving partition
+    # minor compaction: same state, one surviving partition tagged with
+    # the highest folded batch id
     t.compact()
     assert {tuple(r) for r in t.state().collect()} == s0
     parts = [d for d in os.listdir(str(tmp_path / "t"))
              if d.startswith("batch=")]
-    assert parts == ["batch=base"]
+    assert parts == ["batch=1"]
 
     # tombstones survive compaction: a stale replay of batch 0 (all
     # older records) still cannot resurrect a deleted key
@@ -847,3 +848,33 @@ def test_cdc_merge_foreach_batch_stream_equals_batch(spark, sf_dir,
     ref.apply_batch(shape(spark.read.parquet(f"{sf_dir}/events.parquet")), 0)
     got = {tuple(r) for r in t.state().collect()}
     assert got == {tuple(r) for r in ref.state().collect()} and got
+
+
+def test_cdc_merge_time_travel(spark, sf_dir, tmp_path):
+    """state_at(k) equals a fresh table fed only batches 0..k; after
+    compact(), as-of reads at/above the fold point survive and erased
+    boundaries raise."""
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    c1, c2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    slices = [ev.where(F.col("ts") < c1),
+              ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+              ev.where(F.col("ts") >= c2)]
+    t = CdcMergeTable(spark, str(tmp_path / "t"), keys, order)
+    for i, s in enumerate(slices):
+        t.apply_batch(s, i)
+    for k in range(3):
+        ref = CdcMergeTable(spark, str(tmp_path / f"ref{k}"), keys, order)
+        for i in range(k + 1):
+            ref.apply_batch(slices[i], i)
+        assert ({tuple(r) for r in t.state_at(k).collect()}
+                == {tuple(r) for r in ref.state().collect()})
+    final = {tuple(r) for r in t.state().collect()}
+    t.compact()                      # folds 0..2 into batch=2
+    assert {tuple(r) for r in t.state_at(2).collect()} == final
+    with _pytest.raises(ValueError):
+        t.state_at(1)
+    ev.unpersist()

@@ -370,3 +370,40 @@ def test_upsert_merge_is_single_shuffle_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_plan_exchange_budgets(spark, sf_dir):
+    """Registry-wide plan-shape regression guard: every query's physical
+    plan must stay within its recorded exchange budget
+    (tools/plan_budgets.json — shuffle and broadcast counts at the test
+    sf). A refactor that quietly adds a shuffle fails here with the
+    query named; a plan that improves should have its budget re-banked
+    via tools/gen_plan_budgets.py. New queries must be added to the
+    budget file in the same commit."""
+    import json
+    import os
+    from photon_spark import queries as q
+    from tools.gen_plan_budgets import plan_counts
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "plan_budgets.json")
+    with open(path) as f:
+        budgets = json.load(f)
+    failures = []
+    for name, fn in q.QUERIES.items():
+        if name not in budgets:
+            failures.append((name, "no budget recorded — run "
+                             "tools/gen_plan_budgets.py"))
+            continue
+        try:
+            plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                    .executedPlan().toString())
+        except Exception as exc:
+            failures.append((name, f"plan build failed: {exc}"))
+            continue
+        got = plan_counts(plan)
+        b = budgets[name]
+        if (got["shuffles"] > b["shuffles"]
+                or got["broadcasts"] > b["broadcasts"]):
+            failures.append((name, f"over budget: {got} > {b}"))
+    assert not failures, failures

@@ -108,10 +108,9 @@ def image_decode_features(df: DataFrame) -> DataFrame:
     matching the oracle's cast-then-divide)."""
 
     def extract(batches: Iterator) -> Iterator:
-        from decimal import ROUND_HALF_UP, Decimal
-
         import pandas as pd
-        q6 = Decimal("0.000001")
+
+        from photon_spark.functions.quality import _r6
         for pdf in batches:
             out = []
             for rec in pdf.itertuples(index=False):
@@ -124,11 +123,7 @@ def image_decode_features(df: DataFrame) -> DataFrame:
                         "image_decode_features requires real decodable "
                         "images")
                 n = d["n_pixels"]
-                # decimal HALF_UP on the shortest repr, matching both
-                # Spark's BigDecimal round and DuckDB's round (Python's
-                # builtin half-even would diverge on exact boundaries)
-                mean = float(Decimal(repr(d["luma_sum"] / n))
-                             .quantize(q6, ROUND_HALF_UP)) if n else 0.0
+                mean = _r6(d["luma_sum"] / n) if n else 0.0
                 out.append((rec.media_id, d["decoded_w"], d["decoded_h"],
                             n, d["luma_sum"], d["min_luma"], d["max_luma"],
                             mean))
@@ -206,13 +201,13 @@ def decode_png(content: bytes):
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
     height = channels = None
-    idat = bytearray()
+    idat, iend = bytearray(), False
     while pos + 8 <= len(content):
         (ln,) = struct.unpack(">I", content[pos:pos + 4])
         tag = content[pos + 4:pos + 8]
-        data = content[pos + 8:pos + 8 + ln]
-        if len(data) != ln:
+        if pos + 12 + ln > len(content):  # data AND its CRC must fit
             raise ValueError("truncated chunk")
+        data = content[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack(">I", content[pos + 8 + ln:pos + 12 + ln])
         if crc != (crc32(tag + data) & 0xFFFFFFFF):
             raise ValueError(f"bad CRC in {tag!r}")
@@ -228,13 +223,27 @@ def decode_png(content: bytes):
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
+            iend = True
             break
         pos += 12 + ln
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    if not iend:
+        # a file that runs out mid-chunk-header never reaches the
+        # truncated-chunk check above; require the IEND terminator so
+        # any truncation is an error, not a silent partial decode
+        raise ValueError("truncated PNG (missing IEND)")
     bpp, stride = channels, width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: cap output at expected+1 so a small IDAT claiming
+    # huge dimensions (or hiding extra data) cannot balloon executor
+    # memory before the size check
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("decompressed size does not match dimensions")
     out = bytearray(height * stride)
     prior = bytes(stride)

@@ -678,6 +678,14 @@ _NEWEST_FIRST = [
     "top_supplier_revenue",
     "idle_rich_customers",
     "session_window_stats",
+    "upsert_merge",
+    "scd2_history",
+    "late_order_priority",
+    "min_cost_supplier",
+    "disjunctive_revenue",
+    "excess_part_suppliers",
+    "returned_item_customers",
+    "market_share",
 ]
 
 

@@ -24,8 +24,11 @@ Scale design (the PairTable philosophy, pair_cache.py):
   contract): a crashed-and-retried foreachBatch clobbers its own
   partial output instead of double-appending.
 - **``compact()`` bounds read amplification**: folds all partitions into
-  a single base partition (tombstones whose keys are dead are dropped
-  for good), exactly a Delta/Hudi minor compaction.
+  a single base partition, exactly a Delta/Hudi minor compaction.
+  Winning tombstones are RETAINED in the base — they must keep beating
+  stale replays of older batches; dropping them (a major compaction) is
+  only safe once replay of pre-fold batches is impossible, which this
+  table cannot know on its own.
 
 At 100 TB, write the table bucketed by the key columns so ``state()``'s
 aggregate and any downstream as-of probe are co-located; the relation
@@ -70,10 +73,20 @@ class CdcMergeTable:
                         .agg(F.max(rec).alias("rec"))
                         .select(*self.key_cols, "rec.*"))
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int | str) -> None:
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Compact one changelog micro-batch and land it as its own
         ``batch=<id>`` OVERWRITE partition. Safe under at-least-once
-        replay; cost is O(batch)."""
+        replay; cost is O(batch). Batch ids must be integers — the
+        ``batch`` partition column is read back as long by ``state_at``
+        and ``compact``; a non-numeric tag would silently null out under
+        the cast, so it is rejected here instead."""
+        try:
+            batch_id = int(batch_id)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"apply_batch: batch_id must be an integer, got "
+                f"{batch_id!r} — state_at/compact order batches "
+                "numerically") from None
         (self._compact_batch(batch_df)
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, f"batch={batch_id}")))
@@ -99,7 +112,7 @@ class CdcMergeTable:
         return out.where(~F.col(self.tombstone_col)) \
                   .drop(self.tombstone_col)
 
-    def state_at(self, batch_id: int | str,
+    def state_at(self, batch_id: int,
                  include_tombstones: bool = False) -> DataFrame:
         """Time travel: the compacted state as of ``batch_id`` — the same
         associative argmax restricted to partitions with batch ≤ id, so
@@ -129,20 +142,43 @@ class CdcMergeTable:
     def compact(self) -> None:
         """Minor compaction: fold every batch partition into a single
         base tagged with the HIGHEST folded batch id (keeping winning
-        tombstones — they must still beat stale replays of older
-        batches), then drop the superseded partitions. State is
-        unchanged (pinned in tests); read amplification resets to one
-        partition; ``state_at`` stays exact at and above the fold point
-        and refuses erased boundaries below it."""
+        tombstones — see the module docstring), then drop the superseded
+        partitions. State is unchanged (pinned in tests); read
+        amplification resets to one partition; ``state_at`` stays exact
+        at and above the fold point and refuses erased boundaries below
+        it.
+
+        Crash-safe at every step, not just before the swap: readers see
+        only non-underscore dirs, and the fold's records win or tie
+        every record they summarize, so a visible set is correct iff it
+        contains either the whole fold or all original batches. The
+        protocol preserves that invariant throughout: (1) write the fold
+        to an invisible ``_compact_tmp`` dir (originals intact); (2)
+        move the fold's data files INTO ``batch=<tag>`` beside the
+        originals (union ⊇ originals at each file move, ⊇ fold once
+        done); (3) delete the superseded files/dirs (⊇ fold). A crash
+        anywhere leaves a correct table, and re-running ``compact()``
+        finishes the job — duplicated records between fold and originals
+        collapse under the argmax."""
+        import shutil
         tag = max(int(d.split("=", 1)[1]) for d in os.listdir(self.path)
                   if d.startswith("batch="))
-        snap = self.state(include_tombstones=True).cache()
-        snap.count()  # materialize before the partition swap
-        import shutil
         tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
-        snap.write.mode("overwrite").parquet(tmp)
-        snap.unpersist()
+        (self.state(include_tombstones=True)
+         .write.mode("overwrite").parquet(tmp))
+        dest = os.path.join(self.path, f"batch={tag}")
+        old_files = [f for f in os.listdir(dest)
+                     if not f.startswith(("_", "."))]
+        for f in os.listdir(tmp):
+            if f.startswith(("_", ".")):
+                continue
+            # fresh job UUID in the part name + single "fold-" prefix ⇒
+            # no collision with old_files, even ones from a crashed run
+            os.rename(os.path.join(tmp, f),
+                      os.path.join(dest, f"fold-{f}"))
+        for f in old_files:
+            os.remove(os.path.join(dest, f))
         for d in os.listdir(self.path):
-            if d.startswith("batch="):
+            if d.startswith("batch=") and d != f"batch={tag}":
                 shutil.rmtree(os.path.join(self.path, d))
-        os.rename(tmp, os.path.join(self.path, f"batch={tag}"))
+        shutil.rmtree(tmp, ignore_errors=True)

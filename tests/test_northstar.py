@@ -435,6 +435,24 @@ def test_png_decode_rejects_corruption():
     blob[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         multimodal.decode_png(bytes(blob))
+    # truncation anywhere inside a chunk (including mid-CRC) must raise
+    # ValueError, never a raw struct.error
+    full = bytes(multimodal.encode_png(px, 8, 8))
+    for cut in (len(full) - 2, len(full) - 6, 30):
+        with pytest.raises(ValueError, match="truncated|missing"):
+            multimodal.decode_png(full[:cut])
+    # inflate is bounded: an IDAT whose stream exceeds what IHDR's
+    # dimensions allow is rejected without materializing the payload
+    import struct
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 grey
+    big = zlib.compress(bytes(10_000_000))  # ~10 MB claimed by 4 px
+    bomb = (multimodal.PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", big)
+            + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size does not match"):
+        multimodal.decode_png(bomb)
 
 
 def test_decode_image_routes_png_to_real_decoder():

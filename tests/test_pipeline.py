@@ -499,10 +499,18 @@ def test_upsert_merge_matches_naive(spark, sf_dir):
         if cur is None or (r["ts"], r["event_id"]) > (cur["ts"],
                                                       cur["event_id"]):
             side[k] = r
+    # HALF_UP cents, matching the engine's Spark F.round (Python builtin
+    # round is half-even and would flip exact-.5 cents)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def cents(v):
+        return int(Decimal(repr(v * 100)).quantize(Decimal(1),
+                                                   ROUND_HALF_UP))
+
     expect = {}
     for k in set(base) | set(hot):
         b, h = base.get(k), hot.get(k)
-        tomb = h is not None and round(h["value"] * 100) % 10 == 0
+        tomb = h is not None and cents(h["value"]) % 10 == 0
         if h is None:
             expect[k] = ("keep", b)
         elif b is None and tomb:
@@ -521,6 +529,6 @@ def test_upsert_merge_matches_naive(spark, sf_dir):
         assert r["merge_action"] == act
         assert r["last_event_id"] == src["event_id"]
         assert r["last_ts_ns"] == src["ts"]
-        assert r["last_value"] == round(round(src["value"] * 100) / 100.0, 2)
+        assert r["last_value"] == round(cents(src["value"]) / 100.0, 2)
     # the fixture exercises every action at either gate sf
     assert acts == {"keep", "insert", "update", "delete"}

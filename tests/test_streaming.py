@@ -878,3 +878,58 @@ def test_cdc_merge_time_travel(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError):
         t.state_at(1)
     ev.unpersist()
+
+
+def test_cdc_merge_compact_crash_windows_stay_correct(spark, sf_dir,
+                                                      tmp_path):
+    """Every intermediate filesystem state of compact()'s swap protocol
+    folds to the same answer: (a) fold files coexisting with the
+    originals inside batch=<tag> (crash after the move loop) and (b)
+    fold files only (crash before superseded dirs are dropped) both
+    yield the pre-compact state, and a re-run of compact() converges.
+    Also pins the tag contract: non-integer batch ids are rejected at
+    apply_batch instead of nulling out under state_at's long cast."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    t = CdcMergeTable(spark, str(tmp_path / "t"), keys, order)
+    t.apply_batch(ev.where(F.col("ts") < cut), 0)
+    t.apply_batch(ev.where(F.col("ts") >= cut), 1)
+    s0 = {tuple(r) for r in t.state().collect()}
+
+    # crash window (a): replay the move loop by hand — fold data files
+    # land in batch=1 NEXT TO the original files, nothing deleted yet
+    root = str(tmp_path / "t")
+    tmp = os.path.join(root, "_fold_sim")
+    t.state(include_tombstones=True).write.mode("overwrite").parquet(tmp)
+    dest = os.path.join(root, "batch=1")
+    for f in os.listdir(tmp):
+        if not f.startswith(("_", ".")):
+            shutil.copy(os.path.join(tmp, f),
+                        os.path.join(dest, f"fold-{f}"))
+    assert {tuple(r) for r in t.state().collect()} == s0
+
+    # crash window (b): originals inside batch=1 deleted, batch=0 still
+    # present — the fold's records win or tie everything in batch 0
+    for f in os.listdir(dest):
+        if not f.startswith(("_", ".", "fold-")):
+            os.remove(os.path.join(dest, f))
+    assert {tuple(r) for r in t.state().collect()} == s0
+
+    # a re-run of compact() from either partial state converges to the
+    # clean single-partition layout with unchanged state
+    shutil.rmtree(tmp)
+    t.compact()
+    assert {tuple(r) for r in t.state().collect()} == s0
+    assert [d for d in os.listdir(root)
+            if d.startswith("batch=")] == ["batch=1"]
+
+    with _pytest.raises(ValueError, match="integer"):
+        t.apply_batch(ev.limit(1), "b1")
+    ev.unpersist()

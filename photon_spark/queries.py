@@ -40,6 +40,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+def _t_pruned(spark: SparkSession, sf_dir: str, name: str,
+              bounds: dict) -> DataFrame:
+    """``_t`` plus scan-prunable time-range bounds. ``bounds`` maps a
+    timestamp column to a half-open ``(lo_ns, hi_ns)`` window (either
+    end None). The predicate is applied to the RAW reader column BEFORE
+    the epoch-ns normalization, so it reaches the parquet scan as a
+    PushedFilter — row-group/file pruning at 100 TB. Filtering after
+    ``_t`` sits above the unix_micros projection, which no reader can
+    push; the output relation is identical either way (bounds must be
+    µs-aligned — every repo constant is second-aligned — so the
+    raw-typed compare is exactly the ns-long compare)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+
+    def _lit(ns: int, typ: str):
+        if typ == "long":  # Spark ≤4.0 legacy nanosAsLong read
+            return F.lit(ns)
+        if ns % 1000:
+            raise ValueError(f"bound {ns} is not µs-aligned")
+        from datetime import datetime, timezone
+        dt = datetime.fromtimestamp(ns // 1_000_000_000,
+                                    tz=timezone.utc).replace(tzinfo=None)
+        micros = (ns // 1000) % 1_000_000
+        s = dt.strftime("%Y-%m-%d %H:%M:%S") + f".{micros:06d}"
+        # literal typed exactly like the column: no cast lands on the
+        # column side, so the compare stays pushdown-eligible
+        kw = "TIMESTAMP_NTZ" if typ == "timestamp_ntz" else "TIMESTAMP"
+        return F.expr(f"{kw} '{s}'")
+
+    for col, (lo, hi) in bounds.items():
+        typ = types[col]
+        if lo is not None:
+            df = df.where(F.col(col) >= _lit(lo, typ))
+        if hi is not None:
+            df = df.where(F.col(col) < _lit(hi, typ))
+    return _normalize_ts(df)
+
+
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """Normalize every timestamp column to an epoch-ns long (see _t's
     rationale) — shared by batch readers and streaming foreachBatch
@@ -686,6 +726,10 @@ _NEWEST_FIRST = [
     "excess_part_suppliers",
     "returned_item_customers",
     "market_share",
+    "forecast_revenue_change",
+    "late_line_priority_mix",
+    "nation_profit_by_year",
+    "part_supplier_counts",
 ]
 
 

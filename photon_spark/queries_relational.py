@@ -1429,3 +1429,205 @@ ORACLES["disjunctive_revenue"] = SQL_DISJUNCTIVE_REVENUE
 ORACLES["excess_part_suppliers"] = SQL_EXCESS_PART_SUPPLIERS
 ORACLES["returned_item_customers"] = SQL_RETURNED_ITEM_CUSTOMERS
 ORACLES["market_share"] = SQL_MARKET_SHARE
+
+
+# ---------------------------------------- forecast revenue change (Q6)
+
+#: 1997-01-01 / 1998-01-01 UTC in epoch-ns (the _t contract)
+_Q6_LO_NS = 852_076_800 * 1_000_000_000
+_Q6_HI_NS = 883_612_800 * 1_000_000_000
+
+
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: revenue that would have been gained by dropping a
+    discount band — the pure pushed-filter scalar aggregate. All three
+    predicates (ship year, discount band, quantity cap) reach the
+    parquet scan as PushedFilters (pinned in tests/test_plans.py), so at
+    100 TB the scan is row-group-pruned before a single byte of the
+    wide columns moves; the aggregate itself is one partial-then-final
+    pass over (price, discount) pairs. The discount band compares the
+    stored 2dp doubles against the same literals on both engines — no
+    re-rounding, so parity is bit-exact; revenue is the exact integer
+    cents x cents product divided once at the end."""
+    from photon_spark.queries import _t_pruned
+    li = (_t_pruned(spark, sf_dir, "lineitem",
+                    {"l_shipdate": (_Q6_LO_NS, _Q6_HI_NS)})
+          .where((F.col("l_discount") >= 0.04)
+                 & (F.col("l_discount") <= 0.06)
+                 & (F.col("l_quantity") < 24)))
+    rev4 = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(rev4) / 10000, 2).alias("forecast_revenue"))
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT))
+             / 10000.0, 2) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------- late-line priority mix (Q12)
+
+_Q12_LATE_NS = 90 * 86_400 * 1_000_000_000
+
+
+def q_late_line_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape: per line class (returnflag standing in for the
+    absent shipmode), how many LATE-shipped lines belonged to critical
+    vs non-critical orders — the join + conditional CASE-sum aggregate.
+    One wide shuffle (lineitem |><| orders on orderkey); the 90-day
+    lateness predicate is pure ns-long arithmetic evaluated as the
+    join's residual, and both priority counters come out of a single
+    pass over the joined rows (no second scan, no pivot)."""
+    from photon_spark.queries import _t, _t_pruned
+    li = (_t_pruned(spark, sf_dir, "lineitem",
+                    {"l_shipdate": (_Q6_LO_NS, _Q6_HI_NS)})
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    j = li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate > o.o_orderdate + F.lit(_Q12_LATE_NS)))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+             .agg(F.sum(F.when(crit, 1).otherwise(0))
+                   .alias("high_priority_lines"),
+                  F.sum(F.when(crit, 0).otherwise(1))
+                   .alias("low_priority_lines")))
+
+
+SQL_LATE_LINE_PRIORITY_MIX = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_priority_lines,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_priority_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
+# --------------------------------------- nation profit by year (Q9)
+
+def q_nation_profit_by_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for one
+    part family — the LIKE-sliced multi-join star whose measure can go
+    NEGATIVE (profit = discounted revenue minus a cost leg), which rules
+    out the non-negative-sum shortcuts the revenue queries use. The
+    testdata has no partsupp, so the cost leg is the part's retail price
+    x quantity (same correlated-cost shape). Part (LIKE-filtered),
+    supplier and nation broadcast; the single wide exchange is
+    lineitem |><| orders on orderkey. Profit stays in exact 1e-4-dollar
+    integer units through the sum — quantity is an integral double cast
+    losslessly to long — and divides once at the end."""
+    from photon_spark.queries import _t
+    li = _rd(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents(F.col("l_extendedprice"))
+         * _cents(F.lit(1.0) - F.col("l_discount"))).alias("rev4"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    p = (_rd(spark, sf_dir, "part")
+         .where(F.col("p_name").like("%red%"))
+         .select("p_partkey", _cents(F.col("p_retailprice")).alias("rp_c")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    year = F.year(F.timestamp_seconds(
+        F.expr("o_orderdate div 1000000000")))
+    profit4 = (F.col("rev4")
+               - F.col("rp_c") * F.col("qty") * F.lit(100))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      year.alias("order_year"))
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum(profit4) / 10000, 2).alias("profit")))
+
+
+SQL_NATION_PROFIT_BY_YEAR = """
+WITH j AS (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)
+         - CAST(round(p.p_retailprice * 100) AS BIGINT)
+           * CAST(l.l_quantity AS BIGINT) * 100 AS profit4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT nation, order_year, count(*) AS n_items,
+       round(sum(profit4) / 10000.0, 2) AS profit
+FROM j GROUP BY 1, 2
+"""
+
+
+# --------------------------------------- part supplier counts (Q16)
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+def q_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers able to supply each part
+    slice, excluding a complaint blacklist — the NOT-IN-subquery +
+    count-distinct pattern. The supply relation is the distinct
+    (partkey, suppkey) projection of lineitem (no partsupp table in the
+    testdata): ONE exchange reduces the fact to id pairs before
+    anything joins. The NOT IN compiles to a LEFT ANTI join against the
+    broadcast blacklist (name-pattern stand-in for photon-era
+    complaints); part broadcasts; the final count-distinct groups the
+    already-tiny pair relation. Nothing wider than two ids ever
+    shuffles, at any scale factor."""
+    ps = (_rd(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    p = (_rd(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#3")
+                & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(*_Q16_SIZES))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_rd(spark, sf_dir, "supplier")
+           .where(F.col("s_name").like("%7"))
+           .select("s_suppkey"))
+    return (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+              .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["forecast_revenue_change"] = q_forecast_revenue_change
+QUERIES["late_line_priority_mix"] = q_late_line_priority_mix
+QUERIES["nation_profit_by_year"] = q_nation_profit_by_year
+QUERIES["part_supplier_counts"] = q_part_supplier_counts
+ORACLES["forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
+ORACLES["late_line_priority_mix"] = SQL_LATE_LINE_PRIORITY_MIX
+ORACLES["nation_profit_by_year"] = SQL_NATION_PROFIT_BY_YEAR
+ORACLES["part_supplier_counts"] = SQL_PART_SUPPLIER_COUNTS

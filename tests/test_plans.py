@@ -361,6 +361,45 @@ def test_q10_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
+    # the pure pushed-filter scalar aggregate: ship window, discount
+    # band AND quantity cap must all appear as PushedFilters on the
+    # lineitem scan — at 100 TB this is row-group pruning before any
+    # wide column moves. One scan, zero joins.
+    from photon_spark.queries_relational import q_forecast_revenue_change
+    plan = _formatted(q_forecast_revenue_change(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan
+    assert "LessThanOrEqual(l_discount,0.06)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "Join" not in plan
+
+
+def test_q9_profit_star_no_dimension_shuffle_join(spark, sf_dir):
+    # the LIKE-sliced profit star: part/supplier/nation must broadcast
+    # (at the tiny test sf orders broadcasts too — fine; what the pin
+    # forbids is any dimension falling back to a shuffle join), and the
+    # LIKE slice must prune the part scan.
+    from photon_spark.queries_relational import q_nation_profit_by_year
+    plan = _plan(q_nation_profit_by_year(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "StringContains(p_name,red)" in _formatted(
+        q_nation_profit_by_year(spark, sf_dir))
+
+
+def test_q16_not_in_compiles_to_anti_join_on_id_pairs(spark, sf_dir):
+    # the complaint NOT IN is a LEFT ANTI broadcast join, and it runs
+    # over the distinct (partkey, suppkey) pair relation — the fact
+    # reduces to two ids in its first exchange, never re-scanned.
+    from photon_spark.queries_relational import q_part_supplier_counts
+    plan = _plan(q_part_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_upsert_merge_is_single_shuffle_no_join(spark, sf_dir):
     # MERGE INTO as one partial-then-final aggregate: both sides compact
     # via null-skipping struct max in the SAME group-by — no join, no

@@ -1505,8 +1505,9 @@ def q_upsert_merge(spark, sf_dir):
     full-outer-join formulation this replaces would shuffle the log
     twice; here merge cost is one pass over the changelog — the shape
     that makes continuous CDC compaction viable at 100 TB."""
-    e = (_events(spark, sf_dir)
-         .where(F.col("ts") < _MERGE_END_NS)
+    from photon_spark.queries import _t_pruned
+    e = (_t_pruned(spark, sf_dir, "events",
+                   {"ts": (None, _MERGE_END_NS)})
          .select("user_id", "event_type", "event_id", "ts",
                  F.round(F.col("value") * 100).cast("long").alias("cents"),
                  (F.col("ts") >= _MERGE_CUT_NS).alias("hot")))

@@ -152,16 +152,18 @@ def q_shipping_priority(spark, sf_dir):
     predicates sit in the scan (pushed to parquet), so at 100 TB the
     shuffle carries only the post-filter fact rows. Revenue is exact
     4dp integer money divided once."""
-    from photon_spark.queries import _t
+    from photon_spark.queries import _t_pruned
 
     c = (_rd(spark, sf_dir, "customer")
          .where(F.col("c_mktsegment") == "BUILDING")
          .select("c_custkey"))
-    o = (_t(spark, sf_dir, "orders")
-         .where(F.col("o_orderdate") < _Q3_CUT_NS)
+    o = (_t_pruned(spark, sf_dir, "orders",
+                   {"o_orderdate": (None, _Q3_CUT_NS)})
          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
-    li = (_t(spark, sf_dir, "lineitem")
-          .where(F.col("l_shipdate") > _Q3_CUT_NS)
+    # strict > on µs-quantized data ≡ >= cut + 1µs, keeping the bound
+    # scan-prunable
+    li = (_t_pruned(spark, sf_dir, "lineitem",
+                    {"l_shipdate": (_Q3_CUT_NS + 1_000, None)})
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     rev = (_cents(F.col("l_extendedprice"))
            * _cents(F.lit(1.0) - F.col("l_discount")))
@@ -360,10 +362,10 @@ def q_idle_customers(spark, sf_dir):
     orders side is date-filtered in the scan and reduced to DISTINCT
     custkeys before the join (aggregate-then-join again), so the anti
     probe is against a set, not the fact table."""
-    from photon_spark.queries import _t
+    from photon_spark.queries import _t_pruned
     c = _rd(spark, sf_dir, "customer")
-    o = (_t(spark, sf_dir, "orders")
-         .where(F.col("o_orderdate") >= _IDLE_CUT_NS)
+    o = (_t_pruned(spark, sf_dir, "orders",
+                   {"o_orderdate": (_IDLE_CUT_NS, None)})
          .select("o_custkey").distinct())
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .groupBy("c_mktsegment")
@@ -404,10 +406,9 @@ def q_nation_trade_volume(spark, sf_dir):
     real shuffle, keyed on orderkey; the pair groupBy collapses map-side
     to ≤ nations² rows. Date predicate sits in the lineitem scan.
     """
-    from photon_spark.queries import _t
-    li = (_t(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= _Q7_LO_NS)
-                 & (F.col("l_shipdate") < _Q7_HI_NS))
+    from photon_spark.queries import _t_pruned
+    li = (_t_pruned(spark, sf_dir, "lineitem",
+                    {"l_shipdate": (_Q7_LO_NS, _Q7_HI_NS)})
           .select("l_orderkey", "l_suppkey",
                   (_cents(F.col("l_extendedprice"))
                    * _cents(F.lit(1.0) - F.col("l_discount")))
@@ -462,10 +463,9 @@ def q_promo_revenue_share(spark, sf_dir):
     ship window — the conditional-aggregate-ratio pattern (two exact
     integer sums in ONE fact pass, one final division). Part broadcasts;
     the only wide thing that moves is the date-pruned lineitem scan."""
-    from photon_spark.queries import _t
-    li = (_t(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= _Q14_LO_NS)
-                 & (F.col("l_shipdate") < _Q14_HI_NS))
+    from photon_spark.queries import _t_pruned
+    li = (_t_pruned(spark, sf_dir, "lineitem",
+                    {"l_shipdate": (_Q14_LO_NS, _Q14_HI_NS)})
           .select("l_partkey",
                   (_cents(F.col("l_extendedprice"))
                    * _cents(F.lit(1.0) - F.col("l_discount")))
@@ -943,10 +943,9 @@ def q_top_supplier_revenue(spark, sf_dir):
     exact); the one-row max broadcasts back; the equality filter keeps
     the top tie set; the supplier dim broadcasts for the name. Integer
     equality — no float boundary."""
-    from photon_spark.queries import _t
-    li = (_t(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= _Q14_LO_NS)
-                 & (F.col("l_shipdate") < _Q14_HI_NS)))
+    from photon_spark.queries import _t_pruned
+    li = _t_pruned(spark, sf_dir, "lineitem",
+                   {"l_shipdate": (_Q14_LO_NS, _Q14_HI_NS)})
     rev = (li.groupBy("l_suppkey")
              .agg(F.sum(_cents(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))))
@@ -993,13 +992,13 @@ def q_idle_rich_customers(spark, sf_dir):
     anti probe is against date-filtered DISTINCT o_custkey
     (aggregate-then-join); threshold compare is integer-exact
     (bal·n_pos > sum_pos)."""
-    from photon_spark.queries import _t
+    from photon_spark.queries import _t_pruned
     c = (_rd(spark, sf_dir, "customer")
          .withColumn("bal_c", _cents(F.col("c_acctbal"))))
     pos = (c.where(F.col("bal_c") > 0)
             .agg(F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")))
-    o = (_t(spark, sf_dir, "orders")
-         .where(F.col("o_orderdate") >= _IDLE_CUT_NS)
+    o = (_t_pruned(spark, sf_dir, "orders",
+                   {"o_orderdate": (_IDLE_CUT_NS, None)})
          .select("o_custkey").distinct())
     return (c.crossJoin(F.broadcast(pos))
              .where(F.col("bal_c") * F.col("n") > F.col("s"))
@@ -1081,10 +1080,9 @@ def q_late_order_priority(spark, sf_dir):
     rides along as the join's residual condition, so the fact table is
     touched once and nothing but orderkeys shuffle wide. The quarter
     filter prunes the orders scan before the join."""
-    from photon_spark.queries import _t
-    o = (_t(spark, sf_dir, "orders")
-         .where((F.col("o_orderdate") >= _Q4_LO_NS)
-                & (F.col("o_orderdate") < _Q4_HI_NS))
+    from photon_spark.queries import _t, _t_pruned
+    o = (_t_pruned(spark, sf_dir, "orders",
+                   {"o_orderdate": (_Q4_LO_NS, _Q4_HI_NS)})
          .select("o_orderkey", "o_orderdate", "o_orderpriority"))
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = (o.join(li, (o.o_orderkey == li.l_orderkey)
@@ -1224,13 +1222,12 @@ def q_excess_part_suppliers(spark, sf_dir):
     integral by construction (2dp-exact), so the bar is an exact-integer
     compare. Nothing wider than (suppkey, partkey, qty) ever shuffles;
     supplier and nation broadcast onto the ~1% of survivors."""
-    from photon_spark.queries import _t
+    from photon_spark.queries import _t_pruned
     p = (_rd(spark, sf_dir, "part")
          .where(F.col("p_name").startswith("red"))
          .select("p_partkey"))
-    li = (_t(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= _Q20_LO_NS)
-                 & (F.col("l_shipdate") < _Q20_HI_NS))
+    li = (_t_pruned(spark, sf_dir, "lineitem",
+                    {"l_shipdate": (_Q20_LO_NS, _Q20_HI_NS)})
           .select("l_partkey", "l_suppkey",
                   F.round(F.col("l_quantity")).cast("long").alias("units")))
     excess = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -1290,16 +1287,15 @@ def q_returned_item_customers(spark, sf_dir):
     on the exact integer rev4 with the unique custkey as tie-break, so
     the cutoff is total and engine-stable. Compiles to
     TakeOrderedAndProject — no global sort materializes."""
-    from photon_spark.queries import _t
+    from photon_spark.queries import _t_pruned
     li = (_rd(spark, sf_dir, "lineitem")
           .where(F.col("l_returnflag") == "R")
           .select("l_orderkey",
                   (_cents(F.col("l_extendedprice"))
                    * _cents(F.lit(1.0) - F.col("l_discount")))
                   .alias("rev4")))
-    o = (_t(spark, sf_dir, "orders")
-         .where((F.col("o_orderdate") >= _Q10_LO_NS)
-                & (F.col("o_orderdate") < _Q10_HI_NS))
+    o = (_t_pruned(spark, sf_dir, "orders",
+                   {"o_orderdate": (_Q10_LO_NS, _Q10_HI_NS)})
          .select("o_orderkey", "o_custkey"))
     per_cust = (li.join(o, li.l_orderkey == o.o_orderkey)
                   .groupBy("o_custkey")

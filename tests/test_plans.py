@@ -361,6 +361,26 @@ def test_q10_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_time_bounds_reach_scans_registry_wide(spark, sf_dir):
+    # the _t_pruned sweep: every time-window fact query binds its bounds
+    # to the RAW reader column below the ns normalization, so the window
+    # appears in PushedFilters — at 100 TB this is the difference
+    # between a row-group-pruned scan and a full-table read.
+    from photon_spark.queries import q_time_range_count
+    from photon_spark.queries_relational import (q_nation_trade_volume,
+                                                 q_returned_item_customers,
+                                                 q_shipping_priority)
+    for fn, col in [(q_shipping_priority, "l_shipdate"),
+                    (q_nation_trade_volume, "l_shipdate"),
+                    (q_returned_item_customers, "o_orderdate"),
+                    (q_time_range_count, "ts")]:
+        plan = _formatted(fn(spark, sf_dir))
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any(f"GreaterThanOrEqual({col}," in ln
+                   or f"LessThan({col}," in ln for ln in pushed), \
+            (fn.__name__, pushed)
+
+
 def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
     # the pure pushed-filter scalar aggregate: ship window, discount
     # band AND quantity cap must all appear as PushedFilters on the

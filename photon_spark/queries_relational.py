@@ -1501,10 +1501,10 @@ def q_late_line_priority_mix(spark, sf_dir):
 
 SQL_LATE_LINE_PRIORITY_MIX = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 1 ELSE 0 END) AS high_priority_lines,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 0 ELSE 1 END) AS low_priority_lines
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'

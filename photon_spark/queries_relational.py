@@ -1532,7 +1532,7 @@ def q_nation_profit_by_year(spark, sf_dir):
         "l_orderkey", "l_partkey", "l_suppkey",
         (_cents(F.col("l_extendedprice"))
          * _cents(F.lit(1.0) - F.col("l_discount"))).alias("rev4"),
-        F.col("l_quantity").cast("long").alias("qty"))
+        F.round(F.col("l_quantity")).cast("long").alias("qty"))
     p = (_rd(spark, sf_dir, "part")
          .where(F.col("p_name").like("%red%"))
          .select("p_partkey", _cents(F.col("p_retailprice")).alias("rp_c")))
@@ -1559,7 +1559,7 @@ WITH j AS (
          CAST(round(l.l_extendedprice * 100) AS BIGINT)
            * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)
          - CAST(round(p.p_retailprice * 100) AS BIGINT)
-           * CAST(l.l_quantity AS BIGINT) * 100 AS profit4
+           * CAST(round(l.l_quantity) AS BIGINT) * 100 AS profit4
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
   JOIN orders o ON l.l_orderkey = o.o_orderkey

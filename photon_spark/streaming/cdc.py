@@ -81,7 +81,10 @@ class CdcMergeTable:
         and ``compact``; a non-numeric tag would silently null out under
         the cast, so it is rejected here instead."""
         try:
-            batch_id = int(batch_id)
+            # int(str(..)) rejects floats ("2.7") and bools ("True")
+            # instead of silently truncating/aliasing onto an existing
+            # partition, which mode=overwrite would then destroy
+            batch_id = int(str(batch_id))
         except (TypeError, ValueError):
             raise ValueError(
                 f"apply_batch: batch_id must be an integer, got "
@@ -125,9 +128,15 @@ class CdcMergeTable:
         ids = [int(r["batch"]) for r in
                self.spark.read.parquet(self.path)
                    .select("batch").distinct().collect()]
-        if int(batch_id) < min(ids):
+        # Two erased-boundary guards. The marker is authoritative: it is
+        # written the moment the fold becomes fully visible, BEFORE any
+        # superseded partition is deleted, so a compaction crash that
+        # removed only SOME lower batches (leaving min(ids) misleadingly
+        # low) still refuses instead of answering from partial history.
+        floor = max(self._compacted_to(), min(ids))
+        if int(batch_id) < floor:
             raise ValueError(
-                f"state_at({batch_id}): batches below {min(ids)} were "
+                f"state_at({batch_id}): batches below {floor} were "
                 "folded by compact(); that boundary no longer exists")
         raw = (self.spark.read.parquet(self.path)
                .where(F.col("batch").cast("long") <= int(batch_id))
@@ -139,6 +148,26 @@ class CdcMergeTable:
                   .drop(self.tombstone_col)
 
     # -------------------------------------------------------- maintain
+    _MARKER = "_compacted_to"
+
+    def _compacted_to(self) -> int:
+        """Lowest batch id still individually addressable: boundaries
+        strictly below this were folded by ``compact()``. Monotone;
+        -inf-equivalent before the first compaction. The underscore
+        prefix keeps the marker invisible to Spark's partition
+        discovery."""
+        try:
+            with open(os.path.join(self.path, self._MARKER)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -(1 << 62)
+
+    def _write_marker(self, tag: int) -> None:
+        tmp = os.path.join(self.path, self._MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(max(tag, self._compacted_to())))
+        os.replace(tmp, os.path.join(self.path, self._MARKER))
+
     def compact(self) -> None:
         """Minor compaction: fold every batch partition into a single
         base tagged with the HIGHEST folded batch id (keeping winning
@@ -153,19 +182,26 @@ class CdcMergeTable:
         every record they summarize, so a visible set is correct iff it
         contains either the whole fold or all original batches. The
         protocol preserves that invariant throughout: (1) write the fold
-        to an invisible ``_compact_tmp`` dir (originals intact); (2)
-        move the fold's data files INTO ``batch=<tag>`` beside the
-        originals (union ⊇ originals at each file move, ⊇ fold once
-        done); (3) delete the superseded files/dirs (⊇ fold). A crash
-        anywhere leaves a correct table, and re-running ``compact()``
-        finishes the job — duplicated records between fold and originals
-        collapse under the argmax."""
+        — computed from batches ≤ tag ONLY, so a micro-batch landing
+        concurrently is neither summarized nor harmed — to an invisible
+        ``_compact_tmp`` dir (originals intact); (2) move the fold's
+        data files INTO ``batch=<tag>`` beside the originals (union ⊇
+        originals at each file move, ⊇ fold once done); (3) durably
+        record the fold point in the ``_compacted_to`` marker — from
+        here ``state_at`` below tag refuses, so the deletions in (4)
+        can never turn an answerable as-of read into a wrong one; (4)
+        delete the superseded files/dirs (⊇ fold), sparing ids > tag
+        (concurrent foreachBatch output). A crash anywhere leaves a
+        correct table, and re-running ``compact()`` finishes the job —
+        duplicated records between fold and originals collapse under
+        the argmax."""
         import shutil
         tag = max(int(d.split("=", 1)[1]) for d in os.listdir(self.path)
                   if d.startswith("batch="))
         tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
-        (self.state(include_tombstones=True)
-         .write.mode("overwrite").parquet(tmp))
+        raw = (self.spark.read.parquet(self.path)
+               .where(F.col("batch").cast("long") <= tag).drop("batch"))
+        self._compact_batch(raw).write.mode("overwrite").parquet(tmp)
         dest = os.path.join(self.path, f"batch={tag}")
         old_files = [f for f in os.listdir(dest)
                      if not f.startswith(("_", "."))]
@@ -176,9 +212,11 @@ class CdcMergeTable:
             # no collision with old_files, even ones from a crashed run
             os.rename(os.path.join(tmp, f),
                       os.path.join(dest, f"fold-{f}"))
+        self._write_marker(tag)
         for f in old_files:
             os.remove(os.path.join(dest, f))
         for d in os.listdir(self.path):
-            if d.startswith("batch=") and d != f"batch={tag}":
+            if (d.startswith("batch=")
+                    and int(d.split("=", 1)[1]) < tag):
                 shutil.rmtree(os.path.join(self.path, d))
         shutil.rmtree(tmp, ignore_errors=True)

@@ -453,6 +453,17 @@ def test_png_decode_rejects_corruption():
             + multimodal._png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="size does not match"):
         multimodal.decode_png(bomb)
+    # a deflate stream cut after the final block but before the adler32
+    # trailer returns all expected bytes without error — the decoder
+    # must still reject it (dec.eof), never skip the integrity check
+    raw = bytes(3 * 2 * 2 + 2)  # 2x2 grey: 2 rows x (1 filter + 2 px)
+    cut_idat = zlib.compress(raw[:2 * 3])[:-4]
+    trunc = (multimodal.PNG_SIG
+             + multimodal._png_chunk(b"IHDR", ihdr)
+             + multimodal._png_chunk(b"IDAT", cut_idat)
+             + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size does not match"):
+        multimodal.decode_png(trunc)
 
 
 def test_decode_image_routes_png_to_real_decoder():

@@ -367,12 +367,24 @@ def test_time_bounds_reach_scans_registry_wide(spark, sf_dir):
     # appears in PushedFilters — at 100 TB this is the difference
     # between a row-group-pruned scan and a full-table read.
     from photon_spark.queries import q_time_range_count
-    from photon_spark.queries_relational import (q_nation_trade_volume,
-                                                 q_returned_item_customers,
-                                                 q_shipping_priority)
+    from photon_spark.queries_pipeline import q_upsert_merge
+    from photon_spark.queries_relational import (
+        q_excess_part_suppliers, q_idle_customers, q_idle_rich_customers,
+        q_late_line_priority_mix, q_late_order_priority,
+        q_nation_trade_volume, q_promo_revenue_share,
+        q_returned_item_customers, q_shipping_priority,
+        q_top_supplier_revenue)
     for fn, col in [(q_shipping_priority, "l_shipdate"),
                     (q_nation_trade_volume, "l_shipdate"),
+                    (q_promo_revenue_share, "l_shipdate"),
+                    (q_top_supplier_revenue, "l_shipdate"),
+                    (q_excess_part_suppliers, "l_shipdate"),
+                    (q_late_line_priority_mix, "l_shipdate"),
+                    (q_late_order_priority, "o_orderdate"),
                     (q_returned_item_customers, "o_orderdate"),
+                    (q_idle_customers, "o_orderdate"),
+                    (q_idle_rich_customers, "o_orderdate"),
+                    (q_upsert_merge, "ts"),
                     (q_time_range_count, "ts")]:
         plan = _formatted(fn(spark, sf_dir))
         pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]

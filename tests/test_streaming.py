@@ -933,3 +933,82 @@ def test_cdc_merge_compact_crash_windows_stay_correct(spark, sf_dir,
     with _pytest.raises(ValueError, match="integer"):
         t.apply_batch(ev.limit(1), "b1")
     ev.unpersist()
+
+
+def test_cdc_compact_marker_and_concurrent_batches(spark, sf_dir,
+                                                   tmp_path):
+    """Three protocol guarantees added with the _compacted_to marker:
+    (1) a compaction crash that deleted only SOME lower batches cannot
+    make state_at answer from partial history — the marker (written
+    before any deletion) makes it refuse; (2) compact() spares batch
+    partitions with ids HIGHER than its fold tag (concurrent
+    foreachBatch output) and excludes them from the fold; (3)
+    apply_batch rejects float/bool ids instead of truncating them onto
+    an existing partition."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    c1, c2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    t = CdcMergeTable(spark, root, keys, order)
+    t.apply_batch(ev.where(F.col("ts") < c1), 0)
+    t.apply_batch(ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), 1)
+    b2 = ev.where(F.col("ts") >= c2)
+    s01 = {tuple(r) for r in t.state().collect()}
+
+    # (2) land batch 2, then replay a compact whose tag snapshot was
+    # taken before it arrived: simulate by folding 0-1 only
+    t.apply_batch(b2, 2)
+    full = {tuple(r) for r in t.state().collect()}
+    # hand-run the fold at tag=1 the way compact() would if batch=2
+    # landed mid-flight: state must keep batch 2 afterwards
+    import photon_spark.streaming.cdc as cdc_mod
+    real_listdir = os.listdir
+
+    def hide_b2(p):
+        names = real_listdir(p)
+        return ([n for n in names if n != "batch=2"]
+                if os.path.abspath(p) == os.path.abspath(root) else names)
+    cdc_mod.os.listdir, orig = hide_b2, cdc_mod.os.listdir
+    try:
+        t.compact()  # sees only batches 0,1 -> folds to tag=1
+    finally:
+        cdc_mod.os.listdir = orig
+    assert {tuple(r) for r in t.state().collect()} == full
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("batch=")) == ["batch=1", "batch=2"]
+    # as-of the fold point equals the pre-batch-2 state
+    assert {tuple(r) for r in t.state_at(1).collect()} == s01
+
+    # (1) marker refuses below the fold even though no lower dir is
+    # missing-but-partial: boundary 0 was erased
+    with _pytest.raises(ValueError, match="folded"):
+        t.state_at(0)
+    # and a hand-crashed deletion (drop batch=1's dir entirely, leaving
+    # batch=2) still refuses state_at(1)? No: batch=1 holds the fold —
+    # simulate the dangerous window instead on a fresh table
+    root2 = str(tmp_path / "u")
+    u = CdcMergeTable(spark, root2, keys, order)
+    u.apply_batch(ev.where(F.col("ts") < c1), 0)
+    u.apply_batch(ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), 1)
+    u.apply_batch(b2, 2)
+    su2 = {tuple(r) for r in u.state().collect()}
+    u.compact()  # folds all three into batch=2, marker=2
+    # crash replay: an old partial-deletion window would have left
+    # batch=1 on disk; recreate it and verify the marker still refuses
+    u.apply_batch(ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), 1)
+    with _pytest.raises(ValueError, match="folded"):
+        u.state_at(1)
+    assert {tuple(r) for r in u.state().collect()} == su2
+
+    # (3) float/bool ids are rejected, never truncated onto batch 2
+    with _pytest.raises(ValueError, match="integer"):
+        u.apply_batch(b2.limit(1), 2.7)
+    with _pytest.raises(ValueError, match="integer"):
+        u.apply_batch(b2.limit(1), True)
+    ev.unpersist()

@@ -731,6 +731,7 @@ _NEWEST_FIRST = [
     "late_line_priority_mix",
     "nation_profit_by_year",
     "part_supplier_counts",
+    "corpus_version_diff",
 ]
 
 

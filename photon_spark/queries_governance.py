@@ -620,3 +620,82 @@ ORACLES = {
     "source_diversity": SQL_SOURCE_DIVERSITY,
     "value_mad_outliers": SQL_VALUE_MAD_OUTLIERS,
 }
+
+
+# -------------------------------------------- corpus version diff
+
+def q_corpus_version_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions — the data-versioning
+    operator every managed training corpus needs (what changed between
+    crawl N and crawl N+1, per source). Two versions are derived
+    deterministically from the gated table (md5 buckets pick which docs
+    each version holds and which text was revised), then diffed the way
+    REAL snapshots are: a FULL OUTER join on doc_id comparing content
+    hashes — the classifier never peeks at the version rule.
+
+    Scale: both sides project to (doc_id, source, length, md5(text)) AT
+    THE SCAN, so the one wide exchange ships ~50 bytes/doc and the text
+    column never moves; status is a null/hash compare after the join and
+    the per-(source, status) rollup collapses map-side. A 100 TB corpus
+    diff is one id-keyed shuffle of fingerprints."""
+    d = (_rd(spark, sf_dir, "documents")
+         .select("doc_id", "source", "text",
+                 F.substring(F.md5(F.concat(F.lit("ver:"),
+                             F.col("doc_id").cast("string"))), 1, 2)
+                  .alias("h2")))
+    rev = (F.col("h2") >= "1a") & (F.col("h2") < "40")
+    t2 = F.when(rev, F.concat(F.col("text"), F.lit(" [rev]"))) \
+          .otherwise(F.col("text"))
+    v1 = (d.where(F.col("h2") >= "0d")
+           .select(F.col("doc_id").alias("id1"),
+                   F.col("source").alias("src1"),
+                   F.length("text").alias("len1"),
+                   F.md5("text").alias("hash1")))
+    v2 = (d.where((F.col("h2") < "0d") | (F.col("h2") >= "1a"))
+           .select(F.col("doc_id").alias("id2"),
+                   F.col("source").alias("src2"),
+                   F.length(t2).alias("len2"),
+                   F.md5(t2).alias("hash2")))
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    status = (F.when(F.col("id1").isNull(), "added")
+               .when(F.col("id2").isNull(), "removed")
+               .when(F.col("hash1") != F.col("hash2"), "changed")
+               .otherwise("unchanged"))
+    delta = F.coalesce(F.col("len2"), F.lit(0)) \
+        - F.coalesce(F.col("len1"), F.lit(0))
+    return (j.groupBy(F.coalesce("src2", "src1").alias("source"),
+                      status.alias("status"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(delta).alias("chars_delta")))
+
+
+SQL_CORPUS_VERSION_DIFF = """
+WITH b AS (
+  SELECT doc_id, source, text,
+         substr(md5('ver:' || doc_id::VARCHAR), 1, 2) AS h2
+  FROM documents),
+v1 AS (
+  SELECT doc_id AS id1, source AS src1, length(text) AS len1,
+         md5(text) AS hash1
+  FROM b WHERE h2 >= '0d'),
+v2 AS (
+  SELECT doc_id AS id2, source AS src2,
+         length(CASE WHEN h2 >= '1a' AND h2 < '40'
+                THEN text || ' [rev]' ELSE text END) AS len2,
+         md5(CASE WHEN h2 >= '1a' AND h2 < '40'
+             THEN text || ' [rev]' ELSE text END) AS hash2
+  FROM b WHERE h2 < '0d' OR h2 >= '1a')
+SELECT coalesce(src2, src1) AS source,
+       CASE WHEN id1 IS NULL THEN 'added'
+            WHEN id2 IS NULL THEN 'removed'
+            WHEN hash1 != hash2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs,
+       CAST(sum(coalesce(len2, 0) - coalesce(len1, 0)) AS BIGINT)
+         AS chars_delta
+FROM v1 FULL OUTER JOIN v2 ON id1 = id2
+GROUP BY 1, 2
+"""
+
+QUERIES["corpus_version_diff"] = q_corpus_version_diff
+ORACLES["corpus_version_diff"] = SQL_CORPUS_VERSION_DIFF

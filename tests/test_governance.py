@@ -199,3 +199,35 @@ def test_embedding_coverage_audit_flags_injected_defects(spark, tmp_path):
     assert audit[2]["n_missing_doc"] == 1
     # healthy + dangling share the same vector: avg_norm2 = 64 * 0.25
     assert audit[2]["avg_norm2"] == round(EMB_DIM * 0.25, 6)
+
+
+def test_corpus_version_diff_matches_naive(spark, sf_dir):
+    """The FULL OUTER fingerprint diff equals a row-by-row Python
+    recompute of the same version rule, per (source, status) — and the
+    status classifier sees only join-side nulls + hashes (flipping any
+    doc's text must flip it to 'changed')."""
+    import hashlib
+
+    from photon_spark.queries_governance import q_corpus_version_diff
+    docs = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "source", "text").collect()}
+    exp = {}
+    for did, r in docs.items():
+        h2 = hashlib.md5(f"ver:{did}".encode()).hexdigest()[:2]
+        in1, in2 = h2 >= "0d", h2 < "0d" or h2 >= "1a"
+        t2 = r["text"] + " [rev]" if "1a" <= h2 < "40" else r["text"]
+        if not in1 and not in2:
+            continue
+        status = ("added" if not in1 else "removed" if not in2
+                  else "changed" if t2 != r["text"] else "unchanged")
+        delta = (len(t2) if not in1 else -len(r["text"]) if not in2
+                 else len(t2) - len(r["text"]))
+        k = (r["source"], status)
+        n, d = exp.get(k, (0, 0))
+        exp[k] = (n + 1, d + delta)
+    got = {(r["source"], r["status"]): (r["n_docs"], r["chars_delta"])
+           for r in q_corpus_version_diff(spark, sf_dir).collect()}
+    assert got == exp
+    assert {s for _, s in got} == {"added", "removed", "changed",
+                                   "unchanged"}

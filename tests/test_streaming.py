@@ -1012,3 +1012,62 @@ def test_cdc_compact_marker_and_concurrent_batches(spark, sf_dir,
     with _pytest.raises(ValueError, match="integer"):
         u.apply_batch(b2.limit(1), True)
     ev.unpersist()
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir,
+                                                       tmp_path):
+    """Watermarked LEFT OUTER stream-stream join — unmatched left rows
+    must eventually emit with null right columns, which only happens
+    once the watermark passes their join window (inner results emit
+    eagerly; the outer nulls are the stateful part). A far-future
+    sentinel row on both sides advances the watermark so every real
+    view's window provably closes; result set equals the batch left
+    outer join over the same rows."""
+    win_s = 600
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("etime")))
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("etime").alias("vtime"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("etime").alias("ptime"))
+    cond = (
+        "user_id = p_user AND "
+        f"ptime >= vtime AND ptime <= vtime + interval {win_s} seconds")
+    batch = {(r["view_id"], r["buy_id"]) for r in
+             views.join(purchases, F.expr(cond), "left_outer").collect()}
+    unmatched = {v for v, b in batch if b is None}
+    assert unmatched and len(unmatched) < sum(1 for _ in batch)
+
+    far = (views.agg(F.max("vtime")).first()[0]
+           .replace(year=2031))
+    sv_dir, sp_dir = str(tmp_path / "v"), str(tmp_path / "p")
+    views.coalesce(1).write.parquet(sv_dir)
+    purchases.coalesce(1).write.parquet(sp_dir)
+    sent_v = spark.createDataFrame([(-1, -1, far)], views.schema)
+    sent_p = spark.createDataFrame([(-1, -1, far)], purchases.schema)
+    sent_v.coalesce(1).write.mode("append").parquet(sv_dir)
+    sent_p.coalesce(1).write.mode("append").parquet(sp_dir)
+
+    sv = (spark.readStream.schema(views.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sv_dir)
+          .withWatermark("vtime", "1 second"))
+    sp = (spark.readStream.schema(purchases.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sp_dir)
+          .withWatermark("ptime", "1 second"))
+    got = set()
+
+    def sink(bdf, _bid):
+        got.update((r["view_id"], r["buy_id"])
+                   for r in bdf.select("view_id", "buy_id").collect())
+
+    q = (sv.join(sp, F.expr(cond), "leftOuter")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(v, b) for v, b in got if v != -1}
+    assert got == batch

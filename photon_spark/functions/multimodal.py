@@ -243,11 +243,14 @@ def decode_png(content: bytes):
         raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from None
-    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
+    if (len(raw) != expected or dec.unconsumed_tail or not dec.eof
+            or dec.unused_data):
         # not dec.eof: a stream cut after the last deflate block but
         # before the adler32 trailer returns all `expected` bytes
         # without error — require the verified end-of-stream marker so
-        # the integrity check is never silently skipped
+        # the integrity check is never silently skipped. unused_data:
+        # bytes after a complete stream inside IDAT are smuggled
+        # payload, not a valid image
         raise ValueError("decompressed size does not match dimensions")
     out = bytearray(height * stride)
     prior = bytes(stride)

@@ -79,7 +79,14 @@ class CdcMergeTable:
         replay; cost is O(batch). Batch ids must be integers — the
         ``batch`` partition column is read back as long by ``state_at``
         and ``compact``; a non-numeric tag would silently null out under
-        the cast, so it is rejected here instead."""
+        the cast, so it is rejected here instead.
+
+        Replay of an id that ``compact()`` has since adopted as its fold
+        tag is a NO-OP: the partition now holds the fold summarizing ALL
+        earlier history, and mode=overwrite would destroy it. Skipping
+        is exact, not lossy — Structured Streaming replays the same
+        offsets, so the replayed batch's records are already inside the
+        fold (and state_at below the fold refuses anyway)."""
         try:
             # int(str(..)) rejects floats ("2.7") and bools ("True")
             # instead of silently truncating/aliasing onto an existing
@@ -90,9 +97,11 @@ class CdcMergeTable:
                 f"apply_batch: batch_id must be an integer, got "
                 f"{batch_id!r} — state_at/compact order batches "
                 "numerically") from None
-        (self._compact_batch(batch_df)
-         .write.mode("overwrite")
-         .parquet(os.path.join(self.path, f"batch={batch_id}")))
+        dest = os.path.join(self.path, f"batch={batch_id}")
+        if os.path.isdir(dest) and any(f.startswith("fold-")
+                                       for f in os.listdir(dest)):
+            return  # replayed fold-tag id: already summarized
+        self._compact_batch(batch_df).write.mode("overwrite").parquet(dest)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` over a changelog
@@ -196,8 +205,18 @@ class CdcMergeTable:
         duplicated records between fold and originals collapse under
         the argmax."""
         import shutil
-        tag = max(int(d.split("=", 1)[1]) for d in os.listdir(self.path)
-                  if d.startswith("batch="))
+        # tag = highest COMMITTED batch (_SUCCESS present): an in-flight
+        # apply_batch whose dir already exists but whose job has not
+        # committed must be neither adopted as the fold home (its files
+        # would land in old_files and be deleted) nor summarized
+        committed = [int(d.split("=", 1)[1]) for d in os.listdir(self.path)
+                     if d.startswith("batch=")
+                     and os.path.exists(
+                         os.path.join(self.path, d, "_SUCCESS"))]
+        if not committed:
+            raise ValueError("compact: no committed batch partitions "
+                             "(_SUCCESS missing everywhere)")
+        tag = max(committed)
         tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
         raw = (self.spark.read.parquet(self.path)
                .where(F.col("batch").cast("long") <= tag).drop("batch"))

@@ -456,14 +456,22 @@ def test_png_decode_rejects_corruption():
     # a deflate stream cut after the final block but before the adler32
     # trailer returns all expected bytes without error — the decoder
     # must still reject it (dec.eof), never skip the integrity check
-    raw = bytes(3 * 2 * 2 + 2)  # 2x2 grey: 2 rows x (1 filter + 2 px)
-    cut_idat = zlib.compress(raw[:2 * 3])[:-4]
+    raw = bytes(2 * (1 + 2))  # 2x2 grey: 2 rows x (1 filter + 2 px)
+    cut_idat = zlib.compress(raw)[:-4]
     trunc = (multimodal.PNG_SIG
              + multimodal._png_chunk(b"IHDR", ihdr)
              + multimodal._png_chunk(b"IDAT", cut_idat)
              + multimodal._png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="size does not match"):
         multimodal.decode_png(trunc)
+    # trailing garbage AFTER a complete zlib stream inside IDAT is
+    # smuggled payload (dec.unused_data), not a valid image
+    tail = (multimodal.PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(raw) + b"JUNK")
+            + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size does not match"):
+        multimodal.decode_png(tail)
 
 
 def test_decode_image_routes_png_to_real_decoder():

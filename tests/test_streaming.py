@@ -1042,8 +1042,8 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir,
     unmatched = {v for v, b in batch if b is None}
     assert unmatched and len(unmatched) < sum(1 for _ in batch)
 
-    far = (views.agg(F.max("vtime")).first()[0]
-           .replace(year=2031))
+    from datetime import timedelta
+    far = views.agg(F.max("vtime")).first()[0] + timedelta(days=3650)
     sv_dir, sp_dir = str(tmp_path / "v"), str(tmp_path / "p")
     views.coalesce(1).write.parquet(sv_dir)
     purchases.coalesce(1).write.parquet(sp_dir)
@@ -1071,3 +1071,47 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir,
     q.awaitTermination()
     got = {(v, b) for v, b in got if v != -1}
     assert got == batch
+
+
+def test_cdc_compact_survives_tag_replay_and_inflight_batches(
+        spark, sf_dir, tmp_path):
+    """The two fold-vs-producer hazards around the shared batch=<tag>
+    partition: (1) an at-least-once REPLAY of the id compact() adopted
+    as its fold tag must not overwrite the fold (it now summarizes all
+    earlier history) — apply_batch no-ops; (2) compact() must not adopt
+    an in-flight batch dir (exists, no _SUCCESS) as its tag — those
+    files would land in old_files and be deleted."""
+    import os
+
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    t = CdcMergeTable(spark, root, keys, order)
+    b0, b1 = ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut)
+    t.apply_batch(b0, 0)
+    t.apply_batch(b1, 1)
+    s0 = {tuple(r) for r in t.state().collect()}
+
+    # (2) a fake in-flight batch=7: dir with a stray file, no _SUCCESS
+    inflight = os.path.join(root, "batch=7")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-inflight.parquet"), "wb") as f:
+        f.write(b"not yet committed")
+    t.compact()  # must fold into batch=1, not batch=7
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("batch=")) == ["batch=1", "batch=7"]
+    assert os.path.exists(os.path.join(inflight, "part-inflight.parquet"))
+    os.remove(os.path.join(inflight, "part-inflight.parquet"))
+    os.rmdir(inflight)
+    assert {tuple(r) for r in t.state().collect()} == s0
+
+    # (1) replaying the fold tag id must not clobber the fold
+    t.apply_batch(b1, 1)  # at-least-once replay of tag id -> no-op
+    assert {tuple(r) for r in t.state().collect()} == s0
+    # while a replay of a FOLDED lower id stays harmless by argmax
+    t.apply_batch(b0, 0)
+    assert {tuple(r) for r in t.state().collect()} == s0
+    ev.unpersist()

@@ -732,6 +732,7 @@ _NEWEST_FIRST = [
     "nation_profit_by_year",
     "part_supplier_counts",
     "corpus_version_diff",
+    "fuzzy_name_pairs",
 ]
 
 

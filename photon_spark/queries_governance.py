@@ -699,3 +699,71 @@ GROUP BY 1, 2
 
 QUERIES["corpus_version_diff"] = q_corpus_version_diff
 ORACLES["corpus_version_diff"] = SQL_CORPUS_VERSION_DIFF
+
+
+# -------------------------------------------- fuzzy entity pairs
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy entity resolution over the part-name vocabulary — the
+    blocked edit-distance self-join every data-cleaning pipeline needs
+    (deduping free-text entity names without an n² comparison). Two
+    classic moves, both load-bearing at 100 TB:
+
+    1. **Vocabulary reduce first**: the fact collapses to DISTINCT
+       names + counts before any pairing, so the join runs on the
+       vocabulary (bounded), never the rows.
+    2. **Multi-pass blocking**: candidate pairs come from TWO cheap
+       equality blocks (same first word; same second word) UNION-deduped
+       — each pass is an equi-join Catalyst hashes, and Levenshtein runs
+       only inside blocks. Pairs agreeing on neither word are missed BY
+       DESIGN (the standard blocking recall trade; add passes to raise
+       recall). Nothing here is a cross join — plan-lint applies.
+
+    Both engines evaluate the same classic Levenshtein, so the distance
+    column is exact cross-engine."""
+    names = (_rd(spark, sf_dir, "part")
+             .groupBy(F.col("p_name").alias("name"))
+             .agg(F.count(F.lit(1)).alias("n_parts")))
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("n_parts").alias("n_parts_a"))
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("n_parts").alias("n_parts_b"))
+
+    def block(word_idx):
+        cond = ((F.split_part(F.col("name_a"), F.lit(" "),
+                              F.lit(word_idx))
+                 == F.split_part(F.col("name_b"), F.lit(" "),
+                                 F.lit(word_idx)))
+                & (F.col("name_a") < F.col("name_b")))
+        return a.join(b, cond)
+
+    cand = block(1).unionByName(block(2)).distinct()
+    lev = F.levenshtein("name_a", "name_b")
+    return (cand.where(lev <= 3)
+                .select("name_a", "name_b",
+                        lev.cast("long").alias("lev_dist"),
+                        "n_parts_a", "n_parts_b"))
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1),
+blocked AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+  FROM names a JOIN names b
+    ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+   AND a.name < b.name
+  UNION
+  SELECT a.name, b.name, a.n_parts, b.n_parts
+  FROM names a JOIN names b
+    ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+   AND a.name < b.name)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+       n_parts_a, n_parts_b
+FROM blocked WHERE levenshtein(name_a, name_b) <= 3
+"""
+
+QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+ORACLES["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS

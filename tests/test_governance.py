@@ -231,3 +231,42 @@ def test_corpus_version_diff_matches_naive(spark, sf_dir):
     assert got == exp
     assert {s for _, s in got} == {"added", "removed", "changed",
                                    "unchanged"}
+
+
+def test_fuzzy_name_pairs_matches_naive_blocked_recompute(spark, sf_dir):
+    """The blocked Levenshtein join equals a naive Python recompute of
+    the same two blocking passes, and the blocking contract holds: a
+    pair within edit distance 3 that agrees on NEITHER word is absent
+    by design (recall trade), never present."""
+    from photon_spark.queries_governance import q_fuzzy_name_pairs
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .groupBy("p_name").count().collect())
+    names = {r["p_name"]: r["count"] for r in rows}
+    exp = set()
+    ns = sorted(names)
+    for i, x in enumerate(ns):
+        for y in ns[i + 1:]:
+            wx, wy = x.split(" "), y.split(" ")
+            if (wx[0] == wy[0] or wx[1] == wy[1]) and lev(x, y) <= 3:
+                exp.add((x, y, lev(x, y), names[x], names[y]))
+    got = {tuple(r) for r in q_fuzzy_name_pairs(spark, sf_dir).collect()}
+    assert got == exp
+    # at least one close pair is excluded purely by blocking (agrees on
+    # neither word), proving the join is band-limited, not all-pairs
+    blocked_out = [(x, y) for i, x in enumerate(ns) for y in ns[i + 1:]
+                   if x.split(" ")[0] != y.split(" ")[0]
+                   and x.split(" ")[1] != y.split(" ")[1]
+                   and lev(x, y) <= 3]
+    for x, y in blocked_out:
+        assert not any(g[0] == x and g[1] == y for g in got)

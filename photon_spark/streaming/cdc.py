@@ -81,12 +81,15 @@ class CdcMergeTable:
         and ``compact``; a non-numeric tag would silently null out under
         the cast, so it is rejected here instead.
 
-        Replay of an id that ``compact()`` has since adopted as its fold
-        tag is a NO-OP: the partition now holds the fold summarizing ALL
-        earlier history, and mode=overwrite would destroy it. Skipping
-        is exact, not lossy — Structured Streaming replays the same
-        offsets, so the replayed batch's records are already inside the
-        fold (and state_at below the fold refuses anyway)."""
+        A write into the partition ``compact()`` adopted as its fold tag
+        APPENDS instead of overwriting: mode=overwrite would destroy the
+        fold summarizing all earlier history. Appending is exact either
+        way the collision arises — a Structured Streaming replay carries
+        the same offsets (duplicate records collapse under the argmax),
+        and a fresh-checkpoint restart whose ids restarted at the tag
+        carries new records that the argmax merges correctly. Raises if
+        a ``compact()`` is in progress (or crashed mid-run — re-run it
+        to converge, which clears the sentinel)."""
         try:
             # int(str(..)) rejects floats ("2.7") and bools ("True")
             # instead of silently truncating/aliasing onto an existing
@@ -97,11 +100,16 @@ class CdcMergeTable:
                 f"apply_batch: batch_id must be an integer, got "
                 f"{batch_id!r} — state_at/compact order batches "
                 "numerically") from None
+        if os.path.exists(os.path.join(self.path, self._SENTINEL)):
+            raise RuntimeError(
+                "apply_batch: a compact() is in progress or crashed "
+                "mid-run on this table; re-run compact() to converge, "
+                "then retry the write")
         dest = os.path.join(self.path, f"batch={batch_id}")
-        if os.path.isdir(dest) and any(f.startswith("fold-")
-                                       for f in os.listdir(dest)):
-            return  # replayed fold-tag id: already summarized
-        self._compact_batch(batch_df).write.mode("overwrite").parquet(dest)
+        mode = ("append" if os.path.isdir(dest)
+                and any(f.startswith("fold-") for f in os.listdir(dest))
+                else "overwrite")
+        self._compact_batch(batch_df).write.mode(mode).parquet(dest)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` over a changelog
@@ -158,6 +166,7 @@ class CdcMergeTable:
 
     # -------------------------------------------------------- maintain
     _MARKER = "_compacted_to"
+    _SENTINEL = "_compact_in_progress"
 
     def _compacted_to(self) -> int:
         """Lowest batch id still individually addressable: boundaries
@@ -205,25 +214,37 @@ class CdcMergeTable:
         duplicated records between fold and originals collapse under
         the argmax."""
         import shutil
-        # tag = highest COMMITTED batch (_SUCCESS present): an in-flight
-        # apply_batch whose dir already exists but whose job has not
-        # committed must be neither adopted as the fold home (its files
-        # would land in old_files and be deleted) nor summarized
-        committed = [int(d.split("=", 1)[1]) for d in os.listdir(self.path)
-                     if d.startswith("batch=")
-                     and os.path.exists(
-                         os.path.join(self.path, d, "_SUCCESS"))]
+        # Only COMMITTED batches (_SUCCESS present) are summarized,
+        # adopted as the fold home, or deleted: an in-flight apply_batch
+        # whose dir exists but whose job has not committed is neither
+        # read nor touched. Fallback: a table whose committer writes no
+        # _SUCCESS markers at all (marksuccessfuljobs=false, foreign
+        # writers) treats every dir as committed — the in-flight
+        # protection only applies when markers exist to distinguish.
+        all_ids = [int(d.split("=", 1)[1]) for d in os.listdir(self.path)
+                   if d.startswith("batch=")]
+        committed = [i for i in all_ids
+                     if os.path.exists(os.path.join(
+                         self.path, f"batch={i}", "_SUCCESS"))]
         if not committed:
-            raise ValueError("compact: no committed batch partitions "
-                             "(_SUCCESS missing everywhere)")
+            committed = all_ids
+        if not committed:
+            raise ValueError("compact: no batch partitions to fold")
         tag = max(committed)
+        folded = [i for i in committed if i <= tag]
         tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
         raw = (self.spark.read.parquet(self.path)
-               .where(F.col("batch").cast("long") <= tag).drop("batch"))
+               .where(F.col("batch").cast("long").isin(folded))
+               .drop("batch"))
         self._compact_batch(raw).write.mode("overwrite").parquet(tmp)
         dest = os.path.join(self.path, f"batch={tag}")
         old_files = [f for f in os.listdir(dest)
                      if not f.startswith(("_", "."))]
+        # sentinel closes the check-then-act window in apply_batch: from
+        # here until the deletions finish, a producer replaying the tag
+        # id could otherwise race the fold move and mode=overwrite it
+        with open(os.path.join(self.path, self._SENTINEL), "w") as f:
+            f.write(str(tag))
         for f in os.listdir(tmp):
             if f.startswith(("_", ".")):
                 continue
@@ -234,8 +255,9 @@ class CdcMergeTable:
         self._write_marker(tag)
         for f in old_files:
             os.remove(os.path.join(dest, f))
-        for d in os.listdir(self.path):
-            if (d.startswith("batch=")
-                    and int(d.split("=", 1)[1]) < tag):
-                shutil.rmtree(os.path.join(self.path, d))
+        for i in folded:
+            if i < tag:
+                shutil.rmtree(os.path.join(self.path, f"batch={i}"),
+                              ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(os.path.join(self.path, self._SENTINEL))

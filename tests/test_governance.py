@@ -262,11 +262,23 @@ def test_fuzzy_name_pairs_matches_naive_blocked_recompute(spark, sf_dir):
                 exp.add((x, y, lev(x, y), names[x], names[y]))
     got = {tuple(r) for r in q_fuzzy_name_pairs(spark, sf_dir).collect()}
     assert got == exp
-    # at least one close pair is excluded purely by blocking (agrees on
-    # neither word), proving the join is band-limited, not all-pairs
-    blocked_out = [(x, y) for i, x in enumerate(ns) for y in ns[i + 1:]
-                   if x.split(" ")[0] != y.split(" ")[0]
-                   and x.split(" ")[1] != y.split(" ")[1]
-                   and lev(x, y) <= 3]
-    for x, y in blocked_out:
-        assert not any(g[0] == x and g[1] == y for g in got)
+
+
+def test_fuzzy_name_pairs_blocking_is_band_limited(spark, tmp_path):
+    """Constructed vocabulary proving the join is band-limited, not
+    all-pairs: 'cat dog' / 'bat hog' are edit distance 2 but agree on
+    NEITHER word, so blocking must exclude them; the same-word pairs
+    around them must survive. (The shipped testdata has no such pair at
+    any sf, so this property needs constructed rows.)"""
+    from photon_spark.queries_governance import q_fuzzy_name_pairs
+    names = ["cat dog", "bat hog", "cat log", "rat hog"]
+    df = spark.createDataFrame([(n,) for n in names for _ in range(2)],
+                               "p_name string")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/part.parquet")
+    got = {(r["name_a"], r["name_b"]): r["lev_dist"]
+           for r in q_fuzzy_name_pairs(spark, d).collect()}
+    assert ("bat hog", "cat dog") not in got  # lev 2, blocked out
+    assert got[("cat dog", "cat log")] == 1   # same first word
+    assert got[("bat hog", "rat hog")] == 1   # same second word
+    assert all(n_a != n_b for n_a, n_b in got)

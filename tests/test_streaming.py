@@ -1115,3 +1115,42 @@ def test_cdc_compact_survives_tag_replay_and_inflight_batches(
     t.apply_batch(b0, 0)
     assert {tuple(r) for r in t.state().collect()} == s0
     ev.unpersist()
+
+
+def test_cdc_fold_partition_append_merges_new_data(spark, sf_dir,
+                                                   tmp_path):
+    """A fresh-checkpoint restart can legitimately reuse the fold tag id
+    for NEW data: apply_batch must merge it (append + argmax), never
+    silently drop it; and while a compact() is mid-run (sentinel
+    present) producers are rejected with a retriable error instead of
+    racing the fold move."""
+    import os
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    t = CdcMergeTable(spark, root, keys, order)
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.col("ts") >= cut)
+    t.apply_batch(old, 0)
+    t.compact()  # fold lives at batch=0
+    # checkpoint wiped; the restarted stream's first batch is id 0 again
+    # but carries NEW offsets — must merge, not no-op
+    t.apply_batch(new, 0)
+    full = CdcMergeTable(spark, str(tmp_path / "ref"), keys, order)
+    full.apply_batch(ev, 0)
+    assert ({tuple(r) for r in t.state().collect()}
+            == {tuple(r) for r in full.state().collect()})
+
+    # sentinel: producers are locked out during (or after a crashed)
+    # compact, with a message pointing at the recovery action
+    open(os.path.join(root, "_compact_in_progress"), "w").write("0")
+    with _pytest.raises(RuntimeError, match="compact"):
+        t.apply_batch(new.limit(1), 5)
+    os.remove(os.path.join(root, "_compact_in_progress"))
+    t.apply_batch(new.limit(1), 5)  # lock released: writes flow again
+    ev.unpersist()

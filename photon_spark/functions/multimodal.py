@@ -224,10 +224,15 @@ def decode_png(content: bytes):
             idat += data
         elif tag == b"IEND":
             iend = True
+            pos += 12 + ln
             break
         pos += 12 + ln
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if iend and pos != len(content):
+        # trailing bytes after IEND are smuggled payload — the same
+        # contract dec.unused_data enforces inside the IDAT stream
+        raise ValueError("trailing bytes after IEND")
     if not iend:
         # a file that runs out mid-chunk-header never reaches the
         # truncated-chunk check above; require the IEND terminator so
@@ -328,7 +333,16 @@ def image_features(df: DataFrame, target_size: int = 32) -> DataFrame:
             feats = []
             for rec in pdf.itertuples(index=False):
                 content = bytes(rec.content) if rec.content is not None else b""
-                d = _decode_image(content, rec.width, rec.height)
+                try:
+                    d = _decode_image(content, rec.width, rec.height)
+                except ValueError:
+                    # per-row degrade: an unsupported or corrupt PNG
+                    # (RGBA/palette/16-bit/interlaced, bad CRC) falls
+                    # back to the byte-mean fake instead of failing the
+                    # whole extraction job; the gated strict path is
+                    # image_decode_features, which requires real decode
+                    d = {"mean_luma": (sum(content) / len(content))
+                         if content else 0.0}
                 w, h = _resize_dims(rec.width, rec.height, target_size)
                 feats.append((rec.media_id, len(content),
                               round(d["mean_luma"], 6), w, h))

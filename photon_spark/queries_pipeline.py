@@ -1515,7 +1515,10 @@ def q_upsert_merge(spark, sf_dir):
     g = (e.groupBy("user_id", "event_type")
           .agg(F.max(F.when(~F.col("hot"), rec)).alias("b"),
                F.max(F.when(F.col("hot"), rec)).alias("h")))
-    tomb = F.col("h.cents") % 10 == 0
+    # NULL-safe: a hot record with NULL value is NOT a tombstone (the
+    # oracle's WHERE would otherwise drop the row while the engine
+    # inserts it — a latent parity break on NULL-valued events)
+    tomb = F.coalesce(F.col("h.cents") % 10 == 0, F.lit(False))
     action = (F.when(F.col("h").isNull(), "keep")
                .when(F.col("b").isNull() & tomb, None)
                .when(F.col("b").isNull(), "insert")
@@ -1549,20 +1552,20 @@ SELECT coalesce(b.user_id, h.user_id) AS user_id,
        coalesce(b.event_type, h.event_type) AS event_type,
        CASE WHEN h.user_id IS NULL THEN 'keep'
             WHEN b.user_id IS NULL THEN 'insert'
-            WHEN h.cents % 10 = 0 THEN 'delete'
+            WHEN coalesce(h.cents % 10 = 0, false) THEN 'delete'
             ELSE 'update' END AS merge_action,
        CASE WHEN h.user_id IS NULL OR (b.user_id IS NOT NULL
-                 AND h.cents % 10 = 0)
+                 AND coalesce(h.cents % 10 = 0, false))
             THEN b.event_id ELSE h.event_id END AS last_event_id,
        CASE WHEN h.user_id IS NULL OR (b.user_id IS NOT NULL
-                 AND h.cents % 10 = 0)
+                 AND coalesce(h.cents % 10 = 0, false))
             THEN b.ts_ns ELSE h.ts_ns END AS last_ts_ns,
        round(CASE WHEN h.user_id IS NULL OR (b.user_id IS NOT NULL
-                       AND h.cents % 10 = 0)
+                       AND coalesce(h.cents % 10 = 0, false))
                   THEN b.cents ELSE h.cents END / 100.0, 2) AS last_value
 FROM b FULL JOIN h
   ON b.user_id = h.user_id AND b.event_type = h.event_type
-WHERE NOT (b.user_id IS NULL AND h.cents % 10 = 0)
+WHERE NOT (b.user_id IS NULL AND coalesce(h.cents % 10 = 0, false))
 """
 
 

@@ -411,6 +411,15 @@ def q_pair_table_incremental_audit(spark, sf_dir):
     d = _docs(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
     base = tempfile.mkdtemp(prefix="photon_pairtab_")
+    # replace-previous: repeated invocations in one interpreter (bench
+    # warm-up + timed runs, gate re-runs) would otherwise accumulate one
+    # full PairTable copy per call until atexit; the prior call's
+    # returned DataFrame has been consumed by the time we run again, so
+    # freeing its dir here bounds disk to one extra copy
+    prev = getattr(q_pair_table_incremental_audit, "_prev_dir", None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    q_pair_table_incremental_audit._prev_dir = base
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     pt = PairTable(spark, base, num_hashes=_NUM_HASHES, bands=_BANDS,
                    shingle_n=3, threshold=NEAR_DUP_T)

@@ -142,9 +142,11 @@ class CdcMergeTable:
         into its highest folded batch id, so as-of reads at or above the
         fold point stay exact; asking for a boundary the compaction
         erased raises instead of answering wrong."""
-        ids = [int(r["batch"]) for r in
-               self.spark.read.parquet(self.path)
-                   .select("batch").distinct().collect()]
+        # batch ids come from the directory layout (free), not a Spark
+        # scan — an as-of read's cost must be the history read, not a
+        # partition-discovery + distinct job over the whole table first
+        ids = [int(d.split("=", 1)[1]) for d in os.listdir(self.path)
+               if d.startswith("batch=")]
         # Two erased-boundary guards. The marker is authoritative: it is
         # written the moment the fold becomes fully visible, BEFORE any
         # superseded partition is deleted, so a compaction crash that
@@ -212,7 +214,14 @@ class CdcMergeTable:
         (concurrent foreachBatch output). A crash anywhere leaves a
         correct table, and re-running ``compact()`` finishes the job —
         duplicated records between fold and originals collapse under
-        the argmax."""
+        the argmax.
+
+        Concurrency contract: producers that START during the run are
+        excluded by the ``_compact_in_progress`` sentinel; a producer
+        write job already IN FLIGHT when compact() begins is not (its
+        write mode was chosen at submit time). Run compact() from the
+        same thread as the foreachBatch sink — the natural deployment —
+        so the two never overlap."""
         import shutil
         # Only COMMITTED batches (_SUCCESS present) are summarized,
         # adopted as the fold home, or deleted: an in-flight apply_batch
@@ -231,7 +240,7 @@ class CdcMergeTable:
         if not committed:
             raise ValueError("compact: no batch partitions to fold")
         tag = max(committed)
-        folded = [i for i in committed if i <= tag]
+        folded = committed
         tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
         raw = (self.spark.read.parquet(self.path)
                .where(F.col("batch").cast("long").isin(folded))
@@ -240,9 +249,12 @@ class CdcMergeTable:
         dest = os.path.join(self.path, f"batch={tag}")
         old_files = [f for f in os.listdir(dest)
                      if not f.startswith(("_", "."))]
-        # sentinel closes the check-then-act window in apply_batch: from
-        # here until the deletions finish, a producer replaying the tag
-        # id could otherwise race the fold move and mode=overwrite it
+        # sentinel excludes producers that START a write during the
+        # move-and-delete span. A producer job submitted BEFORE this
+        # point and still running is not excluded (its mode was chosen
+        # at submit time) — run compact() from the same thread as the
+        # foreachBatch sink (the natural deployment) so no producer
+        # write is ever in flight when it runs
         with open(os.path.join(self.path, self._SENTINEL), "w") as f:
             f.write(str(tag))
         for f in os.listdir(tmp):

@@ -733,6 +733,7 @@ _NEWEST_FIRST = [
     "part_supplier_counts",
     "corpus_version_diff",
     "fuzzy_name_pairs",
+    "linear_attribution",
 ]
 
 

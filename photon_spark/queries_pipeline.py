@@ -1624,3 +1624,70 @@ ORACLES = {
     "upsert_merge": SQL_UPSERT_MERGE,
     "scd2_history": SQL_SCD2_HISTORY,
 }
+
+
+# ---------------------------------------------- linear attribution
+
+_ATTR_WINDOW_NS = 7 * 86_400 * 1_000_000_000
+
+
+def q_linear_attribution(spark, sf_dir):
+    """Multi-touch LINEAR attribution — the funnel's missing sibling
+    (events_funnel is first-touch): every view by the same user in the
+    7 days before a purchase shares that purchase's value equally.
+    Output is the touch-count distribution: purchases, gross value and
+    per-touch credit by n_touch (n_touch=0 = unattributable purchases,
+    credit NULL on both engines).
+
+    Plan: ONE user-keyed shuffle joins purchases to views; the 7-day
+    bound is a pure ns-long residual, so per-user state bounds the join
+    (views per user, never the cross of event types). The first
+    aggregate collapses to one row per purchase map-side; the n_touch
+    rollup is ~tens of rows. Money stays integer cents until ONE
+    double division per group (sum is exact in double far beyond this
+    magnitude)."""
+    e = _events(spark, sf_dir)
+    p = (e.where(F.col("event_type") == "purchase")
+          .select("event_id", "user_id", F.col("ts").alias("pts"),
+                  F.round(F.col("value") * 100).cast("long")
+                   .alias("cents")))
+    v = (e.where(F.col("event_type") == "view")
+          .select(F.col("user_id").alias("v_user"),
+                  F.col("ts").alias("vts")))
+    j = p.join(v, (p.user_id == v.v_user)
+               & (v.vts <= p.pts)
+               & (v.vts > p.pts - F.lit(_ATTR_WINDOW_NS)), "left")
+    per_p = (j.groupBy("event_id", "cents")
+              .agg(F.count("vts").alias("n_touch")))
+    return (per_p.groupBy("n_touch")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("gross_value"),
+                 F.when(F.col("n_touch") > 0,
+                        F.round(F.sum("cents").cast("double")
+                                / (100.0 * F.col("n_touch")), 2))
+                  .alias("credit_per_touch")))
+
+
+SQL_LINEAR_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS pts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id AS v_user, epoch_ns(ts) AS vts FROM events
+  WHERE event_type = 'view'),
+t AS (
+  SELECT p.event_id, p.cents, count(v.vts) AS n_touch
+  FROM p LEFT JOIN v ON p.user_id = v.v_user
+    AND v.vts <= p.pts AND v.vts > p.pts - {_ATTR_WINDOW_NS}::BIGINT
+  GROUP BY 1, 2)
+SELECT n_touch, count(*) AS n_purchases,
+       round(sum(cents) / 100.0, 2) AS gross_value,
+       CASE WHEN n_touch > 0
+            THEN round(sum(cents)::DOUBLE / (100.0 * n_touch), 2)
+       END AS credit_per_touch
+FROM t GROUP BY 1
+"""
+
+QUERIES["linear_attribution"] = q_linear_attribution
+ORACLES["linear_attribution"] = SQL_LINEAR_ATTRIBUTION

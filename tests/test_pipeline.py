@@ -532,3 +532,40 @@ def test_upsert_merge_matches_naive(spark, sf_dir):
         assert r["last_value"] == round(cents(src["value"]) / 100.0, 2)
     # the fixture exercises every action at either gate sf
     assert acts == {"keep", "insert", "update", "delete"}
+
+
+def test_linear_attribution_conserves_value_and_matches_naive(spark,
+                                                              sf_dir):
+    """Per-(n_touch) rows equal a Python recompute, credit x touches
+    reconstructs the group's gross value (linear attribution conserves
+    money by construction), and unattributed purchases are present with
+    NULL credit."""
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import (_ATTR_WINDOW_NS,
+                                               q_linear_attribution)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value").collect()
+    views = sorted((r["user_id"], r["ts"]) for r in ev
+                   if r["event_type"] == "view")
+    exp = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        n = sum(1 for u, t in views
+                if u == r["user_id"]
+                and r["ts"] - _ATTR_WINDOW_NS < t <= r["ts"])
+        cents = round(r["value"] * 100)
+        cnt, tot = exp.get(n, (0, 0))
+        exp[n] = (cnt + 1, tot + cents)
+    got = {r["n_touch"]: r for r in
+           q_linear_attribution(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for n, (cnt, tot) in exp.items():
+        g = got[n]
+        assert g["n_purchases"] == cnt
+        assert g["gross_value"] == round(tot / 100, 2)
+        if n == 0:
+            assert g["credit_per_touch"] is None
+        else:
+            assert g["credit_per_touch"] == round(tot / (100 * n), 2)
+    assert 0 in exp and len(exp) > 3  # fixture exercises both regimes

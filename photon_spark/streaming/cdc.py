@@ -14,21 +14,32 @@ Scale design (the PairTable philosophy, pair_cache.py):
   then lands as a ``batch=<id>`` partition dir — existing state is never
   rewritten on the hot path.
 - **Reads compact lazily.** ``state()`` is one keyed aggregate over the
-  partition union: argmax by the total (ts, event_id) order, then drop
-  keys whose winning record is a tombstone. Because argmax is
+  live partition set: argmax by the total (ts, event_id) order, then
+  drop keys whose winning record is a tombstone. Because argmax is
   associative, N incremental batches and one big batch produce the SAME
   state (pinned in tests) — ordering across batches does not matter, so
   late/replayed data is safe.
-- **At-least-once replay is idempotent.** The ``batch=<id>`` partition
-  is written with OVERWRITE (the pair_cache._write_batch replay
-  contract): a crashed-and-retried foreachBatch clobbers its own
-  partial output instead of double-appending.
-- **``compact()`` bounds read amplification**: folds all partitions into
-  a single base partition, exactly a Delta/Hudi minor compaction.
-  Winning tombstones are RETAINED in the base — they must keep beating
-  stale replays of older batches; dropping them (a major compaction) is
-  only safe once replay of pre-fold batches is impossible, which this
-  table cannot know on its own.
+- **At-least-once replay is idempotent twice over.** The ``batch=<id>``
+  partition is written with OVERWRITE (the pair_cache._write_batch
+  replay contract): a crashed-and-retried foreachBatch clobbers its own
+  partial output. And where a replay lands beside already-folded history
+  (an id the last compaction summarized), its verbatim duplicates
+  collapse under the argmax while genuinely new records merge in —
+  duplication is never an error in this table, only loss is.
+- **The commit protocol is object-store-portable.** Compaction never
+  renames or moves a data file. A fold is written to a fresh invisible
+  ``_fold-…`` directory and becomes live by atomically replacing ONE
+  tiny manifest file (``_live``) — the single primitive required is an
+  atomic small-object PUT, which local ``os.replace`` provides here and
+  every object store (S3/GCS/ABFS) provides natively. Data files are
+  only ever created and deleted, never mutated or moved.
+- **``compact()`` bounds read amplification**: folds the current fold
+  plus every committed batch partition into a single new fold — exactly
+  a Delta/Hudi minor compaction. Winning tombstones are RETAINED in the
+  fold by default: a future batch (new id, at-least-once source re-read)
+  can carry records OLDER than the tombstone, and the tombstone must
+  keep beating them. Dropping them (major compaction) requires a
+  caller-declared replay horizon — see ``drop_tombstones_below``.
 
 At 100 TB, write the table bucketed by the key columns so ``state()``'s
 aggregate and any downstream as-of probe are co-located; the relation
@@ -37,10 +48,15 @@ holds only keys + order columns + compact payloads, never wide rows.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_NEG_INF = -(1 << 62)
 
 
 class CdcMergeTable:
@@ -49,19 +65,84 @@ class CdcMergeTable:
     ``key_cols`` identify an entity; ``ord_cols`` must be a total
     deterministic order (e.g. ``["ts", "event_id"]`` with a unique id
     tie-break); ``tombstone_col`` is a boolean column in the changelog —
-    a record with it true deletes the key when it wins the argmax.
-    All other columns are carried as payload.
+    a record with it true deletes the key when it wins the argmax (a
+    NULL flag is treated as false, never as a delete). All other columns
+    are carried as payload.
+
+    Multi-writer ingest: two producers with independent foreachBatch
+    checkpoints both emit batch ids 0,1,2,… — colliding in one id space.
+    Pass ``writer_id``/``n_writers`` (the events-table sub-range design,
+    events.py:74-105) and ``apply_batch`` namespaces every id as
+    ``id * n_writers + writer_id``: writers own disjoint residue
+    classes, so neither can overwrite the other's partitions,
+    ``state()`` merges both under the argmax, and compaction folds the
+    union. ``state_at`` addresses the NAMESPACED id space — use
+    :meth:`effective_batch_id` to translate a writer-local id.
     """
 
     def __init__(self, spark, path: str, key_cols: list[str],
-                 ord_cols: list[str], tombstone_col: str = "is_tombstone"):
+                 ord_cols: list[str], tombstone_col: str = "is_tombstone",
+                 writer_id: int = 0, n_writers: int = 1):
+        if not (0 <= int(writer_id) < int(n_writers)):
+            raise ValueError(
+                f"writer_id must be in [0, n_writers); got "
+                f"writer_id={writer_id} n_writers={n_writers}")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.ord_cols = list(ord_cols)
         self.tombstone_col = tombstone_col
+        self.writer_id = int(writer_id)
+        self.n_writers = int(n_writers)
+
+    # ---------------------------------------------------------- manifest
+    _MANIFEST = "_live"
+    _SENTINEL = "_compact_in_progress"
+
+    def _manifest(self) -> dict | None:
+        """The committed fold, or None before the first compaction:
+        ``{"tag": <highest folded id>, "dir": <fold dir name>,
+        "gc_horizon": <id below which tombstones were dropped>}``. The
+        underscore-prefixed name keeps it (and fold dirs) invisible to
+        Spark partition discovery; readers consult it explicitly."""
+        try:
+            with open(os.path.join(self.path, self._MANIFEST)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _publish_manifest(self, tag: int, fold_dir: str,
+                          gc_horizon: int = _NEG_INF) -> None:
+        """THE commit point: one atomic small-file replace makes the fold
+        live and raises the floor in the same instant. On an object
+        store this is an atomic PUT of the manifest object — the only
+        atomicity primitive the protocol needs."""
+        tmp = os.path.join(self.path, self._MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"tag": int(tag), "dir": fold_dir,
+                       "gc_horizon": int(gc_horizon)}, f)
+        os.replace(tmp, os.path.join(self.path, self._MANIFEST))
+
+    def _compacted_to(self) -> int:
+        """Lowest batch id still individually addressable as an as-of
+        boundary: boundaries strictly below this were folded.
+        -inf-equivalent before the first compaction."""
+        man = self._manifest()
+        return int(man["tag"]) if man else _NEG_INF
+
+    def _gc_horizon(self) -> int:
+        """Ids strictly below this were declared dead by a major
+        compaction (their tombstones may be gone): writes there are
+        refused and any leftover dir is garbage, never read."""
+        man = self._manifest()
+        return int(man.get("gc_horizon", _NEG_INF)) if man else _NEG_INF
 
     # ------------------------------------------------------------ write
+    def effective_batch_id(self, batch_id: int) -> int:
+        """The namespaced partition id a writer-local ``batch_id`` lands
+        under (identity when ``n_writers == 1``)."""
+        return int(batch_id) * self.n_writers + self.writer_id
+
     def _compact_batch(self, batch_df: DataFrame) -> DataFrame:
         """One record per key: null-skipping max over (ord..., payload)
         structs — partial-then-final, no window, no join."""
@@ -75,21 +156,20 @@ class CdcMergeTable:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Compact one changelog micro-batch and land it as its own
-        ``batch=<id>`` OVERWRITE partition. Safe under at-least-once
-        replay; cost is O(batch). Batch ids must be integers — the
-        ``batch`` partition column is read back as long by ``state_at``
-        and ``compact``; a non-numeric tag would silently null out under
-        the cast, so it is rejected here instead.
+        ``batch=<id>`` OVERWRITE partition (id namespaced per writer —
+        see the class docstring). Safe under at-least-once replay; cost
+        is O(batch). A replayed id the last compaction already folded is
+        still accepted — its verbatim duplicates collapse under the
+        argmax and genuinely new records (a producer whose checkpoint
+        restarted its id space) merge in. Only ids below a declared
+        major-compaction horizon are refused: their tombstones may be
+        gone, so writes there were declared impossible by the caller.
 
-        A write into the partition ``compact()`` adopted as its fold tag
-        APPENDS instead of overwriting: mode=overwrite would destroy the
-        fold summarizing all earlier history. Appending is exact either
-        way the collision arises — a Structured Streaming replay carries
-        the same offsets (duplicate records collapse under the argmax),
-        and a fresh-checkpoint restart whose ids restarted at the tag
-        carries new records that the argmax merges correctly. Raises if
-        a ``compact()`` is in progress (or crashed mid-run — re-run it
-        to converge, which clears the sentinel)."""
+        Batch ids must be integers — the ``batch`` partition level is
+        ordered numerically by ``state_at`` and ``compact``; a
+        non-numeric tag would silently alias, so it is rejected here
+        instead. Raises if a ``compact()`` is in progress (or crashed
+        mid-run — re-run it to converge, which clears the sentinel)."""
         try:
             # int(str(..)) rejects floats ("2.7") and bools ("True")
             # instead of silently truncating/aliasing onto an existing
@@ -105,11 +185,16 @@ class CdcMergeTable:
                 "apply_batch: a compact() is in progress or crashed "
                 "mid-run on this table; re-run compact() to converge, "
                 "then retry the write")
-        dest = os.path.join(self.path, f"batch={batch_id}")
-        mode = ("append" if os.path.isdir(dest)
-                and any(f.startswith("fold-") for f in os.listdir(dest))
-                else "overwrite")
-        self._compact_batch(batch_df).write.mode(mode).parquet(dest)
+        eff = self.effective_batch_id(batch_id)
+        if eff < self._gc_horizon():
+            raise ValueError(
+                f"apply_batch: effective batch id {eff} is below the "
+                f"major-compaction horizon {self._gc_horizon()} — "
+                "tombstones there were garbage-collected on the "
+                "caller's declaration that such batches can never "
+                "arrive again, so this write cannot be merged safely")
+        dest = os.path.join(self.path, f"batch={eff}")
+        self._compact_batch(batch_df).write.mode("overwrite").parquet(dest)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` over a changelog
@@ -119,157 +204,219 @@ class CdcMergeTable:
         return _apply
 
     # ------------------------------------------------------------- read
+    _SRC = "_src_batch"
+
+    def _live_batch_dirs(self, max_batch: int | None = None) -> list:
+        """(id, absolute dir) for every readable ``batch=`` partition:
+        everything at or above the GC horizon (a dir the last fold
+        already summarized is still safe to read — duplicates collapse
+        under the argmax, and a post-fold write at an old id carries new
+        records the argmax merges), at most ``max_batch``. Ids come from
+        the directory layout (free), not a Spark scan."""
+        horizon = self._gc_horizon()
+        out = []
+        for d in os.listdir(self.path):
+            if not d.startswith("batch="):
+                continue
+            i = int(d.split("=", 1)[1])
+            if i >= horizon and (max_batch is None or i <= max_batch):
+                out.append((i, os.path.join(self.path, d)))
+        return sorted(out)
+
+    def _read_live(self, max_batch: int | None = None) -> DataFrame:
+        """The live relation: data columns plus a long ``batch`` column —
+        for fold records the PER-RECORD source batch id the fold stored
+        (every fold record's source is ≤ the fold tag, so an as-of read
+        at or above the floor includes them all exactly); for batch
+        partitions the directory id. One multi-dir scan covers all batch
+        partitions (partition pruning = not listing the dir at all)."""
+        man = self._manifest()
+        parts = []
+        if man is not None and (max_batch is None
+                                or int(man["tag"]) <= max_batch):
+            fold = self.spark.read.parquet(
+                os.path.join(self.path, man["dir"]))
+            parts.append(fold.withColumnRenamed(self._SRC, "batch"))
+        dirs = [p for _, p in self._live_batch_dirs(max_batch)]
+        if dirs:
+            batches = (self.spark.read.option("basePath", self.path)
+                       .parquet(*dirs)
+                       .withColumn("batch", F.col("batch").cast("long")))
+            parts.append(batches)
+        if not parts:
+            raise ValueError(
+                f"CdcMergeTable at {self.path}: no live data (no batch "
+                "partitions and no committed fold)")
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _compact_src(self, df: DataFrame) -> DataFrame:
+        """Per-key argmax like ``_compact_batch`` but carrying the
+        ``batch`` column LAST in the struct — the winner's source batch
+        id survives (for fold storage and horizon GC) without ever
+        influencing the (ord, payload) order, except as a final
+        deterministic tie-break between verbatim replay duplicates."""
+        payload = [c for c in df.columns
+                   if c not in self.key_cols and c != "batch"]
+        rec = F.struct(*self.ord_cols,
+                       *[c for c in payload if c not in self.ord_cols],
+                       "batch")
+        return (df.groupBy(*self.key_cols)
+                  .agg(F.max(rec).alias("rec"))
+                  .select(*self.key_cols, "rec.*"))
+
+    def _alive(self, col):
+        # NULL-safe: a NULL tombstone flag is "not a delete", never a
+        # silent key drop (the q_upsert_merge coalesce contract)
+        return ~F.coalesce(F.col(col), F.lit(False))
+
     def state(self, include_tombstones: bool = False) -> DataFrame:
         """The compacted current state: per key, the record winning the
-        total (ord_cols) order across every batch partition; keys whose
+        total (ord_cols) order across the live partition set; keys whose
         winner is a tombstone are deleted (or flagged, when
         ``include_tombstones``). One keyed aggregate — associative, so
         batch boundaries are invisible."""
-        raw = self.spark.read.parquet(self.path).drop("batch")
-        out = self._compact_batch(raw)
+        out = self._compact_src(self._read_live()).drop("batch")
         if include_tombstones:
             return out
-        return out.where(~F.col(self.tombstone_col)) \
+        return out.where(self._alive(self.tombstone_col)) \
                   .drop(self.tombstone_col)
 
     def state_at(self, batch_id: int,
                  include_tombstones: bool = False) -> DataFrame:
         """Time travel: the compacted state as of ``batch_id`` — the same
-        associative argmax restricted to partitions with batch ≤ id, so
-        the cost of an as-of read is proportional to the history read,
-        not to a replay. Partition pruning on the ``batch`` column keeps
-        unread batches untouched on disk. ``compact()`` folds history
-        into its highest folded batch id, so as-of reads at or above the
-        fold point stay exact; asking for a boundary the compaction
-        erased raises instead of answering wrong."""
-        # batch ids come from the directory layout (free), not a Spark
-        # scan — an as-of read's cost must be the history read, not a
-        # partition-discovery + distinct job over the whole table first
-        ids = [int(d.split("=", 1)[1]) for d in os.listdir(self.path)
-               if d.startswith("batch=")]
-        # Two erased-boundary guards. The marker is authoritative: it is
-        # written the moment the fold becomes fully visible, BEFORE any
-        # superseded partition is deleted, so a compaction crash that
-        # removed only SOME lower batches (leaving min(ids) misleadingly
-        # low) still refuses instead of answering from partial history.
-        floor = max(self._compacted_to(), min(ids))
+        associative argmax restricted to live partitions with batch ≤ id
+        (fold records carry their per-record source batch, all ≤ the
+        fold tag), so the cost of an as-of read is proportional to the
+        history read. ``compact()`` folds history through its tag;
+        asking for a boundary the compaction erased raises instead of
+        answering wrong."""
+        floor = self._compacted_to()
         if int(batch_id) < floor:
             raise ValueError(
                 f"state_at({batch_id}): batches below {floor} were "
                 "folded by compact(); that boundary no longer exists")
-        raw = (self.spark.read.parquet(self.path)
-               .where(F.col("batch").cast("long") <= int(batch_id))
-               .drop("batch"))
-        out = self._compact_batch(raw)
+        out = self._compact_src(self._read_live(int(batch_id))) \
+                  .drop("batch")
         if include_tombstones:
             return out
-        return out.where(~F.col(self.tombstone_col)) \
+        return out.where(self._alive(self.tombstone_col)) \
                   .drop(self.tombstone_col)
 
     # -------------------------------------------------------- maintain
-    _MARKER = "_compacted_to"
-    _SENTINEL = "_compact_in_progress"
+    def compact(self, allow_unmarked: bool = False,
+                drop_tombstones_below: int | None = None) -> None:
+        """Fold the current fold plus every committed batch partition
+        into ONE new fold, commit it by atomically replacing the
+        ``_live`` manifest, then delete the superseded partitions. State
+        is unchanged (pinned in tests); read amplification resets to one
+        fold; ``state_at`` stays exact at and above the fold point and
+        refuses erased boundaries below it.
 
-    def _compacted_to(self) -> int:
-        """Lowest batch id still individually addressable: boundaries
-        strictly below this were folded by ``compact()``. Monotone;
-        -inf-equivalent before the first compaction. The underscore
-        prefix keeps the marker invisible to Spark's partition
-        discovery."""
-        try:
-            with open(os.path.join(self.path, self._MARKER)) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return -(1 << 62)
+        Rename-free, object-store-portable: data files are written once
+        into a fresh invisible ``_fold-<tag>-<nonce>`` dir and never
+        moved; the ONLY file replaced in place is the one-line manifest
+        (atomic PUT on S3/GCS, ``os.replace`` locally); cleanup is plain
+        deletes. Crash-safe at every step: before the manifest swap the
+        old live set is untouched (the new fold dir is invisible); after
+        it, leftover already-folded originals are read as harmless
+        duplicates (argmax) until the deletions finish. Re-running
+        ``compact()`` from any crash point converges — it re-folds
+        whatever is readable, drops orphaned fold dirs, and finishes the
+        deletions.
 
-    def _write_marker(self, tag: int) -> None:
-        tmp = os.path.join(self.path, self._MARKER + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(str(max(tag, self._compacted_to())))
-        os.replace(tmp, os.path.join(self.path, self._MARKER))
+        ``allow_unmarked``: only batches whose dir carries a ``_SUCCESS``
+        marker are folded or deleted — an in-flight ``apply_batch``
+        (dir exists, job uncommitted) is neither read nor touched. A
+        table with NO markers at all cannot distinguish committed from
+        in-flight, so compact refuses unless the caller passes
+        ``allow_unmarked=True`` (asserting no producer is mid-write —
+        e.g. a table written with marksuccessfuljobs=false).
 
-    def compact(self) -> None:
-        """Minor compaction: fold every batch partition into a single
-        base tagged with the HIGHEST folded batch id (keeping winning
-        tombstones — see the module docstring), then drop the superseded
-        partitions. State is unchanged (pinned in tests); read
-        amplification resets to one partition; ``state_at`` stays exact
-        at and above the fold point and refuses erased boundaries below
-        it.
-
-        Crash-safe at every step, not just before the swap: readers see
-        only non-underscore dirs, and the fold's records win or tie
-        every record they summarize, so a visible set is correct iff it
-        contains either the whole fold or all original batches. The
-        protocol preserves that invariant throughout: (1) write the fold
-        — computed from batches ≤ tag ONLY, so a micro-batch landing
-        concurrently is neither summarized nor harmed — to an invisible
-        ``_compact_tmp`` dir (originals intact); (2) move the fold's
-        data files INTO ``batch=<tag>`` beside the originals (union ⊇
-        originals at each file move, ⊇ fold once done); (3) durably
-        record the fold point in the ``_compacted_to`` marker — from
-        here ``state_at`` below tag refuses, so the deletions in (4)
-        can never turn an answerable as-of read into a wrong one; (4)
-        delete the superseded files/dirs (⊇ fold), sparing ids > tag
-        (concurrent foreachBatch output). A crash anywhere leaves a
-        correct table, and re-running ``compact()`` finishes the job —
-        duplicated records between fold and originals collapse under
-        the argmax.
+        ``drop_tombstones_below``: MAJOR compaction behind an explicit
+        replay horizon. Tombstone-winning keys whose winning record came
+        from a batch id < the horizon are garbage-collected from the
+        fold, and ids below the horizon become permanently dead:
+        ``apply_batch`` refuses them and readers never consult leftover
+        dirs there. Only the caller can know the horizon, and the
+        declaration it makes is two-fold: (1) batches with ids below it
+        will never be written again (checkpoints retired), and (2) no
+        FUTURE batch at or above it will carry a record so old that a
+        dropped tombstone was needed to beat it — i.e. the horizon sits
+        beyond the source's maximum lateness, exactly a Delta/Hudi
+        tombstone-retention window.
 
         Concurrency contract: producers that START during the run are
         excluded by the ``_compact_in_progress`` sentinel; a producer
-        write job already IN FLIGHT when compact() begins is not (its
-        write mode was chosen at submit time). Run compact() from the
-        same thread as the foreachBatch sink — the natural deployment —
-        so the two never overlap."""
+        write job already IN FLIGHT when compact() begins is protected
+        by the _SUCCESS gate instead (its dir is spared). Run compact()
+        from the same thread as the foreachBatch sink — the natural
+        deployment — so the two never overlap."""
         import shutil
-        # Only COMMITTED batches (_SUCCESS present) are summarized,
-        # adopted as the fold home, or deleted: an in-flight apply_batch
-        # whose dir exists but whose job has not committed is neither
-        # read nor touched. Fallback: a table whose committer writes no
-        # _SUCCESS markers at all (marksuccessfuljobs=false, foreign
-        # writers) treats every dir as committed — the in-flight
-        # protection only applies when markers exist to distinguish.
-        all_ids = [int(d.split("=", 1)[1]) for d in os.listdir(self.path)
-                   if d.startswith("batch=")]
-        committed = [i for i in all_ids
-                     if os.path.exists(os.path.join(
-                         self.path, f"batch={i}", "_SUCCESS"))]
-        if not committed:
-            committed = all_ids
-        if not committed:
-            raise ValueError("compact: no batch partitions to fold")
-        tag = max(committed)
-        folded = committed
-        tmp = os.path.join(self.path, f"_compact_tmp_{tag}")
-        raw = (self.spark.read.parquet(self.path)
-               .where(F.col("batch").cast("long").isin(folded))
-               .drop("batch"))
-        self._compact_batch(raw).write.mode("overwrite").parquet(tmp)
-        dest = os.path.join(self.path, f"batch={tag}")
-        old_files = [f for f in os.listdir(dest)
-                     if not f.startswith(("_", "."))]
-        # sentinel excludes producers that START a write during the
-        # move-and-delete span. A producer job submitted BEFORE this
-        # point and still running is not excluded (its mode was chosen
-        # at submit time) — run compact() from the same thread as the
-        # foreachBatch sink (the natural deployment) so no producer
-        # write is ever in flight when it runs
+
+        man = self._manifest()
+        floor = self._compacted_to()
+        horizon = self._gc_horizon()
+        if drop_tombstones_below is not None:
+            horizon = max(horizon, int(drop_tombstones_below))
+        # sentinel first: the fold's input snapshot, the manifest swap
+        # and the deletions must all see a frozen producer set
         with open(os.path.join(self.path, self._SENTINEL), "w") as f:
-            f.write(str(tag))
-        for f in os.listdir(tmp):
-            if f.startswith(("_", ".")):
-                continue
-            # fresh job UUID in the part name + single "fold-" prefix ⇒
-            # no collision with old_files, even ones from a crashed run
-            os.rename(os.path.join(tmp, f),
-                      os.path.join(dest, f"fold-{f}"))
-        self._write_marker(tag)
-        for f in old_files:
-            os.remove(os.path.join(dest, f))
-        for i in folded:
-            if i < tag:
-                shutil.rmtree(os.path.join(self.path, f"batch={i}"),
-                              ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.remove(os.path.join(self.path, self._SENTINEL))
+            f.write("compact")
+        try:
+            live = self._live_batch_dirs()
+            committed = [(i, p) for i, p in live
+                         if os.path.exists(os.path.join(p, "_SUCCESS"))]
+            unmarked = [(i, p) for i, p in live
+                        if not os.path.exists(os.path.join(p, "_SUCCESS"))]
+            if unmarked and allow_unmarked:
+                committed, unmarked = sorted(committed + unmarked), []
+            elif unmarked and not committed and man is None:
+                raise ValueError(
+                    "compact: no batch partition carries a _SUCCESS "
+                    "marker, so committed cannot be told from in-flight "
+                    "— pass allow_unmarked=True only if no producer is "
+                    "mid-write on this table")
+            if not committed and man is None:
+                raise ValueError("compact: no batch partitions to fold")
+
+            tag = max([floor] + [i for i, _ in committed])
+            parts = []
+            if man is not None:
+                parts.append(self.spark.read.parquet(
+                    os.path.join(self.path, man["dir"]))
+                    .withColumnRenamed(self._SRC, "batch"))
+            if committed:
+                parts.append(
+                    self.spark.read.option("basePath", self.path)
+                    .parquet(*[p for _, p in committed])
+                    .withColumn("batch", F.col("batch").cast("long")))
+            fold = self._compact_src(
+                reduce(lambda a, b: a.unionByName(b), parts))
+            if drop_tombstones_below is not None:
+                dead = (F.coalesce(F.col(self.tombstone_col), F.lit(False))
+                        & (F.col("batch") < int(drop_tombstones_below)))
+                fold = fold.where(~dead)
+            fold_dir = f"_fold-{tag}-{uuid.uuid4().hex[:12]}"
+            (fold.withColumnRenamed("batch", self._SRC)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.path, fold_dir)))
+
+            # THE commit: fold live + floor/horizon raised, one atomic PUT
+            self._publish_manifest(tag, fold_dir, horizon)
+
+            # cleanup — plain deletes, all safe to crash out of: every
+            # dir removed here is either folded into the live fold
+            # (duplicates while both exist, loss never) or below the
+            # declared-dead horizon (readers already skip it)
+            for i, p in committed:
+                shutil.rmtree(p, ignore_errors=True)
+            for d in os.listdir(self.path):
+                full = os.path.join(self.path, d)
+                if d.startswith("batch=") \
+                        and int(d.split("=", 1)[1]) < horizon:
+                    shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith("_fold-") and d != fold_dir:
+                    # superseded or orphaned (crashed-before-publish) fold
+                    shutil.rmtree(full, ignore_errors=True)
+        finally:
+            os.remove(os.path.join(self.path, self._SENTINEL))

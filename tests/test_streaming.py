@@ -801,18 +801,29 @@ def test_cdc_merge_replay_and_compaction_idempotent(spark, sf_dir,
     t.apply_batch(ev.where(F.col("ts") >= cut), 1)
     assert {tuple(r) for r in t.state().collect()} == s0
 
-    # minor compaction: same state, one surviving partition tagged with
-    # the highest folded batch id
+    # minor compaction: same state; all batch partitions folded into one
+    # manifest-committed fold dir tagged with the highest folded id
     t.compact()
     assert {tuple(r) for r in t.state().collect()} == s0
-    parts = [d for d in os.listdir(str(tmp_path / "t"))
-             if d.startswith("batch=")]
-    assert parts == ["batch=1"]
+    root = str(tmp_path / "t")
+    assert [d for d in os.listdir(root) if d.startswith("batch=")] == []
+    assert t._manifest()["tag"] == 1
+    folds = [d for d in os.listdir(root) if d.startswith("_fold-")]
+    assert len(folds) == 1 and folds[0] == t._manifest()["dir"]
 
-    # tombstones survive compaction: a stale replay of batch 0 (all
-    # older records) still cannot resurrect a deleted key
+    # tombstones survive minor compaction: a stale replay of batch 0
+    # (all older records) lands beside the fold and still cannot
+    # resurrect a deleted key — the fold's tombstones beat it
     t.apply_batch(ev.where(F.col("ts") < cut), 0)
     assert {tuple(r) for r in t.state().collect()} == s0
+
+    # re-running compact() absorbs the replayed dir and converges with
+    # unchanged state and a single fresh fold dir
+    t.compact()
+    assert {tuple(r) for r in t.state().collect()} == s0
+    assert [d for d in os.listdir(root) if d.startswith("batch=")] == []
+    assert len([d for d in os.listdir(root)
+                if d.startswith("_fold-")]) == 1
     ev.unpersist()
 
 
@@ -882,15 +893,16 @@ def test_cdc_merge_time_travel(spark, sf_dir, tmp_path):
 
 def test_cdc_merge_compact_crash_windows_stay_correct(spark, sf_dir,
                                                       tmp_path):
-    """Every intermediate filesystem state of compact()'s swap protocol
-    folds to the same answer: (a) fold files coexisting with the
-    originals inside batch=<tag> (crash after the move loop) and (b)
-    fold files only (crash before superseded dirs are dropped) both
-    yield the pre-compact state, and a re-run of compact() converges.
-    Also pins the tag contract: non-integer batch ids are rejected at
-    apply_batch instead of nulling out under state_at's long cast."""
+    """Every intermediate filesystem state of compact()'s manifest
+    protocol folds to the same answer: (a) a fold dir written but the
+    manifest not yet published (crash before the commit PUT) leaves the
+    old live set authoritative; (b) the manifest published with the
+    superseded originals still on disk (crash before cleanup) reads the
+    fold and skips the backlog; a re-run of compact() converges from
+    either window. Also pins the tag contract: non-integer batch ids
+    are rejected at apply_batch instead of nulling out under state_at's
+    long cast."""
     import os
-    import shutil
 
     import pytest as _pytest
     from photon_spark.streaming.cdc import CdcMergeTable
@@ -898,40 +910,217 @@ def test_cdc_merge_compact_crash_windows_stay_correct(spark, sf_dir,
     ts = sorted(r["ts"] for r in ev.select("ts").collect())
     cut = ts[len(ts) // 2]
     keys, order = ["user_id", "event_type"], ["ts", "event_id"]
-    t = CdcMergeTable(spark, str(tmp_path / "t"), keys, order)
+    root = str(tmp_path / "t")
+    t = CdcMergeTable(spark, root, keys, order)
     t.apply_batch(ev.where(F.col("ts") < cut), 0)
     t.apply_batch(ev.where(F.col("ts") >= cut), 1)
     s0 = {tuple(r) for r in t.state().collect()}
 
-    # crash window (a): replay the move loop by hand — fold data files
-    # land in batch=1 NEXT TO the original files, nothing deleted yet
-    root = str(tmp_path / "t")
-    tmp = os.path.join(root, "_fold_sim")
-    t.state(include_tombstones=True).write.mode("overwrite").parquet(tmp)
-    dest = os.path.join(root, "batch=1")
-    for f in os.listdir(tmp):
-        if not f.startswith(("_", ".")):
-            shutil.copy(os.path.join(tmp, f),
-                        os.path.join(dest, f"fold-{f}"))
+    # crash window (a): the fold dir exists, the manifest does not —
+    # readers must ignore the orphan and answer from the originals
+    fold_dir = "_fold-1-manual"
+    (t._compact_src(t._read_live())
+      .withColumnRenamed("batch", "_src_batch")
+      .write.parquet(os.path.join(root, fold_dir)))
+    assert t._manifest() is None
     assert {tuple(r) for r in t.state().collect()} == s0
 
-    # crash window (b): originals inside batch=1 deleted, batch=0 still
-    # present — the fold's records win or tie everything in batch 0
-    for f in os.listdir(dest):
-        if not f.startswith(("_", ".", "fold-")):
-            os.remove(os.path.join(dest, f))
+    # crash window (b): manifest published, originals not yet deleted —
+    # readers see fold AND originals; the fold supersets them, so the
+    # duplicates collapse under the argmax and nothing double-counts
+    t._publish_manifest(1, fold_dir)
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("batch=")) == ["batch=0", "batch=1"]
     assert {tuple(r) for r in t.state().collect()} == s0
 
-    # a re-run of compact() from either partial state converges to the
-    # clean single-partition layout with unchanged state
-    shutil.rmtree(tmp)
+    # a re-run of compact() converges: backlog dirs and the superseded
+    # fold are deleted, a fresh fold is committed, state unchanged
     t.compact()
     assert {tuple(r) for r in t.state().collect()} == s0
-    assert [d for d in os.listdir(root)
-            if d.startswith("batch=")] == ["batch=1"]
+    assert [d for d in os.listdir(root) if d.startswith("batch=")] == []
+    folds = [d for d in os.listdir(root) if d.startswith("_fold-")]
+    assert folds == [t._manifest()["dir"]]
+    assert t._manifest()["tag"] == 1
 
     with _pytest.raises(ValueError, match="integer"):
         t.apply_batch(ev.limit(1), "b1")
+    ev.unpersist()
+
+
+def test_cdc_rename_free_commit_and_null_safe_tombstones(spark, sf_dir,
+                                                         tmp_path):
+    """Object-store portability certified: a full write → compact →
+    time-travel → major-compact cycle never calls os.rename, and the
+    only os.replace target is the one-line ``_live`` manifest (the
+    atomic-PUT analogue). Plus the NULL-tombstone contract: a winning
+    record whose tombstone flag is NULL stays in state — NULL is "not a
+    delete", never a silent key drop."""
+    import os
+
+    import photon_spark.streaming.cdc as cdc_mod
+    replaced = []
+    real_replace = os.replace  # cdc_mod.os IS this module — capture first
+
+    def no_rename(*a, **k):
+        raise AssertionError(f"os.rename called on {a}")
+
+    def tracked_replace(src, dst):
+        replaced.append(os.path.basename(dst))
+        return real_replace(src, dst)
+
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    # punch NULLs into the tombstone flag for one event type
+    evn = ev.withColumn(
+        "is_tombstone",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("boolean"))
+         .otherwise(F.col("is_tombstone")))
+    ts = sorted(r["ts"] for r in evn.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    t = CdcMergeTable(spark, str(tmp_path / "t"), keys, order)
+
+    orig = (cdc_mod.os.rename, cdc_mod.os.replace)
+    cdc_mod.os.rename, cdc_mod.os.replace = no_rename, tracked_replace
+    try:
+        t.apply_batch(evn.where(F.col("ts") < cut), 0)
+        t.apply_batch(evn.where(F.col("ts") >= cut), 1)
+        s0 = {tuple(r) for r in t.state().collect()}
+        t.compact()
+        assert {tuple(r) for r in t.state().collect()} == s0
+        t.state_at(1).collect()
+        t.compact(drop_tombstones_below=2)
+        assert {tuple(r) for r in t.state().collect()} == s0
+    finally:
+        cdc_mod.os.rename, cdc_mod.os.replace = orig
+    assert set(replaced) == {"_live"}
+
+    # NULL-tombstone rows: every 'view' key must be present in state
+    # (NULL flag ≠ delete), and naive reference agrees
+    view_keys_in = {(r["user_id"], r["event_type"])
+                    for r in evn.where(F.col("event_type") == "view")
+                    .select("user_id", "event_type").distinct().collect()}
+    view_keys_out = {(r[0], r[1]) for r in s0 if r[1] == "view"}
+    assert view_keys_out == view_keys_in
+    ev.unpersist()
+
+
+def test_cdc_major_compaction_drops_tombstones_below_horizon(
+        spark, sf_dir, tmp_path):
+    """compact(drop_tombstones_below=h) garbage-collects exactly the
+    tombstone winners whose winning record came from a batch < h:
+    visible state is unchanged (tombstoned keys were already absent),
+    the include_tombstones view keeps tombstone winners from batches
+    ≥ h and loses the ones below, and erased boundaries still refuse."""
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    raw = _cdc_changelog(spark, sf_dir)
+    ts = sorted(r["ts"] for r in raw.select("ts").collect())
+    c1, c2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    # truncate one user class's history at c1 AND make all its records
+    # tombstones: those keys' winners are tombstones from batch 0 —
+    # deterministically below the horizon under test
+    trunc = F.col("user_id") % 3 == 0
+    ev = (raw.where(~trunc | (F.col("ts") < c1))
+             .withColumn("is_tombstone",
+                         F.when(trunc, F.lit(True))
+                          .otherwise(F.col("is_tombstone")))).cache()
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    t = CdcMergeTable(spark, str(tmp_path / "t"), keys, order)
+    slices = [ev.where(F.col("ts") < c1),
+              ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+              ev.where(F.col("ts") >= c2)]
+    for i, s in enumerate(slices):
+        t.apply_batch(s, i)
+    alive = {tuple(r) for r in t.state().collect()}
+    full = t.state(include_tombstones=True).collect()
+    # batches are ts-sliced, so a winner's source batch is derivable
+    # from its ts — the reference for "which tombstones sit below h"
+    def src_batch(row):
+        return 0 if row["ts"] < c1 else (1 if row["ts"] < c2 else 2)
+    keep = {tuple(r) for r in full
+            if not r["is_tombstone"] or src_batch(r) >= 2}
+    dropped = [r for r in full if r["is_tombstone"] and src_batch(r) < 2]
+    assert dropped, "fixture must have tombstone winners below horizon"
+
+    t.compact(drop_tombstones_below=2)
+    assert {tuple(r) for r in t.state().collect()} == alive
+    assert {tuple(r) for r in
+            t.state(include_tombstones=True).collect()} == keep
+    with _pytest.raises(ValueError, match="folded"):
+        t.state_at(1)
+    # state at/above the floor reflects the GC and still answers
+    assert {tuple(r) for r in t.state_at(2).collect()} == alive
+    # the id space below the horizon is permanently dead: writes there
+    # are refused (their tombstones are gone, merging would be unsafe)
+    with _pytest.raises(ValueError, match="horizon"):
+        t.apply_batch(slices[0], 1)
+    ev.unpersist()
+
+
+def test_cdc_multi_writer_namespaced_ids(spark, sf_dir, tmp_path):
+    """Two producers with independent checkpoints (both emitting local
+    ids 0,1,…) share one table via writer_id/n_writers sub-ranges: no
+    partition clobbering, state() merges both changelogs exactly as a
+    single-writer table fed the union, and compaction stays safe."""
+    import os
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+
+    w0 = CdcMergeTable(spark, root, keys, order, writer_id=0, n_writers=2)
+    w1 = CdcMergeTable(spark, root, keys, order, writer_id=1, n_writers=2)
+    # interleaved, with COLLIDING local ids 0 and 1
+    w0.apply_batch(even.where(F.col("ts") < cut), 0)
+    w1.apply_batch(odd.where(F.col("ts") < cut), 0)
+    w0.apply_batch(even.where(F.col("ts") >= cut), 1)
+    w1.apply_batch(odd.where(F.col("ts") >= cut), 1)
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("batch=")) == [
+        "batch=0", "batch=1", "batch=2", "batch=3"]
+    assert w0.effective_batch_id(1) == 2
+    assert w1.effective_batch_id(1) == 3
+
+    ref = CdcMergeTable(spark, str(tmp_path / "ref"), keys, order)
+    ref.apply_batch(ev, 0)
+    merged = {tuple(r) for r in w0.state().collect()}
+    assert merged == {tuple(r) for r in ref.state().collect()} and merged
+
+    # a replay by either writer is idempotent, and compaction (run by
+    # either handle) folds the union with unchanged state
+    w1.apply_batch(odd.where(F.col("ts") >= cut), 1)
+    assert {tuple(r) for r in w0.state().collect()} == merged
+    w0.compact()
+    assert {tuple(r) for r in w1.state().collect()} == merged
+    ev.unpersist()
+
+
+def test_cdc_compact_refuses_unmarked_only_table(spark, sf_dir, tmp_path):
+    """A table where NO batch dir carries a _SUCCESS marker cannot tell
+    committed from in-flight: compact() refuses unless the caller
+    asserts quiescence with allow_unmarked=True (which then folds
+    everything)."""
+    import os
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    t = CdcMergeTable(spark, root, keys, order)
+    t.apply_batch(ev, 0)
+    s0 = {tuple(r) for r in t.state().collect()}
+    os.remove(os.path.join(root, "batch=0", "_SUCCESS"))
+    with _pytest.raises(ValueError, match="allow_unmarked"):
+        t.compact()
+    t.compact(allow_unmarked=True)
+    assert {tuple(r) for r in t.state().collect()} == s0
+    assert t._manifest()["tag"] == 0
     ev.unpersist()
 
 
@@ -981,7 +1170,8 @@ def test_cdc_compact_marker_and_concurrent_batches(spark, sf_dir,
         cdc_mod.os.listdir = orig
     assert {tuple(r) for r in t.state().collect()} == full
     assert sorted(d for d in os.listdir(root)
-                  if d.startswith("batch=")) == ["batch=1", "batch=2"]
+                  if d.startswith("batch=")) == ["batch=2"]
+    assert t._manifest()["tag"] == 1
     # as-of the fold point equals the pre-batch-2 state
     assert {tuple(r) for r in t.state_at(1).collect()} == s01
 
@@ -998,9 +1188,10 @@ def test_cdc_compact_marker_and_concurrent_batches(spark, sf_dir,
     u.apply_batch(ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), 1)
     u.apply_batch(b2, 2)
     su2 = {tuple(r) for r in u.state().collect()}
-    u.compact()  # folds all three into batch=2, marker=2
-    # crash replay: an old partial-deletion window would have left
-    # batch=1 on disk; recreate it and verify the marker still refuses
+    u.compact()  # folds all three; manifest tag=2
+    # a replayed old id lands beside the fold — state is unchanged
+    # (verbatim duplicates collapse under the argmax), but the erased
+    # as-of boundary still refuses: the fold can't answer below its tag
     u.apply_batch(ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), 1)
     with _pytest.raises(ValueError, match="folded"):
         u.state_at(1)
@@ -1075,12 +1266,11 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir,
 
 def test_cdc_compact_survives_tag_replay_and_inflight_batches(
         spark, sf_dir, tmp_path):
-    """The two fold-vs-producer hazards around the shared batch=<tag>
-    partition: (1) an at-least-once REPLAY of the id compact() adopted
-    as its fold tag must not overwrite the fold (it now summarizes all
-    earlier history) — apply_batch no-ops; (2) compact() must not adopt
-    an in-flight batch dir (exists, no _SUCCESS) as its tag — those
-    files would land in old_files and be deleted."""
+    """The two fold-vs-producer hazards: (1) an at-least-once REPLAY of
+    the id compact() adopted as its fold tag must not damage the fold —
+    it lands as its own partition and its duplicates collapse under the
+    argmax; (2) compact() must not adopt an in-flight batch dir
+    (exists, no _SUCCESS) as its tag, fold it, or delete it."""
     import os
 
     from photon_spark.streaming.cdc import CdcMergeTable
@@ -1100,16 +1290,18 @@ def test_cdc_compact_survives_tag_replay_and_inflight_batches(
     os.makedirs(inflight)
     with open(os.path.join(inflight, "part-inflight.parquet"), "wb") as f:
         f.write(b"not yet committed")
-    t.compact()  # must fold into batch=1, not batch=7
+    t.compact()  # must fold tag=1, sparing the in-flight batch=7
+    assert t._manifest()["tag"] == 1
     assert sorted(d for d in os.listdir(root)
-                  if d.startswith("batch=")) == ["batch=1", "batch=7"]
+                  if d.startswith("batch=")) == ["batch=7"]
     assert os.path.exists(os.path.join(inflight, "part-inflight.parquet"))
     os.remove(os.path.join(inflight, "part-inflight.parquet"))
     os.rmdir(inflight)
     assert {tuple(r) for r in t.state().collect()} == s0
 
-    # (1) replaying the fold tag id must not clobber the fold
-    t.apply_batch(b1, 1)  # at-least-once replay of tag id -> no-op
+    # (1) replaying the fold tag id lands beside the fold; duplicates
+    # collapse under the argmax and the fold is untouched
+    t.apply_batch(b1, 1)
     assert {tuple(r) for r in t.state().collect()} == s0
     # while a replay of a FOLDED lower id stays harmless by argmax
     t.apply_batch(b0, 0)

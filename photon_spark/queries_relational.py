@@ -24,6 +24,35 @@ def _cents(c):
     return F.round(c * 100).cast("long")
 
 
+#: broadcast-hint cap for dimensions that grow with scale factor.
+#: Catalyst's own size estimate gates the hint; tests set this to 0 to
+#: pin the shuffled-join fallback.
+_BCAST_CAP_BYTES = 256 << 20
+
+
+def _bcast_dim(df):
+    """Size-gated broadcast hint for dimensions that GROW with scale
+    factor (customer 150k·sf, part 200k·sf, supplier 10k·sf — unlike
+    nation/region, which are constant-size and stay unconditionally
+    hinted). A forced ``F.broadcast`` overrides Spark's size checks, so
+    at a genuine 100× the build side stops fitting and the hint becomes
+    an executor OOM instead of a fallback. This helper consults
+    Catalyst's optimized-plan size estimate (the same statistic the
+    autoBroadcastJoinThreshold and AQE consult — no job is triggered)
+    and hints only below ``_BCAST_CAP_BYTES``; above it, the relation is
+    returned unhinted and AQE picks the join strategy at runtime
+    (shuffled hash / sort-merge — these are key-equi joins, so the
+    fallback is never a nested-loop join; pinned in
+    tests/test_plans.py). If the estimate is unavailable the helper
+    also declines to hint — wrong-but-safe beats fast-but-OOM."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                     .stats().sizeInBytes())
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= _BCAST_CAP_BYTES else df
+
+
 # ------------------------------------------------------- pricing summary
 
 def q_pricing_summary(spark, sf_dir):
@@ -81,7 +110,7 @@ def q_revenue_by_nation(spark, sf_dir):
     c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(_bcast_dim(c), o.o_custkey == c.c_custkey)
            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (j.groupBy("n_name")
              .agg(F.count(F.lit(1)).alias("n_items"),
@@ -170,7 +199,7 @@ def q_shipping_priority(spark, sf_dir):
     date = F.to_date(F.timestamp_seconds(
         F.expr("o_orderdate div 1000000000")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(_bcast_dim(c), o.o_custkey == c.c_custkey)
               .groupBy("o_orderkey", date.alias("o_orderdate"),
                        "o_orderpriority")
               .agg(F.sum(rev).alias("rc"))
@@ -215,7 +244,7 @@ def q_large_orders(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice")
     c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (big.join(o, big.l_orderkey == o.o_orderkey)
-               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(_bcast_dim(c), o.o_custkey == c.c_custkey)
                .select("c_name", "o_orderkey",
                        F.round(F.col("qc") / 100, 2).alias("total_qty"),
                        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"))
@@ -257,7 +286,7 @@ def q_top_customers_per_segment(spark, sf_dir):
                       F.count(F.lit(1)).alias("n_orders")))
     w = (Window.partitionBy("c_mktsegment")
                .orderBy(F.desc("vc"), F.asc("c_custkey")))
-    return (per_cust.join(F.broadcast(c),
+    return (per_cust.join(_bcast_dim(c),
                           per_cust.o_custkey == c.c_custkey)
                     .withColumn("rk", F.row_number().over(w))
                     .where(F.col("rk") <= SEG_TOPN)
@@ -295,7 +324,7 @@ def q_revenue_rollup(spark, sf_dir):
     c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     yr = F.year(F.timestamp_seconds(F.expr("o_orderdate div 1000000000")))
-    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = (o.join(_bcast_dim(c), o.o_custkey == c.c_custkey)
           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (j.rollup(F.col("n_name").alias("nation"), yr.alias("year"))
              .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -421,8 +450,8 @@ def q_nation_trade_volume(spark, sf_dir):
     n2 = _rd(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(_bcast_dim(c), o.o_custkey == c.c_custkey)
+           .join(_bcast_dim(s), li.l_suppkey == s.s_suppkey)
            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
            .where(F.col("supp_nation") != F.col("cust_nation")))
@@ -471,7 +500,7 @@ def q_promo_revenue_share(spark, sf_dir):
                    * _cents(F.lit(1.0) - F.col("l_discount")))
                   .alias("rev4")))
     p = _rd(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(_bcast_dim(p), li.l_partkey == p.p_partkey)
     promo = F.when(F.col("p_type") == _PROMO_TYPE, F.col("rev4")) \
              .otherwise(F.lit(0))
     return j.agg(
@@ -628,7 +657,7 @@ def q_revenue_cube(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
     c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = (o.join(_bcast_dim(c), o.o_custkey == c.c_custkey)
            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (j.cube("n_name", "yr")
              .agg(F.grouping_id().cast("long").alias("gid"),
@@ -954,7 +983,7 @@ def q_top_supplier_revenue(spark, sf_dir):
     s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.crossJoin(F.broadcast(mx))
                .where(F.col("revenue_c") == F.col("mx"))
-               .join(F.broadcast(s),
+               .join(_bcast_dim(s),
                      F.col("l_suppkey") == F.col("s_suppkey"))
                .select(F.col("s_suppkey"), F.col("s_name"),
                        F.round(F.col("revenue_c") / 100, 2)
@@ -1127,7 +1156,7 @@ def q_min_cost_supplier(spark, sf_dir):
          .select("p_partkey"))
     li = _rd(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("c"))
-    cost = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cost = (li.join(_bcast_dim(p), li.l_partkey == p.p_partkey)
               .groupBy("l_partkey", "l_suppkey")
               .agg(F.sum("c").alias("cost_c")))
     wmin = F.min("cost_c").over(Window.partitionBy("l_partkey"))
@@ -1136,7 +1165,7 @@ def q_min_cost_supplier(spark, sf_dir):
     n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (cost.withColumn("min_c", wmin)
                 .where(F.col("cost_c") == F.col("min_c"))
-                .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+                .join(_bcast_dim(s), cost.l_suppkey == s.s_suppkey)
                 .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
                 .select(F.col("l_partkey").alias("partkey"),
                         F.col("s_name").alias("supplier"),
@@ -1180,7 +1209,7 @@ def q_disjunctive_revenue(spark, sf_dir):
         (_cents(F.col("l_extendedprice"))
          * _cents(F.lit(1.0) - F.col("l_discount"))).alias("rev4"))
     p = _rd(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(_bcast_dim(p), li.l_partkey == p.p_partkey)
     q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     disj = (((b == "Brand#12") & z.between(1, 5) & q.between(1, 11))
             | ((b == "Brand#23") & z.between(1, 10) & q.between(10, 20))
@@ -1230,7 +1259,7 @@ def q_excess_part_suppliers(spark, sf_dir):
                     {"l_shipdate": (_Q20_LO_NS, _Q20_HI_NS)})
           .select("l_partkey", "l_suppkey",
                   F.round(F.col("l_quantity")).cast("long").alias("units")))
-    excess = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    excess = (li.join(_bcast_dim(p), li.l_partkey == p.p_partkey)
                 .groupBy("l_suppkey", "l_partkey")
                 .agg(F.sum("units").alias("qty"))
                 .where(F.col("qty") > _Q20_QTY_BAR))
@@ -1240,7 +1269,7 @@ def q_excess_part_suppliers(spark, sf_dir):
     return (excess.groupBy("l_suppkey")
                   .agg(F.count(F.lit(1)).alias("n_excess_parts"),
                        F.sum("qty").alias("total_units"))
-                  .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+                  .join(_bcast_dim(s), F.col("l_suppkey") == s.s_suppkey)
                   .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
                   .select(F.col("s_suppkey").alias("suppkey"),
                           F.col("s_name").alias("supplier"),
@@ -1307,7 +1336,7 @@ def q_returned_item_customers(spark, sf_dir):
     return (per_cust
             .orderBy(F.desc("rev4"), F.asc("o_custkey"))
             .limit(_Q10_TOPK)
-            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .join(_bcast_dim(c), F.col("o_custkey") == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .select(F.col("o_custkey").alias("custkey"),
                     F.col("c_name").alias("customer"),
@@ -1371,11 +1400,11 @@ def q_market_share(spark, sf_dir):
           .select(F.col("n_nationkey").alias("sn_key"),
                   F.col("n_name").alias("supp_nation")))
     s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = (li.join(_bcast_dim(p), li.l_partkey == p.p_partkey)
            .join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(_bcast_dim(c), o.o_custkey == c.c_custkey)
            .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
-           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(_bcast_dim(s), li.l_suppkey == s.s_suppkey)
            .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key")))
     year = F.year(F.timestamp_seconds(
         F.expr("o_orderdate div 1000000000")))
@@ -1539,9 +1568,9 @@ def q_nation_profit_by_year(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _rd(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _rd(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = (li.join(_bcast_dim(p), li.l_partkey == p.p_partkey)
            .join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(_bcast_dim(s), li.l_suppkey == s.s_suppkey)
            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
     year = F.year(F.timestamp_seconds(
         F.expr("o_orderdate div 1000000000")))
@@ -1598,8 +1627,8 @@ def q_part_supplier_counts(spark, sf_dir):
     bad = (_rd(spark, sf_dir, "supplier")
            .where(F.col("s_name").like("%7"))
            .select("s_suppkey"))
-    return (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-              .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey,
+    return (ps.join(_bcast_dim(p), ps.l_partkey == p.p_partkey)
+              .join(_bcast_dim(bad), ps.l_suppkey == bad.s_suppkey,
                     "left_anti")
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))

@@ -478,3 +478,49 @@ def test_plan_exchange_budgets(spark, sf_dir):
                 or got["broadcasts"] > b["broadcasts"]):
             failures.append((name, f"over budget: {got} > {b}"))
     assert not failures, failures
+
+
+def test_bcast_dim_gate_falls_back_to_shuffled_equi_join(spark, sf_dir):
+    """The size-gated dim-broadcast helper: at the test sf the estimate
+    is under the cap, so the gated dims still broadcast (plans and
+    hashes unchanged); with the cap forced to 0 — standing in for a dim
+    that outgrew executor memory at a genuine 100× — the helper declines
+    the hint and the join realizes as a SHUFFLED EQUI join (sort-merge /
+    shuffled-hash), never a nested-loop or cartesian fallback, and the
+    query's values are unchanged."""
+    import photon_spark.queries_relational as rel
+
+    hinted = rel.q_revenue_by_nation(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(hinted)
+    expect = sorted(map(tuple, hinted.collect()))
+
+    old = rel._BCAST_CAP_BYTES
+    rel._BCAST_CAP_BYTES = 0
+    # also disable Spark's own auto-broadcast (at the test sf the dim is
+    # tiny, so Catalyst would re-broadcast it on its own — at the real
+    # 100× it would not); the explicit nation hints keep working
+    thresholds = ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    for k in thresholds:
+        spark.conf.set(k, "-1")
+    try:
+        for fn in (rel.q_revenue_by_nation, rel.q_market_share):
+            df = fn(spark, sf_dir)
+            plan = _plan(df)
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "CartesianProduct" not in plan
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan), plan
+            # nation-sized constants are still explicitly hinted
+            assert "BroadcastHashJoin" in plan
+        got = sorted(map(tuple,
+                         rel.q_revenue_by_nation(spark, sf_dir).collect()))
+    finally:
+        rel._BCAST_CAP_BYTES = old
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == expect

@@ -87,6 +87,78 @@ def synthesize_png_media(spark, n: int = 48) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
 
+def synthesize_rgb_png_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic truecolor-PNG media table: image ``i`` is a
+    ``(16 + i%9) × (12 + i%7)`` 8-bit RGB PNG whose channel ``c`` of
+    pixel ``(x, y)`` is ``(31·i + 7·y + 3·x + 11·c) mod 256`` — a closed
+    form an oracle can re-derive per subpixel without any decoder. Rows
+    cycle through all five PNG scanline filters (encode_png), and with
+    bpp=3 the filters' left-neighbor terms exercise the multi-byte
+    pixel paths a greyscale fixture cannot. One source partition (see
+    synthesize_media's rationale)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 7
+        px = bytes((31 * i + 7 * y + 3 * x + 11 * c) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+        rows.append((i, "image", "image/png", w, h, 0,
+                     encode_png(px, w, h, channels=3)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("channel", T.IntegerType()),
+    T.StructField("decoded_w", T.IntegerType()),
+    T.StructField("decoded_h", T.IntegerType()),
+    T.StructField("n_px", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+    T.StructField("px_mean", T.DoubleType()),
+])
+
+
+def image_resize_channel_stats(df: DataFrame, out_w: int = 8,
+                               out_h: int = 8) -> DataFrame:
+    """Decode PNG payloads, nearest-neighbor-resample to ``out_w × out_h``
+    and emit per-image PER-CHANNEL statistics of the RESIZED pixels —
+    the thumbnail/normalize step every vision-training pipeline runs
+    before batching, with values that depend on real decode + real
+    resample (so the hash gate certifies both). The sample map is the
+    standard floor rule ``src = (dst · src_dim) div out_dim`` — integer
+    arithmetic both engines reproduce exactly. Map-only Arrow pass:
+    blobs never shuffle; 3 stat rows per image leave the scan."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from photon_spark.functions.quality import _r6
+        cols = [f.name for f in IMAGE_RESIZE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None \
+                    else b""
+                w, h, ch, px = decode_png(content)
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                iy = (np.arange(out_h) * h) // out_h
+                ix = (np.arange(out_w) * w) // out_w
+                rs = arr[iy][:, ix].astype(np.int64)   # (out_h, out_w, ch)
+                n = out_h * out_w
+                for c in range(ch):
+                    plane = rs[:, :, c]
+                    s = int(plane.sum())
+                    out.append((rec.media_id, c, w, h, n, s,
+                                int(plane.min()), int(plane.max()),
+                                _r6(s / n)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(extract, schema=IMAGE_RESIZE_SCHEMA)
+
+
 IMAGE_DECODE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("decoded_w", T.IntegerType()),

@@ -699,41 +699,36 @@ _DRIVER_CHECKED_R6 = frozenset([
     "zorder_skipping_audit",
 ])
 
-_DRIVER_CHECKED = _DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
+# Round-7 driver window (CORRECTNESS_r07.json — all 50 green).
+_DRIVER_CHECKED_R7 = frozenset([
+    "schema_drift_audit", "classifier_calibration_curve", "pii_scrub_stats",
+    "skew_salted_agg", "events_unpivot", "audio_window_energy",
+    "image_decode_stats", "bigram_lm_doc_bits", "part_value_concentration",
+    "top_supplier_revenue", "idle_rich_customers", "session_window_stats",
+    "upsert_merge", "scd2_history", "late_order_priority",
+    "min_cost_supplier", "disjunctive_revenue", "excess_part_suppliers",
+    "returned_item_customers", "market_share", "forecast_revenue_change",
+    "late_line_priority_mix", "nation_profit_by_year",
+    "part_supplier_counts", "corpus_version_diff", "fuzzy_name_pairs",
+    "linear_attribution", "ann_topk_ivf", "changelog_compaction",
+    "pair_table_incremental_audit", "shipping_priority", "idle_customers",
+    "nation_trade_volume", "promo_revenue_share", "time_range_count",
+    "cold_replay", "stream_contents", "point_lookup", "streams_totals",
+    "distinct_streams", "stream_version_totals", "schema_inference",
+    "projection_count_all", "projection_sum_by_stream",
+    "projection_assoc_fold", "projection_fold_stats",
+    "projection_streaming_fold", "projection_keyed_streaming_fold",
+    "projection_value_lookup", "text_profile",
+])
+
+_DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
+                   | _DRIVER_CHECKED_R7)
 
 
-# Round-7 window head: the six round-6 queries that have never been in a
-# driver window (deferred past the round-6 backlog per the pinned
-# gate-window invariant), then brand-new round-7 queries.
+# Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
-    "schema_drift_audit",
-    "classifier_calibration_curve",
-    "pii_scrub_stats",
-    "skew_salted_agg",
-    "events_unpivot",
-    "audio_window_energy",
-    # brand-new round-7 queries
-    "image_decode_stats",
-    "bigram_lm_doc_bits",
-    "part_value_concentration",
-    "top_supplier_revenue",
-    "idle_rich_customers",
-    "session_window_stats",
-    "upsert_merge",
-    "scd2_history",
-    "late_order_priority",
-    "min_cost_supplier",
-    "disjunctive_revenue",
-    "excess_part_suppliers",
-    "returned_item_customers",
-    "market_share",
-    "forecast_revenue_change",
-    "late_line_priority_mix",
-    "nation_profit_by_year",
-    "part_supplier_counts",
-    "corpus_version_diff",
-    "fuzzy_name_pairs",
-    "linear_attribution",
+    "image_resize_stats",
+    "ivf_staleness_audit",
 ]
 
 
@@ -741,25 +736,22 @@ _DEFER_PAST_BACKLOG: list = []
 
 
 # Queries whose gated OUTPUT or PLAN changed since their last driver
-# check, so the driver must re-verify them this round:
-# - ann_topk_ivf: round 6's shared probe_cells 6dp round-before-rank also
-#   rewrote its oracle SQL, but only ann_recall_audit was re-driver-checked
-#   (round-6 ADVICE item) — close that gap now.
-# - changelog_compaction: last_value now uses the integer-cents float
-#   pattern (round-6 ADVICE item); hash pinned identical locally.
-# - pair_table_incremental_audit: driver-side collect removed — plan
-#   changed, output identical.
-# - audio_window_energy: zero-byte window semantics aligned with the
-#   oracle for short blobs (round-6 ADVICE item) — listed in
-#   _NEWEST_FIRST already, so no entry here.
+# check, so the driver must re-verify them this round: the round-8
+# broadcast-size-gate sweep (queries_relational._bcast_dim) replaced
+# forced customer/part/supplier broadcast hints with a size-gated helper
+# — outputs pinned hash-identical locally at sf0.001/sf0.01, plans
+# unchanged at test sf (the dims are under the cap), but the driver
+# should re-verify every touched query.
 _CHANGED_THIS_ROUND = [
-    "ann_topk_ivf", "changelog_compaction", "pair_table_incremental_audit",
-    # _t_pruned sweep: time-range bounds moved below the epoch-ns
-    # normalization so they reach the scan as PushedFilters — plan
-    # changed, output identical (hash pinned locally at 3 sfs). The
-    # other swept queries are round-7 rows already in _NEWEST_FIRST.
-    "shipping_priority", "idle_customers", "nation_trade_volume",
-    "promo_revenue_share", "time_range_count",
+    "revenue_by_nation", "shipping_priority", "large_orders",
+    "top_customers_per_segment", "revenue_rollup", "revenue_cube",
+    "market_share", "returned_item_customers", "min_cost_supplier",
+    "excess_part_suppliers", "nation_profit_by_year",
+    "part_supplier_counts", "promo_revenue_share", "disjunctive_revenue",
+    "top_supplier_revenue", "idle_rich_customers",
+    "small_quantity_revenue", "forecast_revenue_change",
+    "late_line_priority_mix", "lone_late_supplier",
+    "part_value_concentration",
 ]
 
 

@@ -653,6 +653,51 @@ FROM px GROUP BY i, w, h
 """
 
 
+#: RGB fixture size and resize target for the gated resize relation
+RGB_PNG_N, RESIZE_WH = 48, 8
+
+
+def q_image_resize_stats(spark, sf_dir):
+    """REAL decode + REAL resample under the hash gate: per-image
+    PER-CHANNEL pixel statistics of truecolor PNGs nearest-neighbor-
+    resized to {RESIZE_WH}×{RESIZE_WH} — the thumbnail/normalize step of
+    a vision-training pipeline. The fixture encodes RGB images (all five
+    PNG scanline filters cycling per row, bpp=3 left-neighbor paths);
+    the engine decodes with the pure-stdlib codec and resamples with the
+    floor rule src = (dst·src_dim) div out_dim; the oracle re-derives
+    every post-resize subpixel from the closed form (channel c of pixel
+    (x,y) of image i = (31i + 7y + 3x + 11c) mod 256) entirely in SQL —
+    a hash match proves encode → inflate → unfilter → resample
+    reproduces ground truth value-for-value. Map-only Arrow pass."""
+    media = multimodal.synthesize_rgb_png_media(spark, n=RGB_PNG_N)
+    return multimodal.image_resize_channel_stats(
+        media, out_w=RESIZE_WH, out_h=RESIZE_WH)
+
+
+SQL_IMAGE_RESIZE_STATS = f"""
+WITH m AS (
+  SELECT i, 16 + i % 9 AS w, 12 + i % 7 AS h FROM range({RGB_PNG_N}) t(i)
+), px AS (
+  -- output pixel (xo, yo) = j % {RESIZE_WH}, j // {RESIZE_WH} samples
+  -- source pixel ((xo·w) // {RESIZE_WH}, (yo·h) // {RESIZE_WH})
+  SELECT m.i, m.w, m.h, c.c AS channel,
+         (31 * m.i + 7 * (((g.j // {RESIZE_WH}) * m.h) // {RESIZE_WH})
+                   + 3 * (((g.j % {RESIZE_WH}) * m.w) // {RESIZE_WH})
+                   + 11 * c.c) % 256 AS v
+  FROM m
+  CROSS JOIN generate_series(0, {RESIZE_WH * RESIZE_WH - 1}) g(j)
+  CROSS JOIN (VALUES (0), (1), (2)) c(c)
+)
+SELECT i AS media_id, CAST(channel AS INTEGER) AS channel,
+       CAST(w AS INTEGER) AS decoded_w, CAST(h AS INTEGER) AS decoded_h,
+       count(*) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INTEGER) AS px_min,
+       CAST(max(v) AS INTEGER) AS px_max,
+       round(CAST(sum(v) AS BIGINT) / (count(*) * 1.0), 6) AS px_mean
+FROM px GROUP BY i, channel, w, h
+"""
+
+
 #: audio window parameters for the gated feature relation
 AUDIO_WIN_MS, AUDIO_MAX_WIN = 500, 8
 
@@ -1327,6 +1372,7 @@ QUERIES = {
     "knn_label_eval": q_knn_label_eval,
     "audio_window_energy": q_audio_window_energy,
     "image_decode_stats": q_image_decode_stats,
+    "image_resize_stats": q_image_resize_stats,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1360,6 +1406,7 @@ ORACLES = {
     "knn_label_eval": SQL_KNN_LABEL_EVAL,
     "audio_window_energy": SQL_AUDIO_WINDOW_ENERGY,
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,
+    "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

@@ -920,6 +920,215 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------- IVF staleness audit
+
+#: the "appended after index build" slice: vec_id % STALE_MOD == STALE_REM
+STALE_MOD, STALE_REM = 3, 1
+
+
+def q_ivf_staleness_audit(spark, sf_dir):
+    """The re-centroid decision input every production ANN service needs
+    once it appends under fixed centroids (similarity.append_to_ivf_index
+    = the FAISS ``add`` shape): after N appended batches, how stale is
+    the index? Two measurements over the same corpus and query batch as
+    ann_recall_audit: (1) ASSIGNMENT CHURN — the fraction of corpus
+    vectors whose coarse cell under the STALE centroids (trained before
+    the appended slice, vec_id % {STALE_MOD} == {STALE_REM}, arrived)
+    differs from their cell under a FRESH re-train over everything; (2)
+    RECALL@k of the stale index vs the fresh index against exact ground
+    truth, per query. High churn + a stale-fresh recall gap = re-train;
+    flat = keep appending.
+
+    Scale shape: both centroid sets are driver-tiny lists; the two cell
+    assignments are map-only Arrow GEMM passes over the corpus joined
+    once on vec_id (co-partitioned id join — at 100 TB, bucket by
+    vec_id and it is shuffle-free); probes and ground-truth sides are
+    the ann_recall_audit shapes (broadcast query batch,
+    WindowGroupLimit rank). Exact ground truth is corpus-quadratic by
+    definition — the documented sampled-query-set caveat applies."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import (cosine,
+                                                   ivf_assign_cells,
+                                                   ivf_train_cells)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    corpus = e.where(~is_q)
+
+    # stale: trained before the appended slice existed (ivf_topk's
+    # full-table ORDER BY vec_id LIMIT n convention, minus the slice);
+    # fresh: the same training over everything
+    old = e.where(F.col("vec_id") % STALE_MOD != STALE_REM)
+    cents_stale = ivf_train_cells(old, RECALL_CELLS)
+    cents_fresh = ivf_train_cells(e, RECALL_CELLS)
+
+    a_stale = (ivf_assign_cells(corpus, cents_stale)
+               .select("vec_id", F.col("cell_id").alias("cell_stale")))
+    a_fresh = (ivf_assign_cells(corpus, cents_fresh)
+               .select("vec_id", F.col("cell_id").alias("cell_fresh")))
+    churned = F.sum(F.when(F.col("cell_stale") != F.col("cell_fresh"), 1)
+                    .otherwise(0)).cast("long")
+    churn = (a_stale.join(a_fresh, "vec_id")
+                    .agg(churned.alias("n_churned"),
+                         F.round(churned / F.count(F.lit(1)), 6)
+                          .alias("churn_rate")))
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
+                                                F.col("cell_id"))
+
+    def ivf_hits(cents, hit_name):
+        assigned = ivf_assign_cells(corpus, cents)
+        cents_df = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cell_id long, cv array<double>")
+        # 6dp round-before-rank (repo float-parity policy — see
+        # ann_recall_audit for the kernel-disagreement analysis)
+        probe = (q.crossJoin(F.broadcast(cents_df))
+                  .select("query_id", "cell_id",
+                          F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                           .alias("ccos"))
+                  .withColumn("prank", F.row_number().over(wp))
+                  .where(F.col("prank") <= RECALL_PROBE)
+                  .select("query_id", "cell_id"))
+        return (assigned.join(F.broadcast(probe), "cell_id")
+                        .join(F.broadcast(q), "query_id")
+                        .select("query_id", "vec_id",
+                                F.round(cosine(F.col("embedding"),
+                                               F.col("qv")), 6)
+                                 .alias("cosine"))
+                        .withColumn("rank", F.row_number().over(w))
+                        .where(F.col("rank") <= ANN_MULTI_K)
+                        .select("query_id", "vec_id",
+                                F.lit(1).alias(hit_name)))
+
+    exact = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
+
+    def rec(col):
+        return F.sum(F.coalesce(col, F.lit(0)))
+
+    per_q = (exact
+             .join(ivf_hits(cents_stale, "hit_s"),
+                   ["query_id", "vec_id"], "left")
+             .join(ivf_hits(cents_fresh, "hit_f"),
+                   ["query_id", "vec_id"], "left")
+             .groupBy("query_id")
+             .agg(rec("hit_s").cast("long").alias("n_hits_stale"),
+                  F.round(rec("hit_s") / F.lit(ANN_MULTI_K), 6)
+                   .alias("recall_stale"),
+                  rec("hit_f").cast("long").alias("n_hits_fresh"),
+                  F.round(rec("hit_f") / F.lit(ANN_MULTI_K), 6)
+                   .alias("recall_fresh")))
+    return per_q.crossJoin(F.broadcast(churn))
+
+
+SQL_IVF_STALENESS_AUDIT = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % {ANN_QMOD} = 0
+), corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {ANN_QMOD} != 0
+), cents_s AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base
+  WHERE vec_id % {STALE_MOD} != {STALE_REM}
+  ORDER BY vec_id LIMIT {RECALL_CELLS}
+), cents_f AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base
+  ORDER BY vec_id LIMIT {RECALL_CELLS}
+), assign_s AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, ce.cv) DESC, ce.cell_id
+           ) AS rn
+    FROM corpus c CROSS JOIN cents_s ce) WHERE rn = 1
+), assign_f AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, ce.cv) DESC, ce.cell_id
+           ) AS rn
+    FROM corpus c CROSS JOIN cents_f ce) WHERE rn = 1
+), churn AS (
+  SELECT CAST(sum(CASE WHEN s.cell_id != f.cell_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_churned,
+         round(sum(CASE WHEN s.cell_id != f.cell_id THEN 1 ELSE 0 END)
+               * 1.0 / count(*), 6) AS churn_rate
+  FROM assign_s s JOIN assign_f f USING (vec_id)
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+), probe_s AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, ce.cv), 6) DESC,
+                      ce.cell_id
+           ) AS prank
+    FROM q CROSS JOIN cents_s ce) WHERE prank <= {RECALL_PROBE}
+), probe_f AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, ce.cv), 6) DESC,
+                      ce.cell_id
+           ) AS prank
+    FROM q CROSS JOIN cents_f ce) WHERE prank <= {RECALL_PROBE}
+), ivf_s AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c
+    JOIN assign_s a ON a.vec_id = c.vec_id
+    JOIN probe_s p ON p.cell_id = a.cell_id
+    JOIN q ON q.query_id = p.query_id) WHERE rank <= {ANN_MULTI_K}
+), ivf_f AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c
+    JOIN assign_f a ON a.vec_id = c.vec_id
+    JOIN probe_f p ON p.cell_id = a.cell_id
+    JOIN q ON q.query_id = p.query_id) WHERE rank <= {ANN_MULTI_K}
+)
+SELECT e.query_id,
+       CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits_stale,
+       round(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / {ANN_MULTI_K}, 6) AS recall_stale,
+       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits_fresh,
+       round(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / {ANN_MULTI_K}, 6) AS recall_fresh,
+       ch.n_churned, ch.churn_rate
+FROM exact e
+LEFT JOIN ivf_s s ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+LEFT JOIN ivf_f f ON f.query_id = e.query_id AND f.vec_id = e.vec_id
+CROSS JOIN churn ch
+GROUP BY e.query_id, ch.n_churned, ch.churn_rate
+"""
+
+
 # ----------------------------------------------- token-budget selection
 
 #: per-source token budget for the trim audit (binds at sf >= 0.01)
@@ -1362,3 +1571,5 @@ FROM s3
 
 QUERIES["corpus_build_e2e"] = q_corpus_build_e2e
 ORACLES["corpus_build_e2e"] = SQL_CORPUS_BUILD_E2E
+QUERIES["ivf_staleness_audit"] = q_ivf_staleness_audit
+ORACLES["ivf_staleness_audit"] = SQL_IVF_STALENESS_AUDIT

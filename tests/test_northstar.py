@@ -427,6 +427,31 @@ def test_png_roundtrip_rgb():
     assert multimodal.decode_png(blob) == (w, h, 3, px)
 
 
+def test_image_resize_channel_stats_matches_numpy_reference(spark):
+    # decode + nearest-neighbor resample, checked against an in-test
+    # numpy reference built straight from the closed pixel form — the
+    # engine path must reproduce per-channel sums/extremes exactly
+    import numpy as np
+    media = multimodal.synthesize_rgb_png_media(spark, n=6)
+    got = {(r["media_id"], r["channel"]): r for r in
+           multimodal.image_resize_channel_stats(media, 8, 8).collect()}
+    assert len(got) == 18
+    for i in range(6):
+        w, h = 16 + i % 9, 12 + i % 7
+        arr = np.array([[[(31 * i + 7 * y + 3 * x + 11 * c) % 256
+                          for c in range(3)]
+                         for x in range(w)] for y in range(h)])
+        iy, ix = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        rs = arr[iy][:, ix]
+        for c in range(3):
+            r = got[(i, c)]
+            assert (r["decoded_w"], r["decoded_h"]) == (w, h)
+            assert r["n_px"] == 64
+            assert r["px_sum"] == int(rs[:, :, c].sum())
+            assert r["px_min"] == int(rs[:, :, c].min())
+            assert r["px_max"] == int(rs[:, :, c].max())
+
+
 def test_png_decode_rejects_corruption():
     px = bytes(range(64))
     blob = bytearray(multimodal.encode_png(px, 8, 8))

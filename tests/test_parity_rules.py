@@ -201,3 +201,28 @@ def test_gate_window_covers_unverified_backlog():
     for n in q._DEFER_PAST_BACKLOG:
         if n in order:
             assert order.index(n) < 50 + len(q._DEFER_PAST_BACKLOG) + 5, n
+
+
+def test_gate_window_covers_every_unchecked_query():
+    """Registry hygiene guard (round-8): the driver hash-checks only the
+    FIRST 50 entries of the registry per round, so a query that has
+    never been driver-checked must either sit inside the next window or
+    be explicitly deferred — otherwise it can stay unverified forever
+    (the round-6 backlog failure mode). Also catches stale names in the
+    window-control lists after a rename."""
+    from photon_spark import queries as q
+
+    order = list(q.QUERIES)
+    window = set(order[:50])
+    never = [n for n in order if n not in q._DRIVER_CHECKED]
+    stranded = [n for n in never
+                if n not in window and n not in q._DEFER_PAST_BACKLOG]
+    assert not stranded, (
+        f"queries that can never reach the driver's 50-entry window: "
+        f"{stranded} — pin them in _NEWEST_FIRST or defer explicitly")
+    for lst in (q._NEWEST_FIRST, q._CHANGED_THIS_ROUND,
+                q._DEFER_PAST_BACKLOG):
+        ghosts = [n for n in lst if n not in q.QUERIES]
+        assert not ghosts, f"window-control names not in registry: {ghosts}"
+    ghosts = [n for n in q._DRIVER_CHECKED if n not in q.QUERIES]
+    assert not ghosts, f"_DRIVER_CHECKED names not in registry: {ghosts}"

@@ -549,3 +549,107 @@ def test_pair_table_update_retry_is_idempotent(spark, sf_dir, tmp_path):
     second = sorted((r["lo_id"], r["hi_id"], r["jaccard"])
                     for r in pt.pairs().collect())
     assert first and second == first
+
+
+def test_stale_centroid_margins_dominate_float_error():
+    # ivf_staleness_audit introduces a SECOND centroid set (trained
+    # without the vec_id % STALE_MOD == STALE_REM slice); its assignment
+    # and probe margins must dominate float error at every testdata sf,
+    # same belt as test_recall_probe_margins_dominate_float_error.
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from tests.conftest import SF_DIR
+    from photon_spark.queries_select import (ANN_QMOD, RECALL_CELLS,
+                                             RECALL_PROBE, STALE_MOD,
+                                             STALE_REM)
+    dirs = {SF_DIR, *glob.glob("/root/testdata/sf*")}
+    dirs = [d for d in sorted(dirs)
+            if os.path.exists(f"{d}/embeddings.parquet")]
+    assert dirs, "no embeddings testdata found"
+    for sf in dirs:
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        vid = np.array(t["vec_id"])
+        order = np.argsort(vid)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+        vid = vid[order]
+        cs = m[vid % STALE_MOD != STALE_REM][:RECALL_CELLS]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        csn = cs / np.linalg.norm(cs, axis=1, keepdims=True)
+        # assignment margins (best vs second-best centroid, every vector)
+        sims = mn @ csn.T
+        top2 = np.sort(sims, axis=1)[:, -2:]
+        assert (top2[:, 1] - top2[:, 0]).min() > 1e-9, sf
+        # probe margins (PROBE-th vs PROBE+1-th, every query)
+        qsims = sims[vid % ANN_QMOD == 0]
+        ranked = np.sort(qsims, axis=1)[:, ::-1]
+        margins = ranked[:, RECALL_PROBE - 1] - ranked[:, RECALL_PROBE]
+        assert margins.min() > 1e-9, (sf, margins.min())
+
+
+def test_ivf_staleness_audit_detects_drift(spark, tmp_path):
+    """The re-centroid trigger works: on a constructed corpus whose
+    appended slice (vec_id % STALE_MOD == STALE_REM) drifted into four
+    new sub-modes living in a subspace the base clusters never touch,
+    the stale index scatters the drifted vectors across base cells by
+    jitter (n_probe misses most of a query's true neighbors) while a
+    fresh re-train captures the sub-modes — so the audit must report
+    churn, a strictly worse stale recall on EVERY drifted query, and no
+    fresh-worse-than-stale query anywhere. Base-cluster queries stay at
+    equal recall: drift detection must not invent a problem where the
+    index is still fine."""
+    import hashlib
+    import math
+
+    from photon_spark.queries_select import (ANN_QMOD, STALE_MOD,
+                                             STALE_REM,
+                                             q_ivf_staleness_audit)
+
+    def jit(i, j, salt):
+        h = int(hashlib.md5(f"{i}:{j}:{salt}".encode())
+                .hexdigest()[:8], 16)
+        return h / 0xFFFFFFFF - 0.5
+
+    dim, n = 16, 8 * ANN_QMOD + 1
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        if i % STALE_MOD == STALE_REM:
+            # drifted: flat across the base axes (+ assignment jitter),
+            # plus one of four sub-mode directions in dims 8..15 (+ tiny
+            # ranking jitter) — assignment and ranking live in DISJOINT
+            # subspaces, so a stale probe carries no information about
+            # where a query's true neighbors were filed
+            m = (i // 3) % 4
+            for j in range(8):
+                v[j] = 1.0 + 0.15 * jit(i, j, 1)
+                v[8 + j] = 0.02 * jit(i, j, 2)
+            v[8 + 2 * m] += 1.0
+            v[9 + 2 * m] += 1.0
+        else:
+            # base: equal-norm two-axis patterns, jitter-free — centroid
+            # norms must not vary, or the shared norm bias correlates
+            # probe choice with assignment and masks the staleness
+            a = i % 8
+            v[a] = 1.0
+            v[(a + 1 + (i // 8) % 7) % 8] = 0.3
+        nrm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / nrm for x in v]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+         .write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["query_id"]: r
+           for r in q_ivf_staleness_audit(spark, str(tmp_path)).collect()}
+    assert out, "no query rows"
+    drifted = [qid for qid in out if qid % STALE_MOD == STALE_REM]
+    assert len(drifted) >= 3, "fixture must include drifted queries"
+    r0 = next(iter(out.values()))
+    assert r0["n_churned"] > 0 and r0["churn_rate"] > 0
+    for qid in drifted:
+        assert out[qid]["recall_fresh"] > out[qid]["recall_stale"], out[qid]
+    assert all(r["recall_fresh"] >= r["recall_stale"]
+               for r in out.values()), out
+    base = [r for qid, r in out.items() if qid not in drifted]
+    assert all(r["recall_fresh"] == r["recall_stale"] for r in base), base

@@ -206,7 +206,11 @@ class EventStore:
         #: counter (see stamp_events), so N handles with distinct
         #: writer_ids can append to one store without coordination and
         #: never collide — the reference's single-process design ceiling
-        #: (streams.clj:298-301) lifted to multi-writer.
+        #: (streams.clj:298-301) lifted to multi-writer. CAVEAT: ids are
+        #: collision-free but files land in WALL-CLOCK interleave, not
+        #: order_id order, so StreamingProjectionRunner (whose resume
+        #: filter assumes order_id-ordered arrival) refuses stores with
+        #: n_writers > 1 — fold projections from a single-writer handle.
         if not (1 <= n_writers <= 1000):
             raise ValueError("n_writers must be in [1, 1000]")
         if not (0 <= writer_id < n_writers):

@@ -402,7 +402,14 @@ def q_pair_table_incremental_audit(spark, sf_dir):
     The table lives in a per-call tempdir (the gate exercises the
     MAINTENANCE, not a cache), cleaned at interpreter exit so the
     returned relation stays parquet-backed — no driver collect; the
-    caller scans the table the way production consumers would."""
+    caller scans the table the way production consumers would.
+
+    SINGLE-LIVE-RESULT CONTRACT: each invocation frees the PREVIOUS
+    invocation's tempdir (bounding disk to one extra copy across bench
+    warm-ups and gate re-runs), so only the most recent returned
+    DataFrame is readable — a plan-then-execute loop that builds several
+    invocations before collecting must materialize each result
+    (collect/localCheckpoint/write) before calling again."""
     import atexit
     import shutil
     import tempfile

@@ -56,6 +56,22 @@ class StreamingProjectionRunner:
     def __init__(self, engine: ProjectionEngine, checkpoint_dir: str | None = None,
                  max_files_per_trigger: int | None = None,
                  state_path: str | None = None):
+        # resume correctness depends on single-writer order_id monotony:
+        # _apply_batch filters `order_id > proj.last_event`, which is
+        # only exact when files arrive in order_id order. A multi-writer
+        # store (EventStore n_writers > 1) interleaves writers' files,
+        # so a later file can carry LOWER order_ids — those would be
+        # silently skipped. Refuse the combination instead.
+        n_writers = getattr(getattr(engine, "store", None),
+                            "n_writers", 1)
+        if n_writers and int(n_writers) > 1:
+            raise ValueError(
+                "StreamingProjectionRunner requires a single-writer "
+                f"EventStore (store has n_writers={n_writers}): the "
+                "resume filter order_id > last_event assumes files "
+                "arrive in order_id order, which multi-writer ingest "
+                "does not guarantee — run projections from a "
+                "single-writer handle")
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="photon_spark_ckpt_")

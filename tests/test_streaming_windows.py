@@ -118,3 +118,66 @@ def test_streaming_session_agg_runs(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM sess").collect()
     assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
+def test_streaming_session_agg_equals_batch_on_closed_sessions(
+        spark, tmp_path):
+    """The streaming session_window twin pinned VALUE-IDENTICAL to the
+    batch form: a multi-batch replay with out-of-order but
+    inside-watermark stragglers (one merges two session fragments that
+    earlier triggers saw as separate) must, once the watermark closes
+    every real session, emit in append mode exactly the sessions the
+    batch evaluation of the same rows produces — same bounds, same
+    counts, each exactly once."""
+    src = str(tmp_path / "sess_eq")
+    os.makedirs(src)
+
+    def write_batch(name, rows, mtime):
+        d = os.path.join(src, name)
+        _ev(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    real = [
+        # trigger 1: two fragments of what will become ONE 'a' session,
+        # plus the start of a 'b' session
+        [(0, "a"), (3000, "a"), (5000, "b")],
+        # trigger 2: the straggler at 1500s is OUT OF ORDER (event time
+        # has reached 5000s) but within the 1-hour watermark — it must
+        # be merged, bridging the 0s and 3000s fragments (gaps 1500s
+        # < 1800s) into one session
+        [(1500, "a"), (5300, "b")],
+        # trigger 3: a second 'a' session, far from the first
+        [(20000, "a"), (20600, "a")],
+    ]
+    for k, rows in enumerate(real):
+        write_batch(f"b{k}", rows, 1_000_000 * (k + 1))
+    # two sentinel triggers: the first advances event time far past
+    # every real session, the second lets that watermark take effect
+    # (one-batch publication lag) so the last sessions close and emit
+    far = 400 * 24 * 3600
+    write_batch("z1", [(far, "zz")], 9_000_000)
+    write_batch("z2", [(far + 10, "zz")], 9_100_000)
+
+    stream = (spark.readStream
+              .schema("event_time timestamp, stream_name string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    agg = session_agg(stream, gap="30 minutes", watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("sess_eq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["stream_name"], r["session_start"], r["session_end"],
+            r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_eq").collect()
+           if r["stream_name"] != "zz"}
+
+    flat = [rc for rows in real for rc in rows]
+    want = {(r["stream_name"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in session_agg(_ev(spark, flat),
+                                 gap="30 minutes").collect()}
+    assert got == want and got
+    # the bridged fragment really is one session of 3 events
+    assert any(n == 3 and s == "a" for s, _, _, n in got), got

@@ -1346,3 +1346,15 @@ def test_cdc_fold_partition_append_merges_new_data(spark, sf_dir,
     os.remove(os.path.join(root, "_compact_in_progress"))
     t.apply_batch(new.limit(1), 5)  # lock released: writes flow again
     ev.unpersist()
+
+
+def test_projection_runner_refuses_multi_writer_store(spark, tmp_path):
+    # the resume filter order_id > last_event assumes order_id-ordered
+    # file arrival; multi-writer ingest interleaves writers' files, so
+    # the combination must be refused, not silently lossy
+    import pytest as _pytest
+    store = EventStore(spark, os.path.join(str(tmp_path), "mw"),
+                       writer_id=1, n_writers=2)
+    engine = ProjectionEngine(store)
+    with _pytest.raises(ValueError, match="single-writer"):
+        StreamingProjectionRunner(engine)

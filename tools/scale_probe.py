@@ -1,7 +1,19 @@
 """Scale probe: synthesize an N× replica of the sf0.1 tables and measure
 per-query growth factors (BASELINE.md "Scale probe" section).
 
-Usage: python tools/scale_probe.py [--n 10] [--sf DIR] query [query ...]
+Usage: python tools/scale_probe.py [--n 10] [--sf DIR]
+           [--scale-dims] [--skew HOT_PCT] [--bcast-cap BYTES]
+           query [query ...]
+
+--scale-dims: replicate customer/part/supplier (and the fact foreign
+  keys) along with the facts instead of copying them fixed — the shape
+  that makes forced dimension-broadcast hazards visible (a fixed-dim
+  replica can never OOM a broadcast no matter how big the fact gets).
+--skew HOT_PCT: remap HOT_PCT percent of event rows onto ONE hot
+  user_id during replication — the power-law shape AQE skew-splitting
+  cannot fix inside a per-key window/sort.
+--bcast-cap BYTES: override queries_relational._BCAST_CAP_BYTES for the
+  run (0 forces the AQE fallback path of every size-gated dim hint).
 
 Replication keeps each operator's structure non-degenerate:
 - events: event_id / user_id offset per replica (key cardinality grows,
@@ -29,7 +41,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_replica(spark, sf_dir: str, out_dir: str, n: int) -> None:
+def build_replica(spark, sf_dir: str, out_dir: str, n: int,
+                  scale_dims: bool = False, skew_pct: int = 0) -> None:
     from pyspark.sql import functions as F
 
     # ts passes through untouched (long on Spark ≤4.0 via nanosAsLong,
@@ -39,10 +52,17 @@ def build_replica(spark, sf_dir: str, out_dir: str, n: int) -> None:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     parts = []
     for i in range(n):
+        uid = F.col("user_id") + F.lit(i * 100_000)
+        if skew_pct:
+            # deterministic power-law head: skew_pct% of all rows land
+            # on ONE global hot user — per-key state for that key grows
+            # with the whole dataset, not with 1/keys of it
+            uid = F.when((F.col("event_id") % 100) < skew_pct,
+                         F.lit(424242)).otherwise(uid)
         parts.append(ev.select(
             (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.lit(i * 100_000)).alias("user_id"),
+            uid.alias("user_id"),
             "event_type", "value", "props"))
     u = parts[0]
     for p in parts[1:]:
@@ -77,27 +97,56 @@ def build_replica(spark, sf_dir: str, out_dir: str, n: int) -> None:
     # (orderkey space per replica), DIMENSIONS stay fixed — the realistic
     # 100 TB shape (facts grow, dims don't), so broadcast decisions and
     # the single fact shuffle are exercised at 10x.
+    def _offset(col, i, step):
+        return (F.col(col) + F.lit(i * step)).alias(col)
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    licols = [c for c in li.columns if c != "l_orderkey"]
+    fact_offsets = {"l_orderkey": 100_000_000}
+    if scale_dims:
+        fact_offsets.update({"l_partkey": 10_000_000,
+                             "l_suppkey": 1_000_000})
+    licols = [c for c in li.columns if c not in fact_offsets]
     u = None
     for i in range(n):
-        p = li.select((F.col("l_orderkey") + F.lit(i * 100_000_000))
-                      .alias("l_orderkey"), *licols)
+        p = li.select(*[_offset(c, i, s) for c, s in fact_offsets.items()],
+                      *licols)
         u = p if u is None else u.unionByName(p)
     u.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    odcols = [c for c in od.columns if c != "o_orderkey"]
+    od_offsets = {"o_orderkey": 100_000_000}
+    if scale_dims:
+        od_offsets["o_custkey"] = 10_000_000
+    odcols = [c for c in od.columns if c not in od_offsets]
     u = None
     for i in range(n):
-        p = od.select((F.col("o_orderkey") + F.lit(i * 100_000_000))
-                      .alias("o_orderkey"), *odcols)
+        p = od.select(*[_offset(c, i, s) for c, s in od_offsets.items()],
+                      *odcols)
         u = p if u is None else u.unionByName(p)
     u.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
+    # Dimensions: fixed by default (the realistic per-replica shape when
+    # probing fact-side plans); --scale-dims grows them in lockstep with
+    # the fact foreign keys — TPC-H's actual contract (customer/part/
+    # supplier are linear in sf), the shape that makes a forced
+    # dimension broadcast a real hazard instead of an invisible one.
+    grow = {"customer": ("c_custkey", 10_000_000),
+            "supplier": ("s_suppkey", 1_000_000),
+            "part": ("p_partkey", 10_000_000)} if scale_dims else {}
     for dim in ("customer", "supplier", "part", "nation", "region"):
         src = f"{sf_dir}/{dim}.parquet"
-        if os.path.exists(src):
+        if not os.path.exists(src):
+            continue
+        if dim in grow:
+            key, step = grow[dim]
+            d = spark.read.parquet(src)
+            rest = [c for c in d.columns if c != key]
+            u = None
+            for i in range(n):
+                p = d.select(_offset(key, i, step), *rest)
+                u = p if u is None else u.unionByName(p)
+            u.write.mode("overwrite").parquet(f"{out_dir}/{dim}.parquet")
+        else:
             shutil.copyfile(src, f"{out_dir}/{dim}.parquet")
 
 
@@ -106,17 +155,29 @@ def main():
     n = 10
     sf_dir = "/root/testdata/sf0.1"
     names = []
+    scale_dims, skew_pct, bcast_cap = False, 0, None
     it = iter(args)
     for a in it:
         if a == "--n":
             n = int(next(it))
         elif a == "--sf":
             sf_dir = next(it)
+        elif a == "--scale-dims":
+            scale_dims = True
+        elif a == "--skew":
+            skew_pct = int(next(it))
+        elif a == "--bcast-cap":
+            bcast_cap = int(next(it))
         else:
             names.append(a)
 
     from photon_spark.session import get_spark
     from photon_spark import queries as q
+
+    if bcast_cap is not None:
+        import photon_spark.queries_relational as rel
+        rel._BCAST_CAP_BYTES = bcast_cap
+        print(f"# _BCAST_CAP_BYTES={bcast_cap}", file=sys.stderr)
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,7 +186,8 @@ def main():
     out_dir = tempfile.mkdtemp(prefix="photon_spark_probe_")
     try:
         t0 = time.perf_counter()
-        build_replica(spark, sf_dir, out_dir, n)
+        build_replica(spark, sf_dir, out_dir, n,
+                      scale_dims=scale_dims, skew_pct=skew_pct)
         print(f"# built {n}x replica in {time.perf_counter()-t0:.1f}s "
               f"at {out_dir}", file=sys.stderr)
 

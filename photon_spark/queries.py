@@ -729,6 +729,7 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 _NEWEST_FIRST = [
     "image_resize_stats",
     "ivf_staleness_audit",
+    "cdc_merge_state",
 ]
 
 

@@ -1535,6 +1535,69 @@ def q_upsert_merge(spark, sf_dir):
                       .alias("last_value")))
 
 
+def q_cdc_merge_state(spark, sf_dir):
+    """The DURABLE continuous-merge table (streaming/cdc.CdcMergeTable)
+    under the hash gate — the PairTable treatment applied to warehouse
+    CDC: build the table in a per-call tempdir from three
+    deterministically-sliced changelog batches (event_id % 3, so batch
+    order is arbitrary with respect to event time — late data by
+    construction), run a MINOR COMPACTION after the second batch (the
+    read path must cross a committed manifest fold AND a post-fold
+    batch partition), then return ``state()``. The oracle is ONE
+    argmax over the whole changelog with tombstone winners dropped —
+    a hash match certifies, cross-engine, that batch boundaries,
+    the fold, and the manifest commit are all invisible to the merged
+    state (the associativity the round-8 rename-free protocol rests
+    on).
+
+    SINGLE-LIVE-RESULT CONTRACT (as q_pair_table_incremental_audit):
+    each invocation frees the previous invocation's tempdir, so only
+    the most recent returned DataFrame is readable."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from photon_spark.queries import _t
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    ev = ev.withColumn(
+        "is_tombstone",
+        F.coalesce(F.col("cents") % 10 == 0, F.lit(False)))
+
+    base = tempfile.mkdtemp(prefix="photon_cdcstate_")
+    prev = getattr(q_cdc_merge_state, "_prev_dir", None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    q_cdc_merge_state._prev_dir = base
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    t = CdcMergeTable(spark, base, ["user_id", "event_type"],
+                      ["ts", "event_id"])
+    for k in range(3):
+        t.apply_batch(ev.where(F.col("event_id") % 3 == k), k)
+        if k == 1:
+            t.compact()
+    return t.state()
+
+
+SQL_CDC_MERGE_STATE = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_ns DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_type, ts_ns AS ts, event_id, cents
+FROM w WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
+"""
+
+
 SQL_UPSERT_MERGE = """
 WITH e AS (
   SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
@@ -1595,6 +1658,7 @@ QUERIES = {
     "schema_drift_audit": q_schema_drift_audit,
     "upsert_merge": q_upsert_merge,
     "scd2_history": q_scd2_history,
+    "cdc_merge_state": q_cdc_merge_state,
 }
 
 ORACLES = {
@@ -1623,6 +1687,7 @@ ORACLES = {
     "schema_drift_audit": SQL_SCHEMA_DRIFT_AUDIT,
     "upsert_merge": SQL_UPSERT_MERGE,
     "scd2_history": SQL_SCD2_HISTORY,
+    "cdc_merge_state": SQL_CDC_MERGE_STATE,
 }
 
 

@@ -220,6 +220,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "ann_recall_audit",
         # broadcast query batch twice (full-dim + truncated passes)
         "matryoshka_recall_audit",
+        # ann_recall_audit's shape twice (stale + fresh tiers) plus a
+        # crossJoin(broadcast(<1-row churn aggregate>))
+        "ivf_staleness_audit",
         # broadcast anchor batch (fixed HN_ANCHORS list — 9 rows)
         "hard_negative_mining",
         # source-pair matrix: |sources|² tiny-by-construction cross

@@ -187,6 +187,11 @@ class EventStore:
     """
 
     FORMATS = ("parquet", "orc", "json")
+    #: durable store-level record that multi-writer ingest has touched
+    #: this path (underscore prefix keeps it invisible to Spark's file
+    #: listing); once present, order_id-ordered file arrival can no
+    #: longer be assumed by anyone, whatever handle they opened
+    _MULTI_WRITER_MARKER = "_multi_writer"
     _EXT = {"parquet": ".parquet", "orc": ".orc", "json": ".json"}
     #: explicit µs-precision timestamp pattern so the JSON backend
     #: round-trips event_time without truncation
@@ -209,8 +214,10 @@ class EventStore:
         #: (streams.clj:298-301) lifted to multi-writer. CAVEAT: ids are
         #: collision-free but files land in WALL-CLOCK interleave, not
         #: order_id order, so StreamingProjectionRunner (whose resume
-        #: filter assumes order_id-ordered arrival) refuses stores with
-        #: n_writers > 1 — fold projections from a single-writer handle.
+        #: filter assumes order_id-ordered arrival) refuses stores that
+        #: EVER ingested multi-writer — a durable ``_multi_writer``
+        #: marker records the fact on the store itself, so opening a
+        #: fresh default single-writer handle cannot bypass the guard.
         if not (1 <= n_writers <= 1000):
             raise ValueError("n_writers must be in [1, 1000]")
         if not (0 <= writer_id < n_writers):
@@ -218,6 +225,14 @@ class EventStore:
                              f"[0, {n_writers})")
         self.writer_id = writer_id
         self.n_writers = n_writers
+        if n_writers > 1:
+            os.makedirs(path, exist_ok=True)
+            marker = os.path.join(path, self._MULTI_WRITER_MARKER)
+            if not os.path.exists(marker):
+                tmp = marker + f".tmp{writer_id}"
+                with open(tmp, "w") as f:
+                    f.write(str(n_writers))
+                os.replace(tmp, marker)
         #: A9 global incoming counter (since construction, mirroring
         #: photon's since-boot atom, streams.clj:290-303).
         self.ingested = 0
@@ -230,6 +245,15 @@ class EventStore:
         #: independent of cache freshness; only own-monotonicity needs
         #: the own mark.
         self._max_oid: int | None = None
+
+    def ever_multi_writer(self) -> bool:
+        """True if ANY handle ever ingested into this store with
+        n_writers > 1 — the durable fact a consumer that depends on
+        order_id-ordered file arrival must check (this handle's own
+        n_writers says nothing about history)."""
+        return (self.n_writers > 1
+                or os.path.exists(os.path.join(
+                    self.path, self._MULTI_WRITER_MARKER)))
 
     def _write_opts(self, writer):
         if self.fmt == "json":

@@ -743,16 +743,15 @@ _DEFER_PAST_BACKLOG: list = []
 # — outputs pinned hash-identical locally at sf0.001/sf0.01, plans
 # unchanged at test sf (the dims are under the cap), but the driver
 # should re-verify every touched query.
+# Exactly the 16 registry queries whose body calls _bcast_dim
+# (mechanically derived from queries_relational.py — not hand-recalled).
 _CHANGED_THIS_ROUND = [
-    "revenue_by_nation", "shipping_priority", "large_orders",
-    "top_customers_per_segment", "revenue_rollup", "revenue_cube",
-    "market_share", "returned_item_customers", "min_cost_supplier",
-    "excess_part_suppliers", "nation_profit_by_year",
-    "part_supplier_counts", "promo_revenue_share", "disjunctive_revenue",
-    "top_supplier_revenue", "idle_rich_customers",
-    "small_quantity_revenue", "forecast_revenue_change",
-    "late_line_priority_mix", "lone_late_supplier",
-    "part_value_concentration",
+    "disjunctive_revenue", "excess_part_suppliers", "large_orders",
+    "market_share", "min_cost_supplier", "nation_profit_by_year",
+    "nation_trade_volume", "part_supplier_counts", "promo_revenue_share",
+    "returned_item_customers", "revenue_by_nation", "revenue_cube",
+    "revenue_rollup", "shipping_priority", "top_customers_per_segment",
+    "top_supplier_revenue",
 ]
 
 

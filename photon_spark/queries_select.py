@@ -972,24 +972,29 @@ def q_ivf_staleness_audit(spark, sf_dir):
     cents_stale = ivf_train_cells(old, RECALL_CELLS)
     cents_fresh = ivf_train_cells(e, RECALL_CELLS)
 
-    a_stale = (ivf_assign_cells(corpus, cents_stale)
-               .select("vec_id", F.col("cell_id").alias("cell_stale")))
-    a_fresh = (ivf_assign_cells(corpus, cents_fresh)
-               .select("vec_id", F.col("cell_id").alias("cell_fresh")))
+    # each tier's corpus assignment runs its GEMM ONCE (persisted) and
+    # feeds both consumers — the churn aggregate and the candidate join;
+    # without the persist the map pass would execute 4× (Catalyst does
+    # not deduplicate repeated subtrees). Freed via release_cache.
+    from photon_spark.functions.dedup import _own_cache
+    a_stale = ivf_assign_cells(corpus, cents_stale).persist()
+    a_fresh = ivf_assign_cells(corpus, cents_fresh).persist()
     churned = F.sum(F.when(F.col("cell_stale") != F.col("cell_fresh"), 1)
                     .otherwise(0)).cast("long")
-    churn = (a_stale.join(a_fresh, "vec_id")
-                    .agg(churned.alias("n_churned"),
-                         F.round(churned / F.count(F.lit(1)), 6)
-                          .alias("churn_rate")))
+    churn = (a_stale.select("vec_id", F.col("cell_id").alias("cell_stale"))
+             .join(a_fresh.select("vec_id",
+                                  F.col("cell_id").alias("cell_fresh")),
+                   "vec_id")
+             .agg(churned.alias("n_churned"),
+                  F.round(churned / F.count(F.lit(1)), 6)
+                   .alias("churn_rate")))
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("vec_id"))
     wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
                                                 F.col("cell_id"))
 
-    def ivf_hits(cents, hit_name):
-        assigned = ivf_assign_cells(corpus, cents)
+    def ivf_hits(assigned, cents, hit_name):
         cents_df = spark.createDataFrame(
             [(c, v) for c, v in cents], "cell_id long, cv array<double>")
         # 6dp round-before-rank (repo float-parity policy — see
@@ -1018,9 +1023,9 @@ def q_ivf_staleness_audit(spark, sf_dir):
         return F.sum(F.coalesce(col, F.lit(0)))
 
     per_q = (exact
-             .join(ivf_hits(cents_stale, "hit_s"),
+             .join(ivf_hits(a_stale, cents_stale, "hit_s"),
                    ["query_id", "vec_id"], "left")
-             .join(ivf_hits(cents_fresh, "hit_f"),
+             .join(ivf_hits(a_fresh, cents_fresh, "hit_f"),
                    ["query_id", "vec_id"], "left")
              .groupBy("query_id")
              .agg(rec("hit_s").cast("long").alias("n_hits_stale"),
@@ -1029,7 +1034,8 @@ def q_ivf_staleness_audit(spark, sf_dir):
                   rec("hit_f").cast("long").alias("n_hits_fresh"),
                   F.round(rec("hit_f") / F.lit(ANN_MULTI_K), 6)
                    .alias("recall_fresh")))
-    return per_q.crossJoin(F.broadcast(churn))
+    return _own_cache(per_q.crossJoin(F.broadcast(churn)),
+                      [a_stale, a_fresh])
 
 
 SQL_IVF_STALENESS_AUDIT = f"""

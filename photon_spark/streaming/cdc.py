@@ -123,12 +123,24 @@ class CdcMergeTable:
                        "gc_horizon": int(gc_horizon)}, f)
         os.replace(tmp, os.path.join(self.path, self._MANIFEST))
 
+    #: round-7 protocol's fold-point marker — still honored on READ so a
+    #: table compacted by the pre-manifest code keeps refusing erased
+    #: as-of boundaries after an upgrade (its fold lives inside
+    #: ``batch=<tag>``, which the batch-dir reader still consumes).
+    _LEGACY_MARKER = "_compacted_to"
+
     def _compacted_to(self) -> int:
         """Lowest batch id still individually addressable as an as-of
         boundary: boundaries strictly below this were folded.
         -inf-equivalent before the first compaction."""
         man = self._manifest()
-        return int(man["tag"]) if man else _NEG_INF
+        floor = int(man["tag"]) if man else _NEG_INF
+        try:
+            with open(os.path.join(self.path, self._LEGACY_MARKER)) as f:
+                floor = max(floor, int(f.read().strip()))
+        except (FileNotFoundError, ValueError):
+            pass
+        return floor
 
     def _gc_horizon(self) -> int:
         """Ids strictly below this were declared dead by a major
@@ -370,7 +382,12 @@ class CdcMergeTable:
                         if not os.path.exists(os.path.join(p, "_SUCCESS"))]
             if unmarked and allow_unmarked:
                 committed, unmarked = sorted(committed + unmarked), []
-            elif unmarked and not committed and man is None:
+            elif unmarked and not committed:
+                # NOTHING is provably committed but data exists — a
+                # silent no-op fold here would let a marksuccessfuljobs=
+                # false table's backlog grow unbounded while the caller
+                # believes compaction ran (this must hold on every call,
+                # not just before the first manifest exists)
                 raise ValueError(
                     "compact: no batch partition carries a _SUCCESS "
                     "marker, so committed cannot be told from in-flight "

@@ -59,19 +59,24 @@ class StreamingProjectionRunner:
         # resume correctness depends on single-writer order_id monotony:
         # _apply_batch filters `order_id > proj.last_event`, which is
         # only exact when files arrive in order_id order. A multi-writer
-        # store (EventStore n_writers > 1) interleaves writers' files,
-        # so a later file can carry LOWER order_ids — those would be
-        # silently skipped. Refuse the combination instead.
-        n_writers = getattr(getattr(engine, "store", None),
-                            "n_writers", 1)
-        if n_writers and int(n_writers) > 1:
+        # store interleaves writers' files in wall-clock order, so a
+        # later file can carry LOWER order_ids — those would be silently
+        # skipped. The check consults the store's durable _multi_writer
+        # marker (EventStore.ever_multi_writer), not just this handle's
+        # n_writers: opening a fresh default single-writer handle on a
+        # store that EVER ingested multi-writer must not bypass it.
+        store = getattr(engine, "store", None)
+        multi = (store.ever_multi_writer()
+                 if hasattr(store, "ever_multi_writer")
+                 else getattr(store, "n_writers", 1) > 1)
+        if multi:
             raise ValueError(
-                "StreamingProjectionRunner requires a single-writer "
-                f"EventStore (store has n_writers={n_writers}): the "
-                "resume filter order_id > last_event assumes files "
-                "arrive in order_id order, which multi-writer ingest "
-                "does not guarantee — run projections from a "
-                "single-writer handle")
+                "StreamingProjectionRunner requires a store that has "
+                "only ever seen single-writer ingest: the resume filter "
+                "order_id > last_event assumes files arrive in order_id "
+                "order, which multi-writer ingest does not guarantee — "
+                "this store carries the _multi_writer marker (or this "
+                "handle has n_writers > 1)")
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="photon_spark_ckpt_")

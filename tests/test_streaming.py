@@ -1121,6 +1121,67 @@ def test_cdc_compact_refuses_unmarked_only_table(spark, sf_dir, tmp_path):
     t.compact(allow_unmarked=True)
     assert {tuple(r) for r in t.state().collect()} == s0
     assert t._manifest()["tag"] == 0
+
+    # the refusal must hold on EVERY call, not just before the first
+    # manifest: a later unmarked batch must not be silently skipped
+    # while the caller believes compaction ran
+    t.apply_batch(ev.limit(10), 1)
+    os.remove(os.path.join(root, "batch=1", "_SUCCESS"))
+    with _pytest.raises(ValueError, match="allow_unmarked"):
+        t.compact()
+    t.compact(allow_unmarked=True)
+    assert t._manifest()["tag"] == 1
+    ev.unpersist()
+
+
+def test_cdc_legacy_marker_still_refuses_erased_boundaries(spark, sf_dir,
+                                                           tmp_path):
+    """A table compacted by the ROUND-7 protocol (fold files inside
+    batch=<tag>, lower dirs deleted, `_compacted_to` marker, no
+    manifest) must keep its guarantees after the upgrade: state() reads
+    the in-partition fold, and state_at below the legacy fold point
+    refuses instead of answering from partial history."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "legacy")
+    t = CdcMergeTable(spark, root, keys, order)
+    t.apply_batch(ev.where(F.col("ts") < cut), 0)
+    t.apply_batch(ev.where(F.col("ts") >= cut), 1)
+    s0 = {tuple(r) for r in t.state().collect()}
+
+    # hand-build the round-7 post-compact layout: fold files INSIDE
+    # batch=1 replacing the originals, marker file, batch=0 gone
+    tmp = os.path.join(root, "_legacy_fold_tmp")
+    t.state(include_tombstones=True).write.parquet(tmp)
+    dest = os.path.join(root, "batch=1")
+    for f in os.listdir(dest):
+        if not f.startswith(("_", ".")):
+            os.remove(os.path.join(dest, f))
+    for f in os.listdir(tmp):
+        if not f.startswith(("_", ".")):
+            shutil.copy(os.path.join(tmp, f),
+                        os.path.join(dest, f"fold-{f}"))
+    shutil.rmtree(tmp)
+    shutil.rmtree(os.path.join(root, "batch=0"))
+    with open(os.path.join(root, "_compacted_to"), "w") as f:
+        f.write("1")
+
+    u = CdcMergeTable(spark, root, keys, order)
+    assert {tuple(r) for r in u.state().collect()} == s0
+    assert {tuple(r) for r in u.state_at(1).collect()} == s0
+    with _pytest.raises(ValueError, match="folded"):
+        u.state_at(0)
+    # and a NEW-protocol compaction upgrades the layout in place
+    u.compact()
+    assert {tuple(r) for r in u.state().collect()} == s0
+    assert u._manifest()["tag"] == 1
     ev.unpersist()
 
 
@@ -1353,8 +1414,21 @@ def test_projection_runner_refuses_multi_writer_store(spark, tmp_path):
     # file arrival; multi-writer ingest interleaves writers' files, so
     # the combination must be refused, not silently lossy
     import pytest as _pytest
-    store = EventStore(spark, os.path.join(str(tmp_path), "mw"),
-                       writer_id=1, n_writers=2)
+    path = os.path.join(str(tmp_path), "mw")
+    store = EventStore(spark, path, writer_id=1, n_writers=2)
     engine = ProjectionEngine(store)
     with _pytest.raises(ValueError, match="single-writer"):
         StreamingProjectionRunner(engine)
+
+    # the fact is durable on the STORE: a fresh default single-writer
+    # handle on the same path must not bypass the guard (the files are
+    # still wall-clock interleaved whoever opens them)
+    fresh = EventStore(spark, path)
+    assert fresh.n_writers == 1 and fresh.ever_multi_writer()
+    with _pytest.raises(ValueError, match="single-writer"):
+        StreamingProjectionRunner(ProjectionEngine(fresh))
+
+    # a store that never saw multi-writer ingest is unaffected
+    clean = EventStore(spark, os.path.join(str(tmp_path), "sw"))
+    assert not clean.ever_multi_writer()
+    StreamingProjectionRunner(ProjectionEngine(clean))

@@ -730,6 +730,7 @@ _NEWEST_FIRST = [
     "image_resize_stats",
     "ivf_staleness_audit",
     "cdc_merge_state",
+    "cdc_time_travel",
 ]
 
 

@@ -1583,6 +1583,64 @@ def q_cdc_merge_state(spark, sf_dir):
     return t.state()
 
 
+def q_cdc_time_travel(spark, sf_dir):
+    """CdcMergeTable TIME TRAVEL under the hash gate, across a fold
+    boundary: apply batches 0 and 1 (event_id % 3 slices), run a minor
+    compaction (fold tag = 1), apply batch 2 on top, then ask for the
+    state AS OF batch 1 — an as-of read served ENTIRELY by the manifest
+    fold (batch 2 must be invisible; partition pruning means its dir is
+    never even listed into the scan). The oracle recomputes the same
+    boundary from the raw changelog: argmax over events with
+    event_id % 3 != 2, tombstone winners dropped. A hash match
+    certifies cross-engine that the fold preserves per-record history
+    exactly at its tag — the guarantee `state_at` sells.
+
+    SINGLE-LIVE-RESULT CONTRACT (as q_cdc_merge_state)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from photon_spark.queries import _t
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    ev = ev.withColumn(
+        "is_tombstone",
+        F.coalesce(F.col("cents") % 10 == 0, F.lit(False)))
+
+    base = tempfile.mkdtemp(prefix="photon_cdctt_")
+    prev = getattr(q_cdc_time_travel, "_prev_dir", None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    q_cdc_time_travel._prev_dir = base
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    t = CdcMergeTable(spark, base, ["user_id", "event_type"],
+                      ["ts", "event_id"])
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0)
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1)
+    t.compact()                       # folds 0..1; manifest tag = 1
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
+    return t.state_at(1)
+
+
+SQL_CDC_TIME_TRAVEL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 3 != 2
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_ns DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_type, ts_ns AS ts, event_id, cents
+FROM w WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
+"""
+
+
 SQL_CDC_MERGE_STATE = """
 WITH ev AS (
   SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
@@ -1659,6 +1717,7 @@ QUERIES = {
     "upsert_merge": q_upsert_merge,
     "scd2_history": q_scd2_history,
     "cdc_merge_state": q_cdc_merge_state,
+    "cdc_time_travel": q_cdc_time_travel,
 }
 
 ORACLES = {
@@ -1688,6 +1747,7 @@ ORACLES = {
     "upsert_merge": SQL_UPSERT_MERGE,
     "scd2_history": SQL_SCD2_HISTORY,
     "cdc_merge_state": SQL_CDC_MERGE_STATE,
+    "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
 }
 
 

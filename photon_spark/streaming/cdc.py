@@ -246,6 +246,10 @@ class CdcMergeTable:
         parts = []
         if man is not None and (max_batch is None
                                 or int(man["tag"]) <= max_batch):
+            # the underscore prefix hides fold dirs from anyone reading
+            # the TABLE ROOT directly; an explicit-path read still works
+            # (Spark logs a cosmetic "All paths were ignored" WARN and
+            # reads the files — pinned by every CDC test)
             fold = self.spark.read.parquet(
                 os.path.join(self.path, man["dir"]))
             parts.append(fold.withColumnRenamed(self._SRC, "batch"))

@@ -225,14 +225,6 @@ class EventStore:
                              f"[0, {n_writers})")
         self.writer_id = writer_id
         self.n_writers = n_writers
-        if n_writers > 1:
-            os.makedirs(path, exist_ok=True)
-            marker = os.path.join(path, self._MULTI_WRITER_MARKER)
-            if not os.path.exists(marker):
-                tmp = marker + f".tmp{writer_id}"
-                with open(tmp, "w") as f:
-                    f.write(str(n_writers))
-                os.replace(tmp, marker)
         #: A9 global incoming counter (since construction, mirroring
         #: photon's since-boot atom, streams.clj:290-303).
         self.ingested = 0
@@ -254,6 +246,18 @@ class EventStore:
         return (self.n_writers > 1
                 or os.path.exists(os.path.join(
                     self.path, self._MULTI_WRITER_MARKER)))
+
+    def _mark_multi_writer(self) -> None:
+        """Stamp the durable marker on FIRST multi-writer ingest (not at
+        construction — a read-only probe handle must not poison the
+        store or create its directory as a side effect)."""
+        os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, self._MULTI_WRITER_MARKER)
+        if not os.path.exists(marker):
+            tmp = marker + f".tmp{self.writer_id}"
+            with open(tmp, "w") as f:
+                f.write(str(self.n_writers))
+            os.replace(tmp, marker)
 
     def _write_opts(self, writer):
         if self.fmt == "json":
@@ -311,6 +315,8 @@ class EventStore:
                 # (empty create_map() has no key type). Reachable via a
                 # dedupe pass that drops an entire replayed batch.
                 return 0
+            if self.n_writers > 1:
+                self._mark_multi_writer()
             base = self.max_order_id()
             now_ms = int(time.time() * 1000)
             stamped = stamp_events(src, base, partition_offsets=offsets,

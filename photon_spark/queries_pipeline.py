@@ -1535,6 +1535,42 @@ def q_upsert_merge(spark, sf_dir):
                       .alias("last_value")))
 
 
+def _single_live_tempdir(owner, prefix: str) -> str:
+    """Per-call tempdir under the SINGLE-LIVE-RESULT contract shared by
+    every durable-table gate query (PairTable, CdcMergeTable): frees the
+    owner function's PREVIOUS dir — bounding disk to one extra copy
+    across bench warm-ups and gate re-runs — and registers
+    interpreter-exit cleanup. Only the most recent returned relation
+    stays readable; a plan-then-execute loop must materialize each
+    result before calling again."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    prev = getattr(owner, "_prev_dir", None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    owner._prev_dir = base
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+def _cdc_changelog_rel(spark, sf_dir):
+    """The CDC fixture changelog shared by the gated CdcMergeTable
+    queries: events as latest-wins records keyed by (user_id,
+    event_type) ordered by (ts, event_id), integer cents, NULL-safe
+    synthetic tombstone (cents divisible by 10)."""
+    from photon_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return ev.withColumn(
+        "is_tombstone",
+        F.coalesce(F.col("cents") % 10 == 0, F.lit(False)))
+
+
 def q_cdc_merge_state(spark, sf_dir):
     """The DURABLE continuous-merge table (streaming/cdc.CdcMergeTable)
     under the hash gate — the PairTable treatment applied to warehouse
@@ -1548,32 +1584,11 @@ def q_cdc_merge_state(spark, sf_dir):
     a hash match certifies, cross-engine, that batch boundaries,
     the fold, and the manifest commit are all invisible to the merged
     state (the associativity the round-8 rename-free protocol rests
-    on).
-
-    SINGLE-LIVE-RESULT CONTRACT (as q_pair_table_incremental_audit):
-    each invocation frees the previous invocation's tempdir, so only
-    the most recent returned DataFrame is readable."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from photon_spark.queries import _t
+    on). SINGLE-LIVE-RESULT CONTRACT (see _single_live_tempdir)."""
     from photon_spark.streaming.cdc import CdcMergeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id", "ts",
-        F.round(F.col("value") * 100).cast("long").alias("cents"))
-    ev = ev.withColumn(
-        "is_tombstone",
-        F.coalesce(F.col("cents") % 10 == 0, F.lit(False)))
-
-    base = tempfile.mkdtemp(prefix="photon_cdcstate_")
-    prev = getattr(q_cdc_merge_state, "_prev_dir", None)
-    if prev:
-        shutil.rmtree(prev, ignore_errors=True)
-    q_cdc_merge_state._prev_dir = base
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-
+    ev = _cdc_changelog_rel(spark, sf_dir)
+    base = _single_live_tempdir(q_cdc_merge_state, "photon_cdcstate_")
     t = CdcMergeTable(spark, base, ["user_id", "event_type"],
                       ["ts", "event_id"])
     for k in range(3):
@@ -1595,28 +1610,11 @@ def q_cdc_time_travel(spark, sf_dir):
     certifies cross-engine that the fold preserves per-record history
     exactly at its tag — the guarantee `state_at` sells.
 
-    SINGLE-LIVE-RESULT CONTRACT (as q_cdc_merge_state)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from photon_spark.queries import _t
+    SINGLE-LIVE-RESULT CONTRACT (see _single_live_tempdir)."""
     from photon_spark.streaming.cdc import CdcMergeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id", "ts",
-        F.round(F.col("value") * 100).cast("long").alias("cents"))
-    ev = ev.withColumn(
-        "is_tombstone",
-        F.coalesce(F.col("cents") % 10 == 0, F.lit(False)))
-
-    base = tempfile.mkdtemp(prefix="photon_cdctt_")
-    prev = getattr(q_cdc_time_travel, "_prev_dir", None)
-    if prev:
-        shutil.rmtree(prev, ignore_errors=True)
-    q_cdc_time_travel._prev_dir = base
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-
+    ev = _cdc_changelog_rel(spark, sf_dir)
+    base = _single_live_tempdir(q_cdc_time_travel, "photon_cdctt_")
     t = CdcMergeTable(spark, base, ["user_id", "event_type"],
                       ["ts", "event_id"])
     t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0)

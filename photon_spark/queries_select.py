@@ -410,24 +410,13 @@ def q_pair_table_incremental_audit(spark, sf_dir):
     DataFrame is readable — a plan-then-execute loop that builds several
     invocations before collecting must materialize each result
     (collect/localCheckpoint/write) before calling again."""
-    import atexit
-    import shutil
-    import tempfile
     from photon_spark.pair_cache import PairTable
+    from photon_spark.queries_pipeline import _single_live_tempdir
 
     d = _docs(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
-    base = tempfile.mkdtemp(prefix="photon_pairtab_")
-    # replace-previous: repeated invocations in one interpreter (bench
-    # warm-up + timed runs, gate re-runs) would otherwise accumulate one
-    # full PairTable copy per call until atexit; the prior call's
-    # returned DataFrame has been consumed by the time we run again, so
-    # freeing its dir here bounds disk to one extra copy
-    prev = getattr(q_pair_table_incremental_audit, "_prev_dir", None)
-    if prev:
-        shutil.rmtree(prev, ignore_errors=True)
-    q_pair_table_incremental_audit._prev_dir = base
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = _single_live_tempdir(q_pair_table_incremental_audit,
+                                "photon_pairtab_")
     pt = PairTable(spark, base, num_hashes=_NUM_HASHES, bands=_BANDS,
                    shingle_n=3, threshold=NEAR_DUP_T)
     pt.build(d.where(~is_new))

@@ -138,8 +138,18 @@ class CdcMergeTable:
         try:
             with open(os.path.join(self.path, self._LEGACY_MARKER)) as f:
                 floor = max(floor, int(f.read().strip()))
-        except (FileNotFoundError, ValueError):
-            pass
+        except FileNotFoundError:
+            pass  # no legacy marker — the normal case
+        except ValueError:
+            # fail CLOSED: an unreadable marker means some boundary was
+            # erased but we cannot tell which — answering as-of reads
+            # from partial history would be wrong, so refuse everything
+            # until the operator repairs or removes the marker
+            raise ValueError(
+                f"CdcMergeTable at {self.path}: corrupt legacy "
+                f"{self._LEGACY_MARKER} marker — cannot determine the "
+                "erased-boundary floor; repair the marker (it held the "
+                "round-7 fold tag) before reading") from None
         return floor
 
     def _gc_horizon(self) -> int:
@@ -342,11 +352,12 @@ class CdcMergeTable:
 
         ``allow_unmarked``: only batches whose dir carries a ``_SUCCESS``
         marker are folded or deleted — an in-flight ``apply_batch``
-        (dir exists, job uncommitted) is neither read nor touched. A
-        table with NO markers at all cannot distinguish committed from
-        in-flight, so compact refuses unless the caller passes
-        ``allow_unmarked=True`` (asserting no producer is mid-write —
-        e.g. a table written with marksuccessfuljobs=false).
+        (dir exists, job uncommitted) is neither read nor touched. When
+        batch dirs exist but NONE is marked, committed cannot be told
+        from in-flight, so compact RAISES (touching nothing) rather than
+        silently skipping the backlog; pass ``allow_unmarked=True`` only
+        after quiescing every producer (e.g. for a table written with
+        marksuccessfuljobs=false) — the flag folds whatever is on disk.
 
         ``drop_tombstones_below``: MAJOR compaction behind an explicit
         replay horizon. Tombstone-winning keys whose winning record came
@@ -391,12 +402,17 @@ class CdcMergeTable:
                 # silent no-op fold here would let a marksuccessfuljobs=
                 # false table's backlog grow unbounded while the caller
                 # believes compaction ran (this must hold on every call,
-                # not just before the first manifest exists)
+                # not just before the first manifest exists). The dirs
+                # are left untouched either way; the raise only fails
+                # the MAINTENANCE call, loudly.
                 raise ValueError(
-                    "compact: no batch partition carries a _SUCCESS "
-                    "marker, so committed cannot be told from in-flight "
-                    "— pass allow_unmarked=True only if no producer is "
-                    "mid-write on this table")
+                    "compact: batch partitions exist but none carries a "
+                    "_SUCCESS marker, so committed cannot be told from "
+                    "in-flight; nothing was folded or deleted. If these "
+                    "are a markerless committer's finished batches, "
+                    "re-run with allow_unmarked=True AFTER quiescing "
+                    "every producer — the flag folds whatever is on "
+                    "disk, including a write that is still in flight")
             if not committed and man is None:
                 raise ValueError("compact: no batch partitions to fold")
 

@@ -183,6 +183,20 @@ class StreamingProjectionRunner:
         """
         import json
 
+        # re-check the durable multi-writer marker EVERY batch, not just
+        # at construction: a second producer can open the store with
+        # n_writers > 1 while this runner is live, after which ordered
+        # arrival no longer holds — fail the stream loudly instead of
+        # silently skipping lower-order_id files
+        store = getattr(self.engine, "store", None)
+        if hasattr(store, "ever_multi_writer") and store.ever_multi_writer():
+            raise ValueError(
+                "StreamingProjectionRunner: the store gained the "
+                "_multi_writer marker mid-run — order_id-ordered file "
+                "arrival no longer holds, so resume filtering would "
+                "silently drop events; stop multi-writer ingest on this "
+                "store or rebuild projections from a cold replay")
+
         snaps = []
         batch_df = batch_df.persist()
         try:

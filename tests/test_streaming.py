@@ -1419,10 +1419,15 @@ def test_projection_runner_refuses_multi_writer_store(spark, tmp_path):
     engine = ProjectionEngine(store)
     with _pytest.raises(ValueError, match="single-writer"):
         StreamingProjectionRunner(engine)
+    # construction alone must NOT poison the store (read-only probes)
+    assert not os.path.exists(os.path.join(
+        path, EventStore._MULTI_WRITER_MARKER))
 
-    # the fact is durable on the STORE: a fresh default single-writer
-    # handle on the same path must not bypass the guard (the files are
-    # still wall-clock interleaved whoever opens them)
+    # after an actual multi-writer ingest the fact is durable on the
+    # STORE: a fresh default single-writer handle on the same path must
+    # not bypass the guard (the files are wall-clock interleaved
+    # whoever opens them)
+    _post(store, "s1", 3, start=0)
     fresh = EventStore(spark, path)
     assert fresh.n_writers == 1 and fresh.ever_multi_writer()
     with _pytest.raises(ValueError, match="single-writer"):
@@ -1431,4 +1436,14 @@ def test_projection_runner_refuses_multi_writer_store(spark, tmp_path):
     # a store that never saw multi-writer ingest is unaffected
     clean = EventStore(spark, os.path.join(str(tmp_path), "sw"))
     assert not clean.ever_multi_writer()
-    StreamingProjectionRunner(ProjectionEngine(clean))
+    runner = StreamingProjectionRunner(ProjectionEngine(clean))
+
+    # ... and the check repeats PER BATCH: a store that turns
+    # multi-writer while the runner is live fails the next fold loudly
+    # instead of silently dropping lower-order_id files
+    _post(clean, "s1", 3, start=0)
+    runner.run(available_now=True)
+    _post(EventStore(spark, clean.path, writer_id=1, n_writers=2),
+          "s1", 1, start=3)
+    with _pytest.raises(Exception, match="_multi_writer"):
+        runner.run(available_now=True)

@@ -56,9 +56,11 @@ def build_replica(spark, sf_dir: str, out_dir: str, n: int,
         if skew_pct:
             # deterministic power-law head: skew_pct% of all rows land
             # on ONE global hot user — per-key state for that key grows
-            # with the whole dataset, not with 1/keys of it
+            # with the whole dataset, not with 1/keys of it. The
+            # sentinel is negative so it can never collide with any
+            # replica's legitimate offset uid space.
             uid = F.when((F.col("event_id") % 100) < skew_pct,
-                         F.lit(424242)).otherwise(uid)
+                         F.lit(-424242)).otherwise(uid)
         parts.append(ev.select(
             (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
             "ts",

@@ -727,6 +727,11 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 
 # Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
+    "kneser_ney_doc_bits",
+    "dup_graph_triangles",
+    "k_anonymity_audit",
+    "cdc_multi_writer_state",
+    "ann_ndcg_audit",
     "image_resize_stats",
     "ivf_staleness_audit",
     "cdc_merge_state",

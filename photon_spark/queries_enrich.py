@@ -507,6 +507,96 @@ FROM c
 """
 
 
+# ------------------------------------------- Kneser-Ney bigram LM
+
+def q_kneser_ney_doc_bits(spark, sf_dir):
+    """Per-document INTERPOLATED KNESER-NEY bigram score — the smoothing
+    a real LM-quality filter uses (KenLM / CCNet train KN models, not
+    add-one): P(w2|w1) = max(c12 - D, 0)/c1 + D·n1(w1)/c1 · r(w2)/R,
+    with absolute discount D = 0.75, n1(w1) = distinct continuations of
+    w1, r(w2) = distinct left-contexts of w2 (the continuation count
+    that makes "Francisco" cheap only after "San"), R = distinct bigram
+    types. Unlike add-one, rare-but-systematic transitions keep mass.
+
+    Integer-exact cross-engine: with D = 3/4 the probability is the
+    exact rational A/B where A = (4·c12 - 3)·R + 3·n1·r and
+    B = 4·c1·R (Σ_w2 A = B, a proper distribution), so each occurrence
+    costs floor(log2(B div A)) bits via the established bit-length
+    trick — no libm log anywhere, only the final mean rounds to 6dp.
+
+    Plan shape: identical to `bigram_lm_doc_bits` — doc-bigram counts
+    compact FIRST (map-side combine), every LM table (c12, c1, n1, r)
+    re-aggregates from that compacted relation, R broadcasts as one
+    row, and the scoring join is |distinct doc-bigrams| × LM. At
+    100 TB the token stream is touched once; four small keyed shuffles
+    over the bigram-type relation build the model."""
+    d = _docs(spark, sf_dir)
+    t = (d.select("doc_id", text.tokens("text").alias("t"))
+          .where(F.size("t") >= 2))
+    bg = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t)-2), "
+            "i -> struct(t[i] AS w1, t[i+1] AS w2))")).alias("b"))
+    db = (bg.select("doc_id", F.col("b.w1").alias("w1"),
+                    F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("k")))
+    c12 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    left = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                 F.count(F.lit(1)).alias("n1"))
+    right = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("r"))
+    big_r = c12.agg(F.count(F.lit(1)).alias("big_r"))
+    bits = (c12.join(left, "w1").join(right, "w2")
+               .crossJoin(F.broadcast(big_r))
+               .select("w1", "w2",
+                       (F.length(F.bin(F.expr(
+                           "(4 * c1 * big_r) div "
+                           "((4 * c12 - 3) * big_r + 3 * n1 * r)")))
+                        - 1).cast("long").alias("bits")))
+    return (db.join(bits, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.sum("k").alias("n_bigrams"),
+                   F.sum(F.col("k") * F.col("bits")).alias("sum_bits"),
+                   F.round(F.sum(F.col("k") * F.col("bits"))
+                           / F.sum("k"), 6).alias("mean_bits")))
+
+
+def _sql_kneser_ney_doc_bits() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+), db AS (
+  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM db GROUP BY 1, 2
+), lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1
+  FROM c12 GROUP BY 1
+), rgt AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS r FROM c12 GROUP BY 1
+), big AS (
+  SELECT CAST(count(*) AS BIGINT) AS big_r FROM c12
+), bits AS (
+  SELECT w1, w2,
+         CAST(length(bin((4 * c1 * big_r)
+               // ((4 * c12 - 3) * big_r + 3 * n1 * r))) - 1 AS BIGINT)
+           AS bits
+  FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2), big
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * bits) AS BIGINT) AS sum_bits,
+       round(sum(k * bits) * 1.0 / sum(k), 6) AS mean_bits
+FROM db JOIN bits USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_join,
     "token_surprisal_by_source": q_token_surprisal_by_source,
@@ -516,6 +606,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "pii_scrub_stats": q_pii_scrub_stats,
     "bigram_lm_doc_bits": q_bigram_lm_doc_bits,
+    "kneser_ney_doc_bits": q_kneser_ney_doc_bits,
 }
 
 ORACLES = {
@@ -527,4 +618,5 @@ ORACLES = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "pii_scrub_stats": _sql_pii_scrub_stats(),
     "bigram_lm_doc_bits": _sql_bigram_lm_doc_bits(),
+    "kneser_ney_doc_bits": _sql_kneser_ney_doc_bits(),
 }

@@ -767,3 +767,80 @@ FROM blocked WHERE levenshtein(name_a, name_b) <= 3
 
 QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 ORACLES["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS
+
+
+# ------------------------------------------------- k-anonymity audit
+
+def q_k_anonymity_audit(spark, sf_dir):
+    """K-ANONYMITY audit over the customer quasi-identifiers — the
+    privacy-governance pass a dataset release needs: treating
+    (market segment, nation, account-balance band) as the
+    quasi-identifier tuple an adversary could link on, every customer
+    falling in an equivalence class of size < k is re-identifiable at
+    k-anonymity level k. Output is the per-segment risk report: class
+    counts and population by anonymity band (k=1 unique, 2-4, 5-9,
+    10+), the minimum class size, and the 6dp share of customers in
+    sub-5 classes — the number a privacy review reads first.
+
+    Plan: ONE keyed aggregate over the quasi-identifier tuple builds
+    the class-size relation (map-side combine collapses everything),
+    then a per-segment rollup over |classes| rows — at 100 TB the
+    second stage input is bounded by the QI cardinality, not the
+    population. Integer bands via floor division; no floats until the
+    final share division.
+    """
+    c = _rd(spark, sf_dir, "customer")
+    qi = (c.select("c_mktsegment",
+                   F.col("c_nationkey").alias("nation"),
+                   F.floor(F.col("c_acctbal") / 1000).cast("long")
+                    .alias("bal_band"))
+           .groupBy("c_mktsegment", "nation", "bal_band")
+           .agg(F.count(F.lit(1)).alias("k")))
+    band = (F.when(F.col("k") == 1, "k=1")
+             .when(F.col("k") <= 4, "k=2-4")
+             .when(F.col("k") <= 9, "k=5-9")
+             .otherwise("k>=10")).alias("band")
+    per_band = (qi.groupBy("c_mktsegment", band)
+                  .agg(F.count(F.lit(1)).alias("n_classes"),
+                       F.sum("k").alias("n_customers")))
+    seg = (qi.groupBy("c_mktsegment")
+             .agg(F.min("k").alias("min_k"),
+                  F.sum("k").alias("seg_total"),
+                  F.sum(F.when(F.col("k") < 5, F.col("k"))
+                         .otherwise(F.lit(0))).alias("at_risk")))
+    return (per_band.join(seg, "c_mktsegment")
+                    .select("c_mktsegment", "band", "n_classes",
+                            "n_customers", "min_k",
+                            F.round(F.col("at_risk")
+                                    / F.col("seg_total"), 6)
+                             .alias("seg_risk_share")))
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH qi AS (
+  SELECT c_mktsegment, c_nationkey AS nation,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+), per_band AS (
+  SELECT c_mktsegment,
+         CASE WHEN k = 1 THEN 'k=1'
+              WHEN k <= 4 THEN 'k=2-4'
+              WHEN k <= 9 THEN 'k=5-9'
+              ELSE 'k>=10' END AS band,
+         count(*) AS n_classes,
+         CAST(sum(k) AS BIGINT) AS n_customers
+  FROM qi GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment, CAST(min(k) AS BIGINT) AS min_k,
+         sum(k) AS seg_total,
+         sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS at_risk
+  FROM qi GROUP BY 1
+)
+SELECT p.c_mktsegment, p.band, p.n_classes, p.n_customers, s.min_k,
+       round(s.at_risk * 1.0 / s.seg_total, 6) AS seg_risk_share
+FROM per_band p JOIN seg s USING (c_mktsegment)
+"""
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ORACLES["k_anonymity_audit"] = SQL_K_ANONYMITY_AUDIT

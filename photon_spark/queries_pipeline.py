@@ -1814,3 +1814,61 @@ FROM t GROUP BY 1
 
 QUERIES["linear_attribution"] = q_linear_attribution
 ORACLES["linear_attribution"] = SQL_LINEAR_ATTRIBUTION
+
+
+# ----------------------------------------- CDC multi-writer merge
+
+#: half-open ns upper bound (2024-01-06 UTC) shared with the SQL twin
+_CDC_MW_HI_NS = 1704499200 * 10**9
+
+
+def q_cdc_multi_writer_state(spark, sf_dir):
+    """TWO independent producers feeding ONE durable CdcMergeTable —
+    the deployment shape where two foreachBatch sinks with their own
+    checkpoints both emit batch ids 0,1,2,…: each writer handle is
+    constructed with its (writer_id, n_writers) sub-range, so ids
+    namespace as ``id*2 + writer`` and neither producer can clobber
+    the other's partitions. The changelog (bounded to the first five
+    days, scan-prunable) splits by ``event_id % 4`` into four slices;
+    writer 0 owns slices 0/2 as its local batches 0/1, writer 1 owns
+    1/3 — applied interleaved, with a COMPACTION between rounds run by
+    writer 0 while writer 1 still has a batch outstanding. The oracle
+    is one argmax over the bounded changelog, blind to writers,
+    batches, and the fold: a hash match certifies the namespaced id
+    space keeps multi-writer ingest exactly as mergeable as
+    single-writer (the guarantee the sub-range design sells).
+    SINGLE-LIVE-RESULT CONTRACT (see _single_live_tempdir)."""
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = (_cdc_changelog_rel(spark, sf_dir)
+          .where(F.col("ts") < F.lit(_CDC_MW_HI_NS)))
+    base = _single_live_tempdir(q_cdc_multi_writer_state,
+                                "photon_cdcmw_")
+    w0 = CdcMergeTable(spark, base, ["user_id", "event_type"],
+                       ["ts", "event_id"], writer_id=0, n_writers=2)
+    w1 = CdcMergeTable(spark, base, ["user_id", "event_type"],
+                       ["ts", "event_id"], writer_id=1, n_writers=2)
+    w0.apply_batch(ev.where(F.col("event_id") % 4 == 0), 0)  # global 0
+    w1.apply_batch(ev.where(F.col("event_id") % 4 == 1), 0)  # global 1
+    w0.compact()                       # folds global 0..1
+    w0.apply_batch(ev.where(F.col("event_id") % 4 == 2), 1)  # global 2
+    w1.apply_batch(ev.where(F.col("event_id") % 4 == 3), 1)  # global 3
+    return w0.state()
+
+
+SQL_CDC_MULTI_WRITER_STATE = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts < TIMESTAMP '2024-01-06'
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_ns DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_type, ts_ns AS ts, event_id, cents
+FROM w WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
+"""
+
+QUERIES["cdc_multi_writer_state"] = q_cdc_multi_writer_state
+ORACLES["cdc_multi_writer_state"] = SQL_CDC_MULTI_WRITER_STATE

@@ -460,6 +460,97 @@ FROM {prev}
 """
 
 
+# ----------------------------------- triangle census over the dup graph
+
+def q_dup_graph_triangles(spark, sf_dir):
+    """Per-document TRIANGLE COUNT over the near-duplicate graph — the
+    transitivity census: a doc in many triangles sits inside a dense
+    boilerplate clique (its duplicates are duplicates of each other,
+    the strongest canonical-selection signal), while a high-degree doc
+    with zero triangles is a hub of unrelated coincidental matches
+    (the LSH false-positive smell worth auditing).
+
+    Algorithm: degree-ordered edge orientation, then the forward
+    wedge-join — orient every undirected edge from the (deg, id)-lower
+    endpoint to the higher, join oriented (a→b)⋈(b→c) wedges against
+    the oriented (a→c) closure. Each triangle is found exactly once
+    (its vertices are totally ordered by (deg, id)), and the wedge
+    relation is bounded by Σ out_deg² where out-degree ≤ O(√m) — the
+    arboricity bound that makes this THE distributed triangle algorithm
+    (Cohen's MapReduce form); a power-law hub never fans out because
+    its edges all point INTO it. Consumes the shared PairTable; ids
+    only, no text. Output: one row per triangle-participating doc with
+    its triangle count and degree.
+    """
+    from photon_spark import pair_cache
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("lo_id").alias("src"),
+                          F.col("hi_id").alias("dst"))
+                  .unionAll(pairs.select(F.col("hi_id").alias("src"),
+                                         F.col("lo_id").alias("dst"))))
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .withColumnRenamed("src", "id"))
+    # orient src -> dst iff (deg, id) of src < (deg, id) of dst; the
+    # undirected edge appears in `edges` both ways, so keeping the
+    # "less-than" direction keeps each edge exactly once
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
+    o = (edges.join(ds, "src").join(dd, "dst")
+              .where((F.col("dsrc") < F.col("ddst"))
+                     | ((F.col("dsrc") == F.col("ddst"))
+                        & (F.col("src") < F.col("dst"))))
+              .select("src", "dst").persist())
+    ab = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+    per_doc = (tri.select(F.col("a").alias("doc_id"))
+                  .unionAll(tri.select(F.col("b").alias("doc_id")))
+                  .unionAll(tri.select(F.col("c").alias("doc_id")))
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_triangles")))
+    from photon_spark.functions.dedup import _own_cache
+    out = (per_doc.join(deg.withColumnRenamed("id", "doc_id"), "doc_id")
+                  .select("doc_id", "n_triangles",
+                          F.col("deg").cast("long").alias("degree")))
+    return _own_cache(out, getattr(pairs, "_photon_cached", []) + [o])
+
+
+def _sql_dup_graph_triangles() -> str:
+    from photon_spark.queries_northstar import SQL_MINHASH_NEAR_DUPS
+    return f"""
+WITH pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS src, hi_id AS dst FROM pairs
+  UNION ALL SELECT hi_id, lo_id FROM pairs
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+o AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN deg s ON s.id = e.src
+  JOIN deg d ON d.id = e.dst
+  WHERE s.deg < d.deg OR (s.deg = d.deg AND e.src < e.dst)
+),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM o ab
+  JOIN o bc ON bc.src = ab.dst
+  JOIN o ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_triangles FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.n_triangles AS BIGINT) AS n_triangles,
+       CAST(g.deg AS BIGINT) AS degree
+FROM per_doc p JOIN deg g ON g.id = p.doc_id
+"""
+
+
 # --------------------------------------------------- hard-negative mining
 
 #: fixed anchor ids (the anchor batch is a parameter, not data — exists
@@ -761,6 +852,7 @@ QUERIES = {
     "events_decay_popularity": q_events_decay_popularity,
     "priority_sample": q_priority_sample,
     "pagerank_dup_graph": q_pagerank_dup_graph,
+    "dup_graph_triangles": q_dup_graph_triangles,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_gram_int8": q_embedding_gram_int8,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -773,6 +865,7 @@ ORACLES = {
     "events_decay_popularity": SQL_EVENTS_DECAY_POPULARITY,
     "priority_sample": _sql_priority_sample(),
     "pagerank_dup_graph": _sql_pagerank(),
+    "dup_graph_triangles": _sql_dup_graph_triangles(),
     "hard_negative_mining": SQL_HARD_NEGATIVES,
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
     "hybrid_rrf_topk": _sql_hybrid_rrf(),

@@ -16,6 +16,8 @@ threshold or max; everything else is integer/string work.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -834,6 +836,147 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------ ANN nDCG audit
+
+#: fixed-point DCG discount table: floor(1e6 / log2(rank+1)) for rank
+#: 1..k, computed ONCE in Python and inlined as the same integer
+#: literals into both engines' plans — neither engine ever calls a libm
+#: log, so the DCG integer sums are exact cross-engine (the repo
+#: float-parity policy applied to ranking metrics)
+NDCG_W = [int(10**6 / math.log2(i + 1)) for i in range(1, ANN_MULTI_K + 1)]
+#: ideal DCG: the exact list in exact order, graded rel k..1
+NDCG_IDCG = sum((ANN_MULTI_K - i) * w for i, w in enumerate(NDCG_W))
+
+
+def q_ann_ndcg_audit(spark, sf_dir):
+    """nDCG@k of the IVF tier against the exact ranking — the metric
+    that distinguishes "found the right five" from "found them in the
+    right ORDER", which recall@k cannot see: graded relevance comes
+    from the exact list (rank 1 is worth {ANN_MULTI_K}, rank k worth
+    1), the IVF list is scored position-by-position with the
+    fixed-point discount table, and nDCG = DCG/IDCG. An index can hold
+    recall at 1.0 while its nDCG decays — the first symptom of probe
+    starvation reordering the head of the list.
+
+    Integer-exact: discounts are precomputed integer literals (module
+    constant NDCG_W) identical in both plans; DCG is an integer
+    dot-product; only the final nDCG division rounds to 6dp. Scale
+    shape identical to ann_recall_audit (the IVF candidate pipeline is
+    the same construction): map-only cell assignment, broadcast probe,
+    WindowGroupLimit rank, ids-only eval join."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
+                                                   ivf_train_cells)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    corpus = e.where(~is_q)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+
+    # graded ground truth from the exact relation (rank 1 → rel k)
+    exact = (q_ann_topk_multi(spark, sf_dir)
+             .select("query_id", "vec_id",
+                     (F.lit(ANN_MULTI_K + 1) - F.col("rank"))
+                      .alias("rel")))
+
+    cents = ivf_train_cells(e, RECALL_CELLS)
+    assigned = ivf_assign_cells(corpus, cents)
+    cents_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell_id long, cv array<double>")
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
+                                                F.col("cell_id"))
+    probe = (q.crossJoin(F.broadcast(cents_df))
+              .select("query_id", "cell_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                       .alias("ccos"))
+              .withColumn("prank", F.row_number().over(wp))
+              .where(F.col("prank") <= RECALL_PROBE)
+              .select("query_id", "cell_id"))
+    ivf = (assigned.join(F.broadcast(probe), "cell_id")
+                   .join(F.broadcast(q), "query_id")
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                            .alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id", "rank"))
+
+    disc = F.element_at(F.array(*[F.lit(x) for x in NDCG_W]),
+                        F.col("rank").cast("int"))
+    return (ivf.join(exact, ["query_id", "vec_id"], "left")
+               .groupBy("query_id")
+               .agg(F.sum(F.coalesce(F.col("rel"), F.lit(0)) * disc)
+                     .cast("long").alias("dcg_units"),
+                    F.round(F.sum(F.coalesce(F.col("rel"), F.lit(0)) * disc)
+                            / F.lit(NDCG_IDCG), 6).alias("ndcg")))
+
+
+def _sql_ann_ndcg_audit() -> str:
+    disc = " ".join(f"WHEN {i + 1} THEN {w}"
+                    for i, w in enumerate(NDCG_W))
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % {ANN_QMOD} = 0
+), corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {ANN_QMOD} != 0
+), exact AS (
+  SELECT query_id, vec_id, {ANN_MULTI_K} + 1 - rank AS rel FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base
+  ORDER BY vec_id LIMIT {RECALL_CELLS}
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, ce.cv) DESC, ce.cell_id
+           ) AS rn
+    FROM corpus c CROSS JOIN cents ce) WHERE rn = 1
+), probe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, ce.cv), 6) DESC,
+                      ce.cell_id
+           ) AS prank
+    FROM q CROSS JOIN cents ce) WHERE prank <= {RECALL_PROBE}
+), ivf AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN probe p ON p.cell_id = a.cell_id
+    JOIN q ON q.query_id = p.query_id) WHERE rank <= {ANN_MULTI_K}
+)
+SELECT i.query_id,
+       CAST(sum(coalesce(e.rel, 0)
+                * (CASE i.rank {disc} END)) AS BIGINT) AS dcg_units,
+       round(sum(coalesce(e.rel, 0) * (CASE i.rank {disc} END)) * 1.0
+             / {NDCG_IDCG}, 6) AS ndcg
+FROM ivf i
+LEFT JOIN exact e ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+GROUP BY 1
+"""
+
+
 #: Matryoshka audit: leading dims kept by the truncated index
 MRL_DIM = 16
 
@@ -1432,6 +1575,7 @@ QUERIES = {
     "ann_topk_filtered": q_ann_topk_filtered,
     "containment_pairs": q_containment_pairs,
     "ann_recall_audit": q_ann_recall_audit,
+    "ann_ndcg_audit": q_ann_ndcg_audit,
     "matryoshka_recall_audit": q_matryoshka_recall_audit,
 }
 
@@ -1451,6 +1595,7 @@ ORACLES = {
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "containment_pairs": _sql_containment_pairs(),
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
+    "ann_ndcg_audit": _sql_ann_ndcg_audit(),
     "matryoshka_recall_audit": SQL_MATRYOSHKA_RECALL_AUDIT,
 }
 

@@ -185,3 +185,78 @@ def test_bigram_lm_bits_naive_recompute(spark, sf_dir):
     got = {r["doc_id"]: (r["n_bigrams"], r["sum_bits"])
            for r in q_bigram_lm_doc_bits(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_kneser_ney_bits_naive_recompute(spark, sf_dir):
+    # Full naive recompute of the interpolated Kneser-Ney doc scores:
+    # D = 3/4, so P(w2|w1) = ((4*c12-3)*R + 3*n1(w1)*r(w2)) / (4*c1*R)
+    # exactly, and each occurrence costs floor(log2(B // A)) bits.
+    from collections import Counter
+    from photon_spark.queries_enrich import q_kneser_ney_doc_bits
+
+    docs = {r["doc_id"]: r["text"].split()
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+                          .collect()}
+    c12 = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1, n1, r = Counter(), Counter(), Counter()
+    for (a, b), k in c12.items():
+        c1[a] += k
+        n1[a] += 1
+        r[b] += 1
+    R = len(c12)
+    want = {}
+    for did, toks in docs.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        bits = []
+        for a, b in bgs:
+            A = (4 * c12[(a, b)] - 3) * R + 3 * n1[a] * r[b]
+            B = 4 * c1[a] * R
+            bits.append((B // A).bit_length() - 1)
+        want[did] = (len(bgs), sum(bits))
+    got = {row["doc_id"]: (row["n_bigrams"], row["sum_bits"])
+           for row in q_kneser_ney_doc_bits(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_kneser_ney_is_proper_distribution(spark, sf_dir):
+    # The exact-rational KN numerators must sum to the denominator for
+    # every left context ONCE the unseen continuations get their
+    # backoff share: sum over ALL w2 of A(w1,w2) — the full formula on
+    # observed bigrams, 3·n1(w1)·r(w2) on unseen — equals B(w1)
+    # exactly, because sum_w2 r(w2) = R. The observed subset alone must
+    # come in at or under B (each occurrence's bits >= 0): that is the
+    # property that makes floor-log2 "bits" a true code length.
+    from collections import Counter
+
+    docs = [r["text"].split()
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+                          .collect()]
+    c12 = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1, n1, r = Counter(), Counter(), Counter()
+    for (a, b), k in c12.items():
+        c1[a] += k
+        n1[a] += 1
+        r[b] += 1
+    R = len(c12)
+    obs = {}
+    for (a, b) in c12:
+        obs.setdefault(a, []).append(b)
+    for w1 in list(c1)[:50]:
+        B = 4 * c1[w1] * R
+        seen = obs[w1]
+        num_obs = sum((4 * c12[(w1, b)] - 3) * R + 3 * n1[w1] * r[b]
+                      for b in seen)
+        # full-vocabulary total: observed terms + backoff on the rest
+        num_all = num_obs + 3 * n1[w1] * (R - sum(r[b] for b in seen))
+        assert num_all == B
+        assert 0 < num_obs <= B
+        for b in seen:  # every observed bigram individually codable
+            assert (4 * c12[(w1, b)] - 3) * R + 3 * n1[w1] * r[b] <= B

@@ -282,3 +282,35 @@ def test_fuzzy_name_pairs_blocking_is_band_limited(spark, tmp_path):
     assert got[("cat dog", "cat log")] == 1   # same first word
     assert got[("bat hog", "rat hog")] == 1   # same second word
     assert all(n_a != n_b for n_a, n_b in got)
+
+
+def test_k_anonymity_audit_matches_naive(spark, sf_dir):
+    # Recompute the full report from a pandas-free naive pass over the
+    # customer table: class sizes by (segment, nation, floor(bal/1000)),
+    # then bands, min-k and the at-risk share per segment.
+    from collections import Counter
+    import math
+    rows = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+    cls = Counter((r["c_mktsegment"], r["c_nationkey"],
+                   math.floor(r["c_acctbal"] / 1000)) for r in rows)
+    def band(k):
+        return ("k=1" if k == 1 else "k=2-4" if k <= 4
+                else "k=5-9" if k <= 9 else "k>=10")
+    per, seg_tot, seg_risk, seg_min = {}, Counter(), Counter(), {}
+    for (segm, _n, _b), k in cls.items():
+        g, n = per.setdefault((segm, band(k)), [0, 0]), None
+        g[0] += 1
+        g[1] += k
+        seg_tot[segm] += k
+        if k < 5:
+            seg_risk[segm] += k
+        seg_min[segm] = min(seg_min.get(segm, k), k)
+    got = qg.q_k_anonymity_audit(spark, sf_dir).collect()
+    assert len(got) == len(per)
+    for r in got:
+        key = (r["c_mktsegment"], r["band"])
+        assert [r["n_classes"], r["n_customers"]] == per[key]
+        assert r["min_k"] == seg_min[r["c_mktsegment"]]
+        assert r["seg_risk_share"] == round(
+            seg_risk[r["c_mktsegment"]] / seg_tot[r["c_mktsegment"]], 6)

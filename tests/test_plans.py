@@ -239,6 +239,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # scalar LM denominator / HAVING thresholds (Q11/Q15/Q22 shapes)
         "bigram_lm_doc_bits", "part_value_concentration",
         "top_supplier_revenue", "idle_rich_customers",
+        # crossJoin(broadcast(<1-row distinct-bigram count R>)) — the
+        # KN continuation denominator, same scalar shape as bigram LM
+        "kneser_ney_doc_bits",
+        # ann_recall_audit's IVF candidate construction (broadcast
+        # 16-row centroid table) reused under the nDCG metric
+        "ann_ndcg_audit",
     }
     failures = []
     for name, fn in q.QUERIES.items():

@@ -371,3 +371,47 @@ def test_decay_step_clamped_for_future_events(spark):
         qr.decay_step_counts(e)).collect()[0]
     # 3 events at max weight + 1 at min weight, exactly
     assert summary["decayed_units"] == 3 * qr.DECAY_SCALE + 1
+
+
+def test_dup_graph_triangles_matches_naive(spark, sf_dir):
+    # Per-doc triangle participation recomputed by brute-force triangle
+    # enumeration over the SAME mined pair graph: every (a,b,c) with all
+    # three edges present bumps all three vertices once.
+    from photon_spark.functions import dedup
+    got = {r["doc_id"]: (r["n_triangles"], r["degree"])
+           for r in qr.q_dup_graph_triangles(spark, sf_dir).collect()}
+    pairs = dedup.minhash_near_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    edges = {(p["lo_id"], p["hi_id"])
+             for p in pairs.select("lo_id", "hi_id").collect()}
+    dedup.release_cache(pairs)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per: dict = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # (a,b) sorted lo<hi; c>b names each triangle once
+                for v in (a, b, c):
+                    per[v] = per.get(v, 0) + 1
+    assert got == {v: (n, len(adj[v])) for v, n in per.items()}
+
+
+def test_dup_graph_triangles_orientation_counts_each_once(spark):
+    # A 4-clique plus a pendant vertex: the degree-ordered forward join
+    # must find exactly C(4,3)=4 triangles, 3 per clique vertex, 0 for
+    # the pendant — independent of id order.
+    import photon_spark.pair_cache as pc
+    rows = [(10, 20), (10, 30), (10, 40), (20, 30), (20, 40), (30, 40),
+            (40, 99)]
+    df = spark.createDataFrame(rows, "lo_id long, hi_id long") \
+              .withColumn("jaccard", F.lit(1.0))
+    orig = pc.near_dup_pairs
+    pc.near_dup_pairs = lambda *_a, **_k: df
+    try:
+        got = {r["doc_id"]: r["n_triangles"]
+               for r in qr.q_dup_graph_triangles(spark, "unused").collect()}
+    finally:
+        pc.near_dup_pairs = orig
+    assert got == {10: 3, 20: 3, 30: 3, 40: 3}

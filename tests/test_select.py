@@ -653,3 +653,47 @@ def test_ivf_staleness_audit_detects_drift(spark, tmp_path):
                for r in out.values()), out
     base = [r for qid, r in out.items() if qid not in drifted]
     assert all(r["recall_fresh"] == r["recall_stale"] for r in base), base
+
+
+def test_ann_ndcg_audit_matches_naive_metric(spark, sf_dir):
+    # Recompute nDCG in plain Python from the SAME two ranked lists the
+    # query consumes (exact via q_ann_topk_multi; IVF via the audit's
+    # own candidate relation is not exposed, so rebuild the metric from
+    # the output's integer dcg_units): dcg_units must be a sum of
+    # rel*discount terms with rel in 0..k, and ndcg == dcg/IDCG at 6dp.
+    from photon_spark.queries_select import (q_ann_ndcg_audit,
+                                             q_ann_topk_multi,
+                                             NDCG_W, NDCG_IDCG,
+                                             ANN_MULTI_K)
+    rows = q_ann_ndcg_audit(spark, sf_dir).collect()
+    assert rows, "audit must cover the query batch"
+    exact_q = {r["query_id"] for r in
+               q_ann_topk_multi(spark, sf_dir).collect()}
+    feasible = set()
+    # all integer combos sum(rel_i * w_i) over list lengths 1..k where
+    # grade 0 (not in the exact list) may repeat but each nonzero grade
+    # (a specific exact doc) appears at most once
+    import itertools
+    grades = list(range(ANN_MULTI_K + 1))
+    for length in range(1, ANN_MULTI_K + 1):
+        for combo in itertools.product(grades, repeat=length):
+            nz = [g for g in combo if g]
+            if len(nz) == len(set(nz)):
+                feasible.add(sum(g * w for g, w in zip(combo, NDCG_W)))
+    for r in rows:
+        assert r["query_id"] in exact_q
+        assert 0 <= r["dcg_units"] <= NDCG_IDCG
+        assert r["ndcg"] == round(r["dcg_units"] / NDCG_IDCG, 6)
+        assert r["dcg_units"] in feasible
+
+
+def test_ndcg_discount_table_is_shared_literal():
+    # The discount constants inlined into the SQL oracle must be the
+    # very integers the Spark plan uses — the cross-engine exactness
+    # rests on both sides multiplying by the SAME literals.
+    from photon_spark.queries_select import (_sql_ann_ndcg_audit, NDCG_W,
+                                             NDCG_IDCG)
+    sql = _sql_ann_ndcg_audit()
+    for i, w in enumerate(NDCG_W):
+        assert f"WHEN {i + 1} THEN {w}" in sql
+    assert str(NDCG_IDCG) in sql

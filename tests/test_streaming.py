@@ -1447,3 +1447,26 @@ def test_projection_runner_refuses_multi_writer_store(spark, tmp_path):
           "s1", 1, start=3)
     with _pytest.raises(Exception, match="_multi_writer"):
         runner.run(available_now=True)
+
+
+def test_cdc_multi_writer_gate_query_equals_single_writer(spark, sf_dir,
+                                                          tmp_path):
+    # The gated two-writer query must land on EXACTLY the state a lone
+    # writer applying the same four slices as batches 0..3 reaches —
+    # writer namespacing is invisible to the merge.
+    from photon_spark.queries_pipeline import (_cdc_changelog_rel,
+                                               _CDC_MW_HI_NS,
+                                               q_cdc_multi_writer_state)
+    from photon_spark.streaming.cdc import CdcMergeTable
+    from pyspark.sql import functions as F
+
+    ev = (_cdc_changelog_rel(spark, sf_dir)
+          .where(F.col("ts") < F.lit(_CDC_MW_HI_NS)))
+    solo = CdcMergeTable(spark, str(tmp_path / "solo"),
+                         ["user_id", "event_type"], ["ts", "event_id"])
+    for k in range(4):
+        solo.apply_batch(ev.where(F.col("event_id") % 4 == k), k)
+    want = {tuple(r) for r in solo.state().collect()}
+    got = {tuple(r) for r in
+           q_cdc_multi_writer_state(spark, sf_dir).collect()}
+    assert got == want

@@ -186,16 +186,21 @@ class EventStore:
     speed for interop and is the restore target for exported streams.
     """
 
-    FORMATS = ("parquet", "orc", "json")
+    FORMATS = ("parquet", "orc", "json", "csv")
     #: durable store-level record that multi-writer ingest has touched
     #: this path (underscore prefix keeps it invisible to Spark's file
     #: listing); once present, order_id-ordered file arrival can no
     #: longer be assumed by anyone, whatever handle they opened
     _MULTI_WRITER_MARKER = "_multi_writer"
-    _EXT = {"parquet": ".parquet", "orc": ".orc", "json": ".json"}
+    _EXT = {"parquet": ".parquet", "orc": ".orc", "json": ".json",
+            "csv": ".csv"}
     #: explicit µs-precision timestamp pattern so the JSON backend
     #: round-trips event_time without truncation
     _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    #: CSV null sentinel: CSV's native null encoding is the empty
+    #: string, which would silently conflate NULL payloads with
+    #: legitimately-empty ones — write/read a distinguishable marker
+    _CSV_NULL = "\\N"
 
     def __init__(self, spark: SparkSession, path: str,
                  fmt: str = "parquet", writer_id: int = 0,
@@ -260,14 +265,48 @@ class EventStore:
             os.replace(tmp, marker)
 
     def _write_opts(self, writer):
-        if self.fmt == "json":
+        if self.fmt in ("json", "csv"):
             writer = writer.option("timestampFormat", self._TS_FMT)
+        if self.fmt == "csv":
+            writer = writer.option("nullValue", self._CSV_NULL)
         return writer.format(self.fmt)
 
     def _read_opts(self, reader):
-        if self.fmt == "json":
+        if self.fmt in ("json", "csv"):
             reader = reader.option("timestampFormat", self._TS_FMT)
+        if self.fmt == "csv":
+            # multiLine: a quoted payload may legally contain newlines;
+            # the cost is per-file (not per-line) split granularity —
+            # the same scan-cost trade the JSON-lines backend documents
+            reader = (reader.option("nullValue", self._CSV_NULL)
+                            .option("multiLine", "true"))
         return reader.format(self.fmt)
+
+    # CSV is a FLAT text format: the provenance struct rides as its
+    # JSON encoding on disk and is parsed back on read; every other
+    # backend stores it natively. Columns are also pinned to the
+    # canonical schema order on write because CSV maps columns to the
+    # read schema by POSITION, not by name.
+    def _disk_schema(self) -> T.StructType:
+        if self.fmt != "csv":
+            return EVENT_SCHEMA
+        return T.StructType([
+            T.StructField(f.name,
+                          T.StringType() if f.name == "provenance"
+                          else f.dataType, f.nullable)
+            for f in EVENT_SCHEMA.fields])
+
+    def _encode(self, df: DataFrame) -> DataFrame:
+        if self.fmt == "csv":
+            df = df.withColumn("provenance", F.to_json("provenance"))
+        return df.select([f.name for f in EVENT_SCHEMA.fields
+                          if f.name in df.columns])
+
+    def _decode(self, df: DataFrame) -> DataFrame:
+        if self.fmt == "csv":
+            df = df.withColumn(
+                "provenance", F.from_json("provenance", PROVENANCE_TYPE))
+        return df
 
     # ---------------------------------------------------------------- write
     def _exists(self) -> bool:
@@ -329,7 +368,7 @@ class EventStore:
             # sort; pre-sorting by (stream, order) satisfies the writer's
             # required ordering so no destructive re-sort happens.
             (self._write_opts(
-                stamped
+                self._encode(stamped)
                 .repartition("stream_name")
                 .sortWithinPartitions("stream_name", "order_id")
                 .write.mode("append")
@@ -353,10 +392,11 @@ class EventStore:
         if not self._exists():  # empty store reads as an empty relation
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = self._read_opts(
-            self.spark.read.schema(EVENT_SCHEMA)).load(self.path)
+            self.spark.read.schema(self._disk_schema())).load(self.path)
         # partitionBy writes stream_name as a directory column; enforce
         # canonical column order.
-        return df.select([f.name for f in EVENT_SCHEMA.fields])
+        return self._decode(df).select(
+            [f.name for f in EVENT_SCHEMA.fields])
 
     def read_cold(self, stream_name: str = ALL_STREAMS, from_: int = 0,
                   limit: int | None = None, ordered: bool = True) -> DataFrame:
@@ -405,7 +445,7 @@ class EventStore:
         """
         tmp = self.path.rstrip("/") + f".__rewrite__{uuid.uuid4().hex[:8]}"
         (self._write_opts(
-            self.read_all().where(keep_predicate)
+            self._encode(self.read_all().where(keep_predicate))
             .repartition("stream_name")
             .sortWithinPartitions("stream_name", "order_id")
             .write.mode("overwrite").partitionBy("stream_name"))

@@ -1872,3 +1872,86 @@ FROM w WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
 
 QUERIES["cdc_multi_writer_state"] = q_cdc_multi_writer_state
 ORACLES["cdc_multi_writer_state"] = SQL_CDC_MULTI_WRITER_STATE
+
+
+# ------------------------------------------- vocabulary growth curve
+
+def q_vocab_growth_curve(spark, sf_dir):
+    """HEAPS-LAW vocabulary-growth audit — the corpus statistic a
+    tokenizer budget decision reads: split the corpus into ten
+    deterministic deciles by doc_id, and per decile report token mass,
+    NEW vocabulary types first seen there, and the cumulative curves.
+    A vocabulary still growing linearly at decile 10 means the corpus
+    is nowhere near lexical saturation (more data keeps buying new
+    types); a flattening curve justifies freezing the vocab.
+
+    Scale shape: the prefix-cumulative "distinct types so far" is NOT
+    recomputed per prefix (that would be 10 distinct-aggregations over
+    the token stream) — each type's FIRST decile is one min-aggregate
+    over the (token) key, then every curve is an integer cumsum over
+    the ten-row rollup. The token stream is read once; two keyed
+    shuffles total (token-level min, decile-level counts), both with
+    map-side combine; the window runs over 10 rows on the driver-side
+    scale, never over data."""
+    d = _docs(spark, sf_dir)
+    n = d.agg(F.max("doc_id")).first()[0] + 1  # dense ids: corpus size
+    # integer division on BOTH engines: DuckDB CAST(double AS BIGINT)
+    # ROUNDS where Spark truncates, so never bucket through a double
+    dec = F.least(F.lit(9), F.expr(f"(doc_id * 10) div {n}")).alias("decile")
+    toks = (d.select(dec, F.explode(
+                F.transform(text.tokens("text"),
+                            lambda t: F.lower(t))).alias("tok")))
+    per_dec = (toks.groupBy("decile")
+                   .agg(F.count(F.lit(1)).alias("n_tokens")))
+    first_seen = (toks.groupBy("tok")
+                      .agg(F.min("decile").alias("decile"))
+                      .groupBy("decile")
+                      .agg(F.count(F.lit(1)).alias("new_types")))
+    docs_per = d.select(dec).groupBy("decile") \
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (per_dec.join(first_seen, "decile", "left")
+                   .join(docs_per, "decile")
+                   .select("decile", "n_docs", "n_tokens",
+                           F.coalesce("new_types", F.lit(0))
+                            .alias("new_types"))
+                   .withColumn("cum_tokens",
+                               F.sum("n_tokens").over(w).cast("long"))
+                   .withColumn("cum_types",
+                               F.sum("new_types").over(w).cast("long")))
+
+
+def _sql_vocab_growth_curve() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH n AS (
+  SELECT max(doc_id) + 1 AS n FROM documents
+), d AS (
+  SELECT doc_id, least(9, (doc_id * 10) // (SELECT n FROM n)) AS decile,
+         {_SQL_TOKS} AS t
+  FROM documents
+), toks AS (
+  SELECT decile, lower(unnest(t)) AS tok FROM d
+), per_dec AS (
+  SELECT decile, count(*) AS n_tokens FROM toks GROUP BY 1
+), first_seen AS (
+  SELECT decile, count(*) AS new_types FROM (
+    SELECT tok, min(decile) AS decile FROM toks GROUP BY 1
+  ) GROUP BY 1
+), docs_per AS (
+  SELECT decile, count(*) AS n_docs FROM d GROUP BY 1
+)
+SELECT p.decile, dp.n_docs, p.n_tokens,
+       coalesce(f.new_types, 0) AS new_types,
+       CAST(sum(p.n_tokens) OVER (ORDER BY p.decile) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(f.new_types, 0)) OVER (ORDER BY p.decile)
+            AS BIGINT) AS cum_types
+FROM per_dec p
+LEFT JOIN first_seen f USING (decile)
+JOIN docs_per dp USING (decile)
+"""
+
+
+QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
+ORACLES["vocab_growth_curve"] = _sql_vocab_growth_curve()

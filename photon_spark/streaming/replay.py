@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from photon_spark.events import coerce_order_bound, ALL_STREAMS, EVENT_SCHEMA, EventStore
+from photon_spark.events import coerce_order_bound, ALL_STREAMS, EventStore
 
 
 def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
@@ -31,12 +31,13 @@ def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
                   ) -> DataFrame:
     """R3: streaming DataFrame that replays all persisted events (from the
     ``from_`` bound) then keeps tailing new appends."""
-    reader = store.spark.readStream.schema(EVENT_SCHEMA)
+    reader = store.spark.readStream.schema(store._disk_schema())
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # same pluggable backend as the batch path (file source streams any
-    # of the store formats)
-    df = store._read_opts(reader).load(store.path)
+    # of the store formats; _decode restores the struct the flat CSV
+    # backend carries as JSON)
+    df = store._decode(store._read_opts(reader).load(store.path))
     if stream_name != ALL_STREAMS:
         df = df.where(F.col("stream_name") == stream_name)
     if from_:

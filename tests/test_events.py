@@ -313,3 +313,36 @@ def test_writer_id_validation(spark, tmp_path):
         EventStore(spark, str(tmp_path / "x"), writer_id=2, n_writers=2)
     with pytest.raises(ValueError, match="n_writers"):
         EventStore(spark, str(tmp_path / "y"), n_writers=0)
+
+
+def test_csv_backend_provenance_and_null_payload_roundtrip(spark, tmp_path):
+    """The flat CSV backend must keep two distinctions the other
+    backends get natively: the provenance STRUCT round-trips through
+    its on-disk JSON encoding, and a NULL payload stays distinguishable
+    from an empty-string payload (the \\N sentinel)."""
+    from pyspark.sql import Row
+    from photon_spark.events import PROVENANCE_TYPE
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    prov = Row(service_id="svc", local_id="42", relationship_type="parent")
+    schema = T.StructType([
+        T.StructField("stream_name", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("provenance", PROVENANCE_TYPE),
+    ])
+    batch = spark.createDataFrame(
+        [("s", "", prov), ("s", None, None), ("s", "x,y\nz\"q\"", prov)],
+        schema)
+    st = EventStore(spark, str(tmp_path / "ev_csv"), fmt="csv")
+    assert st.ingest(batch) == 3
+    rows = st.read_cold("s").orderBy("order_id").collect()
+    assert [r["payload"] for r in rows] == ["", None, 'x,y\nz"q"']
+    assert rows[0]["provenance"]["relationship_type"] == "parent"
+    assert rows[1]["provenance"] is None
+    assert rows[2]["provenance"]["service_id"] == "svc"
+    # delete-rewrite keeps the encoding stable (second encode/decode)
+    st.delete_event("s", rows[0]["order_id"])
+    left = st.read_cold("s").orderBy("order_id").collect()
+    assert [r["payload"] for r in left] == [None, 'x,y\nz"q"']
+    assert left[1]["provenance"]["local_id"] == "42"

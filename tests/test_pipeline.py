@@ -569,3 +569,33 @@ def test_linear_attribution_conserves_value_and_matches_naive(spark,
         else:
             assert g["credit_per_touch"] == round(tot / (100 * n), 2)
     assert 0 in exp and len(exp) > 3  # fixture exercises both regimes
+
+
+def test_vocab_growth_curve_matches_naive(spark, sf_dir):
+    # Naive recompute: bucket docs into deciles by integer division,
+    # count tokens per decile and first-seen vocabulary types, then
+    # cumulative sums.
+    from collections import Counter
+    from photon_spark.queries_pipeline import q_vocab_growth_curve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    n = max(r["doc_id"] for r in docs) + 1
+    n_docs, n_tokens, first = Counter(), Counter(), {}
+    for r in docs:
+        d = min(9, r["doc_id"] * 10 // n)
+        n_docs[d] += 1
+        for t in r["text"].lower().split():
+            n_tokens[d] += 1
+            first[t] = min(first.get(t, 9), d)
+    new_types = Counter(first.values())
+    cum_t = cum_v = 0
+    want = {}
+    for d in sorted(n_docs):
+        cum_t += n_tokens[d]
+        cum_v += new_types[d]
+        want[d] = (n_docs[d], n_tokens[d], new_types[d], cum_t, cum_v)
+    got = {r["decile"]: (r["n_docs"], r["n_tokens"], r["new_types"],
+                         r["cum_tokens"], r["cum_types"])
+           for r in q_vocab_growth_curve(spark, sf_dir).collect()}
+    assert got == want

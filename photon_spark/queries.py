@@ -727,6 +727,8 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 
 # Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
+    "cdc_state_diff",
+    "erasure_propagation_audit",
     "vocab_growth_curve",
     "kneser_ney_doc_bits",
     "dup_graph_triangles",

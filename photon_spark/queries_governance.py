@@ -844,3 +844,92 @@ FROM per_band p JOIN seg s USING (c_mktsegment)
 
 QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
 ORACLES["k_anonymity_audit"] = SQL_K_ANONYMITY_AUDIT
+
+
+# ---------------------------------------- erasure propagation audit
+
+#: deterministic erasure cohort: the users who filed deletion requests
+ERASE_MOD, ERASE_RESIDUE = 97, 13
+
+
+def q_erasure_propagation_audit(spark, sf_dir):
+    """RIGHT-TO-BE-FORGOTTEN propagation audit — before purging an
+    erasure cohort (user_id % 97 == 13), a compliance pass must
+    enumerate every relation that still references those subjects and
+    how much of it goes: the raw event log, the latest-state view (the
+    argmax each CDC consumer materializes), and the daily-activity
+    rollup. Output per relation: total rows, rows referencing the
+    cohort, distinct cohort subjects present, and the exact row count
+    a purge would leave — the numbers a deletion-request SLA report
+    carries.
+
+    Scale: each relation is audited by ONE aggregate with the erasure
+    predicate as a map-side flag — no joins against a subject list
+    (the cohort is a predicate here; a literal subject table would
+    broadcast), no second pass to size the purge. The latest-state
+    audit rides the same single-shuffle argmax as upsert_merge."""
+    from photon_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    erased = (F.col("user_id") % ERASE_MOD) == ERASE_RESIDUE
+
+    def audit(df, name):
+        return df.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(erased.cast("long")).alias("n_rows_erased"),
+            F.count_distinct(F.when(erased, F.col("user_id")))
+             .alias("n_subjects"),
+            (F.count(F.lit(1)) - F.sum(erased.cast("long")))
+             .alias("n_rows_after_purge"))
+
+    log = audit(ev, "event_log")
+    state = audit(
+        ev.groupBy("user_id", "event_type")
+          .agg(F.max(F.struct("ts", "event_id")).alias("r")),
+        "latest_state")
+    daily = audit(
+        ev.select("user_id",
+                  (F.col("ts") - F.pmod("ts", F.lit(86_400_000_000_000)))
+                   .alias("day")).distinct(),
+        "daily_activity")
+    return log.unionByName(state).unionByName(daily)
+
+
+SQL_ERASURE_PROPAGATION_AUDIT = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns
+  FROM events
+), lg AS (
+  SELECT 'event_log' AS relation, count(*) AS n_rows,
+         sum(CASE WHEN user_id % {ERASE_MOD} = {ERASE_RESIDUE}
+             THEN 1 ELSE 0 END) AS n_rows_erased,
+         count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = {ERASE_RESIDUE}
+               THEN user_id END) AS n_subjects
+  FROM ev
+), st AS (
+  SELECT 'latest_state' AS relation, count(*) AS n_rows,
+         sum(CASE WHEN user_id % {ERASE_MOD} = {ERASE_RESIDUE}
+             THEN 1 ELSE 0 END) AS n_rows_erased,
+         count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = {ERASE_RESIDUE}
+               THEN user_id END) AS n_subjects
+  FROM (SELECT user_id, event_type FROM ev GROUP BY 1, 2)
+), dy AS (
+  SELECT 'daily_activity' AS relation, count(*) AS n_rows,
+         sum(CASE WHEN user_id % {ERASE_MOD} = {ERASE_RESIDUE}
+             THEN 1 ELSE 0 END) AS n_rows_erased,
+         count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = {ERASE_RESIDUE}
+               THEN user_id END) AS n_subjects
+  FROM (SELECT DISTINCT user_id,
+               ts_ns - ts_ns % 86400000000000 AS day FROM ev)
+)
+SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows_erased AS BIGINT) AS n_rows_erased,
+       CAST(n_subjects AS BIGINT) AS n_subjects,
+       CAST(n_rows - n_rows_erased AS BIGINT) AS n_rows_after_purge
+FROM (SELECT * FROM lg UNION ALL SELECT * FROM st
+      UNION ALL SELECT * FROM dy)
+"""
+
+QUERIES["erasure_propagation_audit"] = q_erasure_propagation_audit
+ORACLES["erasure_propagation_audit"] = SQL_ERASURE_PROPAGATION_AUDIT

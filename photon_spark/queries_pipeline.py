@@ -1955,3 +1955,91 @@ JOIN docs_per dp USING (decile)
 
 QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
 ORACLES["vocab_growth_curve"] = _sql_vocab_growth_curve()
+
+
+# ----------------------------------------- CDC snapshot state diff
+
+def q_cdc_state_diff(spark, sf_dir):
+    """WHAT CHANGED between two committed points of the durable merge
+    table — the table-history question (Delta's DESCRIBE HISTORY +
+    diff) answered from CdcMergeTable's time travel: build the table
+    from three batches with the FOLD SITTING EXACTLY ON the old
+    boundary (compact after batch 0, so state_at(0) is served entirely
+    by the manifest fold while state_at(2) reads fold + two live
+    batches), then diff state_at(0)
+    against state_at(2) per (event_type): keys inserted, updated,
+    deleted, unchanged, with exact integer cents deltas. The oracle
+    recomputes both boundary states straight from the raw changelog
+    (argmax over event_id % 3 == 0, argmax over all, tombstone winners
+    dropped) and diffs them blind to batches, folds, and the manifest.
+
+    Scale: each state_at is the manifest fold + O(post-fold batches);
+    the diff is one full-outer join on the key columns shipping
+    (key, ts, cents) triples — fingerprint-sized rows, the corpus
+    never moves. Output is the per-event_type rollup.
+    SINGLE-LIVE-RESULT CONTRACT (see _single_live_tempdir)."""
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _cdc_changelog_rel(spark, sf_dir)
+    base = _single_live_tempdir(q_cdc_state_diff, "photon_cdcdiff_")
+    t = CdcMergeTable(spark, base, ["user_id", "event_type"],
+                      ["ts", "event_id"])
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0)
+    t.compact()                       # fold tag = 0: the old boundary
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1)
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
+    old = t.state_at(0).select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("et"),
+        F.col("event_id").alias("old_event_id"),
+        F.col("cents").alias("old_cents"))
+    new = t.state_at(2).select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("et"),
+        F.col("event_id").alias("new_event_id"),
+        F.col("cents").alias("new_cents"))
+    j = old.join(new, ["u", "et"], "full_outer")
+    status = (F.when(F.col("old_event_id").isNull(), "inserted")
+               .when(F.col("new_event_id").isNull(), "deleted")
+               .when(F.col("old_event_id") != F.col("new_event_id"),
+                     "updated")
+               .otherwise("unchanged"))
+    delta = (F.coalesce(F.col("new_cents"), F.lit(0))
+             - F.coalesce(F.col("old_cents"), F.lit(0)))
+    return (j.groupBy(F.col("et").alias("event_type"),
+                      status.alias("status"))
+             .agg(F.count(F.lit(1)).alias("n_keys"),
+                  F.sum(delta).alias("cents_delta")))
+
+
+SQL_CDC_STATE_DIFF = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s0 AS (
+  SELECT user_id, event_type, event_id, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts_ns DESC, event_id DESC) AS rn
+    FROM ev WHERE event_id % 3 = 0)
+  WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
+), s2 AS (
+  SELECT user_id, event_type, event_id, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts_ns DESC, event_id DESC) AS rn
+    FROM ev)
+  WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
+)
+SELECT coalesce(s2.event_type, s0.event_type) AS event_type,
+       CASE WHEN s0.user_id IS NULL THEN 'inserted'
+            WHEN s2.user_id IS NULL THEN 'deleted'
+            WHEN s0.event_id != s2.event_id THEN 'updated'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_keys,
+       CAST(sum(coalesce(s2.cents, 0) - coalesce(s0.cents, 0)) AS BIGINT)
+         AS cents_delta
+FROM s0 FULL OUTER JOIN s2
+  ON s0.user_id = s2.user_id AND s0.event_type = s2.event_type
+GROUP BY 1, 2
+"""
+
+QUERIES["cdc_state_diff"] = q_cdc_state_diff
+ORACLES["cdc_state_diff"] = SQL_CDC_STATE_DIFF

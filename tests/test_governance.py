@@ -314,3 +314,26 @@ def test_k_anonymity_audit_matches_naive(spark, sf_dir):
         assert r["min_k"] == seg_min[r["c_mktsegment"]]
         assert r["seg_risk_share"] == round(
             seg_risk[r["c_mktsegment"]] / seg_tot[r["c_mktsegment"]], 6)
+
+
+def test_erasure_propagation_audit_matches_naive(spark, sf_dir):
+    from photon_spark.queries_governance import (
+        q_erasure_propagation_audit, ERASE_MOD, ERASE_RESIDUE)
+    from photon_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "ts").collect()
+    def tallies(rows):
+        n = len(rows)
+        er = [r for r in rows if r[0] % ERASE_MOD == ERASE_RESIDUE]
+        return (n, len(er), len({r[0] for r in er}), n - len(er))
+    log = tallies([(r["user_id"],) for r in ev])
+    state = tallies(list({(r["user_id"], r["event_type"]) for r in ev}))
+    daily = tallies(list({(r["user_id"],
+                           r["ts"] - r["ts"] % 86_400_000_000_000)
+                          for r in ev}))
+    got = {r["relation"]: (r["n_rows"], r["n_rows_erased"],
+                           r["n_subjects"], r["n_rows_after_purge"])
+           for r in q_erasure_propagation_audit(spark, sf_dir).collect()}
+    assert got == {"event_log": log, "latest_state": state,
+                   "daily_activity": daily}

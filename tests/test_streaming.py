@@ -1470,3 +1470,43 @@ def test_cdc_multi_writer_gate_query_equals_single_writer(spark, sf_dir,
     got = {tuple(r) for r in
            q_cdc_multi_writer_state(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_cdc_state_diff_consistency(spark, sf_dir):
+    # The gated diff rollup must reconcile against the two boundary
+    # states read directly: per event_type, inserted = keys only in
+    # new, deleted = only in old, updated/unchanged split by winner
+    # event_id, and cents deltas sum exactly.
+    from collections import Counter, defaultdict
+    from photon_spark.queries_pipeline import q_cdc_state_diff
+    from photon_spark.queries_pipeline import _cdc_changelog_rel
+    from pyspark.sql import functions as F
+
+    ev = _cdc_changelog_rel(spark, sf_dir).collect()
+    def argmax(rows):
+        best = {}
+        for r in rows:
+            k = (r["user_id"], r["event_type"])
+            v = (r["ts"], r["event_id"], r["cents"], r["is_tombstone"])
+            if k not in best or v[:2] > best[k][:2]:
+                best[k] = v
+        return {k: v for k, v in best.items() if not v[3]}
+    old = argmax([r for r in ev if r["event_id"] % 3 == 0])
+    new = argmax(ev)
+    want_n, want_delta = Counter(), defaultdict(int)
+    for k in set(old) | set(new):
+        et = k[1]
+        if k not in old:
+            st = "inserted"
+        elif k not in new:
+            st = "deleted"
+        elif old[k][1] != new[k][1]:
+            st = "updated"
+        else:
+            st = "unchanged"
+        want_n[(et, st)] += 1
+        want_delta[(et, st)] += (new[k][2] if k in new else 0) \
+            - (old[k][2] if k in old else 0)
+    got = {(r["event_type"], r["status"]): (r["n_keys"], r["cents_delta"])
+           for r in q_cdc_state_diff(spark, sf_dir).collect()}
+    assert got == {k: (want_n[k], want_delta[k]) for k in want_n}

@@ -107,6 +107,31 @@ def synthesize_rgb_png_media(spark, n: int = 48) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
 
+def synthesize_palette_png_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic indexed-color-PNG media table: image ``i`` is a
+    ``(16 + i%9) × (12 + i%7)`` 8-bit palette PNG (color type 3) with
+    ``16 + i%17`` palette entries where entry ``k`` is
+    ``((7k+3i) % 256, (11k+5i) % 256, (13k+2i) % 256)`` and the index
+    of pixel ``(x, y)`` is ``(i + 3y + 5x) mod n_pal`` — closed forms
+    an oracle can re-derive per pixel without any decoder. Rows cycle
+    through all five PNG scanline filters on the INDEX stream
+    (bpp=1), exercising the unfilter-then-dereference order the spec
+    mandates (filters apply to indices, never to the palette colors).
+    One source partition (see synthesize_media's rationale)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 7
+        n_pal = 16 + i % 17
+        pal = [((7 * k + 3 * i) % 256, (11 * k + 5 * i) % 256,
+                (13 * k + 2 * i) % 256) for k in range(n_pal)]
+        idx = bytes((i + 3 * y + 5 * x) % n_pal
+                    for y in range(h) for x in range(w))
+        rows.append((i, "image", "image/png", w, h, 0,
+                     encode_palette_png(idx, pal, w, h)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
+
+
 IMAGE_RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("channel", T.IntegerType()),
@@ -226,16 +251,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: bytes, width: int, height: int,
-               channels: int = 1) -> bytes:
-    """Encode raw 8-bit pixel rows (greyscale or RGB, row-major) as a real
-    PNG. Each scanline uses filter type ``y % 5`` — deliberately cycling
-    through ALL five spec filters so a decoder must implement every
-    unfilter path to round-trip the image."""
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer does not match dimensions")
-    bpp = channels
-    stride = width * channels
+def _filter_scanlines(pixels: bytes, width: int, height: int,
+                      bpp: int) -> bytes:
+    """Apply the five PNG scanline filters, cycling ``y % 5`` —
+    deliberately using ALL spec filters so a decoder must implement
+    every unfilter path to round-trip the image."""
+    stride = width * bpp
     raw = bytearray()
     prior = bytes(stride)
     for y in range(height):
@@ -258,21 +279,55 @@ def encode_png(pixels: bytes, width: int, height: int,
                 f = row[i] - _paeth(a, b, c)
             raw.append(f & 0xFF)
         prior = row
+    return bytes(raw)
+
+
+def encode_png(pixels: bytes, width: int, height: int,
+               channels: int = 1) -> bytes:
+    """Encode raw 8-bit pixel rows (greyscale or RGB, row-major) as a
+    real PNG (filters cycle per row — see _filter_scanlines)."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = _filter_scanlines(pixels, width, height, channels)
     color_type = 0 if channels == 1 else 2
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_palette_png(indices: bytes, palette: list, width: int,
+                       height: int) -> bytes:
+    """Encode 8-bit palette indices + an RGB palette as a real
+    indexed-color PNG (color type 3, PLTE chunk). The index stream is
+    filtered exactly like a greyscale image (bpp=1), per the spec."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must hold 1-256 entries")
+    if any(i >= len(palette) for i in indices):
+        raise ValueError("index out of palette range")
+    raw = _filter_scanlines(indices, width, height, 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = bytes(v for rgb in palette for v in rgb)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
             + _png_chunk(b"IEND", b""))
 
 
 def decode_png(content: bytes):
-    """Decode a PNG (8-bit grey or RGB, non-interlaced) to raw pixel
-    bytes. Returns ``(width, height, channels, pixels)``. Chunk CRCs are
-    verified; truncated or unsupported files raise ValueError."""
+    """Decode a PNG (8-bit grey, RGB, or palette-indexed,
+    non-interlaced) to raw pixel bytes. Returns ``(width, height,
+    channels, pixels)`` — palette images (color type 3) come back as
+    expanded RGB (channels=3), so downstream luma/resize paths treat
+    all color images uniformly. Chunk CRCs are verified; truncated or
+    unsupported files raise ValueError."""
     if content[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
     height = channels = None
+    ctype, palette = None, None
     idat, iend = bytearray(), False
     while pos + 8 <= len(content):
         (ln,) = struct.unpack(">I", content[pos:pos + 4])
@@ -286,12 +341,16 @@ def decode_png(content: bytes):
         if tag == b"IHDR":
             width, height, depth, ctype, comp, filt, ilace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8 or ctype not in (0, 2) or ilace != 0:
+            if depth != 8 or ctype not in (0, 2, 3) or ilace != 0:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} color={ctype} "
-                    f"interlace={ilace}); only 8-bit grey/RGB "
+                    f"interlace={ilace}); only 8-bit grey/RGB/palette "
                     "non-interlaced")
-            channels = 1 if ctype == 0 else 3
+            channels = 3 if ctype == 2 else 1
+        elif tag == b"PLTE":
+            if ln == 0 or ln % 3 or ln > 768:
+                raise ValueError("bad PLTE length")
+            palette = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -355,6 +414,18 @@ def decode_png(content: bytes):
             row[i] = v & 0xFF
         out[y * stride:(y + 1) * stride] = row
         prior = bytes(row)
+    if ctype == 3:
+        # expand palette indices to RGB; a missing PLTE or an index past
+        # the palette end is file corruption, not a decodable image
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        n_pal = len(palette) // 3
+        rgb = bytearray(len(out) * 3)
+        for k, idx in enumerate(out):
+            if idx >= n_pal:
+                raise ValueError("palette index out of range")
+            rgb[3 * k:3 * k + 3] = palette[3 * idx:3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 

@@ -727,6 +727,13 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 
 # Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
+    "image_palette_decode_stats",
+    "pareto_front_parts",
+    "customer_rfm_segments",
+    "events_interval_union",
+    "conjunctive_search_topk",
+    "zipf_deviation_audit",
+    "l_diversity_audit",
     "cdc_state_diff",
     "erasure_propagation_audit",
     "vocab_growth_curve",

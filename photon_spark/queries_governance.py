@@ -933,3 +933,63 @@ FROM (SELECT * FROM lg UNION ALL SELECT * FROM st
 
 QUERIES["erasure_propagation_audit"] = q_erasure_propagation_audit
 ORACLES["erasure_propagation_audit"] = SQL_ERASURE_PROPAGATION_AUDIT
+
+# ---------------------------------------------- l-diversity audit
+
+#: minimum distinct-sensitive-value count a released class must carry
+L_MIN = 3
+
+
+def q_l_diversity_audit(spark, sf_dir):
+    """L-DIVERSITY audit — the companion check k-anonymity
+    (q_k_anonymity_audit) cannot make: a class can be large (k high)
+    yet still leak if every member shares the same sensitive value
+    (the homogeneity attack). Treating (market segment, nation) as the
+    quasi-identifier of a released orders extract and the order
+    priority as the sensitive attribute, each QI class is scored by
+    l = |distinct sensitive values| and by the dominant-value share
+    (1.0 means total homogeneity). Output per class: order count, l,
+    the dominant share at 6dp, and the l < L_MIN violation flag a
+    release gate reads.
+
+    Plan: the fact joins the size-gated customer dim once (ids only —
+    the QI columns project before the join), then TWO stacked keyed
+    aggregates: (QI, sensitive) counts collapse map-side first, so the
+    second stage input is bounded by |QI|·|sensitive domain| (125·5
+    here; still tiny at 100 TB), never by the fact. Dominant share is
+    max(count)/sum(count) — exact integers until one final division.
+    """
+    from photon_spark.queries_relational import _bcast_dim
+
+    o = _rd(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _rd(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_nationkey").alias("nation"))
+    cls = (o.join(_bcast_dim(c), o.o_custkey == c.c_custkey)
+             .groupBy("c_mktsegment", "nation", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return (cls.groupBy("c_mktsegment", "nation")
+               .agg(F.sum("n").alias("n_orders"),
+                    F.count(F.lit(1)).alias("l_distinct"),
+                    F.max("n").alias("dom"))
+               .select("c_mktsegment", "nation", "n_orders", "l_distinct",
+                       F.round(F.col("dom") / F.col("n_orders"), 6)
+                        .alias("dominant_share"),
+                       (F.col("l_distinct") < L_MIN).alias("violates_l")))
+
+
+SQL_L_DIVERSITY_AUDIT = f"""
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey AS nation, o_orderpriority,
+         count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment, nation, CAST(sum(n) AS BIGINT) AS n_orders,
+       count(*) AS l_distinct,
+       round(max(n) * 1.0 / sum(n), 6) AS dominant_share,
+       count(*) < {L_MIN} AS violates_l
+FROM cls GROUP BY 1, 2
+"""
+
+QUERIES["l_diversity_audit"] = q_l_diversity_audit
+ORACLES["l_diversity_audit"] = SQL_L_DIVERSITY_AUDIT

@@ -1345,6 +1345,54 @@ WHERE rn <= {KNN_K}
 """
 
 
+#: palette fixture size for the gated indexed-color decode relation
+PAL_PNG_N = 48
+
+
+def q_image_palette_decode_stats(spark, sf_dir):
+    """REAL indexed-color decode under the hash gate: per-image pixel
+    statistics of PALETTE PNGs (color type 3 — the third and last
+    stdlib-decodable PNG color family after grey and RGB) from
+    actually-dereferenced palette pixels. The fixture filters the INDEX
+    stream with all five PNG scanline filters, so a decoder that
+    dereferences before unfiltering (or unfilters the colors) cannot
+    match; the oracle re-derives every statistic from the closed forms
+    (index of pixel (x,y) of image i = (i + 3y + 5x) mod n_pal with
+    n_pal = 16 + i mod 17; palette entry k = ((7k+3i) mod 256,
+    (11k+5i) mod 256, (13k+2i) mod 256); integer Rec.601 luma) entirely
+    in SQL — a hash match proves inflate -> unfilter -> palette
+    dereference -> luma reproduces ground truth value-for-value.
+    Map-only Arrow pass; blobs never shuffle."""
+    media = multimodal.synthesize_palette_png_media(spark, n=PAL_PNG_N)
+    return multimodal.image_decode_features(media)
+
+
+SQL_IMAGE_PALETTE_DECODE_STATS = f"""
+WITH m AS (
+  SELECT i, 16 + i % 9 AS w, 12 + i % 7 AS h, 16 + i % 17 AS n_pal
+  FROM range({PAL_PNG_N}) t(i)
+), px AS (
+  SELECT m.i, m.w, m.h,
+         (m.i + 3 * (g.j // m.w) + 5 * (g.j % m.w)) % m.n_pal AS k
+  FROM m CROSS JOIN generate_series(0, 24 * 18 - 1) g(j)
+  WHERE g.j < m.w * m.h
+), luma AS (
+  SELECT i, w, h,
+         (299 * ((7 * k + 3 * i) % 256)
+          + 587 * ((11 * k + 5 * i) % 256)
+          + 114 * ((13 * k + 2 * i) % 256)) // 1000 AS v
+  FROM px
+)
+SELECT i AS media_id, CAST(w AS INTEGER) AS decoded_w,
+       CAST(h AS INTEGER) AS decoded_h,
+       count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS luma_sum,
+       CAST(min(v) AS INTEGER) AS min_luma,
+       CAST(max(v) AS INTEGER) AS max_luma,
+       round(CAST(sum(v) AS BIGINT) / (count(*) * 1.0), 6) AS mean_luma
+FROM luma GROUP BY i, w, h
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -1373,6 +1421,7 @@ QUERIES = {
     "audio_window_energy": q_audio_window_energy,
     "image_decode_stats": q_image_decode_stats,
     "image_resize_stats": q_image_resize_stats,
+    "image_palette_decode_stats": q_image_palette_decode_stats,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1407,6 +1456,7 @@ ORACLES = {
     "audio_window_energy": SQL_AUDIO_WINDOW_ENERGY,
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,
     "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
+    "image_palette_decode_stats": SQL_IMAGE_PALETTE_DECODE_STATS,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

@@ -2043,3 +2043,261 @@ GROUP BY 1, 2
 
 QUERIES["cdc_state_diff"] = q_cdc_state_diff
 ORACLES["cdc_state_diff"] = SQL_CDC_STATE_DIFF
+
+
+# ---------------------------------------------- Zipf-law deviation audit
+
+#: rank depth of the Zipf fit (the synthetic vocab is ~31 tokens)
+ZIPF_TOPN = 30
+
+
+def q_zipf_deviation_audit(spark, sf_dir):
+    """ZIPF-LAW adherence audit per language — the companion diagnostic
+    to the Heaps-law vocabulary curve (vocab_growth_curve): a natural
+    corpus has freq(rank) ≈ f1/rank, and a per-language deviation from
+    that line is the classic signal of templated/machine-generated text
+    slipping into one language bucket. Per (lang, rank ≤ 30): the token,
+    its frequency, and the Zipf ratio freq·rank/f1 (1.0 = perfectly
+    Zipfian); per language the summary statistic
+    MAD_zipf = Σ|freq·rank − f1| / (f1·N) — a 6dp mean absolute
+    deviation from the ideal curve.
+
+    Everything stays exact-integer (freq·rank and |freq·rank − f1| are
+    integer sums) until the two final divisions, so the gate holds with
+    no float tolerance — an OLS-on-logs fit would re-associate float
+    sums and could never be hash-gated.
+
+    Plan: tokens collapse to (lang, tok) counts map-side before the one
+    keyed shuffle; the rank window and both aggregates run on the
+    distinct-vocabulary relation (|vocab|·|langs| rows, not the token
+    stream); rank ≤ N gets the WindowGroupLimit pushdown, so only ≤ N
+    rows per language per map partition shuffle at 100 TB.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+                    .where(F.col("rank") <= ZIPF_TOPN))
+    summary = (ranked.groupBy("lang")
+               .agg(F.max(F.when(F.col("rank") == 1, F.col("freq")))
+                     .alias("f1"),
+                    F.count(F.lit(1)).alias("n_ranks")))
+    dev = (ranked.join(F.broadcast(summary), "lang")
+                 .withColumn("abs_dev",
+                             F.abs(F.col("freq") * F.col("rank")
+                                   - F.col("f1"))))
+    mad = (dev.groupBy("lang")
+              .agg(F.round(F.sum("abs_dev")
+                           / (F.max("f1") * F.max("n_ranks")), 6)
+                    .alias("lang_zipf_mad")))
+    return (dev.join(F.broadcast(mad), "lang")
+               .select("lang", "rank", "tok", "freq",
+                       F.round(F.col("freq") * F.col("rank") / F.col("f1"),
+                               6).alias("zipf_ratio"),
+                       "lang_zipf_mad"))
+
+
+def _sql_zipf_deviation() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH toks AS (
+  SELECT lang, lower(unnest({_SQL_TOKS})) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS freq FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, tok, freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, tok ASC) AS rank
+  FROM counts QUALIFY rank <= {ZIPF_TOPN}
+), summary AS (
+  SELECT lang, max(CASE WHEN rank = 1 THEN freq END) AS f1,
+         count(*) AS n_ranks
+  FROM ranked GROUP BY 1
+), dev AS (
+  SELECT r.lang, r.rank, r.tok, r.freq, s.f1, s.n_ranks,
+         abs(r.freq * r.rank - s.f1) AS abs_dev
+  FROM ranked r JOIN summary s USING (lang)
+), mad AS (
+  SELECT lang, round(sum(abs_dev) * 1.0 / (max(f1) * max(n_ranks)), 6)
+           AS lang_zipf_mad
+  FROM dev GROUP BY 1
+)
+SELECT d.lang, d.rank, d.tok, d.freq,
+       round(d.freq * d.rank * 1.0 / d.f1, 6) AS zipf_ratio,
+       m.lang_zipf_mad
+FROM dev d JOIN mad m USING (lang)
+"""
+
+
+QUERIES["zipf_deviation_audit"] = q_zipf_deviation_audit
+ORACLES["zipf_deviation_audit"] = _sql_zipf_deviation()
+
+
+# ------------------------------------------ conjunctive posting search
+
+#: global-frequency ranks whose tokens form the conjunctive query, and
+#: the number of hits returned
+CONJ_RANKS, CONJ_TOPK = (5, 10, 15), 20
+
+
+def q_conjunctive_search_topk(spark, sf_dir):
+    """CONJUNCTIVE (AND) search over an inverted index — the retrieval
+    primitive BM25 ranking (bm25_topk) does not cover: given a 3-term
+    query, return only documents containing ALL terms, ranked by total
+    term frequency. The query terms are data-derived deterministically
+    (the tokens at global frequency ranks 5/10/15, tie-broken on the
+    token) so the query discriminates at every scale factor.
+
+    Plan: the posting relation (doc, token, tf) collapses map-side
+    before its one shuffle; the 3-row query-term set BROADCASTS into a
+    hash semi-side join (posting lists never pairwise-join each other —
+    intersection is a doc-keyed count(distinct)=k aggregate, the
+    standard distributed AND); the final top-k is orderBy+limit, which
+    Catalyst executes as TakeOrderedAndProject (per-partition top-k +
+    merge, no global sort). At 100 TB nothing but (doc, tf) pairs for
+    matching docs ever shuffles.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(
+        F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    postings = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    vocab = postings.groupBy("tok").agg(F.sum("tf").alias("n"))
+    # bound the relation FIRST (TakeOrderedAndProject: per-partition
+    # top-k + merge), so the unpartitioned rank window only ever sees
+    # max(CONJ_RANKS) rows — never the full vocabulary
+    wv = Window.orderBy(F.desc("n"), F.asc("tok"))
+    terms = (vocab.orderBy(F.desc("n"), F.asc("tok"))
+                  .limit(max(CONJ_RANKS))
+                  .withColumn("r", F.row_number().over(wv))
+                  .where(F.col("r").isin(*CONJ_RANKS))
+                  .select("tok"))
+    hits = (postings.join(F.broadcast(terms), "tok")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_terms"),
+                         F.sum("tf").alias("tf_total"))
+                    .where(F.col("n_terms") == len(CONJ_RANKS))
+                    .select("doc_id", "tf_total")
+                    .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+                    .limit(CONJ_TOPK))
+    wr = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    return hits.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+def _sql_conjunctive_search() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    ranks = ", ".join(str(r) for r in CONJ_RANKS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({_SQL_TOKS})) AS tok FROM documents
+), postings AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT tok, sum(tf) AS n FROM postings GROUP BY 1
+), terms AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+    FROM vocab) WHERE r IN ({ranks})
+), hits AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM postings JOIN terms USING (tok)
+  GROUP BY doc_id HAVING count(*) = {len(CONJ_RANKS)}
+)
+SELECT doc_id, tf_total,
+       row_number() OVER (ORDER BY tf_total DESC, doc_id ASC) AS rank
+FROM hits
+QUALIFY rank <= {CONJ_TOPK}
+"""
+
+
+QUERIES["conjunctive_search_topk"] = q_conjunctive_search_topk
+ORACLES["conjunctive_search_topk"] = _sql_conjunctive_search()
+
+
+# ------------------------------------------------ interval union / coverage
+
+#: deterministic interval length: (event_id mod 7 + 1) seconds
+IU_SEC_NS = 1_000_000_000
+
+
+def q_events_interval_union(spark, sf_dir):
+    """INTERVAL UNION per user — the overlapping-interval coverage
+    measure (total busy time, number of disjoint busy islands, longest
+    island) that sessionization's gap rule cannot express: here
+    intervals carry explicit durations ((event_id mod 7 + 1) s — the
+    deterministic stand-in for a payload duration column) and merge
+    whenever they OVERLAP, the classic gaps-and-islands union. Touching
+    intervals (next start == running max end) merge too.
+
+    Plan: ONE user-keyed shuffle serves the whole query — the island
+    flag is a strictly-prior running max (ROWS … 1 PRECEDING), the
+    island id its running sum, and both the per-island and per-user
+    rollups collapse map-side under the same partitioning. All
+    arithmetic is integer epoch-ns, so the gate is exact.
+    """
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id", F.col("event_id").alias("eid"),
+        F.col("ts").alias("start_ns"),
+        (F.col("ts") + (F.col("event_id") % 7 + 1) * IU_SEC_NS)
+         .alias("end_ns"))
+    order = [F.asc("start_ns"), F.asc("eid")]
+    w_prev = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("start_ns") > F.coalesce(F.max("end_ns").over(w_prev),
+                                              F.lit(-1)), 1).otherwise(0))
+    islands = (flagged.withColumn("island",
+                                  F.sum("new_island").over(w_run))
+                      .groupBy("user_id", "island")
+                      .agg(F.count(F.lit(1)).alias("n_events"),
+                           (F.max("end_ns") - F.min("start_ns"))
+                            .alias("covered_ns")))
+    return (islands.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n_islands"),
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("covered_ns").alias("covered_ns"),
+                        F.max("covered_ns").alias("max_island_ns")))
+
+
+SQL_EVENTS_INTERVAL_UNION = f"""
+WITH iv AS (
+  SELECT user_id, event_id AS eid, epoch_ns(ts) AS start_ns,
+         epoch_ns(ts) + (event_id % 7 + 1) * {IU_SEC_NS} AS end_ns
+  FROM events
+), flagged AS (
+  SELECT user_id, eid, start_ns, end_ns,
+         CASE WHEN start_ns > coalesce(
+                max(end_ns) OVER (PARTITION BY user_id
+                                  ORDER BY start_ns, eid
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_ns, eid
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island,
+         start_ns, end_ns
+  FROM flagged
+), agg AS (
+  SELECT user_id, island, count(*) AS n_events,
+         max(end_ns) - min(start_ns) AS covered_ns
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(covered_ns) AS BIGINT) AS covered_ns,
+       CAST(max(covered_ns) AS BIGINT) AS max_island_ns
+FROM agg GROUP BY 1
+"""
+
+QUERIES["events_interval_union"] = q_events_interval_union
+ORACLES["events_interval_union"] = SQL_EVENTS_INTERVAL_UNION

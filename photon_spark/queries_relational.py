@@ -1656,3 +1656,126 @@ ORACLES["forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
 ORACLES["late_line_priority_mix"] = SQL_LATE_LINE_PRIORITY_MIX
 ORACLES["nation_profit_by_year"] = SQL_NATION_PROFIT_BY_YEAR
 ORACLES["part_supplier_counts"] = SQL_PART_SUPPLIER_COUNTS
+
+
+# --------------------------------------------------- RFM segmentation
+
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM SEGMENTATION — the classic marketing cohorting the quartile
+    rollup (q_customer_spend_quartiles) is one axis of: every customer
+    scored 1-4 on Recency (latest order), Frequency (order count) and
+    Monetary (lifetime spend), each ntile'd WITHIN the market segment
+    (4 = most recent / most frequent / biggest spender), rolled up per
+    (segment, 'r{r}f{f}m{m}') cell with population and spend stats.
+
+    Plan: one keyed aggregate builds the per-customer (recency ns,
+    frequency, cents) triple; the three ntile windows share ONE
+    segment-keyed exchange (same partitioning, per-window sort only —
+    no single-partition sort, no second shuffle); the final rollup
+    collapses map-side. Cents stay exact integers until the two final
+    divisions.
+    """
+    from pyspark.sql import Window
+
+    o = _rd(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("od_ns"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("od_ns").alias("recency_ns"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("cents").alias("sc"))
+    c = _rd(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey)
+
+    def score(metric):
+        w = Window.partitionBy("c_mktsegment").orderBy(F.asc(metric),
+                                                       F.asc("c_custkey"))
+        return F.ntile(4).over(w)
+
+    scored = (j.withColumn("r", score("recency_ns"))
+               .withColumn("f", score("freq"))
+               .withColumn("m", score("sc")))
+    seg = F.concat(F.lit("r"), F.col("r"), F.lit("f"), F.col("f"),
+                   F.lit("m"), F.col("m")).alias("rfm_segment")
+    return (scored.groupBy("c_mktsegment", seg)
+                  .agg(F.count(F.lit(1)).alias("n_customers"),
+                       F.sum("freq").alias("n_orders"),
+                       F.round(F.sum("sc") / 100, 2).alias("total_spend"),
+                       F.round(F.sum("sc") / F.count(F.lit(1)) / 100, 6)
+                        .alias("avg_spend")))
+
+
+SQL_CUSTOMER_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey, max(epoch_ns(o_orderdate)) AS recency_ns,
+         count(*) AS freq,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT c.c_mktsegment, p.freq, p.sc,
+         ntile(4) OVER (PARTITION BY c.c_mktsegment
+                        ORDER BY p.recency_ns, c.c_custkey) AS r,
+         ntile(4) OVER (PARTITION BY c.c_mktsegment
+                        ORDER BY p.freq, c.c_custkey) AS f,
+         ntile(4) OVER (PARTITION BY c.c_mktsegment
+                        ORDER BY p.sc, c.c_custkey) AS m
+  FROM customer c JOIN per_cust p ON c.c_custkey = p.o_custkey
+)
+SELECT c_mktsegment,
+       'r' || r || 'f' || f || 'm' || m AS rfm_segment,
+       count(*) AS n_customers, CAST(sum(freq) AS BIGINT) AS n_orders,
+       round(sum(sc) / 100.0, 2) AS total_spend,
+       round(sum(sc) * 1.0 / count(*) / 100.0, 6) AS avg_spend
+FROM scored GROUP BY 1, 2
+"""
+
+QUERIES["customer_rfm_segments"] = q_customer_rfm_segments
+ORACLES["customer_rfm_segments"] = SQL_CUSTOMER_RFM_SEGMENTS
+
+
+# ----------------------------------------------- skyline / Pareto front
+
+def q_pareto_front_parts(spark, sf_dir):
+    """SKYLINE query — the multi-objective "best trade-offs" operator:
+    parts on the (cheapest price, largest size) Pareto front, i.e. no
+    other part is both <= price and >= size with one strict. The
+    classic catalog question ("show me every part not strictly beaten
+    on both axes") that no single ORDER BY can answer.
+
+    Plan (functions/skyline.py): per-partition local skyline first —
+    one Arrow sort+scan pass, no shuffle, discards everything locally
+    dominated — then the bounded candidate union (<= n_partitions x
+    front size) resolves globally with two Catalyst windows (per-x
+    group min + running min over strictly smaller price via a RANGE
+    frame). The unpartitioned window only ever sees phase-1 survivors,
+    never the raw relation, so the shape survives 100 TB. Prices gate
+    as exact integer cents; maximize-size is minimize(-size).
+    """
+    from photon_spark.functions.skyline import skyline_2d
+
+    p = _rd(spark, sf_dir, "part").select(
+        "p_partkey", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long")
+         .alias("price_cents"),
+        (-F.col("p_size")).cast("long").alias("neg_size"))
+    front = skyline_2d(p, x="price_cents", y="neg_size")
+    return front.select("p_partkey", "price_cents",
+                        F.col("p_size").cast("long").alias("p_size"))
+
+
+SQL_PARETO_FRONT_PARTS = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT)
+           AS price_cents, p_size
+  FROM part
+)
+SELECT p_partkey, price_cents, CAST(p_size AS BIGINT) AS p_size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+"""
+
+QUERIES["pareto_front_parts"] = q_pareto_front_parts
+ORACLES["pareto_front_parts"] = SQL_PARETO_FRONT_PARTS

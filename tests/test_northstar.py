@@ -599,3 +599,52 @@ def test_audio_window_features_batch_shape_and_python(spark):
             assert w["energy"] == sum(blob[a:b])
             assert w["peak"] == max(blob[a:b])
             assert w["win_start_ms"] == k * dur // n
+
+
+def test_palette_png_roundtrip_and_expansion():
+    # indexed-color round-trip: decode returns EXPANDED RGB (channels=3)
+    # equal to palette[index] per pixel, with all five filters on the
+    # index stream
+    for i in (0, 4, 16):
+        w, h, n_pal = 16 + i % 9, 12 + i % 7, 16 + i % 17
+        pal = [((7 * k + 3 * i) % 256, (11 * k + 5 * i) % 256,
+                (13 * k + 2 * i) % 256) for k in range(n_pal)]
+        idx = bytes((i + 3 * y + 5 * x) % n_pal
+                    for y in range(h) for x in range(w))
+        blob = multimodal.encode_palette_png(idx, pal, w, h)
+        gw, gh, gc, px = multimodal.decode_png(blob)
+        exp = b"".join(bytes(pal[b]) for b in idx)
+        assert (gw, gh, gc) == (w, h, 3) and px == exp
+
+
+def test_palette_png_rejects_corruption():
+    pal = [(10, 20, 30), (40, 50, 60)]
+    idx = bytes([0, 1, 1, 0])
+    blob = multimodal.encode_palette_png(idx, pal, 2, 2)
+    # strip the PLTE chunk: palette image without a palette must raise
+    import struct
+    pos, out = 8, bytearray(blob[:8])
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        if tag != b"PLTE":
+            out += blob[pos:pos + 12 + ln]
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(bytes(out))
+    # an index past the palette end is corruption, not a color
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 7, 0, 0, 1])  # filter 0 rows; index 7 > max 1
+    bad = (multimodal.PNG_SIG
+           + multimodal._png_chunk(b"IHDR", ihdr)
+           + multimodal._png_chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+           + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+           + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="index out of range"):
+        multimodal.decode_png(bad)
+    # encoder guards
+    with pytest.raises(ValueError, match="palette"):
+        multimodal.encode_palette_png(idx, [], 2, 2)
+    with pytest.raises(ValueError, match="index out of"):
+        multimodal.encode_palette_png(bytes([0, 5, 0, 0]), pal, 2, 2)

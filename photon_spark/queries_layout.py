@@ -191,10 +191,89 @@ FROM zs, ls, m
 """
 
 
+# ------------------------------------------------ compaction bin plan
+
+DAY_NS = 86_400_000_000_000
+#: target compacted-file size; ~7 source days per bin at sf0.01
+COMPACT_TARGET_BYTES = 4000
+
+
+def q_compaction_bin_plan(spark, sf_dir):
+    """SMALL-FILES COMPACTION PLAN — the table-maintenance shape every
+    lakehouse runs nightly: treat each (event_type, day) partition of
+    the event log as one small file (its payload bytes = summed props
+    length), then assign files to target-size compaction bins by the
+    sorted-fill rule bin = floor(bytes_before / target) within each
+    event type — time-adjacent files merge together, preserving the
+    time-pruning property of the layout (the zorder audit's insertion
+    layout). Output per (event_type, bin): file count, total bytes,
+    and the day range the compacted file would span — exactly the
+    job manifest a compaction executor consumes.
+
+    Plan: one keyed aggregate builds the file relation (map-side
+    combine collapses the event stream), a per-type running sum over
+    the per-type file lists (|days| rows per type — bounded by the
+    calendar, not the data), and a map-side final rollup. The
+    exclusive prefix sum means a file never splits: each bin may
+    overflow the target by at most one file, the standard greedy
+    guarantee. All integers.
+    """
+    from pyspark.sql import Window
+    from photon_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events")
+    files = (e.select("event_type",
+                      (F.col("ts") - F.col("ts") % DAY_NS).alias("day_ns"),
+                      F.length("props").alias("b"))
+              .groupBy("event_type", "day_ns")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum("b").alias("bytes")))
+    w_prev = (Window.partitionBy("event_type").orderBy("day_ns")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    binned = files.withColumn(
+        "bin",
+        (F.coalesce(F.sum("bytes").over(w_prev), F.lit(0))
+         / COMPACT_TARGET_BYTES).cast("long"))
+    return (binned.groupBy("event_type", "bin")
+                  .agg(F.count(F.lit(1)).alias("n_files"),
+                       F.sum("n_rows").alias("n_rows"),
+                       F.sum("bytes").alias("total_bytes"),
+                       F.min("day_ns").alias("from_day_ns"),
+                       F.max("day_ns").alias("to_day_ns"))
+                  .withColumn("over_target",
+                              F.col("total_bytes")
+                              > COMPACT_TARGET_BYTES))
+
+
+SQL_COMPACTION_BIN_PLAN = f"""
+WITH files AS (
+  SELECT event_type,
+         epoch_ns(ts) - epoch_ns(ts) % {DAY_NS} AS day_ns,
+         count(*) AS n_rows, sum(length(props)) AS bytes
+  FROM events GROUP BY 1, 2
+), binned AS (
+  SELECT *,
+         coalesce(sum(bytes) OVER (PARTITION BY event_type ORDER BY day_ns
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET_BYTES} AS bin
+  FROM files
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       min(day_ns) AS from_day_ns, max(day_ns) AS to_day_ns,
+       sum(bytes) > {COMPACT_TARGET_BYTES} AS over_target
+FROM binned GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "zorder_skipping_audit": q_zorder_skipping_audit,
+    "compaction_bin_plan": q_compaction_bin_plan,
 }
 
 ORACLES = {
     "zorder_skipping_audit": _sql_zorder_audit(),
+    "compaction_bin_plan": SQL_COMPACTION_BIN_PLAN,
 }

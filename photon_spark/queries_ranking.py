@@ -551,6 +551,94 @@ FROM per_doc p JOIN deg g ON g.id = p.doc_id
 """
 
 
+
+# --------------------------------------------------- link prediction
+
+def q_dup_graph_link_predict(spark, sf_dir):
+    """LINK PREDICTION over the near-duplicate graph — the census the
+    triangle count (q_dup_graph_triangles) implies but never emits: for
+    every document pair sharing at least one neighbor, the
+    common-neighbor count, an already-adjacent flag, and the
+    neighborhood Jaccard. The NON-adjacent rows are the "these two
+    docs are probably duplicates the LSH bands missed" candidates (the
+    standard recall-repair pass over a banded dedup graph, and the
+    same statistic link prediction uses in any entity graph); the
+    adjacent rows carry their Jaccard as edge-strength confirmation.
+
+    Algorithm: wedge join through the shared endpoint — edges(z→a) ⋈
+    edges(z→b) with a < b gives every common neighbor exactly once;
+    one keyed aggregate counts them; a LEFT join against the edge
+    list stamps the adjacency flag; degrees join in for
+    the Jaccard |N(a)∩N(b)| / (deg(a)+deg(b)−|∩|) — exact integers
+    until one final division. Wedge fan-out is Σ deg(z)², the standard
+    LP cost, bounded here by the LSH band design (a banded dup graph
+    has no unbounded hubs); a general graph would cap or salt hub
+    degrees first, the same treatment the triangle census documents.
+    Consumes the shared PairTable; ids only, no text.
+    """
+    from photon_spark import pair_cache
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("lo_id").alias("src"),
+                          F.col("hi_id").alias("dst"))
+                  .unionAll(pairs.select(F.col("hi_id").alias("src"),
+                                         F.col("lo_id").alias("dst"))))
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .withColumnRenamed("src", "id"))
+    ea = edges.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    eb = edges.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    cn = (ea.join(eb, "z")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common_neighbors")))
+    adj = pairs.select(F.col("lo_id").alias("a"),
+                       F.col("hi_id").alias("b"),
+                       F.lit(True).alias("already_adjacent"))
+    flagged = (cn.join(adj, ["a", "b"], "left")
+                 .withColumn("already_adjacent",
+                             F.coalesce("already_adjacent", F.lit(False))))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    return (flagged.join(da, "a").join(db, "b")
+                   .select(F.col("a").alias("lo_id"),
+                           F.col("b").alias("hi_id"),
+                           "common_neighbors", "already_adjacent",
+                           F.round(F.col("common_neighbors")
+                                   / (F.col("da") + F.col("db")
+                                      - F.col("common_neighbors")), 6)
+                            .alias("jaccard")))
+
+
+def _sql_dup_graph_link_predict() -> str:
+    from photon_spark.queries_northstar import SQL_MINHASH_NEAR_DUPS
+    return f"""
+WITH pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS src, hi_id AS dst FROM pairs
+  UNION ALL SELECT hi_id, lo_id FROM pairs
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+cn AS (
+  SELECT ea.dst AS a, eb.dst AS b, count(*) AS common_neighbors
+  FROM edges ea JOIN edges eb ON ea.src = eb.src AND ea.dst < eb.dst
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT c.*, EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.lo_id = c.a AND p.hi_id = c.b)
+           AS already_adjacent
+  FROM cn c
+)
+SELECT n.a AS lo_id, n.b AS hi_id,
+       CAST(n.common_neighbors AS BIGINT) AS common_neighbors,
+       n.already_adjacent,
+       round(n.common_neighbors * 1.0
+             / (s.deg + d.deg - n.common_neighbors), 6) AS jaccard
+FROM flagged n
+JOIN deg s ON s.id = n.a
+JOIN deg d ON d.id = n.b
+"""
+
+
 # --------------------------------------------------- hard-negative mining
 
 #: fixed anchor ids (the anchor batch is a parameter, not data — exists
@@ -853,6 +941,7 @@ QUERIES = {
     "priority_sample": q_priority_sample,
     "pagerank_dup_graph": q_pagerank_dup_graph,
     "dup_graph_triangles": q_dup_graph_triangles,
+    "dup_graph_link_predict": q_dup_graph_link_predict,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_gram_int8": q_embedding_gram_int8,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -866,6 +955,7 @@ ORACLES = {
     "priority_sample": _sql_priority_sample(),
     "pagerank_dup_graph": _sql_pagerank(),
     "dup_graph_triangles": _sql_dup_graph_triangles(),
+    "dup_graph_link_predict": _sql_dup_graph_link_predict(),
     "hard_negative_mining": SQL_HARD_NEGATIVES,
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
     "hybrid_rrf_topk": _sql_hybrid_rrf(),

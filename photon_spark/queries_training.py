@@ -609,6 +609,95 @@ GROUP BY 1
 """
 
 
+
+# ------------------------------------------------------ rank-based AUC
+
+def q_classifier_auc_rank(spark, sf_dir):
+    """ROC-AUC of the quality classifier by the Mann-Whitney rank
+    statistic — the threshold-free discrimination readout the accuracy
+    and calibration gates (classifier_eval_split,
+    classifier_calibration_curve) do not give: AUC = P(score of a
+    random positive > score of a random negative), computed WITHOUT
+    sorting individual rows. Label = declared lang == 'en', score =
+    the shared fixed-weight head (6dp-rounded, gate-proven identical
+    across engines).
+
+    Exactness: ranks are the only float trap in AUC (tie groups take
+    the AVERAGE rank, a half-integer), so everything runs on DOUBLED
+    ranks — a tie group spanning positions [C+1, C+c] contributes
+    2·avg_rank = 2C + c + 1 per member, an exact integer. Then
+    AUC = (Σ 2r⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻): integers until one final
+    division.
+
+    Scale shape: one keyed aggregate collapses the corpus to per-SCORE
+    groups (bounded by the 6dp score grid — ≤ 10⁶ + 1 rows at ANY
+    corpus size, the reason to rank groups, not rows), a prior-rows
+    running sum over that bounded relation, and a 1-row rollup. Text
+    never shuffles; no per-row sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    prof = text.text_profile(d).join(d.select("doc_id", "lang"), "doc_id")
+    sc = prof.withColumn("score", _cls_score(prof))
+    s_int = F.round(F.col("score") * 1e6).cast("long")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    groups = (sc.select(s_int.alias("s"), y.alias("y"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("c"),
+                     F.sum("y").alias("c_pos")))
+    w_prev = (Window.orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = groups.withColumn(
+        "r2_sum",
+        F.col("c_pos") * (2 * F.coalesce(F.sum("c").over(w_prev),
+                                         F.lit(0)) + F.col("c") + 1))
+    return (ranked.agg(F.sum("c").alias("n"),
+                       F.sum("c_pos").alias("np"),
+                       F.sum("r2_sum").alias("r2"),
+                       F.count(F.lit(1)).alias("n_scores"))
+                  .select(F.col("n").alias("n_docs"),
+                          F.col("np").alias("n_pos"),
+                          (F.col("n") - F.col("np")).alias("n_neg"),
+                          F.col("n_scores").alias("n_distinct_scores"),
+                          F.round((F.col("r2") - F.col("np")
+                                   * (F.col("np") + 1))
+                                  / (2 * F.col("np")
+                                     * (F.col("n") - F.col("np"))), 6)
+                           .alias("auc")))
+
+
+SQL_CLASSIFIER_AUC_RANK = f"""
+WITH prof AS ({{prof}}), sc AS (
+  SELECT CAST(round(round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) * 1000000)
+              AS BIGINT) AS s,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM (SELECT doc_id, n_tokens, {{z}} AS z FROM prof) p
+  JOIN documents d USING (doc_id)
+), groups AS (
+  SELECT s, count(*) AS c, sum(y) AS c_pos FROM sc GROUP BY 1
+), ranked AS (
+  SELECT c, c_pos,
+         c_pos * (2 * coalesce(sum(c) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + c + 1) AS r2_sum
+  FROM groups
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       CAST(sum(c) - sum(c_pos) AS BIGINT) AS n_neg,
+       count(*) AS n_distinct_scores,
+       round((sum(r2_sum) - sum(c_pos) * (sum(c_pos) + 1)) * 1.0
+             / (2 * sum(c_pos) * (sum(c) - sum(c_pos))), 6) AS auc
+FROM ranked
+"""
+
+
+def _sql_classifier_auc_rank() -> str:
+    return SQL_CLASSIFIER_AUC_RANK.replace(
+        "{prof}", SQL_TEXT_PROFILE).replace("{z}", SQL_CLS_Z)
+
+
 QUERIES = {
     "seeded_shuffle_plan": q_seeded_shuffle_plan,
     "quality_classifier_filter": q_quality_classifier_filter,
@@ -618,6 +707,7 @@ QUERIES = {
     "classifier_train_gd": q_classifier_train_gd,
     "classifier_eval_split": q_classifier_eval_split,
     "classifier_calibration_curve": q_classifier_calibration_curve,
+    "classifier_auc_rank": q_classifier_auc_rank,
 }
 
 ORACLES = {
@@ -629,4 +719,5 @@ ORACLES = {
     "classifier_train_gd": _sql_classifier_train_gd(),
     "classifier_eval_split": _sql_classifier_eval_split(),
     "classifier_calibration_curve": SQL_CLASSIFIER_CALIBRATION_CURVE,
+    "classifier_auc_rank": _sql_classifier_auc_rank(),
 }

@@ -318,12 +318,80 @@ FROM packed GROUP BY 1
 """
 
 
+# ------------------------------------------------- cluster label purity
+
+def q_cluster_label_purity(spark, sf_dir):
+    """CLUSTER QUALITY eval against ground-truth labels — the external
+    validation the k-means profile (kmeans_embeddings) cannot give: per
+    cluster, the member count, how many distinct labels it mixes, the
+    majority label, and the majority share (1.0 = a pure cluster). The
+    corpus-curation read: impure clusters are where SemDeDup pruning
+    and cluster-balanced sampling quietly mix topics.
+
+    Plan: the gate-proven quantized k-means assignment (one broadcast
+    of k centroids, map-side argmin) joins the label column id-to-id,
+    then TWO stacked keyed aggregates — (cluster, label) counts first
+    (map-side combine bounds the second stage by k·|labels|), then the
+    per-cluster rollup; the majority label lifts out by one more
+    row_number over the k·|labels| relation, tie-broken (count desc,
+    label asc). Integers until the single share division.
+    """
+    from pyspark.sql import Window
+    from photon_spark.functions.clustering import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    assigned, _ = kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
+    lab = assigned.select("cluster_id", "vec_id").join(
+        emb.select("vec_id", "label"), "vec_id")
+    cl = (lab.groupBy("cluster_id", "label")
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    top = (cl.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select("cluster_id", F.col("label").cast("long")
+                      .alias("majority_label"), F.col("n").alias("n_top")))
+    per = (cl.groupBy("cluster_id")
+             .agg(F.sum("n").alias("n_members"),
+                  F.count(F.lit(1)).alias("n_labels")))
+    return (per.join(top, "cluster_id")
+               .select("cluster_id", "n_members", "n_labels",
+                       "majority_label",
+                       F.round(F.col("n_top") / F.col("n_members"), 6)
+                        .alias("majority_share")))
+
+
+def _sql_cluster_label_purity() -> str:
+    return f"""
+WITH {_km_ctes()}, lab AS (
+  SELECT a2.cl AS cluster_id, e.label
+  FROM a2 JOIN embeddings e USING (vec_id)
+), cl AS (
+  SELECT cluster_id, label, count(*) AS n FROM lab GROUP BY 1, 2
+), top AS (
+  SELECT cluster_id, CAST(label AS BIGINT) AS majority_label, n AS n_top
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n DESC, label ASC) AS rn
+        FROM cl)
+  WHERE rn = 1
+), per AS (
+  SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_members,
+         count(*) AS n_labels
+  FROM cl GROUP BY 1
+)
+SELECT p.cluster_id, p.n_members, p.n_labels, t.majority_label,
+       round(t.n_top * 1.0 / p.n_members, 6) AS majority_share
+FROM per p JOIN top t USING (cluster_id)
+"""
+
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
     "sequence_packing": q_sequence_packing,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_pairs": q_semdedup_pairs,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "cluster_label_purity": q_cluster_label_purity,
     "export_shard_plan": q_export_shard_plan,
 }
 
@@ -333,5 +401,6 @@ ORACLES = {
     "kmeans_embeddings": _sql_kmeans_embeddings(),
     "semdedup_pairs": _sql_semdedup_pairs(),
     "cluster_balanced_sample": _sql_cluster_balanced_sample(),
+    "cluster_label_purity": _sql_cluster_label_purity(),
     "export_shard_plan": _sql_export_shard_plan(),
 }

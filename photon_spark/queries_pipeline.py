@@ -2301,3 +2301,75 @@ FROM agg GROUP BY 1
 
 QUERIES["events_interval_union"] = q_events_interval_union
 ORACLES["events_interval_union"] = SQL_EVENTS_INTERVAL_UNION
+
+
+# ------------------------------------------- exact group percentiles
+
+#: exact order-statistic ranks: k_q = floor((n-1)·q) + 1
+PCTL_QS = ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents"))
+
+
+def q_events_value_percentiles(spark, sf_dir):
+    """EXACT per-group percentiles (p50/p95/p99 of the purchase value in
+    cents) by order-statistic selection — the ground-truth counterpart
+    of the mergeable-sketch quantiles (quality_histogram_quantiles):
+    a sketch answers at 100 TB with bounded error; this operator is the
+    exact readout you run on a group's full sorted order, and the pair
+    lets a pipeline VALIDATE its sketch error on any slice. Rank
+    k_q = floor((n−1)·q) + 1 (the lower order statistic) is pure
+    integer math, so the relation is hash-exact — no interpolation,
+    no float ranks.
+
+    Plan: ONE event_type-keyed shuffle serves both windows (row_number
+    and the group count share the partitioning); the k-th values lift
+    out via conditional aggregation, collapsing map-side. Exact
+    selection pays a per-group sort by contract — for groups too large
+    to sort, the documented scale path is the sketch twin or a two-pass
+    count-bucket selection.
+    """
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    rows = e.select("event_type", cents.alias("cents"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (rows.withColumn("rn", F.row_number().over(w))
+                  .withColumn("n", F.count(F.lit(1)).over(wn)))
+    # `div` (integer division), not `/`: (n−1)·q/100 as a double can land
+    # one ulp below an exact boundary and floor() then picks rank k−1
+    sel = [F.max(F.when(
+               F.col("rn") == F.expr(f"((n - 1) * {q}) div 100") + 1,
+               F.col("cents"))).alias(alias)
+           for q, alias in PCTL_QS]
+    return (ranked.groupBy("event_type")
+                  .agg(F.max("n").cast("long").alias("n_events"),
+                       F.min("cents").alias("min_cents"),
+                       *sel,
+                       F.max("cents").alias("max_cents")))
+
+
+SQL_EVENTS_VALUE_PERCENTILES = """
+WITH rows_ AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM rows_
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       min(cents) AS min_cents,
+       max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END)
+         AS p50_cents,
+       max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END)
+         AS p95_cents,
+       max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN cents END)
+         AS p99_cents,
+       max(cents) AS max_cents
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["events_value_percentiles"] = q_events_value_percentiles
+ORACLES["events_value_percentiles"] = SQL_EVENTS_VALUE_PERCENTILES

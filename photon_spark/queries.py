@@ -727,6 +727,8 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 
 # Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
+    "user_growth_accumulation",
+    "rolling_active_users",
     "events_value_percentiles",
     "cluster_label_purity",
     "classifier_auc_rank",

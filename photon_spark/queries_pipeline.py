@@ -2373,3 +2373,134 @@ FROM ranked GROUP BY 1
 
 QUERIES["events_value_percentiles"] = q_events_value_percentiles
 ORACLES["events_value_percentiles"] = SQL_EVENTS_VALUE_PERCENTILES
+
+
+# --------------------------------------------- user growth accumulation
+
+def q_user_growth_accumulation(spark, sf_dir):
+    """USER GROWTH CURVE — new users per day and the cumulative distinct
+    user count, the canonical "cumulative COUNT(DISTINCT) over time"
+    that naive SQL cannot express without re-scanning every prefix:
+    a user is NEW on min(day(ts)); per-day arrivals then accumulate
+    with one running sum. Also emits the day's total actives so the
+    new/returning split reads off directly.
+
+    Plan: per-user min-day is ONE keyed aggregate (map-side combine
+    collapses each user's events before the shuffle); daily actives is
+    a second independent aggregate of (user, day) distincts; the
+    running sum is a window over the |days| relation — bounded by the
+    calendar, never the event count. All integer epoch-ns day keys.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    day = (F.col("ts") - F.col("ts") % 86_400_000_000_000).alias("day_ns")
+    firsts = (e.select("user_id", day)
+               .groupBy("user_id").agg(F.min("day_ns").alias("first_day"))
+               .groupBy(F.col("first_day").alias("day_ns"))
+               .agg(F.count(F.lit(1)).alias("new_users")))
+    actives = (e.select("user_id", day).distinct()
+                .groupBy("day_ns")
+                .agg(F.count(F.lit(1)).alias("active_users")))
+    w = Window.orderBy("day_ns").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    return (actives.join(firsts, "day_ns", "left")
+                   .withColumn("new_users",
+                               F.coalesce("new_users", F.lit(0)))
+                   .withColumn("cum_users", F.sum("new_users").over(w))
+                   .select("day_ns", "new_users", "active_users",
+                           "cum_users",
+                           (F.col("active_users") - F.col("new_users"))
+                            .alias("returning_users")))
+
+
+SQL_USER_GROWTH_ACCUMULATION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns
+  FROM events
+), firsts AS (
+  SELECT first_day AS day_ns, count(*) AS new_users
+  FROM (SELECT user_id, min(day_ns) AS first_day FROM ud GROUP BY 1)
+  GROUP BY 1
+), actives AS (
+  SELECT day_ns, count(*) AS active_users FROM ud GROUP BY 1
+)
+SELECT a.day_ns, CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+       CAST(a.active_users AS BIGINT) AS active_users,
+       CAST(sum(coalesce(f.new_users, 0))
+            OVER (ORDER BY a.day_ns
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users,
+       CAST(a.active_users - coalesce(f.new_users, 0) AS BIGINT)
+         AS returning_users
+FROM actives a LEFT JOIN firsts f USING (day_ns)
+"""
+
+QUERIES["user_growth_accumulation"] = q_user_growth_accumulation
+ORACLES["user_growth_accumulation"] = SQL_USER_GROWTH_ACCUMULATION
+
+
+# ------------------------------------------------ rolling active users
+
+#: trailing window width in days
+RAU_DAYS = 7
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """ROLLING 7-DAY ACTIVE USERS — the sliding COUNT(DISTINCT) that
+    has no direct window form in ANY engine (distinct does not
+    decompose over frames): each (user, day) activity row EXPANDS into
+    the {RAU_DAYS} trailing windows it is visible in, dedup within
+    window makes a user count once however active, and one keyed
+    aggregate counts per window-end day. The WAU/MAU machinery, and
+    the standard distributed rewrite of sliding-distinct.
+
+    Plan: the expansion factor is the CONSTANT window width (×7 on the
+    already user-day-collapsed relation, never on raw events), dedup +
+    count collapse in the same keyed exchange, and a final filter
+    keeps only window-ends with a full trailing week of calendar. At
+    100 TB the cost is 7·|user-days| shuffle rows — linear, no
+    re-scan per window.
+    """
+    e = _events(spark, sf_dir)
+    day_ns = 86_400_000_000_000
+    day = (F.col("ts") - F.col("ts") % day_ns).alias("day_ns")
+    ud = e.select("user_id", day).distinct()
+    k = F.explode(F.sequence(F.lit(0), F.lit(RAU_DAYS - 1))).alias("k")
+    expanded = ud.select("user_id", "day_ns", k).select(
+        "user_id",
+        (F.col("day_ns") + F.col("k") * F.lit(day_ns)).alias("win_end"))
+    bounds = ud.agg(F.min("day_ns").alias("lo"), F.max("day_ns").alias("hi"))
+    return (expanded.distinct()
+                    .groupBy("win_end")
+                    .agg(F.count(F.lit(1)).alias("active_users"))
+                    .crossJoin(F.broadcast(bounds))
+                    .where((F.col("win_end") >= F.col("lo")
+                            + F.lit((RAU_DAYS - 1) * day_ns))
+                           & (F.col("win_end") <= F.col("hi")))
+                    .select(F.col("win_end").alias("day_ns"),
+                            F.col("active_users").alias("wau")))
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns
+  FROM events
+), expanded AS (
+  SELECT DISTINCT user_id,
+         day_ns + k * 86400000000000 AS win_end
+  FROM ud CROSS JOIN generate_series(0, {RAU_DAYS - 1}) g(k)
+), bounds AS (
+  SELECT min(day_ns) AS lo, max(day_ns) AS hi FROM ud
+)
+SELECT e.win_end AS day_ns, count(*) AS wau
+FROM expanded e, bounds b
+WHERE e.win_end >= b.lo + {(RAU_DAYS - 1)} * 86400000000000
+  AND e.win_end <= b.hi
+GROUP BY 1
+"""
+
+QUERIES["rolling_active_users"] = q_rolling_active_users
+ORACLES["rolling_active_users"] = SQL_ROLLING_ACTIVE_USERS

@@ -132,6 +132,31 @@ def synthesize_palette_png_media(spark, n: int = 48) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
 
+def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic MIXED media table — the honest production shape
+    where a corpus carries more than one codec: row ``i`` is a real
+    greyscale PNG (the synthesize_png_media closed form) when
+    ``i % 3 == 0`` and an undecodable fake blob (the synthesize_media
+    byte form, mime image/fake) otherwise. Exists to put the per-row
+    decode-DEGRADE path (image_features' ValueError fallback) under
+    the hash gate, not just under pytest."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = 16 + i % 9, 12 + i % 7
+            px = bytes((31 * i + 7 * y + 3 * x) % 256
+                       for y in range(h) for x in range(w))
+            rows.append((i, "image", "image/png", w, h, 0,
+                         encode_png(px, w, h)))
+        else:
+            blob = bytes((i * 31 + j * 7) % 256
+                         for j in range(256 + (i % 5) * 64))
+            rows.append((i, "image", "image/fake", 64 + i % 32,
+                         48 + i % 32, 0, blob))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
+
+
 IMAGE_RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("channel", T.IntegerType()),
@@ -480,15 +505,18 @@ def image_features(df: DataFrame, target_size: int = 32) -> DataFrame:
                     d = _decode_image(content, rec.width, rec.height)
                 except ValueError:
                     # per-row degrade: an unsupported or corrupt PNG
-                    # (RGBA/palette/16-bit/interlaced, bad CRC) falls
-                    # back to the byte-mean fake instead of failing the
-                    # whole extraction job; the gated strict path is
-                    # image_decode_features, which requires real decode
+                    # (RGBA/16-bit/interlaced, bad CRC, bad palette)
+                    # falls back to the byte-mean fake instead of
+                    # failing the whole extraction job; the gated
+                    # strict path is image_decode_features, which
+                    # requires real decode. The routing itself is
+                    # hash-gated by media_decode_fallback_audit.
                     d = {"mean_luma": (sum(content) / len(content))
                          if content else 0.0}
                 w, h = _resize_dims(rec.width, rec.height, target_size)
+                from photon_spark.functions.quality import _r6
                 feats.append((rec.media_id, len(content),
-                              round(d["mean_luma"], 6), w, h))
+                              _r6(d["mean_luma"]), w, h))
             yield pd.DataFrame(feats, columns=[f.name for f in
                                                IMAGE_FEATURES_SCHEMA.fields])
 

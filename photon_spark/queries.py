@@ -727,6 +727,9 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 
 # Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
+    "media_decode_fallback_audit",
+    "funnel_time_to_convert",
+    "events_downtime_gaps",
     "user_growth_accumulation",
     "rolling_active_users",
     "events_value_percentiles",

@@ -1393,6 +1393,52 @@ FROM luma GROUP BY i, w, h
 """
 
 
+#: mixed-codec fixture size for the gated fallback-audit relation
+MIX_PNG_N = 48
+
+
+def q_media_decode_fallback_audit(spark, sf_dir):
+    """PER-ROW DECODE DEGRADE under the hash gate — the mixed-codec
+    reality check: a corpus where every third payload is a real PNG
+    and the rest are undecodable blobs must come through the feature
+    pass with REAL decoded luma on the PNG rows and the documented
+    deterministic byte-mean proxy on the rest, one row per input, no
+    job failure. The oracle re-derives BOTH paths closed-form (PNG
+    pixel formula vs byte formula), so a hash match proves the router
+    sends each row down the right path and neither path contaminates
+    the other — the contract that lets a 100 TB run survive a bad
+    object without losing the partition. Map-only Arrow pass."""
+    media = multimodal.synthesize_mixed_media(spark, n=MIX_PNG_N)
+    feats = multimodal.image_features(media, target_size=32)
+    return (feats.join(media.select("media_id", "mime"), "media_id")
+                 .select("media_id", "mime", "mean_luma"))
+
+
+SQL_MEDIA_DECODE_FALLBACK_AUDIT = f"""
+WITH m AS (
+  SELECT i, i % 3 = 0 AS is_png, 16 + i % 9 AS w, 12 + i % 7 AS h,
+         256 + (i % 5) * 64 AS len
+  FROM range({MIX_PNG_N}) t(i)
+), png AS (
+  SELECT m.i,
+         round(avg((31 * m.i + 7 * (g.j // m.w) + 3 * (g.j % m.w))
+                   % 256), 6) AS mean_luma
+  FROM m CROSS JOIN generate_series(0, 24 * 18 - 1) g(j)
+  WHERE m.is_png AND g.j < m.w * m.h
+  GROUP BY 1
+), fake AS (
+  SELECT m.i,
+         round(avg((m.i * 31 + g.j * 7) % 256), 6) AS mean_luma
+  FROM m CROSS JOIN generate_series(0, 511) g(j)
+  WHERE NOT m.is_png AND g.j < m.len
+  GROUP BY 1
+)
+SELECT i AS media_id, 'image/png' AS mime, mean_luma FROM png
+UNION ALL
+SELECT i, 'image/fake', mean_luma FROM fake
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "lang_quality_by_source": q_lang_quality_by_source,
@@ -1422,6 +1468,7 @@ QUERIES = {
     "image_decode_stats": q_image_decode_stats,
     "image_resize_stats": q_image_resize_stats,
     "image_palette_decode_stats": q_image_palette_decode_stats,
+    "media_decode_fallback_audit": q_media_decode_fallback_audit,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1457,6 +1504,7 @@ ORACLES = {
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,
     "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     "image_palette_decode_stats": SQL_IMAGE_PALETTE_DECODE_STATS,
+    "media_decode_fallback_audit": SQL_MEDIA_DECODE_FALLBACK_AUDIT,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

@@ -2504,3 +2504,156 @@ GROUP BY 1
 
 QUERIES["rolling_active_users"] = q_rolling_active_users
 ORACLES["rolling_active_users"] = SQL_ROLLING_ACTIVE_USERS
+
+
+# ------------------------------------------ funnel time-to-convert
+
+def q_funnel_time_to_convert(spark, sf_dir):
+    """TIME-TO-CONVERT distribution per funnel step — the latency
+    profile the mean-only funnel (events_funnel) hides: for the
+    view → click and click → purchase transitions, each user's first
+    transition lag (earliest next-step event at-or-after the previous
+    step's first), summarized as EXACT p50/p90 order statistics plus
+    the worst case. A marketing team reads p90-to-convert, not the
+    mean.
+
+    Plan: three per-user min-aggregates land on the SAME user key
+    (one co-partitioned exchange chain, AQE coalesces); the lag
+    relation unions two step slices, and the exact selection reuses
+    the order-statistic rule (events_value_percentiles): rank
+    k = floor((n−1)·q)+1 over a per-step sort, integer end to end.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def first_at_or_after(etype, prev):
+        return (e.where(F.col("event_type") == etype)
+                 .join(prev, "user_id")
+                 .where(F.col("ts") >= F.col("prev_ts"))
+                 .groupBy("user_id")
+                 .agg(F.min("ts").alias("step_ts"),
+                      F.min("prev_ts").alias("prev_kept")))
+
+    fv = (e.where(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("prev_ts")))
+    fc = first_at_or_after("click", fv)
+    s1 = fc.select(F.lit("view->click").alias("step"),
+                   (F.col("step_ts") - F.col("prev_kept")).alias("lag_ns"))
+    fc_prev = fc.select("user_id", F.col("step_ts").alias("prev_ts"))
+    fp = first_at_or_after("purchase", fc_prev)
+    s2 = fp.select(F.lit("click->purchase").alias("step"),
+                   (F.col("step_ts") - F.col("prev_kept")).alias("lag_ns"))
+    lags = s1.unionByName(s2)
+    w = Window.partitionBy("step").orderBy("lag_ns")
+    wn = Window.partitionBy("step")
+    ranked = (lags.withColumn("rn", F.row_number().over(w))
+                  .withColumn("n", F.count(F.lit(1)).over(wn)))
+    sel = [F.max(F.when(
+               F.col("rn") == F.expr(f"((n - 1) * {q}) div 100") + 1,
+               F.col("lag_ns"))).alias(alias)
+           for q, alias in ((50, "p50_lag_ns"), (90, "p90_lag_ns"))]
+    return (ranked.groupBy("step")
+                  .agg(F.max("n").cast("long").alias("n_converted"),
+                       *sel,
+                       F.max("lag_ns").alias("max_lag_ns")))
+
+
+SQL_FUNNEL_TIME_TO_CONVERT = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+), fv AS (
+  SELECT user_id, min(tns) AS prev_ts FROM e
+  WHERE event_type = 'view' GROUP BY 1
+), fc AS (
+  SELECT e.user_id, min(e.tns) AS step_ts, min(f.prev_ts) AS prev_kept
+  FROM e JOIN fv f USING (user_id)
+  WHERE e.event_type = 'click' AND e.tns >= f.prev_ts
+  GROUP BY 1
+), fp AS (
+  SELECT e.user_id, min(e.tns) AS step_ts, min(c.step_ts) AS prev_kept
+  FROM e JOIN fc c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tns >= c.step_ts
+  GROUP BY 1
+), lags AS (
+  SELECT 'view->click' AS step, step_ts - prev_kept AS lag_ns FROM fc
+  UNION ALL
+  SELECT 'click->purchase', step_ts - prev_kept FROM fp
+), ranked AS (
+  SELECT step, lag_ns,
+         row_number() OVER (PARTITION BY step ORDER BY lag_ns) AS rn,
+         count(*) OVER (PARTITION BY step) AS n
+  FROM lags
+)
+SELECT step, CAST(max(n) AS BIGINT) AS n_converted,
+       max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN lag_ns END)
+         AS p50_lag_ns,
+       max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN lag_ns END)
+         AS p90_lag_ns,
+       max(lag_ns) AS max_lag_ns
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["funnel_time_to_convert"] = q_funnel_time_to_convert
+ORACLES["funnel_time_to_convert"] = SQL_FUNNEL_TIME_TO_CONVERT
+
+
+# ------------------------------------------------- downtime gap census
+
+#: a gap longer than this is reported as downtime, top-K per stream
+GAP_MIN_NS, GAP_TOPK = 2 * 3_600_000_000_000, 5
+
+
+def q_events_downtime_gaps(spark, sf_dir):
+    """DOWNTIME DETECTION — the inverse of sessionization's islands:
+    per event stream (event_type), the TOP-{GAP_TOPK} longest silent
+    gaps over the threshold, with their exact boundaries — the
+    monitoring question ("when did this feed stop?") asked of any
+    ingestion pipeline, and the audit that catches upstream outages a
+    mean-rate metric averages away.
+
+    Plan: ONE type-keyed shuffle serves the lag window, the gap filter
+    drops everything healthy BEFORE the rank, and rank ≤ K gets the
+    WindowGroupLimit pushdown — at 100 TB only over-threshold gaps
+    (rare by definition) plus ≤ K rows per map partition per stream
+    ever move twice. Integer epoch-ns end to end.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("event_type", "ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (e.withColumn("prev_ts", F.lag("ts").over(w))
+             .where(F.col("prev_ts").isNotNull()
+                    & (F.col("ts") - F.col("prev_ts") > GAP_MIN_NS))
+             .select("event_type", F.col("prev_ts").alias("gap_start_ns"),
+                     F.col("ts").alias("gap_end_ns"),
+                     (F.col("ts") - F.col("prev_ts")).alias("gap_ns")))
+    wr = Window.partitionBy("event_type").orderBy(F.desc("gap_ns"),
+                                                  F.asc("gap_start_ns"))
+    return (gaps.withColumn("rank", F.row_number().over(wr).cast("long"))
+                .where(F.col("rank") <= GAP_TOPK))
+
+
+SQL_EVENTS_DOWNTIME_GAPS = f"""
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) AS tns, event_id FROM events
+), gaps AS (
+  SELECT event_type,
+         lag(tns) OVER (PARTITION BY event_type
+                        ORDER BY tns, event_id) AS gap_start_ns,
+         tns AS gap_end_ns
+  FROM e
+)
+SELECT event_type, gap_start_ns, gap_end_ns,
+       gap_end_ns - gap_start_ns AS gap_ns,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY gap_end_ns - gap_start_ns DESC,
+                                   gap_start_ns ASC) AS rank
+FROM gaps
+WHERE gap_start_ns IS NOT NULL
+  AND gap_end_ns - gap_start_ns > {GAP_MIN_NS}
+QUALIFY rank <= {GAP_TOPK}
+"""
+
+QUERIES["events_downtime_gaps"] = q_events_downtime_gaps
+ORACLES["events_downtime_gaps"] = SQL_EVENTS_DOWNTIME_GAPS

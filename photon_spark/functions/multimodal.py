@@ -134,12 +134,16 @@ def synthesize_palette_png_media(spark, n: int = 48) -> DataFrame:
 
 def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
     """Deterministic MIXED media table — the honest production shape
-    where a corpus carries more than one codec: row ``i`` is a real
-    greyscale PNG (the synthesize_png_media closed form) when
-    ``i % 3 == 0`` and an undecodable fake blob (the synthesize_media
-    byte form, mime image/fake) otherwise. Exists to put the per-row
-    decode-DEGRADE path (image_features' ValueError fallback) under
-    the hash gate, not just under pytest."""
+    where a corpus carries more than one codec AND broken objects:
+    row ``i`` is a real greyscale PNG (the synthesize_png_media
+    closed form) when ``i % 3 == 0``; a CORRUPT PNG (the 8-byte PNG
+    signature followed by deterministic junk — decode_png RAISES on
+    it, exercising image_features' except-ValueError degrade, not
+    just the non-PNG seam) when ``i % 3 == 1``, mime image/png-bad;
+    and an undecodable fake blob (the synthesize_media byte form,
+    mime image/fake, which short-circuits before the decoder) when
+    ``i % 3 == 2``. Exists to put BOTH per-row decode-DEGRADE paths
+    under the hash gate, not just under pytest."""
     rows = []
     for i in range(n):
         if i % 3 == 0:
@@ -148,6 +152,11 @@ def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
                        for y in range(h) for x in range(w))
             rows.append((i, "image", "image/png", w, h, 0,
                          encode_png(px, w, h)))
+        elif i % 3 == 1:
+            junk = bytes((i * 31 + j * 7) % 256
+                         for j in range(256 + (i % 5) * 64))
+            rows.append((i, "image", "image/png-bad", 16, 16, 0,
+                         PNG_SIG + junk))
         else:
             blob = bytes((i * 31 + j * 7) % 256
                          for j in range(256 + (i % 5) * 64))
@@ -497,6 +506,8 @@ def image_features(df: DataFrame, target_size: int = 32) -> DataFrame:
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from photon_spark.functions.quality import _r6
         for pdf in batches:
             feats = []
             for rec in pdf.itertuples(index=False):
@@ -514,7 +525,6 @@ def image_features(df: DataFrame, target_size: int = 32) -> DataFrame:
                     d = {"mean_luma": (sum(content) / len(content))
                          if content else 0.0}
                 w, h = _resize_dims(rec.width, rec.height, target_size)
-                from photon_spark.functions.quality import _r6
                 feats.append((rec.media_id, len(content),
                               _r6(d["mean_luma"]), w, h))
             yield pd.DataFrame(feats, columns=[f.name for f in

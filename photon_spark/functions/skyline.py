@@ -56,9 +56,14 @@ def local_skyline(df: DataFrame, x: str, y: str) -> DataFrame:
         p = pdf.sort_values([xn, yn], kind="mergesort")
         grp_min = p.groupby(xn)[yn].transform("min")
         per_x_min = p.groupby(xn, sort=True)[yn].min()
-        prev_min = per_x_min.cummin().shift(1)
+        # shift(1) on an int64 Series would promote to float64 and
+        # collapse values past 2^53 (epoch-ns axes live there), turning
+        # the strict < into a false equality and dropping true front
+        # members; the nullable Int64 dtype keeps the lag exact
+        prev_min = per_x_min.cummin().astype("Int64").shift(1)
         prev = p[xn].map(prev_min)
-        keep = (p[yn] == grp_min) & (prev.isna() | (p[yn] < prev))
+        keep = (p[yn] == grp_min) & (prev.isna()
+                                     | (p[yn] < prev.fillna(0)))
         yield p[keep]
 
     return df.mapInPandas(scan, schema=schema)

@@ -1399,24 +1399,30 @@ MIX_PNG_N = 48
 
 def q_media_decode_fallback_audit(spark, sf_dir):
     """PER-ROW DECODE DEGRADE under the hash gate — the mixed-codec
-    reality check: a corpus where every third payload is a real PNG
-    and the rest are undecodable blobs must come through the feature
-    pass with REAL decoded luma on the PNG rows and the documented
-    deterministic byte-mean proxy on the rest, one row per input, no
-    job failure. The oracle re-derives BOTH paths closed-form (PNG
-    pixel formula vs byte formula), so a hash match proves the router
-    sends each row down the right path and neither path contaminates
-    the other — the contract that lets a 100 TB run survive a bad
-    object without losing the partition. Map-only Arrow pass."""
+    reality check: a corpus interleaving real PNGs, CORRUPT PNGs
+    (valid signature, junk body — the decoder RAISES, exercising the
+    except-ValueError degrade, not just the non-PNG short-circuit),
+    and undecodable fake blobs must come through the feature pass
+    with REAL decoded luma on the good rows and the documented
+    deterministic byte-mean proxy on both bad classes, one row per
+    input, no job failure. The oracle re-derives ALL THREE paths
+    closed-form (PNG pixel formula; signature+junk byte formula; raw
+    byte formula), so a hash match proves the router sends each row
+    down the right path and no path contaminates another — the
+    contract that lets a 100 TB run survive a bad object without
+    losing the partition. Map-only Arrow pass."""
     media = multimodal.synthesize_mixed_media(spark, n=MIX_PNG_N)
     feats = multimodal.image_features(media, target_size=32)
     return (feats.join(media.select("media_id", "mime"), "media_id")
                  .select("media_id", "mime", "mean_luma"))
 
 
+#: sum of the 8 PNG signature bytes (\\x89 P N G \\r \\n \\x1a \\n)
+_PNG_SIG_SUM, _PNG_SIG_LEN = 425, 8
+
 SQL_MEDIA_DECODE_FALLBACK_AUDIT = f"""
 WITH m AS (
-  SELECT i, i % 3 = 0 AS is_png, 16 + i % 9 AS w, 12 + i % 7 AS h,
+  SELECT i, i % 3 AS cls, 16 + i % 9 AS w, 12 + i % 7 AS h,
          256 + (i % 5) * 64 AS len
   FROM range({MIX_PNG_N}) t(i)
 ), png AS (
@@ -1424,16 +1430,27 @@ WITH m AS (
          round(avg((31 * m.i + 7 * (g.j // m.w) + 3 * (g.j % m.w))
                    % 256), 6) AS mean_luma
   FROM m CROSS JOIN generate_series(0, 24 * 18 - 1) g(j)
-  WHERE m.is_png AND g.j < m.w * m.h
+  WHERE m.cls = 0 AND g.j < m.w * m.h
   GROUP BY 1
+), corrupt AS (
+  -- byte mean over signature + junk: the except-ValueError degrade
+  SELECT m.i,
+         round((CAST({_PNG_SIG_SUM} AS BIGINT)
+                + sum((m.i * 31 + g.j * 7) % 256)) * 1.0
+               / ({_PNG_SIG_LEN} + m.len), 6) AS mean_luma
+  FROM m CROSS JOIN generate_series(0, 511) g(j)
+  WHERE m.cls = 1 AND g.j < m.len
+  GROUP BY m.i, m.len
 ), fake AS (
   SELECT m.i,
          round(avg((m.i * 31 + g.j * 7) % 256), 6) AS mean_luma
   FROM m CROSS JOIN generate_series(0, 511) g(j)
-  WHERE NOT m.is_png AND g.j < m.len
+  WHERE m.cls = 2 AND g.j < m.len
   GROUP BY 1
 )
 SELECT i AS media_id, 'image/png' AS mime, mean_luma FROM png
+UNION ALL
+SELECT i, 'image/png-bad', mean_luma FROM corrupt
 UNION ALL
 SELECT i, 'image/fake', mean_luma FROM fake
 """

@@ -2309,6 +2309,21 @@ ORACLES["events_interval_union"] = SQL_EVENTS_INTERVAL_UNION
 PCTL_QS = ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents"))
 
 
+def _exact_pctl_sel(val_col: str, qs):
+    """Conditional-aggregation selectors for EXACT order statistics:
+    given a relation carrying ``rn`` (row_number in value order within
+    the group) and ``n`` (group count), lift out the value at rank
+    k_q = floor((n−1)·q) + 1 for each (q, alias) pair. ``div`` (integer
+    division), not ``/``: (n−1)·q/100 as a double can land one ulp
+    below an exact boundary and floor() then picks rank k−1. Shared by
+    events_value_percentiles and funnel_time_to_convert so the rank
+    rule cannot drift between them."""
+    return [F.max(F.when(
+                F.col("rn") == F.expr(f"((n - 1) * {q}) div 100") + 1,
+                F.col(val_col))).alias(alias)
+            for q, alias in qs]
+
+
 def q_events_value_percentiles(spark, sf_dir):
     """EXACT per-group percentiles (p50/p95/p99 of the purchase value in
     cents) by order-statistic selection — the ground-truth counterpart
@@ -2334,12 +2349,7 @@ def q_events_value_percentiles(spark, sf_dir):
     wn = Window.partitionBy("event_type")
     ranked = (rows.withColumn("rn", F.row_number().over(w))
                   .withColumn("n", F.count(F.lit(1)).over(wn)))
-    # `div` (integer division), not `/`: (n−1)·q/100 as a double can land
-    # one ulp below an exact boundary and floor() then picks rank k−1
-    sel = [F.max(F.when(
-               F.col("rn") == F.expr(f"((n - 1) * {q}) div 100") + 1,
-               F.col("cents"))).alias(alias)
-           for q, alias in PCTL_QS]
+    sel = _exact_pctl_sel("cents", PCTL_QS)
     return (ranked.groupBy("event_type")
                   .agg(F.max("n").cast("long").alias("n_events"),
                        F.min("cents").alias("min_cents"),
@@ -2391,7 +2401,6 @@ def q_user_growth_accumulation(spark, sf_dir):
     running sum is a window over the |days| relation — bounded by the
     calendar, never the event count. All integer epoch-ns day keys.
     """
-    from pyspark.sql import Window
 
     e = _events(spark, sf_dir)
     day = (F.col("ts") - F.col("ts") % 86_400_000_000_000).alias("day_ns")
@@ -2458,10 +2467,11 @@ def q_rolling_active_users(spark, sf_dir):
 
     Plan: the expansion factor is the CONSTANT window width (×7 on the
     already user-day-collapsed relation, never on raw events), dedup +
-    count collapse in the same keyed exchange, and a final filter
-    keeps only window-ends with a full trailing week of calendar. At
-    100 TB the cost is 7·|user-days| shuffle rows — linear, no
-    re-scan per window.
+    count collapse in the same keyed exchange, and the calendar of
+    full-trailing-week window ends enumerates from a 1-row bounds
+    aggregate — so a dead week reports wau=0 instead of silently
+    missing. At 100 TB the cost is 7·|user-days| shuffle rows —
+    linear, no re-scan per window.
     """
     e = _events(spark, sf_dir)
     day_ns = 86_400_000_000_000
@@ -2472,15 +2482,19 @@ def q_rolling_active_users(spark, sf_dir):
         "user_id",
         (F.col("day_ns") + F.col("k") * F.lit(day_ns)).alias("win_end"))
     bounds = ud.agg(F.min("day_ns").alias("lo"), F.max("day_ns").alias("hi"))
-    return (expanded.distinct()
-                    .groupBy("win_end")
-                    .agg(F.count(F.lit(1)).alias("active_users"))
-                    .crossJoin(F.broadcast(bounds))
-                    .where((F.col("win_end") >= F.col("lo")
-                            + F.lit((RAU_DAYS - 1) * day_ns))
-                           & (F.col("win_end") <= F.col("hi")))
-                    .select(F.col("win_end").alias("day_ns"),
-                            F.col("active_users").alias("wau")))
+    # enumerate every in-range window end from the bounds, so a trailing
+    # week with ZERO activity reports wau=0 instead of a missing row —
+    # a silent gap would mask exactly the outage shape
+    # events_downtime_gaps exists to surface
+    cal = bounds.select(F.explode(F.sequence(
+        F.col("lo") + F.lit((RAU_DAYS - 1) * day_ns),
+        F.col("hi"), F.lit(day_ns))).alias("day_ns"))
+    counts = (expanded.distinct()
+                      .groupBy("win_end")
+                      .agg(F.count(F.lit(1)).alias("wau")))
+    return (cal.join(counts, cal.day_ns == counts.win_end, "left")
+               .select("day_ns",
+                       F.coalesce("wau", F.lit(0)).alias("wau")))
 
 
 SQL_ROLLING_ACTIVE_USERS = f"""
@@ -2494,12 +2508,15 @@ WITH ud AS (
   FROM ud CROSS JOIN generate_series(0, {RAU_DAYS - 1}) g(k)
 ), bounds AS (
   SELECT min(day_ns) AS lo, max(day_ns) AS hi FROM ud
+), cal AS (
+  SELECT unnest(generate_series(lo + {RAU_DAYS - 1} * 86400000000000,
+                                hi, 86400000000000)) AS day_ns
+  FROM bounds
+), counts AS (
+  SELECT win_end, count(*) AS wau FROM expanded GROUP BY 1
 )
-SELECT e.win_end AS day_ns, count(*) AS wau
-FROM expanded e, bounds b
-WHERE e.win_end >= b.lo + {(RAU_DAYS - 1)} * 86400000000000
-  AND e.win_end <= b.hi
-GROUP BY 1
+SELECT c.day_ns, CAST(coalesce(k.wau, 0) AS BIGINT) AS wau
+FROM cal c LEFT JOIN counts k ON k.win_end = c.day_ns
 """
 
 QUERIES["rolling_active_users"] = q_rolling_active_users
@@ -2523,7 +2540,6 @@ def q_funnel_time_to_convert(spark, sf_dir):
     the order-statistic rule (events_value_percentiles): rank
     k = floor((n−1)·q)+1 over a per-step sort, integer end to end.
     """
-    from pyspark.sql import Window
 
     e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
 
@@ -2549,10 +2565,8 @@ def q_funnel_time_to_convert(spark, sf_dir):
     wn = Window.partitionBy("step")
     ranked = (lags.withColumn("rn", F.row_number().over(w))
                   .withColumn("n", F.count(F.lit(1)).over(wn)))
-    sel = [F.max(F.when(
-               F.col("rn") == F.expr(f"((n - 1) * {q}) div 100") + 1,
-               F.col("lag_ns"))).alias(alias)
-           for q, alias in ((50, "p50_lag_ns"), (90, "p90_lag_ns"))]
+    sel = _exact_pctl_sel("lag_ns", ((50, "p50_lag_ns"),
+                                     (90, "p90_lag_ns")))
     return (ranked.groupBy("step")
                   .agg(F.max("n").cast("long").alias("n_converted"),
                        *sel,
@@ -2618,7 +2632,6 @@ def q_events_downtime_gaps(spark, sf_dir):
     (rare by definition) plus ≤ K rows per map partition per stream
     ever move twice. Integer epoch-ns end to end.
     """
-    from pyspark.sql import Window
 
     e = _events(spark, sf_dir).select("event_type", "ts", "event_id")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

@@ -648,23 +648,29 @@ def q_classifier_auc_rank(spark, sf_dir):
                      F.sum("y").alias("c_pos")))
     w_prev = (Window.orderBy("s")
               .rowsBetween(Window.unboundedPreceding, -1))
+    # decimal(38,0) accumulation: Σ 2r⁺ grows as ~2·n⁺·n, which
+    # overflows int64 near 3·10⁹ rows — DuckDB's sum is HUGEINT, so the
+    # Spark side must stay 128-bit-exact too; both engines subtract
+    # exactly and only then convert to double for the single division
     ranked = groups.withColumn(
         "r2_sum",
-        F.col("c_pos") * (2 * F.coalesce(F.sum("c").over(w_prev),
-                                         F.lit(0)) + F.col("c") + 1))
-    return (ranked.agg(F.sum("c").alias("n"),
-                       F.sum("c_pos").alias("np"),
-                       F.sum("r2_sum").alias("r2"),
-                       F.count(F.lit(1)).alias("n_scores"))
-                  .select(F.col("n").alias("n_docs"),
-                          F.col("np").alias("n_pos"),
-                          (F.col("n") - F.col("np")).alias("n_neg"),
-                          F.col("n_scores").alias("n_distinct_scores"),
-                          F.round((F.col("r2") - F.col("np")
-                                   * (F.col("np") + 1))
-                                  / (2 * F.col("np")
-                                     * (F.col("n") - F.col("np"))), 6)
-                           .alias("auc")))
+        F.col("c_pos").cast("decimal(38,0)")
+        * (2 * F.coalesce(F.sum("c").over(w_prev),
+                          F.lit(0)) + F.col("c") + 1))
+    agg = ranked.agg(F.sum("c").alias("n"),
+                     F.sum("c_pos").alias("np"),
+                     F.sum("r2_sum").alias("r2"),
+                     F.count(F.lit(1)).alias("n_scores"))
+    np_d = F.col("np").cast("decimal(38,0)")
+    n_d = F.col("n").cast("decimal(38,0)")
+    num = F.col("r2") - np_d * (np_d + 1)
+    den = 2 * np_d * (n_d - np_d)
+    return agg.select(F.col("n").alias("n_docs"),
+                      F.col("np").alias("n_pos"),
+                      (F.col("n") - F.col("np")).alias("n_neg"),
+                      F.col("n_scores").alias("n_distinct_scores"),
+                      F.round(num.cast("double") / den.cast("double"), 6)
+                       .alias("auc"))
 
 
 SQL_CLASSIFIER_AUC_RANK = f"""

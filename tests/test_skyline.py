@@ -81,3 +81,11 @@ def test_pareto_front_parts_not_dominated(spark, sf_dir):
     expect = {(k, x, -ny) for (k, x, ny) in _brute(all_pts)}
     got = {(r["p_partkey"], r["price_cents"], r["p_size"]) for r in front}
     assert got == expect and got
+
+
+def test_skyline_exact_past_2_53(spark):
+    # int64 y values past 2^53: a float64 lag would collapse
+    # 2^53+1 == 2^53 and drop a true front member (epoch-ns axes
+    # live in this range)
+    rows = [(1, 1, 2**53 + 1), (2, 2, 2**53), (3, 3, 2**53 + 7)]
+    _run(spark, rows, n_parts=2)

@@ -727,6 +727,8 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 
 # Round-8 window head: brand-new queries first.
 _NEWEST_FIRST = [
+    "skipgram_lift_topk",
+    "mutual_knn_pairs",
     "media_decode_fallback_audit",
     "funnel_time_to_convert",
     "events_downtime_gaps",

@@ -1195,6 +1195,59 @@ SELECT id, nbr, cosine FROM ranked WHERE rn <= {KNN_K}
 """
 
 
+# --------------------------------------------------- mutual kNN pairs
+
+def q_mutual_knn_pairs(spark, sf_dir):
+    """MUTUAL-kNN graph — the symmetrized backbone every
+    manifold/clustering pipeline (UMAP-style) builds from a raw kNN
+    graph: keep pair (a, b) only when b is in a's top-k AND a is in
+    b's top-k. Directed kNN edges are asymmetric by construction (a
+    hub can be someone's neighbor without reciprocating), and the
+    mutual filter is the standard noise cut before graph clustering.
+    Output: undirected (lo, hi, cosine) survivors plus each side's
+    rank of the other.
+
+    Plan: the kNN manifest (blocked-GEMM kernel, one packed-block
+    shuffle) self-joins on the REVERSED pair — a k·n-row relation
+    joining itself on its own key, never the corpus — so the mutual
+    filter costs one hash join over bounded input at any corpus size.
+    """
+    g = similarity.knn_graph(_emb(spark, sf_dir), k=KNN_K)
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
+    r = g.withColumn("rank", F.row_number().over(w).cast("long"))
+    fwd = (r.where(F.col("id") < F.col("nbr"))
+            .select(F.col("id").alias("lo_id"), F.col("nbr").alias("hi_id"),
+                    "cosine", F.col("rank").alias("lo_rank")))
+    rev = (r.where(F.col("id") > F.col("nbr"))
+            .select(F.col("nbr").alias("lo_id"), F.col("id").alias("hi_id"),
+                    F.col("rank").alias("hi_rank")))
+    return fwd.join(rev, ["lo_id", "hi_id"]).select(
+        "lo_id", "hi_id", "cosine", "lo_rank", "hi_rank")
+
+
+SQL_MUTUAL_KNN_PAIRS = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT id, nbr, cosine,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cosine DESC, nbr) AS rn
+  FROM pairs
+),
+knn AS (SELECT id, nbr, cosine, rn FROM ranked WHERE rn <= {KNN_K})
+SELECT f.id AS lo_id, f.nbr AS hi_id, f.cosine,
+       CAST(f.rn AS BIGINT) AS lo_rank, CAST(r.rn AS BIGINT) AS hi_rank
+FROM knn f JOIN knn r ON r.id = f.nbr AND r.nbr = f.id
+WHERE f.id < f.nbr
+"""
+
+
+
 # ------------------------------------------------- kNN label-purity eval
 
 KNN_EVAL_K = 5
@@ -1480,6 +1533,7 @@ QUERIES = {
     "ann_topk_pq": q_ann_topk_pq,
     "ivf_pq_topk": q_ivf_pq_topk,
     "knn_graph": q_knn_graph,
+    "mutual_knn_pairs": q_mutual_knn_pairs,
     "knn_label_eval": q_knn_label_eval,
     "audio_window_energy": q_audio_window_energy,
     "image_decode_stats": q_image_decode_stats,
@@ -1516,6 +1570,7 @@ ORACLES = {
     "ann_topk_pq": _sql_ann_topk_pq(),
     "ivf_pq_topk": _sql_ivf_pq_topk(),
     "knn_graph": SQL_KNN_GRAPH,
+    "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
     "knn_label_eval": SQL_KNN_LABEL_EVAL,
     "audio_window_energy": SQL_AUDIO_WINDOW_ENERGY,
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,

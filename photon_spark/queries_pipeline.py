@@ -2670,3 +2670,98 @@ QUALIFY rank <= {GAP_TOPK}
 
 QUERIES["events_downtime_gaps"] = q_events_downtime_gaps
 ORACLES["events_downtime_gaps"] = SQL_EVENTS_DOWNTIME_GAPS
+
+
+# ------------------------------------------------- skip-gram lift mining
+
+#: window half-width (tokens), min co-occurrence count, rows returned
+SKIP_W, SKIP_MIN, SKIP_TOPK = 3, 10, 20
+
+
+def q_skipgram_lift_topk(spark, sf_dir):
+    """SKIP-GRAM co-occurrence mining — the word2vec/GloVe statistic the
+    adjacent-only collocation query (bigram_lift_topk) cannot see: token
+    pairs co-occurring within a ±{SKIP_W}-token window, ranked by lift
+    (observed co-occurrence over the independence expectation). The
+    phrase-and-topic signal a vocabulary curator reads before merging
+    tokens.
+
+    Plan: pair enumeration happens INSIDE the token array (one
+    higher-order transform per doc — map-side, ×{SKIP_W} constant
+    fan-out, no positional self-join ever reaches the shuffle); unigram
+    counts and the 1-row grand total broadcast into the scoring join on
+    the DISTINCT-pair relation. Both engines compute lift with the same
+    left-associated double expression over exact integer counts, so
+    the 6dp round is parity-stable.
+    """
+    d = _docs(spark, sf_dir)
+    tk = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    pair_expr = F.expr(f"""
+      flatten(transform(tk, (x, i) ->
+        case when i + 1 <= size(tk) - 1 then
+          transform(sequence(i + 1, least(i + {SKIP_W}, size(tk) - 1)),
+                    j -> case when x < tk[j] then concat(x, ' ', tk[j])
+                              when x > tk[j] then concat(tk[j], ' ', x)
+                              else null end)
+        else array() end))""")
+    docs = d.select(tk.alias("tk"))
+    pairs = (docs.select(F.explode(pair_expr).alias("pair"))
+                 .where(F.col("pair").isNotNull())
+                 .groupBy("pair")
+                 .agg(F.count(F.lit(1)).alias("n_ab"))
+                 .where(F.col("n_ab") >= SKIP_MIN))
+    uni = (docs.select(F.explode("tk").alias("t"))
+               .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    total = uni.agg(F.sum("n").alias("big_n"))
+    split = F.split(F.col("pair"), " ")
+    scored = (pairs.withColumn("a", split.getItem(0))
+                   .withColumn("b", split.getItem(1))
+                   .join(F.broadcast(uni.withColumnRenamed("t", "a")
+                                        .withColumnRenamed("n", "n_a")),
+                         "a")
+                   .join(F.broadcast(uni.withColumnRenamed("t", "b")
+                                        .withColumnRenamed("n", "n_b")),
+                         "b")
+                   .crossJoin(F.broadcast(total))
+                   .select("a", "b", "n_ab", "n_a", "n_b",
+                           F.round(F.col("n_ab") * 1.0 * F.col("big_n")
+                                   / (F.col("n_a") * F.col("n_b")), 6)
+                            .alias("lift")))
+    return (scored.orderBy(F.desc("lift"), "a", "b")
+                  .limit(SKIP_TOPK))
+
+
+def _sql_skipgram_lift() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH dtoks AS (
+  SELECT row_number() OVER () AS did,
+         list_transform({_SQL_TOKS}, t -> lower(t)) AS tk
+  FROM documents
+), pos AS (
+  SELECT did, unnest(tk) AS t, generate_subscripts(tk, 1) AS p FROM dtoks
+), co AS (
+  SELECT CASE WHEN a.t < b.t THEN a.t ELSE b.t END AS a,
+         CASE WHEN a.t < b.t THEN b.t ELSE a.t END AS b
+  FROM pos a JOIN pos b
+    ON a.did = b.did AND b.p - a.p BETWEEN 1 AND {SKIP_W}
+   AND a.t <> b.t
+), pairs AS (
+  SELECT a, b, count(*) AS n_ab FROM co GROUP BY 1, 2
+  HAVING count(*) >= {SKIP_MIN}
+), uni AS (
+  SELECT t, count(*) AS n FROM pos GROUP BY 1
+), total AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM uni)
+SELECT p.a, p.b, p.n_ab, ua.n AS n_a, ub.n AS n_b,
+       round(p.n_ab * 1.0 * t.big_n / (ua.n * ub.n), 6) AS lift
+FROM pairs p
+JOIN uni ua ON ua.t = p.a
+JOIN uni ub ON ub.t = p.b
+CROSS JOIN total t
+ORDER BY lift DESC, p.a, p.b
+LIMIT {SKIP_TOPK}
+"""
+
+
+QUERIES["skipgram_lift_topk"] = q_skipgram_lift_topk
+ORACLES["skipgram_lift_topk"] = _sql_skipgram_lift()

@@ -245,6 +245,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # ann_recall_audit's IVF candidate construction (broadcast
         # 16-row centroid table) reused under the nDCG metric
         "ann_ndcg_audit",
+        # consumes the knn_graph block-pair GEMM manifest above; the
+        # mutual filter itself is a hash equi-join on the k·n relation
+        "mutual_knn_pairs",
+        # crossJoin(broadcast(<1-row token grand total>)) — the lift
+        # denominator, same scalar shape as bigram_lift_topk
+        "skipgram_lift_topk",
     }
     failures = []
     for name, fn in q.QUERIES.items():

@@ -74,3 +74,53 @@ def session_agg(df: DataFrame, time_col: str = "event_time",
               .withColumn("session_start", F.col("win.start"))
               .withColumn("session_end", F.col("win.end"))
               .drop("win"))
+
+
+def downtime_monitor(events: DataFrame, gap_min_ns: int,
+                     key_col: str = "event_type",
+                     ts_col: str = "ts") -> DataFrame:
+    """STREAMING downtime detector — the live twin of the batch
+    events_downtime_gaps query: per key, emit a gap row the moment an
+    event arrives more than ``gap_min_ns`` after the previous one. The
+    only state is ONE long per key (the last-seen timestamp), so a
+    100 TB/day feed holds |keys| longs in the state store, and each
+    finalized gap is emitted exactly once (append mode).
+
+    Ordering contract: per-key event time must be non-decreasing
+    across micro-batches (the event-store replay order; within a batch
+    the fold sorts). A late out-of-order event would register as a
+    bogus gap — run behind a watermarked sort or the ordered replay,
+    the same contract the serial projection runner documents.
+
+    Works on batch DataFrames too (Spark evaluates
+    applyInPandasWithState's grouping identically), which is what the
+    equivalence test uses to pin it against the batch query.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = (f"{key_col} string, gap_start_ns long, "
+                  "gap_end_ns long, gap_ns long")
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        ts = sorted(int(t) for pdf in pdfs for t in pdf[ts_col].tolist())
+        rows = []
+        for t in ts:
+            if last is not None and t - last > gap_min_ns:
+                rows.append((key[0], last, t, t - last))
+            last = t if last is None else max(last, t)
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(rows, columns=[key_col, "gap_start_ns",
+                                          "gap_end_ns", "gap_ns"])
+
+    return (events.select(key_col, ts_col)
+                  .groupBy(key_col)
+                  .applyInPandasWithState(
+                      update,
+                      outputStructType=out_schema,
+                      stateStructType="last_ts long",
+                      outputMode="append",
+                      timeoutConf=GroupStateTimeout.NoTimeout))

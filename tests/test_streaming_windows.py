@@ -181,3 +181,67 @@ def test_streaming_session_agg_equals_batch_on_closed_sessions(
     assert got == want and got
     # the bridged fragment really is one session of 3 events
     assert any(n == 3 and s == "a" for s, _, _, n in got), got
+
+
+def test_downtime_monitor_matches_batch_gaps(spark, tmp_path):
+    """Multi-batch streaming replay through downtime_monitor must emit
+    exactly the over-threshold gap set the batch query computes, each
+    gap exactly once, with per-key state carrying across micro-batch
+    boundaries (a gap straddling two chunks is only visible if
+    last_ts survives in state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.queries import _t
+    from photon_spark.queries_pipeline import GAP_MIN_NS
+    from photon_spark.streaming.windows import downtime_monitor
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                            "/root/testdata/sf0.001")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+
+    # batch truth: every over-threshold gap (no top-k)
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("ts")
+    truth = {(r["event_type"], r["p"], r["ts"])
+             for r in ev.withColumn("p", F.lag("ts").over(w))
+                        .where(F.col("p").isNotNull()
+                               & (F.col("ts") - F.col("p") > GAP_MIN_NS))
+                        .collect()}
+    assert truth, "fixture must contain over-threshold gaps"
+
+    # write 4 chronological chunks so gaps straddle micro-batches
+    src = str(tmp_path / "chunks")
+    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None] + [int(q) for q in qs] + [None]
+    for i in range(4):
+        c = ev
+        if bounds[i] is not None:
+            c = c.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            c = c.where(F.col("ts") <= bounds[i + 1])
+        c.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    # one dir per chunk → maxFilesPerTrigger=1 replays chronologically?
+    # file source orders by path; bN names sort chronologically.
+    import glob
+    files = sorted(glob.glob(f"{src}/b*/part-*.parquet"))
+    merged = str(tmp_path / "feed")
+    os.makedirs(merged)
+    for i, f in enumerate(files):
+        os.rename(f, f"{merged}/{i:03d}.parquet")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(merged))
+    gaps = downtime_monitor(stream, GAP_MIN_NS)
+    q = (gaps.writeStream.format("memory").queryName("dtm")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["event_type"], r["gap_start_ns"], r["gap_end_ns"])
+           for r in spark.sql("select * from dtm").collect()}
+    assert got == truth

@@ -278,3 +278,65 @@ def test_seeded_shuffle_matches_reference_sort(spark, ids, seed, buckets):
         _h.md5(f"{seed}:{i}".encode()).hexdigest(), i))
     for pos, i in enumerate(ranked):
         assert out[i] == (pos, pos // 7, pos % 7)
+
+
+@settings(**_SETTINGS)
+@given(pts=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                    min_size=1, max_size=60),
+       parts=st.integers(min_value=1, max_value=6))
+def test_skyline_matches_not_exists_spec(spark, pts, parts):
+    """Any point cloud (dense duplicates, collinear runs, singletons),
+    any partitioning: the two-phase skyline equals the brute-force
+    strict-dominance NOT EXISTS spec."""
+    from photon_spark.functions.skyline import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = (spark.createDataFrame(rows, "k long, x long, y long")
+               .repartition(parts))
+    got = sorted(tuple(r) for r in skyline_2d(df, "x", "y").collect())
+    brute = sorted(
+        p for p in rows
+        if not any(q[1] <= p[1] and q[2] <= p[2]
+                   and (q[1] < p[1] or q[2] < p[2]) for q in rows))
+    assert got == brute
+
+
+@settings(**_SETTINGS)
+@given(iv=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 10)),
+                   min_size=1, max_size=40))
+def test_interval_union_matches_python_sweep(spark, iv):
+    """The window-based island union equals a sequential sweep for any
+    interval multiset (nested, touching, duplicate, point-adjacent)."""
+    from photon_spark.queries_pipeline import IU_SEC_NS  # noqa: F401
+
+    rows = [(7, i, s, s + d) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(
+        rows, "user_id long, eid long, start_ns long, end_ns long")
+    from pyspark.sql import Window
+
+    order = [F.asc("start_ns"), F.asc("eid")]
+    w_prev = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = df.withColumn(
+        "new_island",
+        F.when(F.col("start_ns") > F.coalesce(
+            F.max("end_ns").over(w_prev), F.lit(-1)), 1).otherwise(0))
+    got = (flagged.withColumn("island", F.sum("new_island").over(w_run))
+                  .groupBy("user_id", "island")
+                  .agg((F.max("end_ns") - F.min("start_ns"))
+                        .alias("len"))
+                  .groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("len").alias("tot")).collect()[0])
+
+    ivs = sorted((s, e) for (_, _, s, e) in rows)
+    islands = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    assert got["n"] == len(islands)
+    assert got["tot"] == sum(e - s for s, e in islands)

@@ -124,3 +124,41 @@ def downtime_monitor(events: DataFrame, gap_min_ns: int,
                       stateStructType="last_ts long",
                       outputMode="append",
                       timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def new_user_monitor(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """STREAMING first-seen detector — the live twin of the batch
+    user-growth curve (user_growth_accumulation): emit exactly ONE row
+    per key, the first time it is ever seen, carrying its first event
+    time. Downstream, a per-day count of these rows IS the new-users
+    series, and its running sum the cumulative-distinct curve — the
+    sliding-scale alternative to recomputing min-day over the whole
+    log. State is one boolean per key (the theoretical minimum for
+    exact first-seen), emitted in append mode so every key appears at
+    most once across the stream's lifetime.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = f"{key_col} long, first_ts long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            yield pd.DataFrame(columns=[key_col, "first_ts"]).astype(
+                {key_col: "int64", "first_ts": "int64"})
+            return
+        first = min(int(t) for pdf in pdfs for t in pdf[ts_col].tolist())
+        state.update((True,))
+        yield pd.DataFrame([(key[0], first)],
+                           columns=[key_col, "first_ts"])
+
+    return (events.select(key_col, ts_col)
+                  .groupBy(key_col)
+                  .applyInPandasWithState(
+                      update,
+                      outputStructType=out_schema,
+                      stateStructType="seen boolean",
+                      outputMode="append",
+                      timeoutConf=GroupStateTimeout.NoTimeout))

@@ -156,3 +156,50 @@ def test_ivf_index_append_identity_and_retry(spark, sf_dir, tmp_path):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
     assert len(top.collect()) == 5
+
+
+def test_mutual_filter_composes_on_ivf_manifest(spark, sf_dir):
+    """The production-scale path for mutual-kNN: the same reversed-pair
+    self-join applied to the IVF-pruned manifest instead of the exact
+    tier. Pins (a) the composition works unchanged on the approximate
+    graph and (b) its survivor set is a subset-with-high-overlap of the
+    exact mutual pairs — the recall argument for serving the mutual
+    filter off IVF at 100 TB."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from photon_spark.functions import similarity
+    from photon_spark.queries_curation import KM_ITERS, KM_K
+    from photon_spark.queries_northstar import (KNN_IVF_PROBE, KNN_K,
+                                                q_mutual_knn_pairs)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def mutual(g):
+        w = Window.partitionBy("id").orderBy(F.desc("cosine"),
+                                             F.asc("nbr"))
+        r = g.withColumn("rank", F.row_number().over(w))
+        fwd = (r.where(F.col("id") < F.col("nbr"))
+                .select(F.col("id").alias("lo"), F.col("nbr").alias("hi"),
+                        "cosine"))
+        rev = (r.where(F.col("id") > F.col("nbr"))
+                .select(F.col("nbr").alias("lo"), F.col("id").alias("hi")))
+        return fwd.join(rev, ["lo", "hi"])
+
+    ivf = similarity.knn_graph_ivf(emb, k=KNN_K, n_cells=KM_K,
+                                   n_probe=KNN_IVF_PROBE, iters=KM_ITERS)
+    rows = mutual(ivf).collect()
+    got_ivf = {(r["lo"], r["hi"]) for r in rows}
+    exact = {(r["lo_id"], r["hi_id"])
+             for r in q_mutual_knn_pairs(spark, sf_dir).collect()}
+    # composition mechanics: non-empty, unique, lo < hi
+    assert got_ivf and len(rows) == len(got_ivf)
+    assert all(lo < hi for lo, hi in got_ivf)
+    # recall honesty: a mutual pair needs BOTH directed edges to
+    # survive cell pruning, so mutual-recall compounds roughly as
+    # per-edge-recall² (~0.75² ≈ 0.57 at this probe setting) — pin the
+    # floor so a pruning regression is visible, and pin the count so a
+    # fan-out explosion is too
+    recall = len(got_ivf & exact) / len(exact)
+    assert recall >= 0.5, (recall, len(got_ivf), len(exact))
+    assert len(got_ivf) <= 1.2 * len(exact)

@@ -599,3 +599,33 @@ def test_vocab_growth_curve_matches_naive(spark, sf_dir):
                          r["cum_tokens"], r["cum_types"])
            for r in q_vocab_growth_curve(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_exact_pctl_sel_boundary_ranks(spark):
+    """The shared order-statistic selector at its edges: n=1 (every
+    percentile is the single value), n=2 (all three ranks collapse to
+    the lower order statistic: floor((n-1)q/100)+1 = 1), n=100 (p50 =
+    rank 50, p99 = rank 99 — the div-not-float boundary), and
+    duplicate values straddling a rank (tie-insensitive selection)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from photon_spark.queries_pipeline import PCTL_QS, _exact_pctl_sel
+
+    def run(vals):
+        df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)],
+                                   "cents long, eid long")
+        w = Window.orderBy("cents", "eid")
+        wn = Window.partitionBy()
+        ranked = (df.withColumn("rn", F.row_number().over(w))
+                    .withColumn("n", F.count(F.lit(1)).over(wn)))
+        r = ranked.agg(*_exact_pctl_sel("cents", PCTL_QS)).collect()[0]
+        return (r["p50_cents"], r["p95_cents"], r["p99_cents"])
+
+    assert run([7]) == (7, 7, 7)
+    assert run([3, 9]) == (3, 3, 3)
+    vals = list(range(1, 101))            # 1..100: rank k holds value k
+    assert run(vals) == (50, 95, 99)
+    # duplicates straddling rank 50: selection is tie-insensitive
+    dup = [1] * 50 + [2] * 50
+    assert run(dup) == (1, 2, 2)

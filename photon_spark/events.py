@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -308,10 +307,64 @@ class EventStore:
                 "provenance", F.from_json("provenance", PROVENANCE_TYPE))
         return df
 
+    # ------------------------------------------------------ generations
+    # The rewrite paths (delete/expire/compact/clean) commit via a
+    # GENERATION POINTER, not directory renames: new data is written to
+    # a fresh ``gen=<k+1>`` directory and ``_generation`` (one small
+    # file — the atomic-PUT primitive every object store has) is
+    # swapped to point at it; the old generation is then best-effort
+    # deleted. A crash at any point leaves either the old pointer (old
+    # data fully intact) or the new pointer (new data fully written
+    # first) — never a half-table, and never a POSIX ``os.rename`` of a
+    # data directory, which S3/GCS cannot do (the same protocol
+    # CdcMergeTable adopted; its ``_compacted_to`` marker is the
+    # pattern). Generation 0 is the store root itself, so every store
+    # written before this protocol reads unchanged.
+    _GEN_FILE = "_generation"
+
+    def _generation(self) -> int:
+        gf = os.path.join(self.path, self._GEN_FILE)
+        if os.path.exists(gf):
+            with open(gf) as f:
+                return int(f.read().strip() or 0)
+        return 0
+
+    def _data_dir(self, gen: int | None = None) -> str:
+        g = self._generation() if gen is None else gen
+        return self.path if g == 0 else os.path.join(self.path, f"gen={g}")
+
+    def _set_generation(self, gen: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        gf = os.path.join(self.path, self._GEN_FILE)
+        tmp = gf + f".tmp{self.writer_id}"
+        with open(tmp, "w") as f:
+            f.write(str(int(gen)))
+        os.replace(tmp, gf)
+
+    def _gc_generation(self, gen: int) -> None:
+        """Best-effort delete of a superseded generation. Root-level
+        markers (``_multi_writer``, ``_generation``) and live ``gen=``
+        dirs survive a generation-0 sweep — which also fixes the old
+        rename protocol silently erasing the multi-writer marker on
+        every rewrite."""
+        import shutil
+        if gen == 0:
+            if not os.path.isdir(self.path):
+                return
+            for n in os.listdir(self.path):
+                if n.startswith(("gen=", "_", ".")):
+                    continue
+                full = os.path.join(self.path, n)
+                (shutil.rmtree if os.path.isdir(full)
+                 else os.remove)(full)
+        else:
+            shutil.rmtree(self._data_dir(gen), ignore_errors=True)
+
     # ---------------------------------------------------------------- write
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith(("_", ".")) for n in os.listdir(self.path))
+        d = self._data_dir()
+        return os.path.isdir(d) and any(
+            not n.startswith(("gen=", "_", ".")) for n in os.listdir(d))
 
     def max_order_id(self) -> int:
         if self._max_oid is not None:
@@ -373,7 +426,7 @@ class EventStore:
                 .sortWithinPartitions("stream_name", "order_id")
                 .write.mode("append")
                 .partitionBy("stream_name"))
-             .save(self.path))
+             .save(self._data_dir()))
         finally:
             src.unpersist()
         if n:
@@ -392,7 +445,8 @@ class EventStore:
         if not self._exists():  # empty store reads as an empty relation
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = self._read_opts(
-            self.spark.read.schema(self._disk_schema())).load(self.path)
+            self.spark.read.schema(self._disk_schema())).load(
+                self._data_dir())
         # partitionBy writes stream_name as a directory column; enforce
         # canonical column order.
         return self._decode(df).select(
@@ -441,18 +495,21 @@ class EventStore:
         Parquet has no DELETE; with Delta/Iceberg this is a metadata-level
         ``DELETE WHERE`` (partition drop for whole streams — SURVEY.md §2.5
         deliberately does NOT reproduce the reference's delete-in-a-loop,
-        api.clj:131-147).
+        api.clj:131-147). Commit = write the survivors to the NEXT
+        generation directory, swap the one-file generation pointer
+        (atomic PUT), then best-effort delete the old generation — no
+        data-directory rename anywhere, so the protocol runs unchanged
+        on an object store (see the generations section above).
         """
-        tmp = self.path.rstrip("/") + f".__rewrite__{uuid.uuid4().hex[:8]}"
+        old = self._generation()
         (self._write_opts(
             self._encode(self.read_all().where(keep_predicate))
             .repartition("stream_name")
             .sortWithinPartitions("stream_name", "order_id")
             .write.mode("overwrite").partitionBy("stream_name"))
-         .save(tmp))
-        import shutil
-        shutil.rmtree(self.path, ignore_errors=True)
-        os.rename(tmp, self.path)
+         .save(self._data_dir(old + 1)))
+        self._set_generation(old + 1)
+        self._gc_generation(old)
         self._max_oid = None
 
     def delete_event(self, stream_name: str, order_id: int) -> None:
@@ -465,9 +522,15 @@ class EventStore:
         self._rewrite(F.col("stream_name") != stream_name)
 
     def clean(self) -> None:
-        """D3 delete-all (streams.clj:324)."""
-        import shutil
-        shutil.rmtree(self.path, ignore_errors=True)
+        """D3 delete-all (streams.clj:324): swap the pointer to a fresh
+        empty generation, then sweep the old one — same rename-free
+        commit as :meth:`_rewrite`. Root markers (e.g. the durable
+        multi-writer fact) survive, as "ever" semantics require."""
+        if not os.path.isdir(self.path):
+            return
+        old = self._generation()
+        self._set_generation(old + 1)
+        self._gc_generation(old)
         self._max_oid = None
 
     # ---------------------------------------------------------- maintenance
@@ -504,7 +567,7 @@ class EventStore:
         """
         self._rewrite(F.lit(True))
         ext = self._EXT[self.fmt]
-        return sum(1 for _, _, files in os.walk(self.path)
+        return sum(1 for _, _, files in os.walk(self._data_dir())
                    for f in files if f.endswith(ext))
 
     # -------------------------------------------------------- export/import

@@ -37,7 +37,10 @@ def read_hot_cold(store: EventStore, stream_name: str = ALL_STREAMS,
     # same pluggable backend as the batch path (file source streams any
     # of the store formats; _decode restores the struct the flat CSV
     # backend carries as JSON)
-    df = store._decode(store._read_opts(reader).load(store.path))
+    # bind the CURRENT generation's directory (the rewrite paths move
+    # data between gen dirs; a mid-subscription rewrite is already
+    # documented unsafe for the file source — see EventStore.compact)
+    df = store._decode(store._read_opts(reader).load(store._data_dir()))
     if stream_name != ALL_STREAMS:
         df = df.where(F.col("stream_name") == stream_name)
     if from_:

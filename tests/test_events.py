@@ -346,3 +346,65 @@ def test_csv_backend_provenance_and_null_payload_roundtrip(spark, tmp_path):
     left = st.read_cold("s").orderBy("order_id").collect()
     assert [r["payload"] for r in left] == [None, 'x,y\nz"q"']
     assert left[1]["provenance"]["local_id"] == "42"
+
+
+def test_event_store_rename_free_rewrite_cycle(spark, tmp_path):
+    """Object-store portability of the maintenance paths: a full
+    delete-event → delete-stream → expire → compact → clean cycle never
+    calls os.rename; the only os.replace targets are the one-line
+    ``_generation`` pointer (the atomic-PUT analogue) and the
+    multi-writer marker. And the durable multi-writer marker SURVIVES
+    every rewrite — the old rename protocol silently erased it,
+    re-opening the ordered-resume guard it exists to hold closed."""
+    import os
+
+    import photon_spark.events as ev_mod
+
+    path = str(tmp_path / "store")
+    store = ev_mod.EventStore(spark, path, n_writers=2, writer_id=0)
+    df = spark.createDataFrame(
+        [("a", "t", str(i)) for i in range(6)]
+        + [("b", "t", str(i)) for i in range(4)],
+        "stream_name string, event_type string, local_id string")
+    assert store.ingest(df) == 10
+    marker = os.path.join(path, store._MULTI_WRITER_MARKER)
+    assert os.path.exists(marker)
+
+    replaced = []
+    real_replace = os.replace
+
+    def no_rename(*a, **k):
+        raise AssertionError(f"os.rename called on {a}")
+
+    def tracked_replace(src, dst):
+        replaced.append(os.path.basename(dst))
+        return real_replace(src, dst)
+
+    orig = (ev_mod.os.rename, ev_mod.os.replace)
+    ev_mod.os.rename, ev_mod.os.replace = no_rename, tracked_replace
+    try:
+        first_a = store.read_cold("a").first()["order_id"]
+        store.delete_event("a", first_a)
+        assert store.read_cold("a").count() == 5
+        assert os.path.exists(marker), "marker erased by delete_event"
+        store.delete_stream("b")
+        assert store.streams() == ["a"]
+        cut = store.read_cold("a").collect()[2]["order_id"]
+        assert store.expire(cut) == 2
+        assert store.read_cold("a").count() == 3
+        assert store.compact() == 1
+        assert store.read_cold("a").count() == 3
+        assert os.path.exists(marker), "marker erased by maintenance"
+        store.clean()
+        assert store.read_all().count() == 0
+        assert os.path.exists(marker), "marker erased by clean"
+        # a fresh ingest after clean starts writing into the live gen
+        assert store.ingest(df.limit(3).repartition(1)) == 3
+        assert store.read_all().count() == 3
+    finally:
+        ev_mod.os.rename, ev_mod.os.replace = orig
+    assert set(replaced) <= {"_generation",
+                             os.path.basename(marker)}, replaced
+    # the fresh single-writer probe handle still sees the durable fact
+    probe = ev_mod.EventStore(spark, path)
+    assert probe.ever_multi_writer()

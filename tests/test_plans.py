@@ -539,3 +539,38 @@ def test_bcast_dim_gate_falls_back_to_shuffled_equi_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert got == expect
+
+
+def test_round8_rank_limit_pushdowns(spark, sf_dir):
+    """Round-8 rank <= k shapes must keep the two-stage WindowGroupLimit
+    (per-partition top-k before the exchange): the downtime gap census
+    (rank over filtered gaps) and the Zipf audit (rank <= 30 per
+    language) — the property that bounds their shuffle volume on
+    unbounded key spaces."""
+    import photon_spark.queries_pipeline as qp
+
+    for fn in (qp.q_events_downtime_gaps, qp.q_zipf_deviation_audit):
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "WindowGroupLimit" in plan, fn.__name__
+
+
+def test_skyline_global_window_input_is_bounded(spark, sf_dir):
+    """The Pareto query's unpartitioned window must consume the PHASE-1
+    candidate relation (mapInPandas local skyline), never the raw
+    table: the plan's single-partition exchange sits strictly above the
+    ArrowEvalPython/mapInPandas node, so the usually-banned shape is
+    fed only bounded input."""
+    from photon_spark.queries_relational import q_pareto_front_parts
+
+    plan = q_pareto_front_parts(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    lines = plan.splitlines()
+    single = next(i for i, ln in enumerate(lines)
+                  if "Exchange SinglePartition" in ln)
+    py = next(i for i, ln in enumerate(lines)
+              if "MapInPandas" in ln or "ArrowEvalPython" in ln
+              or "PythonMapInArrow" in ln)
+    # tree prints top-down: the exchange consuming the python node's
+    # output appears ABOVE it
+    assert single < py, plan

@@ -10,7 +10,16 @@ plans improve should have their budgets re-tightened by re-running this
 tool (review the diff: every decrease is a win to bank, every increase
 must be justified in the commit message).
 
-Usage: python tools/gen_plan_budgets.py [sf_dir]   (default sf0.001)
+By default the tool MERGES with the committed file taking the MAX per
+counter — a ceiling must cover every legitimate plan variant (the
+pair-cache consumers plan one extra exchange when the shared table is
+cold vs warm, and generation order decides which variant this run
+sees), so a plain regenerate would flap those budgets down and fail
+the next cold run. Pass ``--tighten`` to drop the ratchet and record
+exactly what this run observed (review every decrease as a win to
+bank, every increase as a regression to justify).
+
+Usage: python tools/gen_plan_budgets.py [--tighten] [sf_dir]
 """
 
 from __future__ import annotations
@@ -35,7 +44,10 @@ def plan_counts(plan: str) -> dict:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:]]
+    tighten = "--tighten" in args
+    args = [a for a in args if a != "--tighten"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     from photon_spark.session import get_spark
     from photon_spark import queries as q
 
@@ -50,6 +62,15 @@ def main():
             print(f"SKIP {name}: {exc}", file=sys.stderr)
             continue
         budgets[name] = plan_counts(plan)
+    if not tighten and os.path.exists(OUT):
+        # ratchet: a ceiling covers every plan variant ever observed
+        # (cold vs warm pair cache); only --tighten lowers it
+        with open(OUT) as f:
+            prev = json.load(f)
+        for name, b in budgets.items():
+            for k, v in prev.get(name, {}).items():
+                if b.get(k, 0) < v:
+                    b[k] = v
     with open(OUT, "w") as f:
         json.dump(budgets, f, indent=1, sort_keys=True)
         f.write("\n")

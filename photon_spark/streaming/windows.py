@@ -92,9 +92,10 @@ def downtime_monitor(events: DataFrame, gap_min_ns: int,
     bogus gap — run behind a watermarked sort or the ordered replay,
     the same contract the serial projection runner documents.
 
-    Works on batch DataFrames too (Spark evaluates
-    applyInPandasWithState's grouping identically), which is what the
-    equivalence test uses to pin it against the batch query.
+    STREAMING-ONLY input (applyInPandasWithState has no batch
+    evaluation mode); the batch form of the same census is the
+    events_downtime_gaps query, and the equivalence test pins this
+    operator against it through a real multi-batch stream.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,

@@ -310,45 +310,80 @@ class EventStore:
     # ------------------------------------------------------ generations
     # The rewrite paths (delete/expire/compact/clean) commit via a
     # GENERATION POINTER, not directory renames: new data is written to
-    # a fresh ``gen=<k+1>`` directory and ``_generation`` (one small
-    # file — the atomic-PUT primitive every object store has) is
-    # swapped to point at it; the old generation is then best-effort
-    # deleted. A crash at any point leaves either the old pointer (old
-    # data fully intact) or the new pointer (new data fully written
-    # first) — never a half-table, and never a POSIX ``os.rename`` of a
-    # data directory, which S3/GCS cannot do (the same protocol
-    # CdcMergeTable adopted; its ``_compacted_to`` marker is the
-    # pattern). Generation 0 is the store root itself, so every store
-    # written before this protocol reads unchanged.
+    # a fresh nonce-unique ``gen=<k+1>-<nonce>`` directory and
+    # ``_generation`` (one small file — the atomic-PUT primitive every
+    # object store has) is swapped to point at it BY NAME; the old
+    # generation is then best-effort deleted. A crash at any point
+    # leaves either the old pointer (old data fully intact) or the new
+    # pointer (new data fully written first) — never a half-table, and
+    # never a POSIX ``os.rename`` of a data directory, which S3/GCS
+    # cannot do (the same protocol CdcMergeTable adopted). The nonce
+    # makes coordination-free CONCURRENT maintenance safe too: two
+    # rewrites racing to ordinal k+1 write disjoint dirs and the
+    # pointer swap commits exactly one whole one — files can never
+    # interleave (the pre-nonce protocol had both writing mode=
+    # overwrite into the same ``gen=k+1``). Generation 0 is the store
+    # root itself and a bare-ordinal pointer still resolves to
+    # ``gen=<k>``, so stores written before this protocol read
+    # unchanged.
     _GEN_FILE = "_generation"
 
-    def _generation(self) -> int:
+    def _gen_pointer(self) -> tuple[int, str]:
+        """(ordinal, directory name) of the live generation; name ``""``
+        means the store root (generation 0). The pointer file holds
+        either a legacy bare ordinal ``k`` (directory ``gen=k``) or the
+        FULL directory name ``gen=<k>-<nonce>``: rewrites give every
+        target generation a nonce-unique directory, so two concurrent
+        maintainers computing the same next ordinal write to DISJOINT
+        dirs and the pointer swap picks exactly one whole directory —
+        the loser's files can never interleave into the committed
+        generation (they become an inert orphan dir the next rewrite's
+        winner, or an operator sweep, may delete; it is never read,
+        because reads only ever follow the pointer)."""
         gf = os.path.join(self.path, self._GEN_FILE)
-        if os.path.exists(gf):
-            with open(gf) as f:
-                return int(f.read().strip() or 0)
-        return 0
+        if not os.path.exists(gf):
+            return 0, ""
+        with open(gf) as f:
+            s = f.read().strip()
+        if not s:
+            return 0, ""
+        try:
+            g = int(s)
+            return g, ("" if g == 0 else f"gen={g}")
+        except ValueError:
+            ordinal = int(s.split("=", 1)[1].split("-", 1)[0])
+            return ordinal, s
 
-    def _data_dir(self, gen: int | None = None) -> str:
-        g = self._generation() if gen is None else gen
-        return self.path if g == 0 else os.path.join(self.path, f"gen={g}")
+    def _generation(self) -> int:
+        return self._gen_pointer()[0]
 
-    def _set_generation(self, gen: int) -> None:
+    def _data_dir(self) -> str:
+        name = self._gen_pointer()[1]
+        return self.path if not name else os.path.join(self.path, name)
+
+    def _new_gen_name(self, ordinal: int) -> str:
+        import uuid
+        return f"gen={int(ordinal)}-{uuid.uuid4().hex[:12]}"
+
+    def _set_generation(self, name: str) -> None:
+        """Commit a generation by name (``""`` = the root). One atomic
+        small-file replace — the object-store PUT primitive."""
         os.makedirs(self.path, exist_ok=True)
         gf = os.path.join(self.path, self._GEN_FILE)
         tmp = gf + f".tmp{self.writer_id}"
         with open(tmp, "w") as f:
-            f.write(str(int(gen)))
+            f.write(name or "0")
         os.replace(tmp, gf)
 
-    def _gc_generation(self, gen: int) -> None:
-        """Best-effort delete of a superseded generation. Root-level
-        markers (``_multi_writer``, ``_generation``) and live ``gen=``
-        dirs survive a generation-0 sweep — which also fixes the old
-        rename protocol silently erasing the multi-writer marker on
-        every rewrite."""
+    def _gc_generation(self, name: str) -> None:
+        """Best-effort delete of a superseded generation (by directory
+        name; ``""`` sweeps the root files). Root-level markers
+        (``_multi_writer``, ``_generation``) and live ``gen=`` dirs
+        survive a generation-0 sweep — which also fixes the old rename
+        protocol silently erasing the multi-writer marker on every
+        rewrite."""
         import shutil
-        if gen == 0:
+        if not name:
             if not os.path.isdir(self.path):
                 return
             for n in os.listdir(self.path):
@@ -358,7 +393,8 @@ class EventStore:
                 (shutil.rmtree if os.path.isdir(full)
                  else os.remove)(full)
         else:
-            shutil.rmtree(self._data_dir(gen), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.path, name),
+                          ignore_errors=True)
 
     # ---------------------------------------------------------------- write
     def _exists(self) -> bool:
@@ -501,15 +537,19 @@ class EventStore:
         data-directory rename anywhere, so the protocol runs unchanged
         on an object store (see the generations section above).
         """
-        old = self._generation()
+        old_ord, old_name = self._gen_pointer()
+        # nonce-unique target: concurrent rewrites racing to ordinal+1
+        # each own a private dir, so the pointer swap commits exactly
+        # one WHOLE generation (the loser's dir is orphaned, never read)
+        new_name = self._new_gen_name(old_ord + 1)
         (self._write_opts(
             self._encode(self.read_all().where(keep_predicate))
             .repartition("stream_name")
             .sortWithinPartitions("stream_name", "order_id")
             .write.mode("overwrite").partitionBy("stream_name"))
-         .save(self._data_dir(old + 1)))
-        self._set_generation(old + 1)
-        self._gc_generation(old)
+         .save(os.path.join(self.path, new_name)))
+        self._set_generation(new_name)
+        self._gc_generation(old_name)
         self._max_oid = None
 
     def delete_event(self, stream_name: str, order_id: int) -> None:
@@ -528,9 +568,9 @@ class EventStore:
         multi-writer fact) survive, as "ever" semantics require."""
         if not os.path.isdir(self.path):
             return
-        old = self._generation()
-        self._set_generation(old + 1)
-        self._gc_generation(old)
+        old_ord, old_name = self._gen_pointer()
+        self._set_generation(self._new_gen_name(old_ord + 1))
+        self._gc_generation(old_name)
         self._max_oid = None
 
     # ---------------------------------------------------------- maintenance

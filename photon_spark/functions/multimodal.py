@@ -373,6 +373,11 @@ def decode_png(content: bytes):
         if crc != (crc32(tag + data) & 0xFFFFFFFF):
             raise ValueError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
+            # the spec fixes IHDR at 13 bytes; a valid-CRC IHDR of any
+            # other length would raise struct.error here, escaping the
+            # per-row except-ValueError degrade contract downstream
+            if ln != 13:
+                raise ValueError(f"bad IHDR length {ln} (must be 13)")
             width, height, depth, ctype, comp, filt, ilace = \
                 struct.unpack(">IIBBBBB", data)
             if depth != 8 or ctype not in (0, 2, 3) or ilace != 0:

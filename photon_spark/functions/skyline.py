@@ -35,11 +35,37 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _require_integer_axes(df: DataFrame, x: str, y: str) -> None:
+    """Both skyline axes must be INTEGRAL. This is a semantic contract,
+    not a convenience: the global pass expresses "strictly smaller x" as
+    ``RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``, which on a
+    float x misses a dominator with 0 < dx < 1 (a strictly dominated row
+    would silently survive), and the local pass keeps its running-min
+    lag exact through a nullable Int64 cast that refuses non-integral
+    floats. Quantize float axes upstream (e.g. integer cents, epoch-ns)
+    — which is also what makes the result engine-portable at 6dp."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for axis, col in (("x", x), ("y", y)):
+        dt = by_name.get(col)
+        if dt is None:
+            raise ValueError(f"skyline: column {col!r} not in relation")
+        if not isinstance(dt, _INT_TYPES):
+            raise TypeError(
+                f"skyline: {axis} axis {col!r} has type {dt.simpleString()}"
+                " — both axes must be integral (byte/short/int/long); "
+                "quantize floats upstream (cents, epoch-ns, 6dp grid)")
 
 
 def local_skyline(df: DataFrame, x: str, y: str) -> DataFrame:
     """Phase 1: per-partition skyline (minimize ``x`` and ``y``).
-    Map-only — output schema equals input schema."""
+    Map-only — output schema equals input schema. Integer axes only
+    (see :func:`_require_integer_axes`)."""
+    _require_integer_axes(df, x, y)
     schema = df.schema
     xn, yn = x, y
 
@@ -71,8 +97,11 @@ def local_skyline(df: DataFrame, x: str, y: str) -> DataFrame:
 
 def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Full two-phase distributed skyline, minimizing ``x`` and ``y``
-    (negate a column upstream to maximize it). ``x`` must be numeric
-    (the global pass uses a RANGE frame on it)."""
+    (negate a column upstream to maximize it). BOTH axes must be
+    INTEGRAL — the global pass expresses strict x-dominance as a
+    ``RANGE ... 1 PRECEDING`` frame, which is only "strictly smaller"
+    on an integer axis (validated up front; quantize floats upstream)."""
+    _require_integer_axes(df, x, y)
     cand = local_skyline(df, x, y)
     w_same = Window.partitionBy(x)
     w_prev = (Window.orderBy(F.asc(x))

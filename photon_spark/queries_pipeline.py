@@ -2486,9 +2486,15 @@ def q_rolling_active_users(spark, sf_dir):
     # week with ZERO activity reports wau=0 instead of a missing row —
     # a silent gap would mask exactly the outage shape
     # events_downtime_gaps exists to surface
-    cal = bounds.select(F.explode(F.sequence(
-        F.col("lo") + F.lit((RAU_DAYS - 1) * day_ns),
-        F.col("hi"), F.lit(day_ns))).alias("day_ns"))
+    # Spark's sequence(start, stop) THROWS on start > stop (DuckDB's
+    # generate_series returns empty), so a dataset spanning fewer than
+    # RAU_DAYS distinct days must short-circuit to an empty calendar
+    # instead of crashing — matching the oracle on short spans
+    start = F.col("lo") + F.lit((RAU_DAYS - 1) * day_ns)
+    seq = F.when(start <= F.col("hi"),
+                 F.sequence(start, F.col("hi"), F.lit(day_ns))) \
+           .otherwise(F.array().cast("array<long>"))
+    cal = bounds.select(F.explode(seq).alias("day_ns"))
     counts = (expanded.distinct()
                       .groupBy("win_end")
                       .agg(F.count(F.lit(1)).alias("wau")))

@@ -408,3 +408,53 @@ def test_event_store_rename_free_rewrite_cycle(spark, tmp_path):
     # the fresh single-writer probe handle still sees the durable fact
     probe = ev_mod.EventStore(spark, path)
     assert probe.ever_multi_writer()
+
+
+def test_generation_pointer_is_nonce_unique_dir(spark, tmp_path):
+    """Concurrent-maintenance safety: every rewrite targets a
+    NONCE-UNIQUE generation dir whose full name is what the pointer
+    commits — two maintainers racing to ordinal k+1 own disjoint dirs,
+    so a loser's files can never interleave into the committed
+    generation. Also pins: legacy bare-ordinal pointers still resolve,
+    and an orphaned same-ordinal dir is never read."""
+    import os
+
+    import photon_spark.events as ev_mod
+
+    path = str(tmp_path / "store")
+    store = ev_mod.EventStore(spark, path)
+    df = spark.createDataFrame(
+        [("a", "t", str(i)) for i in range(4)],
+        "stream_name string, event_type string, local_id string")
+    store.ingest(df)
+    first = store.read_cold("a").first()["order_id"]
+    store.delete_event("a", first)
+    with open(os.path.join(path, "_generation")) as f:
+        name1 = f.read().strip()
+    # the pointer holds a FULL dir name: ordinal + nonce
+    assert name1.startswith("gen=1-") and os.path.isdir(
+        os.path.join(path, name1))
+    # a racing loser's dir at the SAME ordinal is inert: never read
+    orphan = os.path.join(path, "gen=1-deadbeefcafe")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.txt"), "w") as f:
+        f.write("not parquet")
+    assert store.read_all().count() == 3
+    # a second rewrite advances the ordinal with a fresh nonce
+    nxt = store.read_cold("a").first()["order_id"]
+    store.delete_event("a", nxt)
+    with open(os.path.join(path, "_generation")) as f:
+        name2 = f.read().strip()
+    assert name2.startswith("gen=2-") and name2 != name1
+    assert store.read_all().count() == 2
+    # legacy bare-ordinal pointer still resolves to gen=<k>
+    legacy_dir = os.path.join(path, "gen=7")
+    os.makedirs(legacy_dir, exist_ok=True)
+    (store.read_all().write.mode("overwrite")
+     .partitionBy("stream_name").parquet(legacy_dir))
+    with open(os.path.join(path, "_generation"), "w") as f:
+        f.write("7")
+    probe = ev_mod.EventStore(spark, path)
+    assert probe._generation() == 7
+    assert probe._data_dir().endswith("gen=7")
+    assert probe.read_all().count() == 2

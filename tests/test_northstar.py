@@ -648,3 +648,16 @@ def test_palette_png_rejects_corruption():
         multimodal.encode_palette_png(idx, [], 2, 2)
     with pytest.raises(ValueError, match="index out of"):
         multimodal.encode_palette_png(bytes([0, 5, 0, 0]), pal, 2, 2)
+
+
+def test_png_decode_rejects_bad_ihdr_length():
+    # a valid-CRC IHDR of length != 13 must raise ValueError (the
+    # per-row degrade contract), never escape as struct.error
+    import struct
+
+    ihdr14 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0) + b"\x00"
+    bad = (multimodal.PNG_SIG
+           + multimodal._png_chunk(b"IHDR", ihdr14)
+           + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR length"):
+        multimodal.decode_png(bad)

@@ -89,3 +89,24 @@ def test_skyline_exact_past_2_53(spark):
     # live in this range)
     rows = [(1, 1, 2**53 + 1), (2, 2, 2**53), (3, 3, 2**53 + 7)]
     _run(spark, rows, n_parts=2)
+
+
+def test_skyline_rejects_float_axes(spark):
+    # RANGE ... 1 PRECEDING is "strictly smaller" only on an integer
+    # axis: with float x, a dominator at 0 < dx < 1 falls outside the
+    # frame and a dominated row would silently survive — so float axes
+    # must be refused loudly, in BOTH phases
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 3), (2, 1.0, 1)], "k long, x double, y long")
+    with pytest.raises(TypeError, match="integral"):
+        skyline_2d(df, "x", "y")
+    with pytest.raises(TypeError, match="integral"):
+        local_skyline(df, "x", "y")
+    dfy = spark.createDataFrame(
+        [(1, 1, 0.5)], "k long, x long, y double")
+    with pytest.raises(TypeError, match="integral"):
+        skyline_2d(dfy, "x", "y")
+    with pytest.raises(ValueError, match="not in relation"):
+        skyline_2d(df, "nope", "y")

@@ -145,3 +145,21 @@ def test_idle_customers_anti_join_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert df.count() > 0  # the cutoff keeps the gate non-trivial
+
+
+def test_rolling_active_users_short_span(spark, tmp_path):
+    # a dataset spanning fewer than RAU_DAYS distinct days has no
+    # full trailing week: the calendar must be EMPTY (as the oracle's
+    # generate_series returns), not a sequence(start > stop) crash
+    import datetime as dt
+
+    from photon_spark.queries_pipeline import q_rolling_active_users
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 2, 12, 0, 0), i % 3,
+             "view", 1.0, "{}") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "short")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    assert q_rolling_active_users(spark, d).count() == 0

@@ -11,13 +11,13 @@ a skewed shuffle partition only for sort-merge joins after stats are
 known, while salting rewrites the key space so no partition is ever
 skewed in the first place.
 
-Both helpers are value-transparent: results equal the unsalted form
+All helpers are value-transparent: results equal the unsalted form
 row-for-row (pinned in tests on a constructed power-law key).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default salt fan-out — bounds any one key's share of a reduce task to
@@ -86,3 +86,102 @@ def salted_collect_list(df: DataFrame, key: str, value: str | Column,
         merged = merged.select(
             key, F.array_sort("values").alias("values"))
     return merged
+
+
+def bucketed_key_window(df: DataFrame, keys: list[str],
+                        order_cols: list[str], lead_cols: list[str],
+                        n_buckets: int = DEFAULT_SALT,
+                        rn_col: str = "_rn") -> DataFrame:
+    """Per-key ordered-window ops (``row_number`` + ``lead``) with NO
+    one-task-per-key ceiling — the salted two-pass fallback for the
+    ``scd2_history`` / sessionization window shape on power-law keys.
+
+    The plain form ``Window.partitionBy(keys).orderBy(order_cols)``
+    gives every key exactly one task: a key holding 40% of a 100 TB
+    changelog sorts its entire history in ONE executor's sort buffer,
+    and AQE's skew splitting cannot divide a window partition. This
+    kernel removes the ceiling while staying value-identical:
+
+    1. every row gets a deterministic RANGE bucket of its first order
+       column — ``(v - lo) div ceil(span / B)`` from a 1-row global
+       bounds aggregate; monotone in the value, so ordering by
+       (bucket, order) IS the per-key order, and equal values can
+       never straddle a bucket boundary (the tie-break columns stay
+       inside one bucket's local sort);
+    2. local ``row_number``/``lead`` run per (key, bucket) — a hot
+       key's history now spreads over ≤ B tasks, each sorting ~1/B of
+       it;
+    3. stitching is METADATA-sized: per (key, bucket), one count + the
+       bucket's first record (a min-struct aggregate, partial-combined
+       map-side). Offsets are a running sum over ≤ B rows per key, and
+       each bucket's last row takes its ``lead`` from the NEXT
+       non-empty bucket's first record (empty buckets simply don't
+       appear, so ``lead`` over the summary rows is exactly "next
+       non-empty"). The summary relation has ≤ |keys|·B rows — never
+       data-sized.
+
+    Cost: two keyed shuffles of the data (the (key, bucket) window and
+    the summary join) plus a |keys|·B-row aggregate, vs one shuffle for
+    the plain form — the documented ~2× premium that buys unbounded
+    per-key history. Adopt when one key's history exceeds an
+    executor's sort budget (SCALE.md's skewed-key-window section).
+
+    Boundary handoff is POSITIONAL (``local_rn == bucket count``), not
+    a null-coalesce on the local lead, so a legitimately-NULL lead
+    value inside a bucket is never clobbered by the next bucket's
+    first record.
+
+    Output: input columns + ``rn_col`` (global per-key row number,
+    long) + ``_next_<c>`` for each ``lead_cols`` entry (the per-key
+    ``lead(c)``; NULL on each key's true last row).
+    """
+    first_ord = order_cols[0]
+    bounds = df.agg(F.min(first_ord).alias("lo"),
+                    F.max(first_ord).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        # empty input: emit the right schema with zero rows
+        out = df.withColumn(rn_col, F.lit(None).cast("long"))
+        for c in lead_cols:
+            out = out.withColumn(f"_next_{c}", F.col(c))
+        return out.where(F.lit(False))
+    # overflow-free integer bucket width: div-first, never (v-lo)*B;
+    # and integer DIV, never float `/` — epoch-ns values live past
+    # 2^53 where float64 division would alias adjacent buckets
+    width = max(1, (int(hi) - int(lo)) // int(n_buckets) + 1)
+    d = df.withColumn(
+        "_bkt", F.expr(f"(`{first_ord}` - {int(lo)}L) "
+                       f"DIV {width}L").cast("long"))
+
+    w_local = (Window.partitionBy(*keys, "_bkt")
+                     .orderBy(*[F.asc(c) for c in order_cols]))
+    loc = d.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    for c in lead_cols:
+        loc = loc.withColumn(f"_llead_{c}", F.lead(c).over(w_local))
+
+    rec_cols = list(order_cols) + [c for c in lead_cols
+                                   if c not in order_cols]
+    summary = (d.groupBy(*keys, "_bkt")
+                .agg(F.count(F.lit(1)).alias("_cnt"),
+                     F.min(F.struct(*rec_cols)).alias("_first")))
+    w_key = Window.partitionBy(*keys).orderBy("_bkt")
+    summary = (summary
+               .withColumn("_off",
+                           F.coalesce(
+                               F.sum("_cnt").over(
+                                   w_key.rowsBetween(
+                                       Window.unboundedPreceding, -1)),
+                               F.lit(0)))
+               .withColumn("_nxt", F.lead("_first").over(w_key)))
+
+    joined = loc.join(summary, [*keys, "_bkt"])
+    out = joined.withColumn(rn_col, (F.col("_off") + F.col("_lrn")))
+    last_in_bucket = F.col("_lrn") == F.col("_cnt")
+    for c in lead_cols:
+        out = out.withColumn(
+            f"_next_{c}",
+            F.when(last_in_bucket, F.col("_nxt")[c])
+             .otherwise(F.col(f"_llead_{c}")))
+    drop = (["_bkt", "_lrn", "_cnt", "_first", "_off", "_nxt"]
+            + [f"_llead_{c}" for c in lead_cols])
+    return out.drop(*drop)

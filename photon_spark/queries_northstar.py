@@ -1213,17 +1213,7 @@ def q_mutual_knn_pairs(spark, sf_dir):
     filter costs one hash join over bounded input at any corpus size.
     """
     g = similarity.knn_graph(_emb(spark, sf_dir), k=KNN_K)
-    from pyspark.sql import Window
-    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
-    r = g.withColumn("rank", F.row_number().over(w).cast("long"))
-    fwd = (r.where(F.col("id") < F.col("nbr"))
-            .select(F.col("id").alias("lo_id"), F.col("nbr").alias("hi_id"),
-                    "cosine", F.col("rank").alias("lo_rank")))
-    rev = (r.where(F.col("id") > F.col("nbr"))
-            .select(F.col("nbr").alias("lo_id"), F.col("id").alias("hi_id"),
-                    F.col("rank").alias("hi_rank")))
-    return fwd.join(rev, ["lo_id", "hi_id"]).select(
-        "lo_id", "hi_id", "cosine", "lo_rank", "hi_rank")
+    return _mutual_pairs_from_graph(g)
 
 
 SQL_MUTUAL_KNN_PAIRS = f"""
@@ -1398,6 +1388,93 @@ WHERE rn <= {KNN_K}
 """
 
 
+def q_mutual_knn_pairs_ivf(spark, sf_dir):
+    """MUTUAL-kNN over the IVF-MANIFEST graph — the PRODUCTION tier of
+    mutual_knn_pairs: the directed kNN relation comes from
+    similarity.knn_graph_ivf (GEMM tasks pruned to the per-cell n_probe
+    most-similar cells — ~n_cells·n_probe tasks instead of n_cells²/2),
+    and the mutual filter is the identical one-hash-join-on-the-
+    reversed-pair over that k·n manifest. This is the one-argument tier
+    swap label_eval_from_graph documents, now hash-gated on the scale
+    path itself: at 100 TB the flops are manifest-bounded and the
+    mutual join input is k·n rows, never the corpus².
+
+    Recall of the IVF tier vs the exact tier is floor-pinned in
+    tests/test_knn.py; here the oracle REBUILDS the same deterministic
+    manifest + graph in SQL, so the hash gate proves the pruned tier's
+    mutual symmetrization value-for-value."""
+    from photon_spark.queries_curation import KM_ITERS, KM_K
+    g = similarity.knn_graph_ivf(_emb(spark, sf_dir), k=KNN_K,
+                                 n_cells=KM_K, n_probe=KNN_IVF_PROBE,
+                                 iters=KM_ITERS)
+    return _mutual_pairs_from_graph(g)
+
+
+def _mutual_pairs_from_graph(g):
+    """Mutual symmetrization of ANY (id, nbr, cosine) kNN relation —
+    exact (knn_graph) and IVF (knn_graph_ivf) tiers share this consumer
+    exactly as label_eval_from_graph is shared by the eval rows."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
+    r = g.withColumn("rank", F.row_number().over(w).cast("long"))
+    fwd = (r.where(F.col("id") < F.col("nbr"))
+            .select(F.col("id").alias("lo_id"), F.col("nbr").alias("hi_id"),
+                    "cosine", F.col("rank").alias("lo_rank")))
+    rev = (r.where(F.col("id") > F.col("nbr"))
+            .select(F.col("nbr").alias("lo_id"), F.col("id").alias("hi_id"),
+                    F.col("rank").alias("hi_rank")))
+    return fwd.join(rev, ["lo_id", "hi_id"]).select(
+        "lo_id", "hi_id", "cosine", "lo_rank", "hi_rank")
+
+
+def _sql_mutual_knn_pairs_ivf() -> str:
+    from photon_spark.queries_curation import _km_ctes
+    return f"""
+WITH {_km_ctes()},
+cn AS (
+  SELECT cl, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+           AS nv
+  FROM c2
+),
+man AS (
+  SELECT DISTINCT least(ca, cb) AS lo, greatest(ca, cb) AS hi
+  FROM (
+    SELECT a.cl AS ca, b.cl AS cb,
+           row_number() OVER (
+             PARTITION BY a.cl
+             ORDER BY round(list_dot_product(a.nv, b.nv), 6) DESC, b.cl
+           ) AS rn
+    FROM cn a CROSS JOIN cn b)
+  WHERE rn <= {KNN_IVF_PROBE}
+),
+cand AS (
+  SELECT x.vec_id AS id, y.vec_id AS nbr
+  FROM a2 x JOIN a2 y ON x.vec_id <> y.vec_id
+  JOIN man m ON least(x.cl, y.cl) = m.lo AND greatest(x.cl, y.cl) = m.hi
+),
+scored AS (
+  SELECT c.id, c.nbr,
+         round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                      e2.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings e1 ON c.id = e1.vec_id
+  JOIN embeddings e2 ON c.nbr = e2.vec_id
+),
+knn AS (
+  SELECT id, nbr, cosine, rn FROM (
+    SELECT id, nbr, cosine,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cosine DESC, nbr) AS rn
+    FROM scored)
+  WHERE rn <= {KNN_K}
+)
+SELECT f.id AS lo_id, f.nbr AS hi_id, f.cosine,
+       CAST(f.rn AS BIGINT) AS lo_rank, CAST(r.rn AS BIGINT) AS hi_rank
+FROM knn f JOIN knn r ON r.id = f.nbr AND r.nbr = f.id
+WHERE f.id < f.nbr
+"""
+
+
 #: palette fixture size for the gated indexed-color decode relation
 PAL_PNG_N = 48
 
@@ -1534,6 +1611,7 @@ QUERIES = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "knn_graph": q_knn_graph,
     "mutual_knn_pairs": q_mutual_knn_pairs,
+    "mutual_knn_pairs_ivf": q_mutual_knn_pairs_ivf,
     "knn_label_eval": q_knn_label_eval,
     "audio_window_energy": q_audio_window_energy,
     "image_decode_stats": q_image_decode_stats,
@@ -1571,6 +1649,7 @@ ORACLES = {
     "ivf_pq_topk": _sql_ivf_pq_topk(),
     "knn_graph": SQL_KNN_GRAPH,
     "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
+    "mutual_knn_pairs_ivf": _sql_mutual_knn_pairs_ivf(),
     "knn_label_eval": SQL_KNN_LABEL_EVAL,
     "audio_window_energy": SQL_AUDIO_WINDOW_ENERGY,
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,

@@ -1475,6 +1475,46 @@ WINDOW w AS (PARTITION BY user_id, event_type
 """
 
 
+#: time-range fan-out of the salted SCD2 build — each key's history
+#: spreads over ≤ this many tasks instead of exactly one
+SCD2_SALT_BUCKETS = 16
+
+
+def q_scd2_history_salted(spark, sf_dir):
+    """The SAME SCD2 relation as ``scd2_history`` built through the
+    salted two-pass hot-key window kernel (skew.bucketed_key_window) —
+    the fallback that removes the one-task-per-key ceiling: a key
+    holding 40% of the changelog sorts ~1/{SCD2_SALT_BUCKETS} of its
+    history per task instead of all of it in one.
+
+    Gated against the IDENTICAL oracle as the plain row, so the hash
+    gate itself proves the two-pass stitch (range-bucket by ts, local
+    row_number/lead per (key, bucket), metadata-sized boundary handoff)
+    is value-identical — the row-identity contract SCALE.md's
+    skewed-key-window section documents. Cost at uniform keys is the
+    measured ~2× premium (one extra keyed shuffle + the summary join);
+    the payoff regime is a key whose history exceeds an executor's
+    sort budget, where the plain form stalls a stage forever.
+    """
+    from photon_spark.functions.skew import bucketed_key_window
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    g = bucketed_key_window(e, ["user_id", "event_type"],
+                            ["ts", "event_id"], ["ts"],
+                            n_buckets=SCD2_SALT_BUCKETS)
+    return g.select("user_id", "event_type",
+                    F.col("_rn").cast("long").alias("version_n"),
+                    F.col("event_id").alias("src_event_id"),
+                    F.col("ts").alias("valid_from_ns"),
+                    F.col("_next_ts").alias("valid_to_ns"),
+                    (F.col("_next_ts") - F.col("ts"))
+                     .alias("valid_for_ns"),
+                    F.when(F.col("_next_ts").isNull(), 1).otherwise(0)
+                     .cast("long").alias("is_current"),
+                    F.round(F.col("cents") / 100.0, 2).alias("value"))
+
+
 # ------------------------------------------------------- upsert merge
 
 #: MERGE window: base snapshot is state before Jan 3; the incoming batch
@@ -1714,6 +1754,7 @@ QUERIES = {
     "schema_drift_audit": q_schema_drift_audit,
     "upsert_merge": q_upsert_merge,
     "scd2_history": q_scd2_history,
+    "scd2_history_salted": q_scd2_history_salted,
     "cdc_merge_state": q_cdc_merge_state,
     "cdc_time_travel": q_cdc_time_travel,
 }
@@ -1744,6 +1785,7 @@ ORACLES = {
     "schema_drift_audit": SQL_SCHEMA_DRIFT_AUDIT,
     "upsert_merge": SQL_UPSERT_MERGE,
     "scd2_history": SQL_SCD2_HISTORY,
+    "scd2_history_salted": SQL_SCD2_HISTORY,
     "cdc_merge_state": SQL_CDC_MERGE_STATE,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
 }

@@ -165,36 +165,23 @@ def test_mutual_filter_composes_on_ivf_manifest(spark, sf_dir):
     graph and (b) its survivor set is a subset-with-high-overlap of the
     exact mutual pairs — the recall argument for serving the mutual
     filter off IVF at 100 TB."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from photon_spark.queries_northstar import (q_mutual_knn_pairs,
+                                                q_mutual_knn_pairs_ivf)
 
-    from photon_spark.functions import similarity
-    from photon_spark.queries_curation import KM_ITERS, KM_K
-    from photon_spark.queries_northstar import (KNN_IVF_PROBE, KNN_K,
-                                                q_mutual_knn_pairs)
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-    def mutual(g):
-        w = Window.partitionBy("id").orderBy(F.desc("cosine"),
-                                             F.asc("nbr"))
-        r = g.withColumn("rank", F.row_number().over(w))
-        fwd = (r.where(F.col("id") < F.col("nbr"))
-                .select(F.col("id").alias("lo"), F.col("nbr").alias("hi"),
-                        "cosine"))
-        rev = (r.where(F.col("id") > F.col("nbr"))
-                .select(F.col("nbr").alias("lo"), F.col("id").alias("hi")))
-        return fwd.join(rev, ["lo", "hi"])
-
-    ivf = similarity.knn_graph_ivf(emb, k=KNN_K, n_cells=KM_K,
-                                   n_probe=KNN_IVF_PROBE, iters=KM_ITERS)
-    rows = mutual(ivf).collect()
-    got_ivf = {(r["lo"], r["hi"]) for r in rows}
+    ivf_df = q_mutual_knn_pairs_ivf(spark, sf_dir)
+    rows = ivf_df.collect()
+    got_ivf = {(r["lo_id"], r["hi_id"]) for r in rows}
     exact = {(r["lo_id"], r["hi_id"])
              for r in q_mutual_knn_pairs(spark, sf_dir).collect()}
     # composition mechanics: non-empty, unique, lo < hi
     assert got_ivf and len(rows) == len(got_ivf)
     assert all(lo < hi for lo, hi in got_ivf)
+    # the gated row's plan runs the PRUNED tier: its GEMM block pairs
+    # are filtered through the broadcast manifest relation (the
+    # createDataFrame literal shows as ExistingRDD; the exact tier's
+    # plan has none)
+    plan = (ivf_df._jdf.queryExecution().executedPlan().toString())
+    assert "ExistingRDD" in plan
     # recall honesty: a mutual pair needs BOTH directed edges to
     # survive cell pruning, so mutual-recall compounds roughly as
     # per-edge-recall² (~0.75² ≈ 0.57 at this probe setting) — pin the

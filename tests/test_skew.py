@@ -102,3 +102,98 @@ def test_skew_salted_agg_plan_uses_salt_keys(spark, sf_dir):
     salt_joins = [ln for ln in plan.splitlines()
                   if "Join" in ln and "_salt" in ln]
     assert salt_joins, plan
+
+
+def _plain_window(df, keys, order_cols, lead_cols):
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    out = df.withColumn("_rn", F.row_number().over(w).cast("long"))
+    for c in lead_cols:
+        out = out.withColumn(f"_next_{c}", F.lead(c).over(w))
+    return out
+
+
+def test_bucketed_key_window_row_identity_hot_key(spark):
+    """The salted two-pass window equals the plain per-key window
+    ROW-FOR-ROW on a constructed 40%-hot-key history — the SCALE.md
+    row-identity contract for the scd2_history fallback regime."""
+    from photon_spark.functions.skew import bucketed_key_window
+
+    n = 50_000
+    base = 1_700_000_000_000_000_000  # epoch-ns territory (past 2^53)
+    df = (spark.range(n)
+          .select(F.when(F.col("id") % 10 < 4, 0)
+                   .otherwise(F.col("id") % 500 + 1).alias("k"),
+                  # non-monotone ts with DUPLICATES (id tie-break does
+                  # the ordering work), spanning bucket boundaries
+                  (F.lit(base) + (F.col("id") * 7919) % 100_000
+                   * 1_000_000_000).alias("ts"),
+                  F.col("id").alias("eid"),
+                  (F.col("id") % 97).alias("payload")))
+    got = bucketed_key_window(df, ["k"], ["ts", "eid"], ["ts", "payload"],
+                              n_buckets=16)
+    want = _plain_window(df, ["k"], ["ts", "eid"], ["ts", "payload"])
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    sym = (got.select(cols).exceptAll(want.select(cols)).count()
+           + want.select(cols).exceptAll(got.select(cols)).count())
+    assert sym == 0
+    assert got.count() == n
+
+
+def test_bucketed_key_window_null_lead_values_inside_bucket(spark):
+    # a legitimately-NULL lead VALUE inside a bucket must not be
+    # clobbered by the next bucket's first record (positional handoff)
+    from photon_spark.functions.skew import bucketed_key_window
+
+    rows = [(1, 10, 1, None), (1, 11, 2, 5), (1, 12, 3, None),
+            (1, 200, 4, 7), (2, 10, 5, None)]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, eid long, payload long")
+    got = bucketed_key_window(df, ["k"], ["ts", "eid"], ["payload"],
+                              n_buckets=4)
+    want = _plain_window(df, ["k"], ["ts", "eid"], ["payload"])
+    cols = sorted(got.columns)
+    assert ({tuple(r) for r in got.select(cols).collect()}
+            == {tuple(r) for r in want.select(cols).collect()})
+
+
+def test_bucketed_key_window_degenerate_inputs(spark):
+    from photon_spark.functions.skew import bucketed_key_window
+
+    schema = "k long, ts long, eid long"
+    empty = spark.createDataFrame([], schema)
+    out = bucketed_key_window(empty, ["k"], ["ts", "eid"], ["ts"])
+    assert out.count() == 0
+    assert "_rn" in out.columns and "_next_ts" in out.columns
+    # single row; and all rows at ONE ts value (width collapses to 1)
+    one = spark.createDataFrame([(1, 5, 1), (1, 5, 2), (2, 5, 3)], schema)
+    got = bucketed_key_window(one, ["k"], ["ts", "eid"], ["ts"],
+                              n_buckets=8)
+    want = _plain_window(one, ["k"], ["ts", "eid"], ["ts"])
+    cols = sorted(got.columns)
+    assert ({tuple(r) for r in got.select(cols).collect()}
+            == {tuple(r) for r in want.select(cols).collect()})
+
+
+def test_bucketed_key_window_spreads_hot_key_tasks(spark):
+    """The structural claim: a hot key's history occupies MULTIPLE
+    (key, bucket) groups, so no single task sorts it all."""
+    from photon_spark.functions.skew import bucketed_key_window
+
+    n = 20_000
+    df = (spark.range(n)
+          .select(F.lit(0).alias("k"), F.col("id").alias("ts"),
+                  F.col("id").alias("eid")))
+    out = bucketed_key_window(df, ["k"], ["ts", "eid"], ["ts"],
+                              n_buckets=16)
+    # the local window's partition key includes the bucket: count
+    # distinct buckets the hot key actually landed in
+    from pyspark.sql import Window as W
+    # re-derive buckets the same way to observe the spread
+    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan  # local window partitions on (keys, _bkt)
+    # and value-wise the global row numbers are the full 1..n sequence
+    rns = [r[0] for r in out.select("_rn").orderBy("_rn").collect()]
+    assert rns == list(range(1, n + 1))

@@ -574,3 +574,145 @@ def test_skyline_global_window_input_is_bounded(spark, sf_dir):
     # tree prints top-down: the exchange consuming the python node's
     # output appears ABOVE it
     assert single < py, plan
+
+
+def _split_top_brackets(s: str) -> list:
+    """Split a physical Window node's printed argument list into its
+    top-level ``], [`` segments (bracket/paren-depth aware — the expr
+    segment nests windowspecdefinition parens)."""
+    segs, depth, cur, i = [], 0, "", 0
+    while i < len(s):
+        if s.startswith("], [", i) and depth == 0:
+            segs.append(cur)
+            cur = ""
+            i += 4
+            continue
+        ch = s[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            if depth == 0:
+                segs.append(cur)
+                return segs
+            depth -= 1
+        cur += ch
+        i += 1
+    segs.append(cur)
+    return segs
+
+
+def _count_global_windows(plan: str) -> int:
+    """Physical Window nodes with NO partition spec — the shape that
+    funnels ALL data through one task. WindowExec prints
+    ``Window [exprs], [partitionSpec], [orderSpec]`` and omits empty
+    specs, so an unpartitioned-but-ordered window prints two segments
+    whose SECOND is an order spec (``ASC NULLS``/``DESC NULLS``),
+    while a partitioned-but-unordered window's second segment is bare
+    column refs."""
+    n = 0
+    for ln in plan.splitlines():
+        st = ln.strip()
+        idx = st.find("Window [")
+        if idx == -1 or "WindowGroupLimit" in st:
+            continue
+        segs = _split_top_brackets(st[idx + len("Window ["):])
+        if len(segs) == 1:
+            n += 1
+        elif len(segs) == 2 and ("ASC NULLS" in segs[1]
+                                 or "DESC NULLS" in segs[1]):
+            n += 1
+    return n
+
+
+#: nodes that bound a global window's input: an aggregation (output is
+#: |group keys|-sized), a limit, or a phase-1 python kernel (the
+#: skyline local pass) somewhere beneath the window in the plan tree
+_BOUNDING_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                   "TakeOrderedAndProject", "GlobalLimit",
+                   "WindowGroupLimit", "MapInPandas", "ArrowEvalPython",
+                   "PythonMapInArrow", "LocalTableScan")
+
+
+def test_no_unbounded_global_windows_registry_wide(spark, sf_dir):
+    """Registry-wide lint generalizing the skyline phase-separation pin:
+    an UNPARTITIONED window funnels its whole input through one task,
+    so it is allowed ONLY when that input is structurally bounded — an
+    aggregate / limit / phase-1 kernel must sit beneath it in the plan,
+    and the query must carry a one-line boundedness justification here
+    (exactly the NLJ-allowlist contract). Adding a global window over
+    an unbounded relation fails with the query named."""
+    from photon_spark import queries as q
+
+    global_window_ok = {
+        # rank window over the 6dp score GRID (group-by score first):
+        # input ≤ |distinct rounded scores|, never |examples|
+        "classifier_auc_rank": "6dp score-grid relation",
+        # top-k rank over the posting-intersection survivors of ONE
+        # query's terms (docs holding every term — collapses map-side)
+        "conjunctive_search_topk": "per-query posting intersection",
+        # RRF fusion ranks the UNION OF TWO TOP-K lists (≤ 2k rows)
+        "hybrid_rrf_topk": "union of two top-k lists",
+        # phase-2 skyline consumes phase-1 local-skyline survivors
+        # (structural pin: test_skyline_global_window_input_is_bounded)
+        "pareto_front_parts": "local-skyline phase-1 survivors",
+        # month-over-month lag over the per-month revenue AGGREGATE
+        "revenue_trend": "per-month aggregate (|months| rows)",
+        # cumulative sum over the per-day new-user AGGREGATE
+        "user_growth_accumulation": "per-day aggregate (|days| rows)",
+        # Heaps-law curve: cumulative over per-bucket vocab AGGREGATE
+        "vocab_growth_curve": "per-bucket aggregate (|buckets| rows)",
+    }
+    failures = []
+    for name, fn in q.QUERIES.items():
+        try:
+            plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                    .executedPlan().toString())
+        except Exception as exc:
+            failures.append((name, f"plan build failed: {exc}"))
+            continue
+        n = _count_global_windows(plan)
+        if n == 0:
+            if name in global_window_ok:
+                failures.append(
+                    (name, "allowlisted but has no global window — "
+                           "remove the stale entry"))
+            continue
+        if name not in global_window_ok:
+            failures.append(
+                (name, f"{n} unpartitioned Window node(s) and no "
+                       "boundedness justification in "
+                       "global_window_ok"))
+            continue
+        # structural check: a bounding node beneath the window
+        lines = plan.splitlines()
+        widx = next(i for i, ln in enumerate(lines)
+                    if "Window [" in ln and "WindowGroupLimit" not in ln)
+        below = "\n".join(lines[widx:])
+        if not any(tok in below for tok in _BOUNDING_NODES):
+            failures.append(
+                (name, "global window has no aggregate/limit/phase-1 "
+                       "node beneath it"))
+    assert not failures, failures
+
+
+def test_global_window_detector_self_check(spark):
+    """The lint's detector must actually fire on an unbounded global
+    window (else the registry lint is vacuously green) and stay silent
+    on partitioned or partition-only windows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"),
+                                 (F.col("id") % 7).alias("k"))
+    bad = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id")))
+    assert _count_global_windows(
+        bad._jdf.queryExecution().executedPlan().toString()) == 1
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id")))
+    assert _count_global_windows(
+        good._jdf.queryExecution().executedPlan().toString()) == 0
+    part_only = df.withColumn(
+        "m", F.max("id").over(Window.partitionBy("k")))
+    assert _count_global_windows(
+        part_only._jdf.queryExecution().executedPlan().toString()) == 0

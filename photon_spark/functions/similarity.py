@@ -273,6 +273,115 @@ def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+# --------------------------------------------- IVF index generations
+# The materialized IVF index adopts the EventStore generation-pointer
+# commit (events.py): the live generation is named by ONE small
+# ``_generation`` file (atomic PUT); a retrain writes a complete new
+# ``gen=<k>-<nonce>`` directory (fresh centroids + full re-assigned
+# base) and swaps the pointer; readers resolve the pointer first, so a
+# probe running DURING a retrain serves the old generation to the end
+# and a crash mid-retrain leaves the old generation live (the
+# half-written new dir is an inert orphan). Indexes built before this
+# protocol have no pointer file and resolve to the root — unchanged.
+
+_IVF_GEN_FILE = "_generation"
+_IVF_CENTS_FILE = "_centroids.json"
+
+
+def _ivf_gen_pointer(path: str) -> tuple[int, str]:
+    """(ordinal, dir name) of the live index generation; ``""`` = root."""
+    import os
+    gf = os.path.join(path, _IVF_GEN_FILE)
+    if not os.path.exists(gf):
+        return 0, ""
+    with open(gf) as f:
+        s = f.read().strip()
+    if not s or s == "0":
+        return 0, ""
+    return int(s.split("=", 1)[1].split("-", 1)[0]), s
+
+
+def _ivf_data_dir(path: str) -> str:
+    import os
+    name = _ivf_gen_pointer(path)[1]
+    return path if not name else os.path.join(path, name)
+
+
+def _save_ivf_centroids(data_dir: str, cents) -> None:
+    import json
+    import os
+    os.makedirs(data_dir, exist_ok=True)
+    with open(os.path.join(data_dir, _IVF_CENTS_FILE), "w") as f:
+        json.dump([[int(c), [float(x) for x in v]] for c, v in cents], f)
+
+
+def load_ivf_centroids(path: str) -> list[tuple[int, list[float]]]:
+    """The LIVE generation's coarse centroids — what every probe must
+    rank cells with (a probe pairing fresh centroids with a stale data
+    generation, or vice versa, silently mis-prunes)."""
+    import json
+    import os
+    with open(os.path.join(_ivf_data_dir(path), _IVF_CENTS_FILE)) as f:
+        return [(int(c), [float(x) for x in v]) for c, v in json.load(f)]
+
+
+def retrain_ivf_index(spark, path: str, n_cells: int | None = None,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Close the loop the staleness audit (q_ivf_staleness_audit) opens:
+    re-train coarse centroids over EVERYTHING the live generation holds
+    (base + every appended batch), re-assign the whole corpus under the
+    fresh centroids into a complete new generation directory, and make
+    it live with one atomic pointer swap — the FAISS retrain done the
+    EventStore ``gen=`` way (events.py generations section).
+
+    Crash-safe at every step: before the swap, readers resolve the old
+    pointer and see the old generation whole (the new dir is an inert
+    orphan a re-run deletes); after the swap, the old generation is
+    best-effort deleted and any probe already reading it finishes
+    against immutable files. Returns the fresh centroid list (also
+    persisted in the new generation's ``_centroids.json``).
+
+    Scale shape: one read of the index (cell-partitioned parquet), one
+    deterministic train (driver-tiny centroid list), one map-only
+    Arrow re-assignment, one cell-partitioned write — O(index), no
+    shuffle beyond the per-cell repartition the original build pays.
+    """
+    import os
+    import shutil
+    import uuid
+
+    old_ord, old_name = _ivf_gen_pointer(path)
+    live = _ivf_data_dir(path)
+    df = spark.read.parquet(live).select(id_col, vec_col)
+    if n_cells is None:
+        n_cells = len(load_ivf_centroids(path))
+    cents = ivf_train_cells(df, n_cells, vec_col, id_col)
+    new_name = f"gen={old_ord + 1}-{uuid.uuid4().hex[:12]}"
+    new_dir = os.path.join(path, new_name)
+    _write_ivf_batch(df, new_dir, "base", cents, vec_col, id_col)
+    _save_ivf_centroids(new_dir, cents)
+    # THE commit: one atomic small-file replace
+    tmp = os.path.join(path, _IVF_GEN_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, os.path.join(path, _IVF_GEN_FILE))
+    # best-effort GC of the superseded generation (root sweep keeps
+    # markers and gen dirs, exactly the EventStore rule) + orphans
+    if old_name:
+        shutil.rmtree(os.path.join(path, old_name), ignore_errors=True)
+    else:
+        for n in os.listdir(path):
+            if n.startswith(("gen=", "_", ".")):
+                continue
+            full = os.path.join(path, n)
+            (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    for n in os.listdir(path):
+        if n.startswith("gen=") and n != new_name:
+            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+    return cents
+
+
 def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id"):
@@ -291,6 +400,10 @@ def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
     cents = ivf_train_cells(df, n_cells, vec_col, id_col)
     shutil.rmtree(out_dir, ignore_errors=True)
     _write_ivf_batch(df, out_dir, "base", cents, vec_col, id_col)
+    # persist the training output beside the data: retrain_ivf_index
+    # and pointer-resolving probes load centroids from the live
+    # generation instead of trusting a caller-held copy to match
+    _save_ivf_centroids(out_dir, cents)
     return cents
 
 
@@ -319,11 +432,14 @@ def append_to_ivf_index(spark, index_dir: str,
     with cell pruning intact (cell_id remains a partition level under
     every batch dir); identity index(A)+add(B) ≡ index over A∪B assigned
     with A's centroids is pinned in tests."""
-    _write_ivf_batch(new_df, index_dir, tag, cents, vec_col, id_col)
+    # appends land in the LIVE generation (pointer resolved per call,
+    # so an append issued after a retrain's swap joins the fresh gen)
+    _write_ivf_batch(new_df, _ivf_data_dir(index_dir), tag, cents,
+                     vec_col, id_col)
 
 
 def ivf_topk_from_index(spark, index_dir: str,
-                        cents: list[tuple[int, list[float]]],
+                        cents: list[tuple[int, list[float]]] | None,
                         query_vec: list[float] | int, k: int = 10,
                         n_probe: int = 4, vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
@@ -331,8 +447,17 @@ def ivf_topk_from_index(spark, index_dir: str,
     semantics as :func:`ivf_topk` (shared probe_cells ranking, exact
     Catalyst cosine scoring), but the cell filter prunes PARTITIONS of
     the stored index instead of screening rows — the difference between
-    "scan everything, keep 1/4" and "read 1/4 of the files"."""
-    idx = spark.read.parquet(index_dir)
+    "scan everything, keep 1/4" and "read 1/4 of the files".
+
+    The generation pointer is resolved ONCE here, so a probe started
+    during a retrain serves the old generation end-to-end (old data
+    with old centroids — never a mixed pairing). Pass ``cents=None``
+    to rank cells with the live generation's own persisted centroids
+    (the safe default once retrains run)."""
+    live = _ivf_data_dir(index_dir)
+    if cents is None:
+        cents = load_ivf_centroids(index_dir)
+    idx = spark.read.parquet(live)
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec

@@ -190,3 +190,121 @@ def test_mutual_filter_composes_on_ivf_manifest(spark, sf_dir):
     recall = len(got_ivf & exact) / len(exact)
     assert recall >= 0.5, (recall, len(got_ivf), len(exact))
     assert len(got_ivf) <= 1.2 * len(exact)
+
+
+def _drifted_fixture(spark):
+    """Base corpus: 4 tight modes along e0..e3, with ids 0..3 planted
+    as the mode exemplars (the lowest-id training convention makes them
+    the stale centroids). Drifted batch: a mode along e6 the stale
+    centroids never saw, with id 4 planted as its exemplar so a fresh
+    n_cells=5 retrain picks it up."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    dim = 8
+
+    def vec(center, spread=0.05):
+        return [float(x) for x in center + rng.normal(0, spread, dim)]
+
+    rows_base, rows_drift = [], []
+    centers = []
+    for c in range(4):
+        center = np.zeros(dim)
+        center[c] = 1.0
+        centers.append(center)
+        rows_base.append((c, vec(center, 0.0)))  # exemplar, id c
+        for j in range(50):
+            rows_base.append((1000 + c * 50 + j, vec(center)))
+    drift_center = np.zeros(dim)
+    drift_center[6] = 1.0
+    rows_drift.append((4, vec(drift_center, 0.0)))  # exemplar, id 4
+    for j in range(99):
+        rows_drift.append((100 + j, vec(drift_center)))
+    schema = "vec_id long, embedding array<double>"
+    return (spark.createDataFrame(rows_base, schema),
+            spark.createDataFrame(rows_drift, schema))
+
+
+def test_ivf_retrain_and_swap(spark, tmp_path):
+    """The retrain-and-swap maintenance op (VERDICT r8 #4): staleness
+    the audit measures becomes an ACTION — retrain over base+appends,
+    commit a complete new generation via the atomic pointer, recall on
+    the drifted slice recovers; a probe resolved during the retrain
+    reads the OLD generation; a crash mid-retrain leaves the old
+    generation live and a re-run converges."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    base, drift = _drifted_fixture(spark)
+    path = os.path.join(str(tmp_path), "ivf")
+    cents0 = similarity.materialize_ivf_index(base, path, n_cells=4)
+    assert [c for c, _ in cents0] == [0, 1, 2, 3]  # the planted exemplars
+    similarity.append_to_ivf_index(spark, path, cents0, drift, tag="d1")
+
+    q = [0.0] * 8
+    q[6] = 1.0  # a drifted-mode query
+
+    # exact ground truth: driver-side brute force over the merged corpus
+    rows = base.unionByName(drift).collect()
+    def cos(v):
+        v = np.asarray(v)
+        return float(v @ np.asarray(q) / (np.linalg.norm(v) or 1.0))
+    exact10 = {r["vec_id"] for r in
+               sorted(rows, key=lambda r: (-round(cos(r["embedding"]), 6),
+                                           r["vec_id"]))[:10]}
+
+    def recall(cents, n_probe=1):
+        got = {r["vec_id"] for r in similarity.ivf_topk_from_index(
+            spark, path, cents, q, k=10, n_probe=n_probe).collect()}
+        return len(got & exact10) / 10
+
+    # stale centroids have no cell near the drifted mode: drift vectors
+    # scatter by noise across the 4 base cells, so a 1-probe query sees
+    # only ~1/4 of them
+    stale_recall = recall(cents0)
+    assert stale_recall <= 0.6, stale_recall
+
+    old_dir = similarity._ivf_data_dir(path)
+    # probe-during-retrain: build the plan against the OLD pointer now
+    pre = similarity.ivf_topk_from_index(spark, path, None, q, k=10,
+                                         n_probe=1)
+
+    cents1 = similarity.retrain_ivf_index(spark, path, n_cells=5)
+    assert similarity._ivf_gen_pointer(path)[0] == 1
+    assert similarity.load_ivf_centroids(path) == cents1
+    assert [c for c, _ in cents1] == [0, 1, 2, 3, 4]  # drift exemplar in
+
+    fresh_recall = recall(None)  # live-generation centroids
+    assert fresh_recall == 1.0 and fresh_recall > stale_recall
+
+    # the index holds every vector exactly once after retrain
+    n = spark.read.parquet(similarity._ivf_data_dir(path)).count()
+    assert n == base.count() + drift.count()
+
+    # crash mid-retrain: fail the pointer swap — the new dir exists
+    # but the OLD generation stays live; a re-run converges
+    # (retrain imports os locally, so patching the os module itself
+    # intercepts exactly its pointer-swap replace)
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.path.basename(dst) == "_generation":
+            raise OSError("injected crash before pointer swap")
+        return real_replace(src, dst)
+
+    os.replace = boom
+    try:
+        with pytest.raises(OSError, match="injected"):
+            similarity.retrain_ivf_index(spark, path, n_cells=5)
+    finally:
+        os.replace = real_replace
+    assert similarity._ivf_gen_pointer(path)[0] == 1  # old gen live
+    assert recall(None) == fresh_recall  # reads unaffected
+    cents2 = similarity.retrain_ivf_index(spark, path, n_cells=5)
+    assert similarity._ivf_gen_pointer(path)[0] == 2
+    assert cents2 == cents1  # same corpus, same deterministic train
+    # the crashed orphan and the superseded generation are swept
+    gens = [d for d in os.listdir(path) if d.startswith("gen=")]
+    assert gens == [similarity._ivf_gen_pointer(path)[1]]
+    assert recall(None) == fresh_recall

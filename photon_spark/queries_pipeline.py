@@ -1694,6 +1694,56 @@ FROM w WHERE rn = 1 AND NOT coalesce(cents % 10 = 0, FALSE)
 """
 
 
+def q_cdc_stream_merge_state(spark, sf_dir):
+    """The LAST pytest-only CDC surface promoted under the hash gate:
+    the CdcMergeTable built by an ACTUAL Structured Streaming run —
+    readStream over a three-file changelog source (maxFilesPerTrigger=1
+    → three real foreachBatch micro-batches with checkpointed ids),
+    trigger(availableNow), THEN one injected at-least-once REPLAY
+    (a whole slice re-applied under an already-used batch id) — and its
+    ``state()`` hash-checked against the same one-argmax DuckDB oracle
+    as the batch-built ``cdc_merge_state``. A hash match certifies that
+    micro-batch boundaries, the streaming engine's file-to-batch
+    assignment (source file order is whatever the engine picks — the
+    argmax is order-free by design), the checkpointed id space and a
+    verbatim replay are ALL invisible to the merged state.
+
+    SINGLE-LIVE-RESULT CONTRACT (see _single_live_tempdir)."""
+    import os
+
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _cdc_changelog_rel(spark, sf_dir)
+    base = _single_live_tempdir(q_cdc_stream_merge_state,
+                                "photon_cdcstream_")
+    src = os.path.join(base, "src")
+    # three source files -> three micro-batches (the shaped changelog
+    # is pre-written so the stream reads plain epoch-ns longs)
+    for k in range(3):
+        (ev.where(F.col("event_id") % 3 == k)
+           .coalesce(1).write.mode("append").parquet(src))
+    t = CdcMergeTable(spark, os.path.join(base, "table"),
+                      ["user_id", "event_type"], ["ts", "event_id"])
+    q = (spark.readStream.schema(ev.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(t.foreach_batch())
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # two injected at-least-once replays, hash-invariant by argmax:
+    # (1) VERBATIM same-id replay — batch 0 re-applies its own content
+    # (a crashed-and-retried foreachBatch clobbers its own partition;
+    # the content is read back from the partition because the engine,
+    # not this query, chose which file became batch 0);
+    # (2) restarted-id-space replay — an already-folded slice re-lands
+    # under a NEW id (a producer whose checkpoint was wiped), and its
+    # verbatim duplicates collapse under the argmax
+    b0 = spark.read.parquet(os.path.join(base, "table", "batch=0"))
+    t.apply_batch(b0, 0)
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 3)
+    return t.state()
+
+
 SQL_UPSERT_MERGE = """
 WITH e AS (
   SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
@@ -1755,6 +1805,7 @@ QUERIES = {
     "upsert_merge": q_upsert_merge,
     "scd2_history": q_scd2_history,
     "scd2_history_salted": q_scd2_history_salted,
+    "cdc_stream_merge_state": q_cdc_stream_merge_state,
     "cdc_merge_state": q_cdc_merge_state,
     "cdc_time_travel": q_cdc_time_travel,
 }
@@ -1787,6 +1838,7 @@ ORACLES = {
     "scd2_history": SQL_SCD2_HISTORY,
     "scd2_history_salted": SQL_SCD2_HISTORY,
     "cdc_merge_state": SQL_CDC_MERGE_STATE,
+    "cdc_stream_merge_state": SQL_CDC_MERGE_STATE,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
 }
 

@@ -98,6 +98,115 @@ class CdcMergeTable:
     # ---------------------------------------------------------- manifest
     _MANIFEST = "_live"
     _SENTINEL = "_compact_in_progress"
+    #: default compaction-lease lifetime — generous for a maintenance
+    #: fold; a compactor that dies leaves a lease a later writer or
+    #: compactor reclaims after this many seconds instead of
+    #: deadlocking the table forever
+    _LEASE_TTL_SEC = 3600
+
+    # ------------------------------------------------------------- lease
+    def _read_lease(self) -> dict | None:
+        """The compaction lease, or None. Three shapes: a JSON
+        ``{"owner": ..., "expires": <epoch sec>}`` lease (normal), a
+        legacy pre-lease sentinel (returned as an UNEXPIRING lease —
+        the old always-blocks semantics, so an upgrade never weakens a
+        crashed legacy compactor's guard; re-running compact() still
+        converges and clears it), or absent."""
+        try:
+            with open(os.path.join(self.path, self._SENTINEL)) as f:
+                raw = f.read()
+        except FileNotFoundError:
+            return None
+        try:
+            lease = json.loads(raw)
+            if not isinstance(lease, dict):
+                raise ValueError
+            return lease
+        except ValueError:
+            return {"owner": "legacy", "expires": None}
+
+    @staticmethod
+    def _lease_expired(lease: dict) -> bool:
+        import time
+        exp = lease.get("expires")
+        return exp is not None and time.time() > float(exp)
+
+    def _acquire_lease(self, owner: str, ttl_sec: float) -> None:
+        """Take the compaction lease: refuse while another holder's
+        UNEXPIRED lease exists; reclaim an expired one (the crashed-
+        compactor case the bare sentinel used to deadlock). The write
+        is an atomic replace, the same small-file PUT primitive as the
+        manifest commit."""
+        import time
+        lease = self._read_lease()
+        if lease is not None and lease.get("owner") != owner \
+                and lease.get("owner") != "legacy" \
+                and not self._lease_expired(lease):
+            # a LEGACY sentinel is reclaimable by any compactor — the
+            # pre-lease protocol's own recovery action was "re-run
+            # compact() to converge, which clears the sentinel"
+            raise RuntimeError(
+                f"compact: lease held by {lease.get('owner')!r} until "
+                f"epoch {lease.get('expires'):.0f}; a second compactor "
+                "must wait or the holder's lease must expire")
+        tmp = os.path.join(self.path, self._SENTINEL + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"owner": owner,
+                       "expires": time.time() + float(ttl_sec)}, f)
+        os.replace(tmp, os.path.join(self.path, self._SENTINEL))
+
+    def _release_lease(self, owner: str) -> None:
+        lease = self._read_lease()
+        if lease is not None and lease.get("owner") == owner:
+            os.remove(os.path.join(self.path, self._SENTINEL))
+
+    # -------------------------------------------------- derived horizon
+    def derive_gc_horizon(self, checkpoint_dirs) -> int:
+        """The tightest SAFE major-compaction horizon from the writers'
+        own streaming checkpoints — replacing the caller-guessed
+        number with the committed truth. ``checkpoint_dirs`` maps
+        writer_id -> that writer's Structured Streaming checkpoint
+        location (a single path is accepted for n_writers == 1).
+
+        Structured Streaming never re-runs a batch id recorded under
+        ``commits/``; writer w's next possible foreachBatch id is
+        (last committed) + 1, whose namespaced id is
+        ``(L_w + 1) * n_writers + w``. The horizon is the MINIMUM of
+        that over every writer: every future write by any writer lands
+        at or above it, so ids strictly below can never be written
+        again — declaration (1) of drop_tombstones_below, derived.
+        Declaration (2) — source max-lateness for record ORDER —
+        remains the caller's (subtract a retention window from the
+        result if late records can arrive under fresh batch ids).
+
+        Every declared writer must have a committed checkpoint: a
+        writer with none could still (re)write id 0, so the only safe
+        horizon is -inf and this raises instead of returning one.
+        """
+        if isinstance(checkpoint_dirs, str):
+            checkpoint_dirs = {0: checkpoint_dirs}
+        horizons = []
+        for w in range(self.n_writers):
+            d = checkpoint_dirs.get(w)
+            if d is None:
+                raise ValueError(
+                    f"derive_gc_horizon: no checkpoint for writer {w} "
+                    f"of {self.n_writers} — cannot bound its replay")
+            commits = os.path.join(d, "commits")
+            ids = []
+            if os.path.isdir(commits):
+                for n in os.listdir(commits):
+                    try:
+                        ids.append(int(n))
+                    except ValueError:
+                        continue  # .tmp / metadata files
+            if not ids:
+                raise ValueError(
+                    f"derive_gc_horizon: writer {w} checkpoint at {d} "
+                    "has no committed batches — it could still write "
+                    "id 0, so no horizon above -inf is safe")
+            horizons.append((max(ids) + 1) * self.n_writers + w)
+        return min(horizons)
 
     def _manifest(self) -> dict | None:
         """The committed fold, or None before the first compaction:
@@ -202,11 +311,16 @@ class CdcMergeTable:
                 f"apply_batch: batch_id must be an integer, got "
                 f"{batch_id!r} — state_at/compact order batches "
                 "numerically") from None
-        if os.path.exists(os.path.join(self.path, self._SENTINEL)):
+        lease = self._read_lease()
+        if lease is not None and not self._lease_expired(lease):
             raise RuntimeError(
-                "apply_batch: a compact() is in progress or crashed "
-                "mid-run on this table; re-run compact() to converge, "
-                "then retry the write")
+                "apply_batch: a compact() is in progress on this table "
+                f"(lease owner {lease.get('owner')!r}); retry after it "
+                "finishes — or, for a legacy no-expiry sentinel, re-run "
+                "compact() to converge first")
+        # an EXPIRED lease is a crashed compactor: its fold was never
+        # published (the manifest swap is the commit), so writing is
+        # safe and nothing deadlocks; the next compact() reclaims
         eff = self.effective_batch_id(batch_id)
         if eff < self._gc_horizon():
             raise ValueError(
@@ -330,7 +444,8 @@ class CdcMergeTable:
 
     # -------------------------------------------------------- maintain
     def compact(self, allow_unmarked: bool = False,
-                drop_tombstones_below: int | None = None) -> None:
+                drop_tombstones_below: int | None = None,
+                lease_ttl_sec: float | None = None) -> None:
         """Fold the current fold plus every committed batch partition
         into ONE new fold, commit it by atomically replacing the
         ``_live`` manifest, then delete the superseded partitions. State
@@ -373,11 +488,20 @@ class CdcMergeTable:
         tombstone-retention window.
 
         Concurrency contract: producers that START during the run are
-        excluded by the ``_compact_in_progress`` sentinel; a producer
-        write job already IN FLIGHT when compact() begins is protected
-        by the _SUCCESS gate instead (its dir is spared). Run compact()
-        from the same thread as the foreachBatch sink — the natural
-        deployment — so the two never overlap."""
+        excluded by the compaction LEASE (an ``_compact_in_progress``
+        file carrying owner + expiry, ``lease_ttl_sec``, default
+        :attr:`_LEASE_TTL_SEC`); a producer write job already IN FLIGHT
+        when compact() begins is protected by the _SUCCESS gate instead
+        (its dir is spared). A compactor that dies mid-run leaves a
+        lease that EXPIRES: writers pass it once expired and the next
+        compact() reclaims it — a crashed compactor can no longer
+        deadlock a second writer (the crashed run published nothing;
+        the manifest swap is the only commit point). A second compactor
+        racing an unexpired lease is refused loudly.
+
+        Pair ``drop_tombstones_below`` with :meth:`derive_gc_horizon`
+        to take the horizon from the writers' own streaming checkpoints
+        instead of guessing."""
         import shutil
 
         man = self._manifest()
@@ -385,10 +509,16 @@ class CdcMergeTable:
         horizon = self._gc_horizon()
         if drop_tombstones_below is not None:
             horizon = max(horizon, int(drop_tombstones_below))
-        # sentinel first: the fold's input snapshot, the manifest swap
-        # and the deletions must all see a frozen producer set
-        with open(os.path.join(self.path, self._SENTINEL), "w") as f:
-            f.write("compact")
+        # lease first: the fold's input snapshot, the manifest swap and
+        # the deletions must all see a frozen producer set. The lease
+        # carries (owner, expiry) so a compactor that DIES here cannot
+        # deadlock the table: writers pass an expired lease, and the
+        # next compact() reclaims it (a crashed run published nothing —
+        # the manifest swap is the only commit point)
+        owner = f"w{self.writer_id}:{uuid.uuid4().hex[:8]}"
+        self._acquire_lease(owner, lease_ttl_sec
+                            if lease_ttl_sec is not None
+                            else self._LEASE_TTL_SEC)
         try:
             live = self._live_batch_dirs()
             committed = [(i, p) for i, p in live
@@ -456,4 +586,6 @@ class CdcMergeTable:
                     # superseded or orphaned (crashed-before-publish) fold
                     shutil.rmtree(full, ignore_errors=True)
         finally:
-            os.remove(os.path.join(self.path, self._SENTINEL))
+            # release only what we still hold — if our lease expired
+            # mid-run and someone reclaimed it, theirs survives
+            self._release_lease(owner)

@@ -993,7 +993,9 @@ def test_cdc_rename_free_commit_and_null_safe_tombstones(spark, sf_dir,
         assert {tuple(r) for r in t.state().collect()} == s0
     finally:
         cdc_mod.os.rename, cdc_mod.os.replace = orig
-    assert set(replaced) == {"_live"}
+    # the only replace targets are the two one-line control files —
+    # the manifest commit and the compaction lease — never data
+    assert set(replaced) == {"_live", "_compact_in_progress"}
 
     # NULL-tombstone rows: every 'view' key must be present in state
     # (NULL flag ≠ delete), and naive reference agrees
@@ -1510,3 +1512,145 @@ def test_cdc_state_diff_consistency(spark, sf_dir):
     got = {(r["event_type"], r["status"]): (r["n_keys"], r["cents_delta"])
            for r in q_cdc_state_diff(spark, sf_dir).collect()}
     assert got == {k: (want_n[k], want_delta[k]) for k in want_n}
+
+
+def test_cdc_compaction_lease_reclaim_and_writer_passthrough(
+        spark, sf_dir, tmp_path):
+    """The lease replacing the bare sentinel (VERDICT r8 #5): a crashed
+    compactor's EXPIRED lease no longer deadlocks — a writer passes it
+    and the next compact() reclaims it and converges; an UNEXPIRED
+    foreign lease still refuses both writer and second compactor; the
+    legacy sentinel keeps its always-blocks semantics for writers."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    t = CdcMergeTable(spark, root, keys, order)
+    t.apply_batch(ev.limit(200), 0)
+    s0 = {tuple(r) for r in t.state().collect()}
+
+    # a crashed compactor: unexpired foreign lease blocks everyone
+    lease_path = os.path.join(root, "_compact_in_progress")
+    with open(lease_path, "w") as f:
+        json.dump({"owner": "w9:dead", "expires": time.time() + 3600}, f)
+    with _pytest.raises(RuntimeError, match="lease owner"):
+        t.apply_batch(ev.limit(1), 1)
+    with _pytest.raises(RuntimeError, match="lease held"):
+        t.compact()
+
+    # ...until it expires: the writer passes, the compactor reclaims
+    with open(lease_path, "w") as f:
+        json.dump({"owner": "w9:dead", "expires": time.time() - 1}, f)
+    t.apply_batch(ev.limit(1), 1)           # stale lease ignored
+    t.compact()                              # reclaimed + converges
+    assert not os.path.exists(lease_path)    # released after the run
+    assert t._manifest()["tag"] == 1
+    state_after = {tuple(r) for r in t.state().collect()}
+    assert state_after  # folded table still serves
+
+    # legacy pre-lease sentinel: writers still always blocked (fail
+    # closed on unknown age), compact() still converges and clears it
+    with open(lease_path, "w") as f:
+        f.write("compact")
+    with _pytest.raises(RuntimeError, match="legacy"):
+        t.apply_batch(ev.limit(1), 2)
+    # reclaimable by ANY compactor — the legacy protocol's own recovery
+    # action was "re-run compact() to converge"
+    t.compact(lease_ttl_sec=60)
+    assert not os.path.exists(lease_path)
+    assert {tuple(r) for r in t.state().collect()} == state_after
+    ev.unpersist()
+
+
+def test_cdc_two_writers_one_compactor_converge(spark, sf_dir, tmp_path):
+    """Two namespaced writers + one compactor: the folded state equals
+    the one-shot reference, writers keep writing after the fold, and a
+    second compact converges again."""
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts[len(ts) // 2]
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    w0 = CdcMergeTable(spark, root, keys, order, writer_id=0, n_writers=2)
+    w1 = CdcMergeTable(spark, root, keys, order, writer_id=1, n_writers=2)
+    a, b = ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut)
+    w0.apply_batch(a.where(F.col("event_id") % 2 == 0), 0)
+    w1.apply_batch(a.where(F.col("event_id") % 2 == 1), 0)
+    w0.compact()   # the compactor is one of the writers
+    w0.apply_batch(b.where(F.col("event_id") % 2 == 0), 1)
+    w1.apply_batch(b.where(F.col("event_id") % 2 == 1), 1)
+    w0.compact()
+    ref = CdcMergeTable(spark, str(tmp_path / "ref"), keys, order)
+    ref.apply_batch(ev, 0)
+    assert ({tuple(r) for r in w1.state().collect()}
+            == {tuple(r) for r in ref.state().collect()})
+    ev.unpersist()
+
+
+def test_cdc_derive_gc_horizon_from_checkpoints(spark, sf_dir, tmp_path):
+    """The derived major-compaction horizon: never exceeds the minimum
+    committed offset across writers (namespaced), raises when any
+    writer has no committed batch, and feeds drop_tombstones_below so
+    the erased boundary matches the committed truth."""
+    import os
+
+    import pytest as _pytest
+    from photon_spark.streaming.cdc import CdcMergeTable
+
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    root = str(tmp_path / "t")
+    w0 = CdcMergeTable(spark, root, keys, order, writer_id=0, n_writers=2)
+
+    def mk_ckpt(name, committed):
+        d = str(tmp_path / name)
+        os.makedirs(os.path.join(d, "commits"), exist_ok=True)
+        for i in committed:
+            with open(os.path.join(d, "commits", str(i)), "w") as f:
+                f.write("{}")
+        # the noise files a real checkpoint carries
+        with open(os.path.join(d, "commits", "metadata"), "w") as f:
+            f.write("{}")
+        return d
+
+    # writer 0 committed through 5, writer 1 through 2:
+    # horizon = min((5+1)*2+0, (2+1)*2+1) = min(12, 7) = 7
+    cks = {0: mk_ckpt("ck0", range(6)), 1: mk_ckpt("ck1", range(3))}
+    h = w0.derive_gc_horizon(cks)
+    assert h == 7
+    # never exceeds the minimum committed offset across writers: every
+    # writer's next possible namespaced id is >= h
+    assert h <= (2 + 1) * 2 + 1
+
+    # a writer with no commits cannot bound its replay -> refuse
+    with _pytest.raises(ValueError, match="no committed batches"):
+        w0.derive_gc_horizon({0: cks[0], 1: mk_ckpt("ck_empty", [])})
+    with _pytest.raises(ValueError, match="no checkpoint for writer"):
+        w0.derive_gc_horizon({0: cks[0]})
+
+    # single-writer convenience: a bare path
+    solo = CdcMergeTable(spark, str(tmp_path / "solo"), keys, order)
+    assert solo.derive_gc_horizon(mk_ckpt("ck_solo", range(4))) == 4
+
+    # and the derived horizon drives a major compaction end-to-end
+    w1 = CdcMergeTable(spark, root, keys, order, writer_id=1, n_writers=2)
+    for i in range(3):
+        w0.apply_batch(ev.where(F.col("event_id") % 3 == i), i)
+    w1.apply_batch(ev.limit(50), 0)
+    w0.compact(drop_tombstones_below=w0.derive_gc_horizon(
+        {0: mk_ckpt("ck0b", range(3)), 1: mk_ckpt("ck1b", range(1))}))
+    # horizon = min((2+1)*2+0, (0+1)*2+1) = min(6, 3) = 3: namespaced
+    # ids 0,1,2 are dead; 4 (w0 local 2) remains addressable
+    assert w0._gc_horizon() == 3
+    with _pytest.raises(ValueError, match="below the"):
+        w0.apply_batch(ev.limit(1), 1)  # w0 local 1 -> eff 2 < 3: dead
+    w0.apply_batch(ev.limit(1), 2)      # w0 local 2 -> eff 4 >= 3: live
+    ev.unpersist()

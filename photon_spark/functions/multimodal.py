@@ -1,13 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-PNG images decode for REAL: ``decode_png`` is a pure-stdlib decoder (zlib
-inflate + per-row unfilter, all five PNG filter types, CRC-checked) — no
-PIL needed — and ``_decode_image`` routes PNG payloads through it, so
-luma statistics come from actual pixel values. Non-PNG codecs (JPEG,
-audio, video) remain deterministic fakes behind the ``_decode_*`` seams
-(clearly marked; swap in PIL/ffmpeg in production). Everything Spark-side
-is real and tested: schemas, Arrow-batched ``mapInPandas`` plumbing, batch
-shapes, partition behavior — the parts that matter at 100 TB.
+PNG and baseline JPEG images decode for REAL: ``decode_png`` is a
+pure-stdlib decoder (zlib inflate + per-row unfilter, all five PNG
+filter types, CRC-checked) and ``decode_jpeg`` is a stdlib+numpy
+baseline SOF0 decoder (Huffman entropy decode, dequant, IDCT, YCbCr,
+restart intervals) — no PIL needed — and ``_decode_image`` routes both
+signatures through them, so luma statistics come from actual pixel
+values. Remaining codecs (progressive JPEG, WebP, audio, video) stay
+deterministic fakes behind the ``_decode_*`` seams (clearly marked;
+swap in PIL/ffmpeg in production). Everything Spark-side is real and
+tested: schemas, Arrow-batched ``mapInPandas`` plumbing, batch shapes,
+partition behavior — the parts that matter at 100 TB.
 
 Design: binary payloads never enter a shuffle. Feature extraction is a
 map-only ``mapInPandas`` pass (scan → features), and downstream analytics
@@ -132,36 +135,91 @@ def synthesize_palette_png_media(spark, n: int = 48) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
 
-def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
-    """Deterministic MIXED media table — the honest production shape
-    where a corpus carries more than one codec AND broken objects:
-    row ``i`` is a real greyscale PNG (the synthesize_png_media
-    closed form) when ``i % 3 == 0``; a CORRUPT PNG (the 8-byte PNG
-    signature followed by deterministic junk — decode_png RAISES on
-    it, exercising image_features' except-ValueError degrade, not
-    just the non-PNG seam) when ``i % 3 == 1``, mime image/png-bad;
-    and an undecodable fake blob (the synthesize_media byte form,
-    mime image/fake, which short-circuits before the decoder) when
-    ``i % 3 == 2``. Exists to put BOTH per-row decode-DEGRADE paths
-    under the hash gate, not just under pytest."""
+def _jpeg_tile_pixels(i: int, w: int, h: int) -> bytes:
+    """The closed-form flat-8x8-tile greyscale image the JPEG fixtures
+    share: pixel (x, y) of image i is ``(37·i + 11·(y div 8) +
+    5·(x div 8)) mod 256`` — constant per 8x8 block, so with all-ones
+    quantization the lossy pipeline round-trips byte-exactly and a SQL
+    oracle re-derives every decoded value (see the JPEG codec notes)."""
+    return bytes((37 * i + 11 * (y // 8) + 5 * (x // 8)) % 256
+                 for y in range(h) for x in range(w))
+
+
+def _jpeg_fixture_dims(i: int):
+    """8-multiple dims (no edge padding in play), varied per image."""
+    return 8 * (2 + i % 3), 8 * (2 + i % 2)
+
+
+def synthesize_jpeg_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-JPEG media table: image ``i`` is a baseline
+    SOF0 JPEG of the :func:`_jpeg_tile_pixels` closed form — greyscale
+    (single component) for even ``i``, RGB 4:4:4 with R=G=B for odd
+    ``i`` (grey content through the FULL YCbCr forward/inverse path:
+    Cb/Cr quantize to exactly 128, so decoded channels equal the tile
+    value and the Rec.601 integer luma is the tile value itself). One
+    source partition (see synthesize_media's rationale)."""
     rows = []
     for i in range(n):
-        if i % 3 == 0:
+        w, h = _jpeg_fixture_dims(i)
+        grey = _jpeg_tile_pixels(i, w, h)
+        if i % 2 == 0:
+            blob = encode_jpeg(grey, w, h, 1)
+        else:
+            rgb = bytes(v for v in grey for _ in range(3))
+            blob = encode_jpeg(rgb, w, h, 3)
+        rows.append((i, "image", "image/jpeg", w, h, 0, blob))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
+
+
+def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic MIXED media table — the honest production shape
+    where a corpus carries more than one codec AND broken objects.
+    Row ``i`` by ``i % 5``:
+
+    - 0: a real greyscale PNG (the synthesize_png_media closed form);
+    - 1: a CORRUPT PNG (signature + deterministic junk — decode_png
+      RAISES, exercising the except-ValueError degrade), image/png-bad;
+    - 2: an undecodable fake blob (the synthesize_media byte form,
+      image/fake — the unknown-signature seam);
+    - 3: a REAL baseline JPEG (the _jpeg_tile_pixels closed form, grey
+      or RGB-through-YCbCr by ``i % 2``) — since round 9 these rows
+      decode for real instead of certifying the byte proxy;
+    - 4: a CORRUPT JPEG (SOI + deterministic junk — decode_jpeg
+      RAISES), image/jpeg-bad.
+
+    Exists to put every decode/degrade routing under the hash gate,
+    not just under pytest."""
+    rows = []
+    for i in range(n):
+        if i % 5 == 0:
             w, h = 16 + i % 9, 12 + i % 7
             px = bytes((31 * i + 7 * y + 3 * x) % 256
                        for y in range(h) for x in range(w))
             rows.append((i, "image", "image/png", w, h, 0,
                          encode_png(px, w, h)))
-        elif i % 3 == 1:
+        elif i % 5 == 1:
             junk = bytes((i * 31 + j * 7) % 256
                          for j in range(256 + (i % 5) * 64))
             rows.append((i, "image", "image/png-bad", 16, 16, 0,
                          PNG_SIG + junk))
-        else:
+        elif i % 5 == 2:
             blob = bytes((i * 31 + j * 7) % 256
                          for j in range(256 + (i % 5) * 64))
             rows.append((i, "image", "image/fake", 64 + i % 32,
                          48 + i % 32, 0, blob))
+        elif i % 5 == 3:
+            w, h = _jpeg_fixture_dims(i)
+            grey = _jpeg_tile_pixels(i, w, h)
+            blob = (encode_jpeg(grey, w, h, 1) if i % 2 == 0 else
+                    encode_jpeg(bytes(v for v in grey
+                                      for _ in range(3)), w, h, 3))
+            rows.append((i, "image", "image/jpeg", w, h, 0, blob))
+        else:
+            junk = bytes((i * 29 + j * 13) % 256
+                         for j in range(256 + (i % 7) * 32))
+            rows.append((i, "image", "image/jpeg-bad", 16, 16, 0,
+                         JPEG_SOI + junk))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
@@ -201,7 +259,7 @@ def image_resize_channel_stats(df: DataFrame, out_w: int = 8,
             for rec in pdf.itertuples(index=False):
                 content = bytes(rec.content) if rec.content is not None \
                     else b""
-                w, h, ch, px = decode_png(content)
+                w, h, ch, px = decode_image_any(content)
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
                 iy = (np.arange(out_h) * h) // out_h
                 ix = (np.arange(out_w) * w) // out_w
@@ -250,9 +308,9 @@ def image_decode_features(df: DataFrame) -> DataFrame:
                 d = _decode_image(content, rec.width, rec.height)
                 if "n_pixels" not in d:
                     raise ValueError(
-                        f"media_id={rec.media_id}: not a PNG payload — "
-                        "image_decode_features requires real decodable "
-                        "images")
+                        f"media_id={rec.media_id}: not a PNG/JPEG "
+                        "payload — image_decode_features requires real "
+                        "decodable images")
                 n = d["n_pixels"]
                 mean = _r6(d["luma_sum"] / n) if n else 0.0
                 out.append((rec.media_id, d["decoded_w"], d["decoded_h"],
@@ -470,16 +528,29 @@ def decode_png(content: bytes):
 
 # ----------------------------------------------------------- decode seams
 
+def decode_image_any(content: bytes):
+    """Signature-routed real decode -> (w, h, channels, pixel bytes):
+    PNG via :func:`decode_png`, baseline JPEG via :func:`decode_jpeg`.
+    ValueError on anything else (the per-row degrade contract)."""
+    if content[:8] == PNG_SIG:
+        return decode_png(content)
+    if content[:2] == JPEG_SOI:
+        return decode_jpeg(content)
+    raise ValueError("unknown image signature (PNG and baseline JPEG "
+                     "decode for real; other codecs are the documented "
+                     "byte-proxy seam)")
+
+
 def _decode_image(content: bytes, width: int, height: int):
-    """PNG payloads decode for REAL (``decode_png`` above — stdlib zlib +
-    unfilter, no PIL): luma is computed from actual pixel values (RGB via
-    the integer Rec.601 weights). Non-PNG payloads keep the deterministic
-    byte-mean fake — the documented seam where production swaps in
-    PIL/libjpeg for other codecs."""
+    """PNG and baseline-JPEG payloads decode for REAL (``decode_png`` /
+    ``decode_jpeg`` — stdlib + numpy, no PIL): luma is computed from
+    actual pixel values (RGB via the integer Rec.601 weights). Other
+    payloads keep the deterministic byte-mean fake — the documented
+    seam where production swaps in PIL/ffmpeg for further codecs."""
     if content is None:
         raise NotImplementedError("image decode of NULL content")
-    if content[:8] == PNG_SIG:
-        w, h, ch, px = decode_png(content)
+    if content[:8] == PNG_SIG or content[:2] == JPEG_SOI:
+        w, h, ch, px = decode_image_any(content)
         if ch == 1:
             lumas = px
         else:
@@ -658,3 +729,446 @@ def media_stats(df: DataFrame) -> DataFrame:
                    F.sum("n_bytes").alias("total_bytes"),
                    F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
                    F.max("duration_ms").alias("max_duration_ms")))
+
+
+# --------------------------------------------------------- JPEG codec
+# Pure-stdlib-plus-numpy BASELINE JPEG (ITU-T T.81, sequential DCT,
+# SOF0): 8-bit precision, single-component (greyscale) or 3-component
+# 4:4:4 YCbCr, standard Annex K luminance Huffman tables, optional
+# restart intervals on decode. Everything else of T.81 — progressive
+# (SOF2), arithmetic coding, 12-bit, chroma subsampling — raises
+# ValueError (the per-row degrade contract routes those rows to the
+# byte-mean proxy, hash-gated by media_decode_fallback_audit).
+#
+# The encoder exists so fixtures are self-contained (as encode_png is
+# for PNG): with all-ones quantization tables and per-8x8-FLAT tiles
+# the DCT carries only an integer DC coefficient, so the full
+# Huffman -> dequant -> IDCT -> (YCbCr) pipeline round-trips
+# BYTE-EXACTLY to a closed form a SQL oracle re-derives — lossless by
+# construction, so the hash gate can certify a lossy codec.
+
+#: T.81 Figure A.6 zig-zag: k-th coefficient -> row-major block index
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: T.81 Annex K.3.1 luminance Huffman table specs (BITS, HUFFVAL)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+JPEG_SOI = b"\xff\xd8"
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman codes (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:            # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _mag_bits(v: int):
+    """(size category, appended bits) for a DC diff / AC value —
+    T.81 F.1.2.1: negatives encode as v - 1 in `size` low bits."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(bw, coefs, dc_pred, dc_codes, ac_codes):
+    """One 8x8 block of quantized coefficients (row-major) -> entropy
+    stream. Returns the new DC predictor."""
+    dc = int(coefs[0])
+    size, extra = _mag_bits(dc - dc_pred)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(extra, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[JPEG_ZIGZAG[k]])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:                       # ZRL
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        size, extra = _mag_bits(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(extra, size)
+        run = 0
+    if run:                                   # EOB
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+    return dc
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int,
+                channels: int = 1, restart_interval: int = 0) -> bytes:
+    """Baseline SOF0 encoder: 8-bit grey (1 channel, row-major) or RGB
+    (3 channels interleaved, converted to 4:4:4 YCbCr). Quantization
+    tables are ALL ONES — maximal fidelity, and the property the
+    fixtures lean on: a per-8x8-flat image round-trips exactly.
+    Edges pad by replication to 8x8 multiples. ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs
+    (with DC predictor resets) — the resync structure real encoders
+    write, here so the decoder's restart path is testable."""
+    import numpy as np
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8) \
+            .reshape(height, width, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    elif channels == 1:
+        comps = [arr[:, :, 0]]
+    else:
+        raise ValueError("channels must be 1 or 3")
+
+    bw8, bh8 = -(-width // 8), -(-height // 8)
+    m = _dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    padded = []
+    for comp in comps:
+        p = np.empty((bh8 * 8, bw8 * 8))
+        p[:height, :width] = comp
+        p[height:, :width] = comp[-1:, :]          # replicate bottom edge
+        p[:, width:] = p[:, width - 1:width]       # replicate right edge
+        padded.append(p)
+    scan_parts = []
+    n_mcu, rst = 0, 0
+    for by in range(bh8):
+        for bx in range(bw8):                      # MCU = 1 block/comp
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(comps)
+            n_mcu += 1
+            for ci, p in enumerate(padded):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coefs = np.rint(m @ blk @ m.T).astype(np.int64)
+                preds[ci] = _encode_block(bw, coefs.ravel(), preds[ci],
+                                          dc_codes, ac_codes)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker, payload):
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(b"\xff\xdb", b"\x00" + bytes([1] * 64))
+    nc = len(comps)
+    sof = seg(b"\xff\xc0", struct.pack(">BHHB", 8, height, width, nc)
+              + b"".join(struct.pack(">BBB", i + 1, 0x11, 0)
+                         for i in range(nc)))
+    dht = seg(b"\xff\xc4",
+              b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+              + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(b"\xff\xda", bytes([nc])
+              + b"".join(struct.pack(">BB", i + 1, 0x00)
+                         for i in range(nc))
+              + b"\x00\x3f\x00")
+    dri = (seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return JPEG_SOI + dqt + sof + dri + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment bit reader: MSB-first, un-stuffs 0xFF00, stops
+    at (and exposes) real markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos = data, pos
+        self.acc, self.n = 0, 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.d):
+            return False
+        b = self.d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.d):
+                return False
+            nxt = self.d[self.pos + 1]
+            if nxt == 0x00:                    # stuffed data byte
+                self.pos += 2
+            else:                              # a real marker: stop
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            raise ValueError("truncated JPEG entropy stream")
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        """Byte-align and consume an expected RST marker; returns it."""
+        self.acc, self.n = 0, 0
+        if self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF:
+            mk = self.d[self.pos + 1]
+            self.pos += 2
+            self.marker = None
+            return mk
+        raise ValueError("expected restart marker")
+
+
+def _huff_decode(br, table):
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: received bits -> signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(content: bytes):
+    """Baseline SOF0 decoder -> (width, height, channels, pixel bytes)
+    (grey: 1 byte/px; color: RGB interleaved), mirroring decode_png's
+    contract. Supports 8-bit sequential, 1 or 3 components WITHOUT
+    chroma subsampling, per-file Huffman + quantization tables,
+    restart intervals. Raises ValueError (never a raw struct/index
+    error) on anything else: progressive/arithmetic/12-bit/subsampled
+    streams, truncation, bad markers, invalid codes."""
+    import numpy as np
+
+    if content[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtabs, htabs = {}, {}
+    frame = None
+    dri = 0
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG (no SOS)")
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker structure")
+        mk = content[pos + 1]
+        pos += 2
+        if mk == 0xD8:
+            continue
+        if mk in (0xD9,):
+            raise ValueError("JPEG ended before scan")
+        (ln,) = struct.unpack(">H", content[pos:pos + 2])
+        if pos + ln > len(content):
+            raise ValueError("truncated JPEG segment")
+        body = content[pos + 2:pos + ln]
+        pos += ln
+        if mk == 0xDB:                                     # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtabs[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif mk == 0xC4:                                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("truncated DHT")
+                codes = _huff_codes(bits, vals)
+                htabs[(tc, th)] = {(l, c): sym
+                                   for sym, (c, l) in codes.items()}
+                i += 17 + nv
+        elif mk == 0xC0 or mk == 0xC1:                     # SOF0/1
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling unsupported "
+                                     "(4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif mk in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                    0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif mk == 0xDD:                                   # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif mk == 0xDA:                                   # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise ValueError("partial scans unsupported")
+            sel = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            break
+        # APPn/COM/others: skipped
+    w, h, comps = frame
+    bw8, bh8 = -(-w // 8), -(-h // 8)
+    m = _dct_matrix()
+    br = _BitReader(content, pos)
+    preds = {cid: 0 for cid, _ in comps}
+    planes = {cid: np.zeros((bh8 * 8, bw8 * 8)) for cid, _ in comps}
+    zz = np.array(JPEG_ZIGZAG)
+    n_mcu = 0
+    for by in range(bh8):
+        for bx in range(bw8):
+            if dri and n_mcu and n_mcu % dri == 0:
+                mk = br.align_to_marker()
+                if not (0xD0 <= mk <= 0xD7):
+                    raise ValueError("expected RSTn marker")
+                preds = {cid: 0 for cid, _ in comps}
+            n_mcu += 1
+            for cid, tq in comps:
+                if tq not in qtabs:
+                    raise ValueError("missing quant table")
+                dc_t, ac_t = sel[cid]
+                try:
+                    dct = htabs[(0, dc_t)]
+                    act = htabs[(1, ac_t)]
+                except KeyError:
+                    raise ValueError("missing Huffman table") from None
+                size = _huff_decode(br, dct)
+                diff = _extend(br.bits(size), size)
+                preds[cid] += diff
+                coefs = np.zeros(64)
+                coefs[0] = preds[cid] * qtabs[tq][0]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, act)
+                    if sym == 0x00:                        # EOB
+                        break
+                    if sym == 0xF0:                        # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63 or size == 0:
+                        raise ValueError("corrupt AC coefficient run")
+                    coefs[k] = (_extend(br.bits(size), size)
+                                * qtabs[tq][k])
+                    k += 1
+                blk = np.zeros(64)
+                blk[zz] = coefs                            # de-zigzag
+                sp = m.T @ blk.reshape(8, 8) @ m + 128.0
+                planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = sp
+    # the scan must END at a marker (EOI; fill 0xFF bytes allowed) —
+    # junk entropy data that happens to decode as valid codes almost
+    # never lands byte-exactly on FFD9, so this is the integrity check
+    # that catches smuggled/corrupt tails (decode_png's unused_data
+    # rule, JPEG edition)
+    p = br.pos
+    while p + 1 < len(content) and content[p] == 0xFF \
+            and content[p + 1] == 0xFF:
+        p += 1                                     # fill bytes
+    if not (p + 1 < len(content) and content[p] == 0xFF
+            and content[p + 1] == 0xD9):
+        raise ValueError("JPEG scan does not end at EOI")
+    nc = len(comps)
+    outs = [np.clip(np.rint(planes[cid][:h, :w]), 0, 255)
+            for cid, _ in comps]
+    if nc == 1:
+        return w, h, 1, bytes(outs[0].astype(np.uint8).tobytes())
+    y, cb, cr = outs
+    r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(np.rint(y - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0)), 0, 255)
+    b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return w, h, 3, bytes(rgb.tobytes())

@@ -1525,22 +1525,67 @@ FROM luma GROUP BY i, w, h
 
 #: mixed-codec fixture size for the gated fallback-audit relation
 MIX_PNG_N = 48
+#: JPEG fixture size for the gated real-decode relation
+JPEG_N = 48
+
+
+def q_image_jpeg_decode_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode under the hash gate: per-image pixel
+    statistics of SOF0 JPEGs from actually entropy-decoded, dequantized,
+    IDCT'd (and for odd rows YCbCr-inverted) pixels. The fixture is the
+    flat-8x8-tile closed form with all-ones quantization — the one
+    configuration where a LOSSY codec round-trips byte-exactly (a flat
+    block's DCT is a lone integer DC coefficient), so the oracle
+    re-derives every decoded value from ``(37·i + 11·(y div 8) +
+    5·(x div 8)) mod 256`` entirely in SQL. Even rows are
+    single-component greyscale; odd rows run the FULL 3-component
+    YCbCr path with R=G=B content (Cb/Cr quantize to exactly 128, so
+    the integer Rec.601 luma equals the tile value). A hash match
+    proves Huffman -> dequant -> de-zigzag -> IDCT -> color transform
+    reproduces ground truth value-for-value. Map-only Arrow pass;
+    blobs never shuffle."""
+    media = multimodal.synthesize_jpeg_media(spark, n=JPEG_N)
+    return multimodal.image_decode_features(media)
+
+
+SQL_IMAGE_JPEG_DECODE_STATS = f"""
+WITH m AS (
+  SELECT i, 8 * (2 + i % 3) AS w, 8 * (2 + i % 2) AS h
+  FROM range({JPEG_N}) t(i)
+), luma AS (
+  SELECT m.i, m.w, m.h,
+         (37 * m.i + 11 * ((g.j // m.w) // 8)
+          + 5 * ((g.j % m.w) // 8)) % 256 AS v
+  FROM m CROSS JOIN generate_series(0, 32 * 24 - 1) g(j)
+  WHERE g.j < m.w * m.h
+)
+SELECT i AS media_id, CAST(w AS INTEGER) AS decoded_w,
+       CAST(h AS INTEGER) AS decoded_h,
+       count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS luma_sum,
+       CAST(min(v) AS INTEGER) AS min_luma,
+       CAST(max(v) AS INTEGER) AS max_luma,
+       round(CAST(sum(v) AS BIGINT) / (count(*) * 1.0), 6) AS mean_luma
+FROM luma GROUP BY i, w, h
+"""
 
 
 def q_media_decode_fallback_audit(spark, sf_dir):
     """PER-ROW DECODE DEGRADE under the hash gate — the mixed-codec
     reality check: a corpus interleaving real PNGs, CORRUPT PNGs
     (valid signature, junk body — the decoder RAISES, exercising the
-    except-ValueError degrade, not just the non-PNG short-circuit),
-    and undecodable fake blobs must come through the feature pass
+    except-ValueError degrade, not just the unknown-signature
+    short-circuit), undecodable fake blobs, REAL baseline JPEGs
+    (decoded for real since round 9 — these rows used to certify the
+    byte proxy) and CORRUPT JPEGs must come through the feature pass
     with REAL decoded luma on the good rows and the documented
-    deterministic byte-mean proxy on both bad classes, one row per
-    input, no job failure. The oracle re-derives ALL THREE paths
-    closed-form (PNG pixel formula; signature+junk byte formula; raw
-    byte formula), so a hash match proves the router sends each row
-    down the right path and no path contaminates another — the
-    contract that lets a 100 TB run survive a bad object without
-    losing the partition. Map-only Arrow pass."""
+    deterministic byte-mean proxy on every bad class, one row per
+    input, no job failure. The oracle re-derives ALL FIVE paths
+    closed-form (PNG pixel formula; JPEG tile formula;
+    signature+junk byte formulas; raw byte formula), so a hash match
+    proves the router sends each row down the right path and no path
+    contaminates another — the contract that lets a 100 TB run
+    survive a bad object without losing the partition. Map-only
+    Arrow pass."""
     media = multimodal.synthesize_mixed_media(spark, n=MIX_PNG_N)
     feats = multimodal.image_features(media, target_size=32)
     return (feats.join(media.select("media_id", "mime"), "media_id")
@@ -1549,11 +1594,15 @@ def q_media_decode_fallback_audit(spark, sf_dir):
 
 #: sum of the 8 PNG signature bytes (\\x89 P N G \\r \\n \\x1a \\n)
 _PNG_SIG_SUM, _PNG_SIG_LEN = 425, 8
+#: sum/length of the 2 JPEG SOI bytes (\\xff \\xd8)
+_JPEG_SOI_SUM, _JPEG_SOI_LEN = 471, 2
 
 SQL_MEDIA_DECODE_FALLBACK_AUDIT = f"""
 WITH m AS (
-  SELECT i, i % 3 AS cls, 16 + i % 9 AS w, 12 + i % 7 AS h,
-         256 + (i % 5) * 64 AS len
+  SELECT i, i % 5 AS cls, 16 + i % 9 AS w, 12 + i % 7 AS h,
+         256 + (i % 5) * 64 AS len,
+         8 * (2 + i % 3) AS jw, 8 * (2 + i % 2) AS jh,
+         256 + (i % 7) * 32 AS jlen
   FROM range({MIX_PNG_N}) t(i)
 ), png AS (
   SELECT m.i,
@@ -1577,12 +1626,32 @@ WITH m AS (
   FROM m CROSS JOIN generate_series(0, 511) g(j)
   WHERE m.cls = 2 AND g.j < m.len
   GROUP BY 1
+), jpeg AS (
+  -- REAL decode: the flat-tile closed form (grey and YCbCr rows agree)
+  SELECT m.i,
+         round(avg((37 * m.i + 11 * ((g.j // m.jw) // 8)
+                    + 5 * ((g.j % m.jw) // 8)) % 256), 6) AS mean_luma
+  FROM m CROSS JOIN generate_series(0, 32 * 24 - 1) g(j)
+  WHERE m.cls = 3 AND g.j < m.jw * m.jh
+  GROUP BY 1
+), jbad AS (
+  SELECT m.i,
+         round((CAST({_JPEG_SOI_SUM} AS BIGINT)
+                + sum((m.i * 29 + g.j * 13) % 256)) * 1.0
+               / ({_JPEG_SOI_LEN} + m.jlen), 6) AS mean_luma
+  FROM m CROSS JOIN generate_series(0, 447) g(j)
+  WHERE m.cls = 4 AND g.j < m.jlen
+  GROUP BY m.i, m.jlen
 )
 SELECT i AS media_id, 'image/png' AS mime, mean_luma FROM png
 UNION ALL
 SELECT i, 'image/png-bad', mean_luma FROM corrupt
 UNION ALL
 SELECT i, 'image/fake', mean_luma FROM fake
+UNION ALL
+SELECT i, 'image/jpeg', mean_luma FROM jpeg
+UNION ALL
+SELECT i, 'image/jpeg-bad', mean_luma FROM jbad
 """
 
 
@@ -1618,6 +1687,7 @@ QUERIES = {
     "image_resize_stats": q_image_resize_stats,
     "image_palette_decode_stats": q_image_palette_decode_stats,
     "media_decode_fallback_audit": q_media_decode_fallback_audit,
+    "image_jpeg_decode_stats": q_image_jpeg_decode_stats,
     "knn_graph_ivf": q_knn_graph_ivf,
     "dup_graph_degree": q_dup_graph_degree,
 }
@@ -1656,6 +1726,7 @@ ORACLES = {
     "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     "image_palette_decode_stats": SQL_IMAGE_PALETTE_DECODE_STATS,
     "media_decode_fallback_audit": SQL_MEDIA_DECODE_FALLBACK_AUDIT,
+    "image_jpeg_decode_stats": SQL_IMAGE_JPEG_DECODE_STATS,
     "knn_graph_ivf": _sql_knn_graph_ivf(),
     "dup_graph_degree": SQL_DUP_GRAPH_DEGREE.replace(
         "{pairs}", SQL_MINHASH_NEAR_DUPS),

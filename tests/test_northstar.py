@@ -661,3 +661,127 @@ def test_png_decode_rejects_bad_ihdr_length():
            + multimodal._png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="IHDR length"):
         multimodal.decode_png(bad)
+
+
+def test_jpeg_roundtrip_flat_tiles_exact():
+    # the fixture property the hash gate rests on: per-8x8-flat images
+    # with all-ones quant tables round-trip BYTE-EXACTLY through the
+    # lossy pipeline (a flat block's DCT is a lone integer DC coef),
+    # grey AND the full YCbCr path with R=G=B content
+    for i in (0, 5, 11):
+        w, h = multimodal._jpeg_fixture_dims(i)
+        grey = multimodal._jpeg_tile_pixels(i, w, h)
+        assert multimodal.decode_jpeg(
+            multimodal.encode_jpeg(grey, w, h, 1)) == (w, h, 1, grey)
+        rgb = bytes(v for v in grey for _ in range(3))
+        assert multimodal.decode_jpeg(
+            multimodal.encode_jpeg(rgb, w, h, 3)) == (w, h, 3, rgb)
+
+
+def test_jpeg_roundtrip_arbitrary_content_near_lossless():
+    # general path (non-flat blocks, every Huffman category in play,
+    # odd dimensions -> edge replication): with all-ones quant the
+    # reconstruction error is bounded by coefficient rounding only
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    w, h = 29, 21
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    dw, dh, ch, out = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(arr.tobytes(), w, h, 1))
+    assert (dw, dh, ch) == (w, h, 1)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(got - arr.astype(int)).max() <= 2
+    arr3 = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dw, dh, ch, out = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(arr3.tobytes(), w, h, 3))
+    assert (dw, dh, ch) == (w, h, 3)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(got - arr3.astype(int)).max() <= 4
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    # DRI + RSTn markers with DC predictor resets: the resync
+    # structure real encoders emit; flat tiles stay exact through it
+    import numpy as np
+
+    w, h = 32, 24
+    px = multimodal._jpeg_tile_pixels(9, w, h)
+    for ri in (1, 2, 5):
+        blob = multimodal.encode_jpeg(px, w, h, 1, restart_interval=ri)
+        assert multimodal.decode_jpeg(blob) == (w, h, 1, px)
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    blob = multimodal.encode_jpeg(arr.tobytes(), w, h, 1,
+                                  restart_interval=3)
+    got = np.frombuffer(multimodal.decode_jpeg(blob)[3],
+                        dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(got - arr.astype(int)).max() <= 2
+
+
+def test_jpeg_decode_rejects_unsupported_and_corrupt():
+    # every rejection is ValueError (the per-row degrade contract),
+    # never struct/index/KeyError escaping the except handler
+    import struct as _s
+
+    w, h = 16, 16
+    px = multimodal._jpeg_tile_pixels(1, w, h)
+    blob = bytearray(multimodal.encode_jpeg(px, w, h, 1))
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg(b"JUNK" + bytes(blob[4:]))
+    # progressive: flip SOF0 -> SOF2 (find the FFC0 marker)
+    i = bytes(blob).find(b"\xff\xc0")
+    prog = bytes(blob[:i + 1]) + b"\xc2" + bytes(blob[i + 2:])
+    with pytest.raises(ValueError, match="progressive|non-baseline"):
+        multimodal.decode_jpeg(prog)
+    # 12-bit precision
+    deep = bytearray(blob)
+    deep[i + 4] = 12
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_jpeg(bytes(deep))
+    # chroma subsampling (2x2 sampling factors on comp 1)
+    rgbblob = bytearray(multimodal.encode_jpeg(
+        bytes(v for v in px for _ in range(3)), w, h, 3))
+    j = bytes(rgbblob).find(b"\xff\xc0")
+    sub = bytearray(rgbblob)
+    sub[j + 11] = 0x22  # comp 1 h/v
+    with pytest.raises(ValueError, match="subsampling"):
+        multimodal.decode_jpeg(bytes(sub))
+    # truncation anywhere: segment, scan, trailing
+    for cut in (10, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(ValueError,
+                           match="truncated|ended|marker|Huffman"):
+            multimodal.decode_jpeg(bytes(blob[:cut]))
+    # junk entropy data after a valid header
+    k = bytes(blob).find(b"\xff\xda")
+    hdr_end = k + 2 + _s.unpack(">H", bytes(blob[k + 2:k + 4]))[0]
+    junky = bytes(blob[:hdr_end]) + bytes(
+        (7 * j + 1) % 255 for j in range(64))
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(junky)
+
+
+def test_jpeg_resize_stats_compose(spark):
+    # decode_image_any routes JPEGs through the same resize kernel the
+    # gated PNG row uses: per-channel stats of the nearest-neighbor
+    # thumbnail equal the closed-form recompute
+    import numpy as np
+
+    media = multimodal.synthesize_jpeg_media(spark, n=8)
+    got = {(r["media_id"], r["channel"]): r
+           for r in multimodal.image_resize_channel_stats(
+               media, out_w=8, out_h=8).collect()}
+    for i in range(8):
+        w, h = multimodal._jpeg_fixture_dims(i)
+        px = multimodal._jpeg_tile_pixels(i, w, h)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        iy, ix = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        rs = arr[iy][:, ix].astype(int)
+        nch = 1 if i % 2 == 0 else 3
+        for c in range(nch):
+            r = got[(i, c)]
+            assert (r["decoded_w"], r["decoded_h"]) == (w, h)
+            assert r["px_sum"] == int(rs.sum())
+            assert r["px_min"] == int(rs.min())
+            assert r["px_max"] == int(rs.max())
+        assert (i, nch) not in got  # no phantom channels

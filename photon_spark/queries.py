@@ -721,43 +721,40 @@ _DRIVER_CHECKED_R7 = frozenset([
     "projection_value_lookup", "text_profile",
 ])
 
-_DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
-                   | _DRIVER_CHECKED_R7)
-
-
-# Round-8 window head: brand-new queries first.
-_NEWEST_FIRST = [
-    "skipgram_lift_topk",
-    "mutual_knn_pairs",
-    "media_decode_fallback_audit",
-    "funnel_time_to_convert",
-    "events_downtime_gaps",
-    "user_growth_accumulation",
-    "rolling_active_users",
-    "events_value_percentiles",
-    "cluster_label_purity",
-    "classifier_auc_rank",
-    "dup_graph_link_predict",
-    "compaction_bin_plan",
-    "image_palette_decode_stats",
-    "pareto_front_parts",
-    "customer_rfm_segments",
-    "events_interval_union",
-    "conjunctive_search_topk",
+# Round-8 driver window (CORRECTNESS_r08.json — all 50 green).
+_DRIVER_CHECKED_R8 = frozenset([
+    "ann_ndcg_audit", "cdc_merge_state", "cdc_multi_writer_state",
+    "cdc_state_diff", "cdc_time_travel", "classifier_auc_rank",
+    "cluster_label_purity", "cold_replay", "compaction_bin_plan",
+    "conjunctive_search_topk", "customer_rfm_segments",
+    "disjunctive_revenue", "dup_graph_link_predict",
+    "dup_graph_triangles", "erasure_propagation_audit",
+    "events_downtime_gaps", "events_interval_union",
+    "events_value_percentiles", "excess_part_suppliers",
+    "funnel_time_to_convert", "image_palette_decode_stats",
+    "image_resize_stats", "ivf_staleness_audit", "k_anonymity_audit",
+    "kneser_ney_doc_bits", "l_diversity_audit", "large_orders",
+    "market_share", "media_decode_fallback_audit", "min_cost_supplier",
+    "mutual_knn_pairs", "nation_profit_by_year", "nation_trade_volume",
+    "pareto_front_parts", "part_supplier_counts", "promo_revenue_share",
+    "returned_item_customers", "revenue_by_nation", "revenue_cube",
+    "revenue_rollup", "rolling_active_users", "shipping_priority",
+    "skipgram_lift_topk", "stream_contents", "time_range_count",
+    "top_customers_per_segment", "top_supplier_revenue",
+    "user_growth_accumulation", "vocab_growth_curve",
     "zipf_deviation_audit",
-    "l_diversity_audit",
-    "cdc_state_diff",
-    "erasure_propagation_audit",
-    "vocab_growth_curve",
-    "kneser_ney_doc_bits",
-    "dup_graph_triangles",
-    "k_anonymity_audit",
-    "cdc_multi_writer_state",
-    "ann_ndcg_audit",
-    "image_resize_stats",
-    "ivf_staleness_audit",
-    "cdc_merge_state",
-    "cdc_time_travel",
+])
+
+_DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
+                   | _DRIVER_CHECKED_R7 | _DRIVER_CHECKED_R8)
+
+
+# Round-9 window head: brand-new queries first.
+_NEWEST_FIRST = [
+    "scd2_history_salted",
+    "mutual_knn_pairs_ivf",
+    "cdc_stream_merge_state",
+    "image_jpeg_decode_stats",
 ]
 
 
@@ -765,21 +762,23 @@ _DEFER_PAST_BACKLOG: list = []
 
 
 # Queries whose gated OUTPUT or PLAN changed since their last driver
-# check, so the driver must re-verify them this round: the round-8
-# broadcast-size-gate sweep (queries_relational._bcast_dim) replaced
-# forced customer/part/supplier broadcast hints with a size-gated helper
-# — outputs pinned hash-identical locally at sf0.001/sf0.01, plans
-# unchanged at test sf (the dims are under the cap), but the driver
-# should re-verify every touched query.
-# Exactly the 16 registry queries whose body calls _bcast_dim
-# (mechanically derived from queries_relational.py — not hand-recalled).
+# check, so the driver must re-verify them this round (round 9):
+# media_decode_fallback_audit's OUTPUT changed (the mixed fixture grew
+# from three to five routed classes — real + corrupt JPEG rows);
+# rolling_active_users gained the short-span empty-calendar guard (plan
+# changed, values unchanged at driver sfs); image_decode_stats /
+# image_resize_stats now route through decode_image_any (values
+# unchanged); the four CDC rows run under the lease protocol (values
+# unchanged); mutual_knn_pairs was refactored through the shared
+# _mutual_pairs_from_graph consumer (plan/values unchanged);
+# pareto_front_parts gained the integer-axis validation (values
+# unchanged); scd2_history shares its oracle with the new salted twin.
 _CHANGED_THIS_ROUND = [
-    "disjunctive_revenue", "excess_part_suppliers", "large_orders",
-    "market_share", "min_cost_supplier", "nation_profit_by_year",
-    "nation_trade_volume", "part_supplier_counts", "promo_revenue_share",
-    "returned_item_customers", "revenue_by_nation", "revenue_cube",
-    "revenue_rollup", "shipping_priority", "top_customers_per_segment",
-    "top_supplier_revenue",
+    "media_decode_fallback_audit", "rolling_active_users",
+    "image_decode_stats", "image_resize_stats",
+    "cdc_merge_state", "cdc_time_travel", "cdc_state_diff",
+    "cdc_multi_writer_state", "mutual_knn_pairs", "pareto_front_parts",
+    "scd2_history",
 ]
 
 

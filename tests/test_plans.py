@@ -248,6 +248,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # consumes the knn_graph block-pair GEMM manifest above; the
         # mutual filter itself is a hash equi-join on the k·n relation
         "mutual_knn_pairs",
+        # same consumer over the IVF-pruned manifest (knn_graph_ivf's
+        # non-equi block-pair join over n_cells packed rows)
+        "mutual_knn_pairs_ivf",
         # crossJoin(broadcast(<1-row token grand total>)) — the lift
         # denominator, same scalar shape as bigram_lift_topk
         "skipgram_lift_topk",

@@ -66,6 +66,17 @@ def _file_md5(path: str) -> str | None:
 
 
 def stamp() -> int:
+    """Record the digests. REFUSES a partial stamp: every artifact must
+    exist (the round-8 failure was a final commit that re-stamped BENCH
+    but not CORRECTNESS — a stamp that silently recorded a missing or
+    stale artifact would bless exactly that). Regenerate BOTH artifacts
+    from the current tree, then stamp, then commit all three together
+    and make no further source edits."""
+    missing = [a for a in ARTIFACTS if _file_md5(a) is None]
+    if missing:
+        print(f"REFUSED: cannot stamp with missing artifacts: {missing} "
+              "— regenerate them first")
+        return 1
     payload = {
         "source_digest": _source_digest(),
         "artifacts": {a: _file_md5(a) for a in ARTIFACTS},
@@ -73,6 +84,11 @@ def stamp() -> int:
     with open(os.path.join(REPO, DIGEST_FILE), "w") as fh:
         json.dump(payload, fh, indent=2, sort_keys=True)
     print(f"stamped {DIGEST_FILE}: source {payload['source_digest'][:12]}")
+    for a, md5 in payload["artifacts"].items():
+        print(f"  {a}: {md5[:12]}")
+    print("NOTE: any further source edit re-invalidates this stamp — "
+          "re-run the generators and --stamp again before the final "
+          "commit")
     return 0
 
 

@@ -185,3 +185,92 @@ def bucketed_key_window(df: DataFrame, keys: list[str],
     drop = (["_bkt", "_lrn", "_cnt", "_first", "_off", "_nxt"]
             + [f"_llead_{c}" for c in lead_cols])
     return out.drop(*drop)
+
+
+def salted_sessionize(df: DataFrame, key_cols: list[str], ts_col: str,
+                      tiebreak_col: str | None = None,
+                      gap_ns: int = 24 * 3600 * 1_000_000_000,
+                      n_buckets: int = DEFAULT_SALT) -> DataFrame:
+    """Gap sessionization (``sessions.sessionize`` semantics: 1-based
+    ``session_idx`` per key) with NO one-task-per-key ceiling — the
+    gaps-and-islands member of the hot-key window family.
+
+    The island structure stitches with METADATA-sized corrections, so
+    unlike the generic two-window form this costs ONE window pass over
+    the data plus one map-side-combinable aggregate:
+
+    1. range-bucket by ts (the bucketed_key_window rule — integer DIV,
+       monotone, equal timestamps can never straddle a boundary);
+    2. per (key, bucket): local lag + local running break count, with
+       the bucket's first row provisionally counted as a break;
+    3. per-bucket summary (first/last ts + local break total — all
+       independent of neighbors, so ONE aggregate): the previous
+       non-empty bucket's last ts decides whether the first row's
+       provisional break was real; if not, the whole bucket's local
+       counts shift down by one. Offsets are the running sum of the
+       corrected totals over ≤ B rows per key.
+
+    A session spanning a bucket boundary is glued exactly: its rows in
+    the later bucket inherit the earlier bucket's running count through
+    the offset, and the spurious first-row break is subtracted via the
+    correction. Result is row-identical to the plain form (pinned in
+    tests on a constructed hot-key table and by the hash gate —
+    ``session_window_stats_salted`` shares the native row's oracle).
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    bounds = df.agg(F.min(ts_col).alias("lo"),
+                    F.max(ts_col).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.withColumn("session_idx",
+                             F.lit(None).cast("long")).where(F.lit(False))
+    width = max(1, (int(hi) - int(lo)) // int(n_buckets) + 1)
+    d = df.withColumn(
+        "_bkt", F.expr(f"(`{ts_col}` - {int(lo)}L) "
+                       f"DIV {width}L").cast("long"))
+
+    w_local = (Window.partitionBy(*key_cols, "_bkt")
+                     .orderBy(*[F.asc(c) for c in order]))
+    lag_local = F.lag(ts_col).over(w_local)
+    brk_local = F.when(lag_local.isNull()
+                       | (F.col(ts_col) - lag_local > F.lit(gap_ns)),
+                       1).otherwise(0)
+    run = w_local.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    loc = d.withColumn("_lcum", F.sum(brk_local).over(run))
+
+    summary = (d.groupBy(*key_cols, "_bkt")
+                .agg(F.min(ts_col).alias("_first_ts"),
+                     F.max(ts_col).alias("_last_ts")))
+    w_key = Window.partitionBy(*key_cols).orderBy("_bkt")
+    prev_last = F.lag("_last_ts").over(w_key)
+    # was the bucket's provisional first-row break REAL? (no previous
+    # non-empty bucket, or the cross-bucket gap exceeds the threshold)
+    first_brk = F.when(prev_last.isNull()
+                       | (F.col("_first_ts") - prev_last > F.lit(gap_ns)),
+                       1).otherwise(0)
+    summary = summary.withColumn("_corr", 1 - first_brk)
+    # corrected per-bucket break totals need the LOCAL total, which is
+    # the bucket's max running count — join loc's per-bucket max? No:
+    # local total is also derivable bucket-locally, but it lives in the
+    # data relation; carry it via one more tiny aggregate over loc's
+    # final column-free shape. Cheaper: the local total equals the
+    # count of local breaks = max(_lcum) per bucket — aggregate from
+    # loc (map-side combinable, same (key, bucket) grouping).
+    totals = (loc.groupBy(*key_cols, "_bkt")
+                 .agg(F.max("_lcum").alias("_ltot")))
+    summary = (summary.join(totals, [*key_cols, "_bkt"])
+               .withColumn("_btot", F.col("_ltot") - F.col("_corr"))
+               .withColumn("_off",
+                           F.coalesce(
+                               F.sum("_btot").over(
+                                   w_key.rowsBetween(
+                                       Window.unboundedPreceding, -1)),
+                               F.lit(0)))
+               .select(*key_cols, "_bkt", "_corr", "_off"))
+    out = loc.join(summary, [*key_cols, "_bkt"])
+    return (out.withColumn(
+                "session_idx",
+                (F.col("_off") + F.col("_lcum") - F.col("_corr"))
+                .cast("long"))
+               .drop("_bkt", "_lcum", "_corr", "_off"))

@@ -752,6 +752,7 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 # Round-9 window head: brand-new queries first.
 _NEWEST_FIRST = [
     "scd2_history_salted",
+    "session_window_stats_salted",
     "mutual_knn_pairs_ivf",
     "cdc_stream_merge_state",
     "image_jpeg_decode_stats",

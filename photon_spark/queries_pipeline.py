@@ -1424,6 +1424,36 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_session_window_stats_salted(spark, sf_dir):
+    """The SAME session relation as ``session_window_stats`` built
+    through the salted gaps-and-islands kernel
+    (skew.salted_sessionize) instead of Spark's native
+    ``session_window`` — the hot-key fallback for the second window
+    family the skew probes named: a user holding 40% of the log
+    otherwise sorts its whole history in the ONE task its session
+    merge runs in.
+
+    The kernel costs one (key, ts-bucket) window pass over the data
+    plus metadata-sized stitching (per-bucket first/last ts decide
+    whether a bucket's provisional first break was real; offsets are a
+    ≤B-row running sum per key) — islands spanning bucket boundaries
+    glue exactly. Gated against the IDENTICAL oracle as the native
+    row, so the hash gate itself proves three-way agreement: Spark
+    session_window ≡ salted two-pass ≡ DuckDB gaps-and-islands SQL.
+    """
+    from photon_spark.functions.skew import salted_sessionize
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("us"))
+    s = salted_sessionize(e, ["user_id"], "us",
+                          gap_ns=SESSION_GAP_US)
+    return (s.groupBy("user_id", "session_idx")
+             .agg(F.min("us").alias("session_start_us"),
+                  F.max("us").alias("session_last_us"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .select("user_id", "session_start_us", "session_last_us",
+                     "n_events"))
+
+
 # ---------------------------------------------------- SCD type-2 history
 
 def q_scd2_history(spark, sf_dir):
@@ -1781,6 +1811,7 @@ WHERE NOT (b.user_id IS NULL AND coalesce(h.cents % 10 = 0, false))
 QUERIES = {
     "events_sessionize": q_events_sessionize,
     "session_window_stats": q_session_window_stats,
+    "session_window_stats_salted": q_session_window_stats_salted,
     "events_rate_window": q_events_rate_window,
     "stratified_sample": q_stratified_sample,
     "token_topk": q_token_topk,
@@ -1813,6 +1844,7 @@ QUERIES = {
 ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "session_window_stats": SQL_SESSION_WINDOW_STATS,
+    "session_window_stats_salted": SQL_SESSION_WINDOW_STATS,
     "events_rate_window": SQL_EVENTS_RATE_WINDOW,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "token_topk": _sql_token_topk(),

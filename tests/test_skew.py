@@ -197,3 +197,57 @@ def test_bucketed_key_window_spreads_hot_key_tasks(spark):
     # and value-wise the global row numbers are the full 1..n sequence
     rns = [r[0] for r in out.select("_rn").orderBy("_rn").collect()]
     assert rns == list(range(1, n + 1))
+
+
+def test_salted_sessionize_row_identity_hot_key(spark):
+    """salted_sessionize equals sessions.sessionize ROW-FOR-ROW on a
+    constructed 40%-hot-key log with duplicate timestamps and sessions
+    spanning bucket boundaries."""
+    from photon_spark.functions.sessions import sessionize
+    from photon_spark.functions.skew import salted_sessionize
+
+    n = 30_000
+    gap = 50
+    # ts pattern: runs of close events with occasional big jumps, and
+    # DUPLICATE timestamps (the % 37 collision) — islands everywhere
+    df = (spark.range(n)
+          .select(F.when(F.col("id") % 10 < 4, 0)
+                   .otherwise(F.col("id") % 300 + 1).alias("k"),
+                  ((F.col("id") % 37) * 3
+                   + (F.col("id") % 11) * 120).alias("ts"),
+                  F.col("id").alias("eid")))
+    got = salted_sessionize(df, ["k"], "ts", tiebreak_col="eid",
+                            gap_ns=gap, n_buckets=8)
+    want = sessionize(df, ["k"], ts_col="ts", tiebreak_col="eid",
+                      gap_ns=gap)
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    sym = (got.select(cols).exceptAll(want.select(cols)).count()
+           + want.select(cols).exceptAll(got.select(cols)).count())
+    assert sym == 0
+    assert got.count() == n
+
+
+def test_salted_sessionize_boundary_glue(spark):
+    # a single session spanning EVERY bucket boundary (all gaps tiny)
+    # must stay one island; and per-bucket-isolated bursts must not
+    from photon_spark.functions.skew import salted_sessionize
+
+    rows = [(1, t, t) for t in range(0, 1000, 10)]       # one island
+    rows += [(2, t, t) for t in (0, 500, 1000)]          # three islands
+    df = spark.createDataFrame(rows, "k long, ts long, eid long")
+    out = salted_sessionize(df, ["k"], "ts", tiebreak_col="eid",
+                            gap_ns=20, n_buckets=7)
+    per_key = {r["k"]: r["n"] for r in
+               out.groupBy("k").agg(
+                   F.countDistinct("session_idx").alias("n")).collect()}
+    assert per_key == {1: 1, 2: 3}
+    # session_idx is 1-based and dense per key
+    idx = sorted(r["session_idx"] for r in
+                 out.where(F.col("k") == 2)
+                    .select("session_idx").distinct().collect())
+    assert idx == [1, 2, 3]
+    # empty input short-circuits
+    empty = spark.createDataFrame([], "k long, ts long, eid long")
+    assert salted_sessionize(empty, ["k"], "ts",
+                             gap_ns=20).count() == 0

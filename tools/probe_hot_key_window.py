@@ -88,7 +88,11 @@ def main():
 
         for name, fn in (("scd2_history [plain]", qp.q_scd2_history),
                          ("scd2_history_salted [two-pass]",
-                          qp.q_scd2_history_salted)):
+                          qp.q_scd2_history_salted),
+                         ("session_window_stats [native]",
+                          qp.q_session_window_stats),
+                         ("session_window_stats_salted [islands]",
+                          qp.q_session_window_stats_salted)):
             res = {}
             for label, d in (("1x", sf_dir), (f"{n}x", out_dir)):
                 spark.catalog.clearCache()

@@ -753,6 +753,8 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
 _NEWEST_FIRST = [
     "scd2_history_salted",
     "session_window_stats_salted",
+    "ranking_rbo_audit",
+    "dedup_cluster_bcubed",
     "mutual_knn_pairs_ivf",
     "cdc_stream_merge_state",
     "image_jpeg_decode_stats",

@@ -216,6 +216,103 @@ SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
 
 
+def q_dedup_cluster_bcubed(spark, sf_dir):
+    """B-CUBED clustering quality of the MinHash-LSH dedup clusters
+    against the EXACT-duplicate truth (groups by md5 of the normalized
+    text) — the standard extrinsic clustering metric (Bagga & Baldwin;
+    the one Amigo et al. showed uniquely satisfies all four clustering-
+    eval constraints): per doc, precision = |C(d) ∩ T(d)| / |C(d)| and
+    recall = |C(d) ∩ T(d)| / |T(d)| where C is the doc's predicted
+    near-dup cluster (singletons = their own cluster) and T its truth
+    group; per-source averages + F1. Low precision = the near-dup
+    threshold over-merges; recall < 1 = exact duplicates the bands
+    missed. This is the tuning evidence behind minhash_calibration,
+    promoted to a per-source hash-gated audit.
+
+    Float policy: per-doc ratios quantize to integer MILLIONTHS
+    (the classifier_train_gd pattern) so the per-source sums are
+    order-free long sums; one division at the end, F1 from the rounded
+    P/R in the same association both engines. At 100 TB the ppm
+    quantization runs per (cluster, truth-group) pair with bounded
+    counts — n_ct·10^6 fits a long far past this corpus's size; swap
+    to per-group ppm-of-ratio if clusters ever exceed ~10^12 docs.
+    """
+    from photon_spark import pair_cache
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "source",
+                    F.md5(dedup.normalize_text(F.col("text")))
+                     .alias("tid"))
+    pairs = pair_cache.near_dup_pairs(
+        spark, sf_dir, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=0.7)
+    labels = (dedup.dup_clusters(pairs)
+              .withColumnRenamed("id", "doc_id"))
+    a = (base.join(labels, "doc_id", "left")
+         .select("doc_id", "source", "tid",
+                 F.coalesce("cluster_id", F.col("doc_id")).alias("cid")))
+    n_ct = a.groupBy("cid", "tid").agg(F.count(F.lit(1)).alias("n_ct"))
+    n_c = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_c"))
+    n_t = a.groupBy("tid").agg(F.count(F.lit(1)).alias("n_t"))
+    per_doc = (a.join(n_ct, ["cid", "tid"]).join(n_c, "cid")
+                .join(n_t, "tid")
+                .select("source",
+                        F.round(F.col("n_ct") * 1_000_000
+                                / F.col("n_c")).cast("long").alias("pp"),
+                        F.round(F.col("n_ct") * 1_000_000
+                                / F.col("n_t")).cast("long").alias("rp")))
+    agg = (per_doc.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("pp").alias("sp"), F.sum("rp").alias("sr")))
+    pr = F.round(F.col("sp") / (F.col("n_docs") * 1_000_000.0), 6)
+    rc = F.round(F.col("sr") / (F.col("n_docs") * 1_000_000.0), 6)
+    out = (agg.select("source", "n_docs",
+                      pr.alias("b3_precision"), rc.alias("b3_recall"))
+           .withColumn("b3_f1",
+                       F.round(2.0 * F.col("b3_precision")
+                               * F.col("b3_recall")
+                               / (F.col("b3_precision")
+                                  + F.col("b3_recall")), 6)))
+    out._photon_cached = getattr(pairs, "_photon_cached", [])
+    return out
+
+
+def _sql_dedup_cluster_bcubed() -> str:
+    return f"""
+WITH RECURSIVE {{comp_ctes}},
+a AS (
+  SELECT d.doc_id, d.source, md5({_SQL_NORM}) AS tid,
+         coalesce(c.cluster_id, d.doc_id) AS cid
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+), nct AS (
+  SELECT cid, tid, count(*) AS n_ct FROM a GROUP BY 1, 2
+), nc AS (
+  SELECT cid, count(*) AS n_c FROM a GROUP BY 1
+), nt AS (
+  SELECT tid, count(*) AS n_t FROM a GROUP BY 1
+), per_doc AS (
+  SELECT a.source,
+         CAST(round(x.n_ct * 1000000.0 / c.n_c) AS BIGINT) AS pp,
+         CAST(round(x.n_ct * 1000000.0 / t.n_t) AS BIGINT) AS rp
+  FROM a JOIN nct x ON x.cid = a.cid AND x.tid = a.tid
+  JOIN nc c ON c.cid = a.cid
+  JOIN nt t ON t.tid = a.tid
+), agg AS (
+  SELECT source, count(*) AS n_docs, sum(pp) AS sp, sum(rp) AS sr
+  FROM per_doc GROUP BY 1
+), pr AS (
+  SELECT source, n_docs,
+         round(sp / (n_docs * 1000000.0), 6) AS b3_precision,
+         round(sr / (n_docs * 1000000.0), 6) AS b3_recall
+  FROM agg
+)
+SELECT source, n_docs, b3_precision, b3_recall,
+       round(2.0 * b3_precision * b3_recall
+             / (b3_precision + b3_recall), 6) AS b3_f1
+FROM pr
+"""
+
+
+
 def q_minhash_near_dups(spark, sf_dir):
     return dedup.minhash_near_duplicates(
         _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_BANDS,
@@ -1661,6 +1758,7 @@ QUERIES = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_bcubed": q_dedup_cluster_bcubed,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_buckets": q_simhash_buckets,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1698,6 +1796,9 @@ ORACLES = {
     "dedup_exact_stats": SQL_DEDUP_EXACT_STATS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS.replace("{pairs}", SQL_MINHASH_NEAR_DUPS),
+    "dedup_cluster_bcubed": _sql_dedup_cluster_bcubed().replace(
+        "{comp_ctes}", SQL_COMP_CTES.replace("{pairs}",
+                                             SQL_MINHASH_NEAR_DUPS)),
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,

@@ -865,6 +865,130 @@ LIMIT {RRF_TOPK}
 """
 
 
+# -------------------------------------------- rank-biased overlap (RBO)
+
+#: RBO persistence: weight of depth d is (1-p)·p^(d-1)
+RBO_P = 0.9
+#: truncation depth (RBO_min at this prefix; both legs rank this deep)
+RBO_DEPTH = 15
+
+
+def _rbo_weights() -> list:
+    """(depth, weight) literals computed ONCE in Python and injected
+    verbatim into BOTH engines — p^(d-1) via libm pow is not guaranteed
+    bit-identical across engines, a repr'd double literal is."""
+    return [(d, (1.0 - RBO_P) * RBO_P ** (d - 1))
+            for d in range(1, RBO_DEPTH + 1)]
+
+
+def q_ranking_rbo_audit(spark, sf_dir):
+    """RANK-BIASED OVERLAP between the two retrieval legs (lexical BM25
+    vs exact-cosine vector ranking, the hybrid_rrf_topk inputs) — the
+    standard top-weighted ranking-agreement metric (Webber et al.,
+    RBO): per depth d, the prefix agreement |A_d ∩ B_d| / d, and the
+    truncated RBO_min running sum Σ (1-p)·p^(d-1)·agreement. Low RBO =
+    the legs disagree where it matters (the top), i.e. fusion is doing
+    real work; per-depth rows show WHERE they diverge.
+
+    Scale/parity design: both legs are top-{RBO_DEPTH} relations before
+    anything joins (retrieval economics — bounded regardless of corpus
+    size); a doc's first-common depth is max(rank_a, rank_b), so
+    overlap(d) is a cumulative count — no depth×doc range join; the
+    geometric weights are PYTHON-COMPUTED double literals injected into
+    both engines (libm pow is not cross-engine bit-stable); per-depth
+    contributions round to 9dp before the fixed-order cumulative sum
+    rounds to 6dp. The depth windows are bounded by construction
+    ({RBO_DEPTH}-row calendar; global-window lint allowlisted).
+    """
+    from photon_spark.functions.similarity import brute_force_topk
+    bm = _bm25_scored(spark, sf_dir)
+    bm_top = (bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+                .limit(RBO_DEPTH).select("doc_id", "bm25"))
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm"))
+
+    ann = brute_force_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        RRF_QUERY_ID, k=RBO_DEPTH)
+    wa = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ann_rank = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wa).cast("long").alias("r_ann"))
+
+    fb = (bm_rank.join(ann_rank, "doc_id")
+          .select(F.greatest("r_bm", "r_ann").alias("fb")))
+    fbc = fb.groupBy("fb").agg(F.count(F.lit(1)).alias("cnt"))
+
+    weights = spark.createDataFrame(_rbo_weights(), "depth long, w double")
+    wd = (Window.orderBy("depth")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = (weights.join(fbc, weights.depth == fbc.fb, "left")
+         .select("depth", "w",
+                 F.coalesce("cnt", F.lit(0)).alias("add")))
+    o = j.withColumn("overlap", F.sum("add").over(wd))
+    o = o.withColumn(
+        "contrib",
+        F.round(F.col("w") * F.col("overlap") / F.col("depth"), 9))
+    out = o.select(
+        "depth",
+        F.col("overlap").cast("long").alias("n_common"),
+        F.round(F.col("overlap") / F.col("depth"), 6).alias("agreement"),
+        F.round(F.sum("contrib").over(wd), 6).alias("rbo_min"))
+    out._photon_cached = getattr(bm, "_photon_cached", [])
+    return out
+
+
+def _sql_ranking_rbo() -> str:
+    ctes, scored = _sql_bm25_parts()
+    wvals = ",\n         ".join(f"({d}, {w!r})" for d, w in _rbo_weights())
+    return f"""
+WITH {ctes},
+bm_top AS (
+  {scored}
+  ORDER BY bm25 DESC, p.doc_id ASC
+  LIMIT {RBO_DEPTH}
+), bm_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm
+  FROM bm_top
+), ann_top AS (
+  SELECT b.vec_id,
+         round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings b,
+       (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_ID}) q
+  WHERE b.vec_id != {RRF_QUERY_ID}
+  ORDER BY cosine DESC, b.vec_id
+  LIMIT {RBO_DEPTH}
+), ann_rank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_ann
+  FROM ann_top
+), fbc AS (
+  SELECT greatest(b.r_bm, a.r_ann) AS fb, count(*) AS cnt
+  FROM bm_rank b JOIN ann_rank a USING (doc_id)
+  GROUP BY 1
+), wts(depth, w) AS (
+  VALUES {wvals}
+), o AS (
+  SELECT wts.depth, wts.w,
+         sum(coalesce(f.cnt, 0)) OVER (ORDER BY wts.depth
+             ROWS UNBOUNDED PRECEDING) AS overlap
+  FROM wts LEFT JOIN fbc f ON f.fb = wts.depth
+), c AS (
+  SELECT depth, overlap,
+         round(w * overlap / depth, 9) AS contrib
+  FROM o
+)
+SELECT depth, CAST(overlap AS BIGINT) AS n_common,
+       round(overlap * 1.0 / depth, 6) AS agreement,
+       round(sum(contrib) OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING),
+             6) AS rbo_min
+FROM c
+"""
+
+
 # ----------------------------------------------- int8 gram matrix (PCA)
 
 GRAM_DIM = 64      #: embedding dimension (data contract of the table)
@@ -945,6 +1069,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_gram_int8": q_embedding_gram_int8,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "ranking_rbo_audit": q_ranking_rbo_audit,
     "feature_hash_vectors": q_feature_hash_vectors,
     "events_trending_users": q_events_trending_users,
 }
@@ -959,6 +1084,7 @@ ORACLES = {
     "hard_negative_mining": SQL_HARD_NEGATIVES,
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
     "hybrid_rrf_topk": _sql_hybrid_rrf(),
+    "ranking_rbo_audit": _sql_ranking_rbo(),
     "feature_hash_vectors": _sql_feature_hash(),
     "events_trending_users": SQL_EVENTS_TRENDING_USERS,
 }

@@ -655,6 +655,8 @@ def test_no_unbounded_global_windows_registry_wide(spark, sf_dir):
         "conjunctive_search_topk": "per-query posting intersection",
         # RRF fusion ranks the UNION OF TWO TOP-K lists (≤ 2k rows)
         "hybrid_rrf_topk": "union of two top-k lists",
+        # RBO: two top-k legs + a fixed RBO_DEPTH-row depth calendar
+        "ranking_rbo_audit": "top-k legs + fixed depth calendar",
         # phase-2 skyline consumes phase-1 local-skyline survivors
         # (structural pin: test_skyline_global_window_input_is_bounded)
         "pareto_front_parts": "local-skyline phase-1 survivors",

@@ -755,6 +755,7 @@ _NEWEST_FIRST = [
     "session_window_stats_salted",
     "ranking_rbo_audit",
     "dedup_cluster_bcubed",
+    "dp_noisy_event_counts",
     "mutual_knn_pairs_ivf",
     "cdc_stream_merge_state",
     "image_jpeg_decode_stats",

@@ -993,3 +993,84 @@ FROM cls GROUP BY 1, 2
 
 QUERIES["l_diversity_audit"] = q_l_diversity_audit
 ORACLES["l_diversity_audit"] = SQL_L_DIVERSITY_AUDIT
+
+
+# ------------------------------------- differentially-private release
+
+#: truncation bound of the discrete-Laplace noise support [-K, K]
+DP_K = 8
+#: seed baked into the noise hash — changing it re-draws every noise
+DP_SEED = "dp-release-r9"
+#: (noise value, 12-hex-char cumulative threshold) for eps=1 truncated
+#: discrete Laplace, computed ONCE in Python (P(k) ∝ exp(-|k|)) and
+#: compared LEXICOGRAPHICALLY against the md5-prefix draw — hex-string
+#: order equals numeric order of the 48-bit prefix, so no float, no
+#: exp(), no integer-parse of hex ever crosses an engine boundary
+DP_THRESHOLDS = [
+    (-8, "000a29530809"), (-7, "0025c874ffd2"), (-6, "0070ddc9dc5c"),
+    (-5, "013cf6c8dd52"), (-4, "0367c2480387"), (-3, "094bd90b6ef4"),
+    (-2, "194f422f6911"), (-1, "44d69cb6bbf6"), (0, "bb2963494409"),
+    (1, "e6b0bdd096ee"), (2, "f6b426f4910b"), (3, "fc983db7fc78"),
+    (4, "fec3093722ad"), (5, "ff8f223623a3"), (6, "ffda378b002d"),
+    (7, "fff5d6acf7f6"), (8, "ffffffffffff"),
+]
+
+
+def q_dp_noisy_event_counts(spark, sf_dir):
+    """DIFFERENTIALLY-PRIVATE count release (the governance tier's
+    output side): per event_type, the true count plus truncated
+    discrete-Laplace noise at eps=1 (sensitivity 1 for count queries) —
+    the standard DP histogram release, with the noise draw made
+    DETERMINISTIC and engine-portable so it can sit under the hash
+    gate: the uniform draw is the first 12 hex chars of
+    md5(event_type ':' seed), mapped through Python-precomputed
+    cumulative thresholds by LEXICOGRAPHIC comparison (hex order =
+    numeric order; no exp/float/hex-parse in either engine). A seeded
+    draw is also what production DP systems need for replayable
+    releases; rotating DP_SEED re-draws all noise.
+
+    Plan: one keyed count aggregate + a per-group CASE chain over 17
+    literal thresholds — map-side combine, constant release size.
+    Audit columns keep the true count beside the noisy one (this is a
+    correctness AUDIT row; a real release publishes only n_noisy)."""
+    from photon_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    h = F.substring(F.md5(F.concat(F.col("event_type"),
+                                   F.lit(":" + DP_SEED))), 1, 12)
+    # build the CASE chain from the largest threshold down so the
+    # first (smallest) matching bound wins when evaluated bottom-up
+    expr = F.lit(DP_THRESHOLDS[-1][0])
+    for k, t in reversed(DP_THRESHOLDS[:-1]):
+        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    return (agg.select("event_type", "n_true",
+                       expr.cast("long").alias("noise"))
+               .withColumn("n_noisy",
+                           F.greatest(F.col("n_true") + F.col("noise"),
+                                      F.lit(0)).cast("long"))
+               .withColumn("epsilon", F.lit(1.0)))
+
+
+def _sql_dp_noisy_event_counts() -> str:
+    cases = " ".join(
+        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    return f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+), drawn AS (
+  SELECT event_type, n_true,
+         substring(md5(event_type || ':{DP_SEED}'), 1, 12) AS h
+  FROM agg
+)
+SELECT event_type, n_true,
+       CAST(CASE {cases} ELSE {DP_K} END AS BIGINT) AS noise,
+       CAST(greatest(n_true + CASE {cases} ELSE {DP_K} END, 0)
+            AS BIGINT) AS n_noisy,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM drawn
+"""
+
+
+QUERIES["dp_noisy_event_counts"] = q_dp_noisy_event_counts
+ORACLES["dp_noisy_event_counts"] = _sql_dp_noisy_event_counts()

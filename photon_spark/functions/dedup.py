@@ -870,3 +870,40 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25,
         if changed == 0:
             return labels
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
+
+
+# ------------------------------------------------- multi-source BFS
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             max_hops: int) -> DataFrame:
+    """Multi-source frontier BFS: min hop distance from any seed, with
+    columns (doc_id, hops long).
+
+    ``edges`` must be the DIRECTED expansion (both orientations of an
+    undirected edge) with columns (src, dst); ``seeds`` has (doc_id).
+    Each round advances the frontier one hop with a single hash join,
+    dedupes it, and anti-joins the visited union so a vertex is
+    emitted only at its FIRST reaching — min-hop by construction, no
+    per-vertex min aggregate needed. Frontiers ``localCheckpoint`` so
+    lineage TRUNCATES per round (the dup_clusters convention);
+    merely persisting keeps the full recursive plan text, round k
+    re-derives rounds 1..k-1 on a cache miss, and the nested lineage
+    defeats plan-budget inspection. Production callers add
+    ``if frontier.isEmpty(): break``; gated callers keep the fixed
+    depth so the job count (and the plan) is deterministic.
+    """
+    frontier = (seeds.select("doc_id", F.lit(0).alias("hops"))
+                     .localCheckpoint())
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(edges, frontier.doc_id == edges.src)
+                       .select(F.col("dst").alias("doc_id"))
+                       .distinct()
+                       .join(visited.select("doc_id"), "doc_id",
+                             "left_anti")
+                       .select("doc_id", F.lit(h).alias("hops"))
+                       .localCheckpoint())
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.select("doc_id",
+                          F.col("hops").cast("long").alias("hops"))

@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-PNG and baseline JPEG images decode for REAL: ``decode_png`` is a
+PNG, baseline JPEG and GIF images decode for REAL: ``decode_png`` is a
 pure-stdlib decoder (zlib inflate + per-row unfilter, all five PNG
-filter types, CRC-checked) and ``decode_jpeg`` is a stdlib+numpy
+filter types, CRC-checked), ``decode_jpeg`` is a stdlib+numpy
 baseline SOF0 decoder (Huffman entropy decode, dequant, IDCT, YCbCr,
-restart intervals) — no PIL needed — and ``_decode_image`` routes both
+restart intervals) and ``decode_gif`` is a pure-stdlib single-frame
+GIF87a/89a decoder (variable-width LZW, interlace, palette
+dereference) — no PIL needed — and ``_decode_image`` routes all three
 signatures through them, so luma statistics come from actual pixel
 values. Remaining codecs (progressive JPEG, WebP, audio, video) stay
 deterministic fakes behind the ``_decode_*`` seams (clearly marked;
@@ -175,7 +177,7 @@ def synthesize_jpeg_media(spark, n: int = 48) -> DataFrame:
 def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
     """Deterministic MIXED media table — the honest production shape
     where a corpus carries more than one codec AND broken objects.
-    Row ``i`` by ``i % 5``:
+    Row ``i`` by ``i % 7``:
 
     - 0: a real greyscale PNG (the synthesize_png_media closed form);
     - 1: a CORRUPT PNG (signature + deterministic junk — decode_png
@@ -186,40 +188,59 @@ def synthesize_mixed_media(spark, n: int = 48) -> DataFrame:
       or RGB-through-YCbCr by ``i % 2``) — since round 9 these rows
       decode for real instead of certifying the byte proxy;
     - 4: a CORRUPT JPEG (SOI + deterministic junk — decode_jpeg
-      RAISES), image/jpeg-bad.
+      RAISES), image/jpeg-bad;
+    - 5: a REAL single-frame GIF (the synthesize_gif_media closed
+      form, interlaced on odd ``i``);
+    - 6: a CORRUPT GIF (signature + deterministic junk — decode_gif
+      RAISES), image/gif-bad.
 
     Exists to put every decode/degrade routing under the hash gate,
     not just under pytest."""
     rows = []
     for i in range(n):
-        if i % 5 == 0:
+        if i % 7 == 0:
             w, h = 16 + i % 9, 12 + i % 7
             px = bytes((31 * i + 7 * y + 3 * x) % 256
                        for y in range(h) for x in range(w))
             rows.append((i, "image", "image/png", w, h, 0,
                          encode_png(px, w, h)))
-        elif i % 5 == 1:
+        elif i % 7 == 1:
             junk = bytes((i * 31 + j * 7) % 256
                          for j in range(256 + (i % 5) * 64))
             rows.append((i, "image", "image/png-bad", 16, 16, 0,
                          PNG_SIG + junk))
-        elif i % 5 == 2:
+        elif i % 7 == 2:
             blob = bytes((i * 31 + j * 7) % 256
                          for j in range(256 + (i % 5) * 64))
             rows.append((i, "image", "image/fake", 64 + i % 32,
                          48 + i % 32, 0, blob))
-        elif i % 5 == 3:
+        elif i % 7 == 3:
             w, h = _jpeg_fixture_dims(i)
             grey = _jpeg_tile_pixels(i, w, h)
             blob = (encode_jpeg(grey, w, h, 1) if i % 2 == 0 else
                     encode_jpeg(bytes(v for v in grey
                                       for _ in range(3)), w, h, 3))
             rows.append((i, "image", "image/jpeg", w, h, 0, blob))
-        else:
+        elif i % 7 == 4:
             junk = bytes((i * 29 + j * 13) % 256
-                         for j in range(256 + (i % 7) * 32))
+                         for j in range(256 + (i % 11) * 32))
             rows.append((i, "image", "image/jpeg-bad", 16, 16, 0,
                          JPEG_SOI + junk))
+        elif i % 7 == 5:
+            w, h = 16 + i % 9, 12 + i % 7
+            n_pal = 4 + i % 13
+            pal = [((5 * k + 7 * i) % 256, (9 * k + 3 * i) % 256,
+                    (11 * k + 4 * i) % 256) for k in range(n_pal)]
+            idx = bytes((2 * i + y + 3 * x) % n_pal
+                        for y in range(h) for x in range(w))
+            rows.append((i, "image", "image/gif", w, h, 0,
+                         encode_gif(idx, pal, w, h,
+                                    interlace=bool(i % 2))))
+        else:
+            junk = bytes((i * 17 + j * 11) % 256
+                         for j in range(256 + (i % 5) * 32))
+            rows.append((i, "image", "image/gif-bad", 16, 16, 0,
+                         b"GIF89a" + junk))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
 
@@ -530,26 +551,31 @@ def decode_png(content: bytes):
 
 def decode_image_any(content: bytes):
     """Signature-routed real decode -> (w, h, channels, pixel bytes):
-    PNG via :func:`decode_png`, baseline JPEG via :func:`decode_jpeg`.
-    ValueError on anything else (the per-row degrade contract)."""
+    PNG via :func:`decode_png`, baseline JPEG via :func:`decode_jpeg`,
+    GIF via :func:`decode_gif`. ValueError on anything else (the
+    per-row degrade contract)."""
     if content[:8] == PNG_SIG:
         return decode_png(content)
     if content[:2] == JPEG_SOI:
         return decode_jpeg(content)
-    raise ValueError("unknown image signature (PNG and baseline JPEG "
-                     "decode for real; other codecs are the documented "
-                     "byte-proxy seam)")
+    if content[:4] == b"GIF8":
+        return decode_gif(content)
+    raise ValueError("unknown image signature (PNG, baseline JPEG and "
+                     "GIF decode for real; other codecs are the "
+                     "documented byte-proxy seam)")
 
 
 def _decode_image(content: bytes, width: int, height: int):
-    """PNG and baseline-JPEG payloads decode for REAL (``decode_png`` /
-    ``decode_jpeg`` — stdlib + numpy, no PIL): luma is computed from
-    actual pixel values (RGB via the integer Rec.601 weights). Other
-    payloads keep the deterministic byte-mean fake — the documented
-    seam where production swaps in PIL/ffmpeg for further codecs."""
+    """PNG, baseline-JPEG and GIF payloads decode for REAL
+    (``decode_png`` / ``decode_jpeg`` / ``decode_gif`` — stdlib +
+    numpy, no PIL): luma is computed from actual pixel values (RGB via
+    the integer Rec.601 weights). Other payloads keep the
+    deterministic byte-mean fake — the documented seam where
+    production swaps in PIL/ffmpeg for further codecs."""
     if content is None:
         raise NotImplementedError("image decode of NULL content")
-    if content[:8] == PNG_SIG or content[:2] == JPEG_SOI:
+    if (content[:8] == PNG_SIG or content[:2] == JPEG_SOI
+            or content[:4] == b"GIF8"):
         w, h, ch, px = decode_image_any(content)
         if ch == 1:
             lumas = px
@@ -1172,3 +1198,291 @@ def decode_jpeg(content: bytes):
     b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
     rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return w, h, 3, bytes(rgb.tobytes())
+
+
+# ----------------------------------------------------------- GIF codec
+
+GIF_SIG = b"GIF8"          #: both GIF87a and GIF89a start with this
+#: interlace pass structure: (first row, row step) per pass
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _lzw_emissions(indices: bytes, min_code_size: int) -> list:
+    """Greedy GIF-LZW compression to a CODE sequence (clear-prefixed,
+    end-terminated). Dictionary indices mirror the decoder's append
+    order exactly (one entry per emission, starting at clear+2); a
+    clear code is emitted when the table would outgrow the 12-bit code
+    space, resetting both sides in lockstep."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    emissions = [clear]
+    dict_ = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in dict_:
+            w = wc
+            continue
+        emissions.append(dict_[w])
+        if next_code < 4096:
+            dict_[wc] = next_code
+            next_code += 1
+        else:
+            emissions.append(clear)
+            dict_ = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        w = bytes([b])
+    if w:
+        emissions.append(dict_[w])
+    emissions.append(end)
+    return emissions
+
+
+def _lzw_pack(emissions: list, min_code_size: int) -> bytes:
+    """Serialize a code sequence to the GIF LSB-first bitstream,
+    replaying the DECODER's width evolution (width grows when its
+    table size reaches 2^width, capped at 12 bits; resets on clear) so
+    both sides always agree on every code's width."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = npos = 0
+    width = min_code_size + 1
+    n = clear + 2
+    first = True
+    for code in emissions:
+        acc |= code << npos
+        npos += width
+        while npos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            npos -= 8
+        if code == clear:
+            width, n, first = min_code_size + 1, clear + 2, True
+        elif code == end:
+            break
+        elif first:
+            first = False
+        else:
+            n += 1
+            if n == (1 << width) and width < 12:
+                width += 1
+    if npos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int,
+                    expected_len: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear /
+    end codes, 12-bit cap, KwKwK case). Output is bounded by
+    ``expected_len`` so a malicious stream cannot balloon executor
+    memory; over- or under-production raises ValueError."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev = None
+    out = bytearray()
+    while True:
+        if pos + width > nbits:
+            raise ValueError("truncated LZW stream (no end code)")
+        code = (big >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first LZW code is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]          # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        if len(out) > expected_len:
+            raise ValueError("LZW output exceeds pixel count")
+        prev = entry
+    if len(out) != expected_len:
+        raise ValueError("LZW output short of pixel count")
+    return bytes(out)
+
+
+def encode_gif(indices: bytes, palette: list, width: int, height: int,
+               interlace: bool = False) -> bytes:
+    """Encode index bytes + an RGB palette as a single-frame GIF89a
+    with a global color table (padded to the next power of two ≥ 2)
+    and REAL LZW compression — dictionary references and width growth
+    included, not a literal-only stream. ``interlace`` writes the four
+    GIF interlace passes."""
+    n_pal = len(palette)
+    if not indices or len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    if not 1 <= n_pal <= 256 or max(indices) >= n_pal:
+        raise ValueError("palette size / index range")
+    gct_bits = max(1, (max(n_pal - 1, 1)).bit_length())
+    gct_size = 1 << gct_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])   # GCT flag + size
+    for k in range(gct_size):
+        r, g, b = palette[k] if k < n_pal else (0, 0, 0)
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlace else 0x00])   # no LCT
+    if interlace:
+        rows = []
+        for first, step in _GIF_PASSES:
+            rows.extend(range(first, height, step))
+        indices = b"".join(indices[y * width:(y + 1) * width]
+                           for y in rows)
+    min_code = max(2, gct_bits)
+    packed = _lzw_pack(_lzw_emissions(indices, min_code), min_code)
+    out += bytes([min_code])
+    for off in range(0, len(packed), 255):
+        chunk = packed[off:off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(content: bytes):
+    """Decode a single-frame GIF (87a/89a, global or local color
+    table, interlaced or not) to ``(width, height, 3, rgb_bytes)`` —
+    palette indices dereferenced to RGB like palette PNGs, so
+    downstream luma/resize treat all color images uniformly. Animated
+    GIFs (a second image descriptor), frames not covering the logical
+    screen, missing color tables, out-of-range indices, truncation,
+    bad LZW streams, and trailing bytes after the trailer all raise
+    ValueError (the per-row degrade contract)."""
+    if content[:4] != GIF_SIG or content[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", content[6:10])
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (1 << ((packed & 0x07) + 1))
+        if pos + size > len(content):
+            raise ValueError("truncated global color table")
+        gct = content[pos:pos + size]
+        pos += size
+    frame = None
+
+    def _subblocks(p: int):
+        chunks = bytearray()
+        while True:
+            if p >= len(content):
+                raise ValueError("truncated sub-block chain")
+            ln = content[p]
+            p += 1
+            if ln == 0:
+                return bytes(chunks), p
+            if p + ln > len(content):
+                raise ValueError("truncated sub-block")
+            chunks += content[p:p + ln]
+            p += ln
+
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF (missing trailer)")
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:                       # trailer
+            break
+        if block == 0x21:                       # extension: skip
+            if pos >= len(content):
+                raise ValueError("truncated extension")
+            pos += 1                            # label
+            _, pos = _subblocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if frame is not None:
+            raise ValueError("animated GIF (multiple frames)")
+        if pos + 9 > len(content):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h = struct.unpack("<HHHH", content[pos:pos + 8])
+        ipacked = content[pos + 8]
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("frame does not cover the logical screen")
+        table = gct
+        if ipacked & 0x80:
+            size = 3 * (1 << ((ipacked & 0x07) + 1))
+            if pos + size > len(content):
+                raise ValueError("truncated local color table")
+            table = content[pos:pos + size]
+            pos += size
+        if table is None:
+            raise ValueError("no color table")
+        if pos >= len(content):
+            raise ValueError("truncated before LZW min code size")
+        min_code = content[pos]
+        data, pos = _subblocks(pos + 1)
+        idx = _lzw_decode_gif(data, min_code, w * h)
+        if ipacked & 0x40:                      # deinterlace
+            rows = []
+            for first, step in _GIF_PASSES:
+                rows.extend(range(first, h, step))
+            ordered = bytearray(w * h)
+            for src_y, dst_y in enumerate(rows):
+                ordered[dst_y * w:(dst_y + 1) * w] = \
+                    idx[src_y * w:(src_y + 1) * w]
+            idx = bytes(ordered)
+        frame = (w, h, idx, table)
+    if frame is None:
+        raise ValueError("GIF with no image data")
+    if pos != len(content):
+        raise ValueError("trailing bytes after GIF trailer")
+    w, h, idx, table = frame
+    n_pal = len(table) // 3
+    rgb = bytearray(len(idx) * 3)
+    for k, i in enumerate(idx):
+        if i >= n_pal:
+            raise ValueError("color index out of range")
+        rgb[3 * k:3 * k + 3] = table[3 * i:3 * i + 3]
+    return w, h, 3, bytes(rgb)
+
+
+def synthesize_gif_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-GIF media table: image ``i`` is a
+    ``(16 + i%9) × (12 + i%7)`` single-frame GIF with ``4 + i%13``
+    palette entries where entry ``k`` is ``((5k+7i) % 256,
+    (9k+3i) % 256, (11k+4i) % 256)`` and the index of pixel ``(x, y)``
+    is ``(2i + y + 3x) mod n_pal`` — closed forms an oracle re-derives
+    per pixel without any decoder. Odd rows are INTERLACED (the four
+    GIF passes), and the small palettes start LZW at 3–4 bit codes so
+    the variable code width actually grows mid-stream. One source
+    partition (see synthesize_media's rationale)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 7
+        n_pal = 4 + i % 13
+        pal = [((5 * k + 7 * i) % 256, (9 * k + 3 * i) % 256,
+                (11 * k + 4 * i) % 256) for k in range(n_pal)]
+        idx = bytes((2 * i + y + 3 * x) % n_pal
+                    for y in range(h) for x in range(w))
+        rows.append((i, "image", "image/gif", w, h, 0,
+                     encode_gif(idx, pal, w, h, interlace=bool(i % 2))))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)

@@ -759,6 +759,8 @@ _NEWEST_FIRST = [
     "mutual_knn_pairs_ivf",
     "cdc_stream_merge_state",
     "image_jpeg_decode_stats",
+    "dup_graph_bfs_hops",
+    "image_gif_decode_stats",
 ]
 
 
@@ -768,7 +770,8 @@ _DEFER_PAST_BACKLOG: list = []
 # Queries whose gated OUTPUT or PLAN changed since their last driver
 # check, so the driver must re-verify them this round (round 9):
 # media_decode_fallback_audit's OUTPUT changed (the mixed fixture grew
-# from three to five routed classes — real + corrupt JPEG rows);
+# from three to seven routed classes — real + corrupt JPEG rows, then
+# real + corrupt GIF rows);
 # rolling_active_users gained the short-span empty-calendar guard (plan
 # changed, values unchanged at driver sfs); image_decode_stats /
 # image_resize_stats now route through decode_image_any (values

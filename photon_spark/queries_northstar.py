@@ -1620,6 +1620,55 @@ FROM luma GROUP BY i, w, h
 """
 
 
+#: GIF fixture size for the gated real-decode relation
+GIF_N = 48
+
+
+def q_image_gif_decode_stats(spark, sf_dir):
+    """REAL GIF decode under the hash gate: per-image pixel statistics
+    of single-frame GIFs from actually LZW-decoded, (de)interlaced,
+    palette-dereferenced pixels. The fixture's palettes are SMALL
+    (4–16 entries), so the LZW stream starts at 3–4 bit codes and the
+    variable code width grows mid-stream — a decoder that fixes the
+    width (or desyncs the growth rule from the table size) cannot
+    match; odd rows are interlaced, so the four-pass row reorder is
+    exercised too. The oracle re-derives every statistic from the
+    closed forms (index of pixel (x,y) of image i = (2i + y + 3x) mod
+    n_pal with n_pal = 4 + i mod 13; palette entry k = ((5k+7i) mod
+    256, (9k+3i) mod 256, (11k+4i) mod 256); integer Rec.601 luma)
+    entirely in SQL — a hash match proves LZW -> deinterlace ->
+    palette dereference -> luma reproduces ground truth
+    value-for-value. Map-only Arrow pass; blobs never shuffle."""
+    media = multimodal.synthesize_gif_media(spark, n=GIF_N)
+    return multimodal.image_decode_features(media)
+
+
+SQL_IMAGE_GIF_DECODE_STATS = f"""
+WITH m AS (
+  SELECT i, 16 + i % 9 AS w, 12 + i % 7 AS h, 4 + i % 13 AS n_pal
+  FROM range({GIF_N}) t(i)
+), px AS (
+  SELECT m.i, m.w, m.h,
+         (2 * m.i + (g.j // m.w) + 3 * (g.j % m.w)) % m.n_pal AS k
+  FROM m CROSS JOIN generate_series(0, 24 * 18 - 1) g(j)
+  WHERE g.j < m.w * m.h
+), luma AS (
+  SELECT i, w, h,
+         (299 * ((5 * k + 7 * i) % 256)
+          + 587 * ((9 * k + 3 * i) % 256)
+          + 114 * ((11 * k + 4 * i) % 256)) // 1000 AS v
+  FROM px
+)
+SELECT i AS media_id, CAST(w AS INTEGER) AS decoded_w,
+       CAST(h AS INTEGER) AS decoded_h,
+       count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS luma_sum,
+       CAST(min(v) AS INTEGER) AS min_luma,
+       CAST(max(v) AS INTEGER) AS max_luma,
+       round(CAST(sum(v) AS BIGINT) / (count(*) * 1.0), 6) AS mean_luma
+FROM luma GROUP BY i, w, h
+"""
+
+
 #: mixed-codec fixture size for the gated fallback-audit relation
 MIX_PNG_N = 48
 #: JPEG fixture size for the gated real-decode relation
@@ -1673,12 +1722,14 @@ def q_media_decode_fallback_audit(spark, sf_dir):
     except-ValueError degrade, not just the unknown-signature
     short-circuit), undecodable fake blobs, REAL baseline JPEGs
     (decoded for real since round 9 — these rows used to certify the
-    byte proxy) and CORRUPT JPEGs must come through the feature pass
-    with REAL decoded luma on the good rows and the documented
-    deterministic byte-mean proxy on every bad class, one row per
-    input, no job failure. The oracle re-derives ALL FIVE paths
-    closed-form (PNG pixel formula; JPEG tile formula;
-    signature+junk byte formulas; raw byte formula), so a hash match
+    byte proxy), CORRUPT JPEGs, REAL GIFs (LZW + interlace +
+    palette dereference) and CORRUPT GIFs must come through the
+    feature pass with REAL decoded luma on the good rows and the
+    documented deterministic byte-mean proxy on every bad class, one
+    row per input, no job failure. The oracle re-derives ALL SEVEN
+    paths closed-form (PNG pixel formula; JPEG tile formula; GIF
+    palette formula; signature+junk byte formulas; raw byte
+    formula), so a hash match
     proves the router sends each row down the right path and no path
     contaminates another — the contract that lets a 100 TB run
     survive a bad object without losing the partition. Map-only
@@ -1693,13 +1744,17 @@ def q_media_decode_fallback_audit(spark, sf_dir):
 _PNG_SIG_SUM, _PNG_SIG_LEN = 425, 8
 #: sum/length of the 2 JPEG SOI bytes (\\xff \\xd8)
 _JPEG_SOI_SUM, _JPEG_SOI_LEN = 471, 2
+#: sum/length of the 6 GIF89a signature bytes (G I F 8 9 a)
+_GIF_SIG_SUM, _GIF_SIG_LEN = 424, 6
 
 SQL_MEDIA_DECODE_FALLBACK_AUDIT = f"""
 WITH m AS (
-  SELECT i, i % 5 AS cls, 16 + i % 9 AS w, 12 + i % 7 AS h,
+  SELECT i, i % 7 AS cls, 16 + i % 9 AS w, 12 + i % 7 AS h,
          256 + (i % 5) * 64 AS len,
          8 * (2 + i % 3) AS jw, 8 * (2 + i % 2) AS jh,
-         256 + (i % 7) * 32 AS jlen
+         256 + (i % 11) * 32 AS jlen,
+         4 + i % 13 AS n_pal,
+         256 + (i % 5) * 32 AS glen
   FROM range({MIX_PNG_N}) t(i)
 ), png AS (
   SELECT m.i,
@@ -1736,9 +1791,30 @@ WITH m AS (
          round((CAST({_JPEG_SOI_SUM} AS BIGINT)
                 + sum((m.i * 29 + g.j * 13) % 256)) * 1.0
                / ({_JPEG_SOI_LEN} + m.jlen), 6) AS mean_luma
-  FROM m CROSS JOIN generate_series(0, 447) g(j)
+  FROM m CROSS JOIN generate_series(0, 575) g(j)
   WHERE m.cls = 4 AND g.j < m.jlen
   GROUP BY m.i, m.jlen
+), gif AS (
+  -- REAL decode: palette dereference of the GIF index closed form
+  SELECT i, round(avg(v), 6) AS mean_luma FROM (
+    SELECT m.i,
+           (299 * ((5 * ((2 * m.i + (g.j // m.w) + 3 * (g.j % m.w))
+                         % m.n_pal) + 7 * m.i) % 256)
+            + 587 * ((9 * ((2 * m.i + (g.j // m.w) + 3 * (g.j % m.w))
+                           % m.n_pal) + 3 * m.i) % 256)
+            + 114 * ((11 * ((2 * m.i + (g.j // m.w) + 3 * (g.j % m.w))
+                            % m.n_pal) + 4 * m.i) % 256)) // 1000 AS v
+    FROM m CROSS JOIN generate_series(0, 24 * 18 - 1) g(j)
+    WHERE m.cls = 5 AND g.j < m.w * m.h
+  ) GROUP BY 1
+), gbad AS (
+  SELECT m.i,
+         round((CAST({_GIF_SIG_SUM} AS BIGINT)
+                + sum((m.i * 17 + g.j * 11) % 256)) * 1.0
+               / ({_GIF_SIG_LEN} + m.glen), 6) AS mean_luma
+  FROM m CROSS JOIN generate_series(0, 511) g(j)
+  WHERE m.cls = 6 AND g.j < m.glen
+  GROUP BY m.i, m.glen
 )
 SELECT i AS media_id, 'image/png' AS mime, mean_luma FROM png
 UNION ALL
@@ -1749,6 +1825,10 @@ UNION ALL
 SELECT i, 'image/jpeg', mean_luma FROM jpeg
 UNION ALL
 SELECT i, 'image/jpeg-bad', mean_luma FROM jbad
+UNION ALL
+SELECT i, 'image/gif', mean_luma FROM gif
+UNION ALL
+SELECT i, 'image/gif-bad', mean_luma FROM gbad
 """
 
 
@@ -1784,6 +1864,7 @@ QUERIES = {
     "image_decode_stats": q_image_decode_stats,
     "image_resize_stats": q_image_resize_stats,
     "image_palette_decode_stats": q_image_palette_decode_stats,
+    "image_gif_decode_stats": q_image_gif_decode_stats,
     "media_decode_fallback_audit": q_media_decode_fallback_audit,
     "image_jpeg_decode_stats": q_image_jpeg_decode_stats,
     "knn_graph_ivf": q_knn_graph_ivf,
@@ -1826,6 +1907,7 @@ ORACLES = {
     "image_decode_stats": SQL_IMAGE_DECODE_STATS,
     "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     "image_palette_decode_stats": SQL_IMAGE_PALETTE_DECODE_STATS,
+    "image_gif_decode_stats": SQL_IMAGE_GIF_DECODE_STATS,
     "media_decode_fallback_audit": SQL_MEDIA_DECODE_FALLBACK_AUDIT,
     "image_jpeg_decode_stats": SQL_IMAGE_JPEG_DECODE_STATS,
     "knn_graph_ivf": _sql_knn_graph_ivf(),

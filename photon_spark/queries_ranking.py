@@ -1059,6 +1059,79 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------- multi-source frontier BFS
+
+#: BFS depth cap — the transitive-chaining radius worth auditing; a
+#: near-dup cluster whose members sit ≥ this many hops from any
+#: canonical candidate has almost certainly chained unrelated docs
+BFS_MAX_HOPS = 4
+
+
+def q_dup_graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS over the near-duplicate graph — the ITERATIVE
+    traversal primitive (the recursive-CTE shape) the dup-graph family
+    was missing: hop distance from each document to its nearest
+    "locally canonical" seed (a vertex smaller than every neighbor —
+    every component's true canonical, the min id, is one by
+    construction). The hop distance is the TRANSITIVE-CHAINING RADIUS
+    audit for banded MinHash dedup: A~B~C~D chains put D three hops
+    from its canonical even though sim(A, D) may be near zero, so
+    rows with hops ≥ 3 are exactly the "this cluster glued unrelated
+    docs" candidates worth re-verifying before canonical selection
+    collapses them.
+
+    Algorithm: classic frontier BFS as {BFS_MAX_HOPS} chained
+    DataFrame rounds — frontier ⋈ edges advances one hop, an anti-join
+    against the visited set keeps first reachings only (min-hop by
+    construction), each frontier persists so lineage stays linear
+    (unpersisted iterative joins re-derive the whole prefix per round
+    — the classic iterative-Spark trap). Per round the work is ONE
+    hash join + one distinct + one anti-join on (id) rows only; at
+    100 TB each round is frontier-sized, not graph-sized, and a
+    production run adds the driver-side `if frontier.isEmpty(): break`
+    early-exit this fixed-depth gated form omits (the gate keeps the
+    job count deterministic). Consumes the shared PairTable; ids only.
+    """
+    from photon_spark import pair_cache
+    from photon_spark.functions.dedup import _own_cache, bfs_hops
+    pairs = pair_cache.near_dup_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("lo_id").alias("src"),
+                          F.col("hi_id").alias("dst"))
+                  .unionAll(pairs.select(F.col("hi_id").alias("src"),
+                                         F.col("lo_id").alias("dst")))
+                  .persist())
+    # locally canonical seeds: no neighbor has a smaller id
+    seeds = (edges.groupBy("src").agg(F.min("dst").alias("mn"))
+                  .where(F.col("mn") > F.col("src"))
+                  .select(F.col("src").alias("doc_id")))
+    out = bfs_hops(edges, seeds, BFS_MAX_HOPS)
+    return _own_cache(out, getattr(pairs, "_photon_cached", [])
+                      + [edges])
+
+
+def _sql_dup_graph_bfs() -> str:
+    from photon_spark.queries_northstar import SQL_MINHASH_NEAR_DUPS
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT lo_id AS src, hi_id AS dst FROM pairs
+  UNION ALL SELECT hi_id, lo_id FROM pairs
+),
+seeds AS (
+  SELECT src AS doc_id FROM edges GROUP BY src HAVING min(dst) > src
+),
+bfs(doc_id, hops) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.hops < {BFS_MAX_HOPS}
+)
+SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY 1
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "events_decay_popularity": q_events_decay_popularity,
@@ -1066,6 +1139,7 @@ QUERIES = {
     "pagerank_dup_graph": q_pagerank_dup_graph,
     "dup_graph_triangles": q_dup_graph_triangles,
     "dup_graph_link_predict": q_dup_graph_link_predict,
+    "dup_graph_bfs_hops": q_dup_graph_bfs_hops,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_gram_int8": q_embedding_gram_int8,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -1081,6 +1155,7 @@ ORACLES = {
     "pagerank_dup_graph": _sql_pagerank(),
     "dup_graph_triangles": _sql_dup_graph_triangles(),
     "dup_graph_link_predict": _sql_dup_graph_link_predict(),
+    "dup_graph_bfs_hops": _sql_dup_graph_bfs(),
     "hard_negative_mining": SQL_HARD_NEGATIVES,
     "embedding_gram_int8": SQL_EMBEDDING_GRAM,
     "hybrid_rrf_topk": _sql_hybrid_rrf(),

@@ -785,3 +785,77 @@ def test_jpeg_resize_stats_compose(spark):
             assert r["px_min"] == int(rs.min())
             assert r["px_max"] == int(rs.max())
         assert (i, nch) not in got  # no phantom channels
+
+
+# ------------------------------------------------------------ GIF codec
+
+def _gif_fixture(i, interlace=None):
+    from photon_spark.functions.multimodal import encode_gif
+    w, h = 16 + i % 9, 12 + i % 7
+    n_pal = 4 + i % 13
+    pal = [((5 * k + 7 * i) % 256, (9 * k + 3 * i) % 256,
+            (11 * k + 4 * i) % 256) for k in range(n_pal)]
+    idx = bytes((2 * i + y + 3 * x) % n_pal
+                for y in range(h) for x in range(w))
+    il = bool(i % 2) if interlace is None else interlace
+    return (encode_gif(idx, pal, w, h, interlace=il),
+            w, h, b"".join(bytes(pal[j]) for j in idx))
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    """Lossless round-trip across sizes, palette widths (4..16 entries
+    → LZW code width GROWS mid-stream) and both interlace modes."""
+    from photon_spark.functions.multimodal import decode_gif
+    for i in range(26):
+        blob, w, h, want = _gif_fixture(i)
+        dw, dh, ch, rgb = decode_gif(blob)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert rgb == want
+
+
+def test_gif_lzw_kwkwk_case():
+    """The KwKwK self-referencing code (code == table size) decodes:
+    a run like aaaa... forces it immediately."""
+    from photon_spark.functions.multimodal import decode_gif, encode_gif
+    idx = bytes([1] * 64 + [0, 2, 1, 1, 1, 0] * 6)
+    pal = [(0, 0, 0), (10, 20, 30), (40, 50, 60)]
+    blob = encode_gif(idx, pal, 10, 10)
+    _, _, _, rgb = decode_gif(blob)
+    assert rgb == b"".join(bytes(pal[j]) for j in idx)
+
+
+def test_gif_decode_rejects_corruption():
+    """The ValueError taxonomy the per-row degrade contract needs:
+    every corruption class raises ValueError, never anything else."""
+    import pytest
+    from photon_spark.functions.multimodal import decode_gif
+    blob, _, _, _ = _gif_fixture(3, interlace=False)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + blob[6:])
+    with pytest.raises(ValueError, match="truncated|sub-block"):
+        decode_gif(blob[:len(blob) // 2])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_gif(blob + b"xx")
+    with pytest.raises(ValueError, match="animated"):
+        # splice a second image descriptor stream before the trailer
+        body = blob[:-1] + blob[13 + 3 * 8:]   # skip hdr+GCT of copy
+        decode_gif(body)
+    with pytest.raises(ValueError, match="LZW|truncated"):
+        # corrupt the LZW payload mid-stream
+        bad = bytearray(blob)
+        bad[-12:-4] = b"\xff" * 8
+        decode_gif(bytes(bad))
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        bad = bytearray(blob)
+        # image separator 0x2C is right after header+GCT
+        sep = blob.index(b"\x2c", 13)
+        bad[sep] = 0x7E
+        decode_gif(bytes(bad))
+
+
+def test_gif_routes_through_decode_image_any():
+    from photon_spark.functions.multimodal import decode_image_any
+    blob, w, h, want = _gif_fixture(7)
+    dw, dh, ch, rgb = decode_image_any(blob)
+    assert (dw, dh, ch, rgb) == (w, h, 3, want)

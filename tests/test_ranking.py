@@ -415,3 +415,49 @@ def test_dup_graph_triangles_orientation_counts_each_once(spark):
     finally:
         pc.near_dup_pairs = orig
     assert got == {10: 3, 20: 3, 30: 3, 40: 3}
+
+
+# ------------------------------------------------- multi-source BFS
+
+def test_bfs_hops_constructed_graph(spark):
+    """bfs_hops on a hand-built graph: two components — a 5-chain
+    1-2-3-4-5 plus a triangle {10,11,12} with a pendant 13 — seeds are
+    the locally-canonical vertices (1 and 10), hop distances are the
+    known BFS distances, and a vertex past the depth cap is absent."""
+    from photon_spark.functions.dedup import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5),
+           (10, 11), (10, 12), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long")
+    seeds = (edges.groupBy("src").agg(F.min("dst").alias("mn"))
+                  .where(F.col("mn") > F.col("src"))
+                  .select(F.col("src").alias("doc_id")))
+    assert {r["doc_id"] for r in seeds.collect()} == {1, 10}
+
+    got = {r["doc_id"]: r["hops"]
+           for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3,          # 5 is 4 hops: cut
+                   10: 0, 11: 1, 12: 1, 13: 2}
+
+    # depth 4 reaches the chain's far end
+    got2 = {r["doc_id"]: r["hops"]
+            for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got2[5] == 4 and len(got2) == 9
+
+
+def test_bfs_min_hop_over_multiple_seeds(spark):
+    """A vertex reachable from two seeds lands at the MIN distance, and
+    a seed reachable from another seed stays at hops 0."""
+    from photon_spark.functions.dedup import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 6), (6, 5)]  # 5 and 1 both seeds
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (5,)], "doc_id long")
+    got = {r["doc_id"]: r["hops"]
+           for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    # 6 is 4 hops from seed 1 but only 1 from seed 5
+    assert got[6] == 1 and got[4] == 2 and got[1] == 0 and got[5] == 0

@@ -761,6 +761,7 @@ _NEWEST_FIRST = [
     "image_jpeg_decode_stats",
     "dup_graph_bfs_hops",
     "image_gif_decode_stats",
+    "stream_stream_interval_join",
 ]
 
 

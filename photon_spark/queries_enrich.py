@@ -418,6 +418,88 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_stream_interval_join(spark, sf_dir):
+    """The STREAMING twin of q_events_range_join, hash-gated against
+    the SAME DuckDB oracle: purchases and clicks arrive as two real
+    Structured Streaming legs (two multi-file parquet sources,
+    maxFilesPerTrigger=1 → several genuine micro-batches each), both
+    carry event-time watermarks, and Spark's stream-stream INNER join
+    matches clicks to same-user purchases in the preceding hour. A
+    hash match proves the micro-batch boundaries, the engine's
+    file-to-batch assignment, and the cross-leg batch interleaving are
+    invisible to the joined result — the equivalence that makes
+    lambda-architecture "stream now, backfill in batch" safe.
+
+    Parity/scale design: the join's TIME predicate compares the exact
+    epoch-ns longs (the watermark columns are µs timestamps — ns
+    boundary comparisons must not truncate); the watermark delay spans
+    the whole fixture so NO state is evicted and streaming semantics
+    equal batch semantics exactly (production tightens the delay to
+    bound state at the documented risk of dropping stragglers —
+    tests/test_streaming_windows pins the tight-watermark subset
+    behavior); zero-click purchases can never exit an inner
+    stream-stream join, so the final left join against the batch
+    purchase relation restores them — cheaper than streaming
+    left-outer, whose null-side rows only emit on state EXPIRY and
+    would never flush under an unexpiring watermark. The file sink
+    commits through its manifest, so a retried micro-batch cannot
+    double-count (exactly-once at the sink). Output is
+    micro-batch-count independent.
+
+    SINGLE-LIVE-RESULT CONTRACT (see queries_pipeline.
+    _single_live_tempdir)."""
+    import os
+
+    from photon_spark.queries_pipeline import _single_live_tempdir
+
+    e = _events(spark, sf_dir)
+    base = _single_live_tempdir(q_stream_stream_interval_join,
+                                "photon_ssjoin_")
+    pdir, cdir = os.path.join(base, "p"), os.path.join(base, "c")
+    p_rel = (e.where(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("ts").alias("pns")))
+    c_rel = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("cns")))
+    for k in range(3):
+        (p_rel.where(F.col("purchase_id") % 3 == k)
+              .coalesce(1).write.mode("append").parquet(pdir))
+        (c_rel.where(F.col("click_id") % 3 == k)
+              .coalesce(1).write.mode("append").parquet(cdir))
+
+    wm = "30 days"    # > fixture span: nothing evicts, batch ≡ stream
+    ps = (spark.readStream.schema(p_rel.schema)
+          .option("maxFilesPerTrigger", 1).parquet(pdir)
+          .withColumn("p_evt", F.timestamp_micros(
+              F.expr("pns div 1000")))
+          .withWatermark("p_evt", wm))
+    cs = (spark.readStream.schema(c_rel.schema)
+          .option("maxFilesPerTrigger", 1).parquet(cdir)
+          .withColumn("c_evt", F.timestamp_micros(
+              F.expr("cns div 1000")))
+          .withWatermark("c_evt", wm))
+    j = ps.join(cs, (F.col("user_id") == F.col("c_user"))
+                & (F.col("cns") >= F.col("pns") - F.lit(RANGE_NS))
+                & (F.col("cns") <= F.col("pns")))
+    sink = os.path.join(base, "sink")
+    q = (j.select("purchase_id", "user_id", "click_id")
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", os.path.join(base, "ckpt"))
+          .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    hits = (spark.read.parquet(sink)
+            .groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return (p_rel.join(hits, "purchase_id", "left")
+                 .select("purchase_id", "user_id",
+                         F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                          .alias("n_clicks_1h")))
+
+
 # ------------------------------------------------------- PII scrub stats
 
 #: deterministic PII-bearing synthetic docs (the driver corpus is clean
@@ -604,6 +686,7 @@ QUERIES = {
     "mixture_reweight_plan": q_mixture_reweight_plan,
     "mixture_resample": q_mixture_resample,
     "events_range_join": q_events_range_join,
+    "stream_stream_interval_join": q_stream_stream_interval_join,
     "pii_scrub_stats": q_pii_scrub_stats,
     "bigram_lm_doc_bits": q_bigram_lm_doc_bits,
     "kneser_ney_doc_bits": q_kneser_ney_doc_bits,
@@ -616,6 +699,7 @@ ORACLES = {
     "mixture_reweight_plan": SQL_MIXTURE_REWEIGHT_PLAN,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "stream_stream_interval_join": SQL_EVENTS_RANGE_JOIN,
     "pii_scrub_stats": _sql_pii_scrub_stats(),
     "bigram_lm_doc_bits": _sql_bigram_lm_doc_bits(),
     "kneser_ney_doc_bits": _sql_kneser_ney_doc_bits(),

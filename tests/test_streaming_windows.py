@@ -306,3 +306,80 @@ def test_new_user_monitor_matches_batch_growth(spark, tmp_path):
              q_user_growth_accumulation(spark, sf_dir).collect()
              if r["new_users"] > 0}
     assert got_days == batch
+
+
+# ------------------------------------- stream-stream interval join
+
+def test_stream_stream_join_gate_twin_equals_batch(spark, sf_dir):
+    """The gated streaming interval join (unexpiring watermark) equals
+    the batch range join row-for-row — the lambda equivalence the
+    hash gate certifies, pinned here against the in-process batch
+    twin."""
+    from photon_spark.queries_enrich import (
+        q_events_range_join, q_stream_stream_interval_join)
+
+    got = {(r["purchase_id"], r["user_id"]): r["n_clicks_1h"]
+           for r in q_stream_stream_interval_join(spark, sf_dir)
+           .collect()}
+    want = {(r["purchase_id"], r["user_id"]): r["n_clicks_1h"]
+            for r in q_events_range_join(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_stream_stream_join_tight_watermark_is_subset(spark, sf_dir,
+                                                      tmp_path):
+    """With a PRODUCTION-tight watermark the stream-stream join may
+    evict state and drop straggler matches, but it can never invent
+    one: every emitted (purchase, click) row is a genuine batch match,
+    so per-purchase counts are bounded by the batch counts under ANY
+    file-to-batch assignment — the safety half of the
+    tighten-the-watermark tradeoff the gated twin documents."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.queries_enrich import (
+        RANGE_NS, q_events_range_join, _events)
+
+    e = _events(spark, sf_dir)
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    p_rel = (e.where(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("ts").alias("pns")))
+    c_rel = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("cns")))
+    for k in range(4):
+        (p_rel.where(F.col("purchase_id") % 4 == k)
+              .coalesce(1).write.mode("append").parquet(pdir))
+        (c_rel.where(F.col("click_id") % 4 == k)
+              .coalesce(1).write.mode("append").parquet(cdir))
+    ps = (spark.readStream.schema(p_rel.schema)
+          .option("maxFilesPerTrigger", 1).parquet(pdir)
+          .withColumn("p_evt", F.timestamp_micros(F.expr("pns div 1000")))
+          .withWatermark("p_evt", "2 hours"))
+    cs = (spark.readStream.schema(c_rel.schema)
+          .option("maxFilesPerTrigger", 1).parquet(cdir)
+          .withColumn("c_evt", F.timestamp_micros(F.expr("cns div 1000")))
+          .withWatermark("c_evt", "2 hours"))
+    j = ps.join(cs, (F.col("user_id") == F.col("c_user"))
+                & (F.col("cns") >= F.col("pns") - F.lit(RANGE_NS))
+                & (F.col("cns") <= F.col("pns")))
+    q = (j.select("purchase_id", "user_id", "click_id")
+          .writeStream.format("memory").queryName("ssj_tight")
+          .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+          .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = spark.sql("select * from ssj_tight").collect()
+
+    # no invented matches, no duplicates
+    assert len({(r["purchase_id"], r["click_id"]) for r in rows}) \
+        == len(rows)
+    got = {}
+    for r in rows:
+        got[r["purchase_id"]] = got.get(r["purchase_id"], 0) + 1
+    want = {r["purchase_id"]: r["n_clicks_1h"]
+            for r in q_events_range_join(spark, sf_dir).collect()}
+    assert set(got) <= set(want)
+    assert all(got[p] <= want[p] for p in got)

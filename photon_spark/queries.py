@@ -762,6 +762,8 @@ _NEWEST_FIRST = [
     "dup_graph_bfs_hops",
     "image_gif_decode_stats",
     "stream_stream_interval_join",
+    "phrase_search_topk",
+    "dp_noisy_max_event_type",
 ]
 
 

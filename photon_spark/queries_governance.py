@@ -1074,3 +1074,71 @@ FROM drawn
 
 QUERIES["dp_noisy_event_counts"] = q_dp_noisy_event_counts
 ORACLES["dp_noisy_event_counts"] = _sql_dp_noisy_event_counts()
+
+
+# ----------------------------------------- DP selection (noisy argmax)
+
+#: seed for the RNM draw — distinct from DP_SEED so the two releases'
+#: noise draws are independent
+DP_RNM_SEED = "dp-rnm-r9"
+
+
+def q_dp_noisy_max_event_type(spark, sf_dir):
+    """REPORT-NOISY-MAX — the differentially-private SELECTION
+    mechanism beside the count release (dp_noisy_event_counts): which
+    event_type is most common, released by adding an independent
+    truncated discrete-Laplace draw to every candidate's count and
+    reporting the argmax (plus its noisy score; a strict release
+    publishes the identity alone — this is the audit form, the house
+    convention). Selection via noisy argmax satisfies eps-DP without
+    the composition cost of releasing every noisy count — the standard
+    mechanism for "which bucket wins" questions over sensitive data.
+
+    Engine-portable determinism: same trick as the count release —
+    md5-prefix uniform draw mapped through Python-precomputed
+    cumulative thresholds by lexicographic hex comparison, keyed by
+    (event_type, RNM seed); the argmax tie-breaks on event_type so
+    equal noisy scores release identically in both engines.
+
+    Plan: one keyed count aggregate, map-side CASE chain, a 1-row
+    TakeOrderedAndProject. Constant release size."""
+    from photon_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    h = F.substring(F.md5(F.concat(F.col("event_type"),
+                                   F.lit(":" + DP_RNM_SEED))), 1, 12)
+    expr = F.lit(DP_THRESHOLDS[-1][0])
+    for k, t in reversed(DP_THRESHOLDS[:-1]):
+        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    noisy = agg.select("event_type",
+                       (F.col("n_true") + expr).cast("long")
+                       .alias("noisy_score"))
+    return (noisy.orderBy(F.desc("noisy_score"), F.asc("event_type"))
+                 .limit(1)
+                 .withColumn("epsilon", F.lit(1.0)))
+
+
+def _sql_dp_noisy_max() -> str:
+    cases = " ".join(
+        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    return f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+), drawn AS (
+  SELECT event_type, n_true,
+         substring(md5(event_type || ':{DP_RNM_SEED}'), 1, 12) AS h
+  FROM agg
+)
+SELECT event_type,
+       CAST(n_true + CASE {cases} ELSE {DP_K} END AS BIGINT)
+         AS noisy_score,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM drawn
+ORDER BY noisy_score DESC, event_type ASC
+LIMIT 1
+"""
+
+
+QUERIES["dp_noisy_max_event_type"] = q_dp_noisy_max_event_type
+ORACLES["dp_noisy_max_event_type"] = _sql_dp_noisy_max()

@@ -2342,6 +2342,121 @@ QUERIES["conjunctive_search_topk"] = q_conjunctive_search_topk
 ORACLES["conjunctive_search_topk"] = _sql_conjunctive_search()
 
 
+# --------------------------------------------------- phrase search
+
+PHRASE_TOPK = 20
+
+
+def q_phrase_search_topk(spark, sf_dir):
+    """PHRASE search over a POSITIONAL inverted index — the third
+    retrieval primitive after ranked (bm25_topk) and conjunctive
+    (conjunctive_search_topk): documents containing the query tokens
+    CONSECUTIVELY, ranked by occurrence count. The query phrase is
+    data-derived deterministically (the corpus's most frequent
+    trigram, tie-broken lexicographically) so it discriminates at
+    every scale factor.
+
+    Plan — index-serving economics, not scan economics: the positional
+    posting relation (doc, pos, tok) is what a real engine has ALREADY
+    materialized once per corpus; the phrase lookup semi-filters it to
+    the three query tokens via a broadcast 1-row phrase (each filtered
+    leg is posting-list-sized, never corpus-sized), then intersects
+    adjacent positions with two (doc, pos)-keyed hash equi-joins —
+    the standard positional-AND. At 100 TB only the three posting
+    lists shuffle; the trigram census that derives the query is
+    map-side array arithmetic (no join), and the final top-k is
+    TakeOrderedAndProject. The tiny rank window sits above a
+    {PHRASE_TOPK}-row limit (bounded by construction)."""
+    d = _docs(spark, sf_dir)
+    arr = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    da = d.select("doc_id", arr.alias("a"))
+    tri = (da.where(F.size("a") >= 3)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(0), F.size("a") - 3),
+                 lambda i: F.struct(F.col("a")[i].alias("t1"),
+                                    F.col("a")[i + 1].alias("t2"),
+                                    F.col("a")[i + 2].alias("t3"))))
+                 .alias("g"))
+             .select("g.t1", "g.t2", "g.t3"))
+    ph = (tri.groupBy("t1", "t2", "t3")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"),
+                      F.asc("t3"))
+             .limit(1).select("t1", "t2", "t3"))
+    pos = da.select("doc_id", F.posexplode("a").alias("pos", "tok"))
+    m1 = (pos.join(F.broadcast(ph), pos.tok == F.col("t1"))
+             .select("doc_id", "pos", "t2", "t3"))
+    p2 = pos.select(F.col("doc_id").alias("d2"),
+                    F.col("pos").alias("pos2"),
+                    F.col("tok").alias("tok2"))
+    p3 = pos.select(F.col("doc_id").alias("d3"),
+                    F.col("pos").alias("pos3"),
+                    F.col("tok").alias("tok3"))
+    m2 = (m1.join(p2, (F.col("doc_id") == F.col("d2"))
+                  & (F.col("pos2") == F.col("pos") + 1)
+                  & (F.col("tok2") == F.col("t2")))
+            .select("doc_id", "pos", "t3"))
+    m3 = (m2.join(p3, (F.col("doc_id") == F.col("d3"))
+                  & (F.col("pos3") == F.col("pos") + 2)
+                  & (F.col("tok3") == F.col("t3")))
+            .select("doc_id"))
+    hits = (m3.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"))
+              .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+              .limit(PHRASE_TOPK))
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    return (hits.withColumn("rank",
+                            F.row_number().over(wr).cast("long"))
+                .crossJoin(F.broadcast(ph.select(
+                    F.concat_ws(" ", "t1", "t2", "t3")
+                     .alias("phrase")))))
+
+
+def _sql_phrase_search() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    return f"""
+WITH da AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS a
+  FROM documents
+), tri AS (
+  -- constant-bound series (lateral len() is unsupported); 512 exceeds
+  -- any fixture doc's token count, the WHERE keeps it exact
+  SELECT a[g.i] AS t1, a[g.i + 1] AS t2, a[g.i + 2] AS t3
+  FROM da CROSS JOIN generate_series(1, 512) g(i)
+  WHERE g.i <= len(a) - 2
+), ph AS (
+  SELECT t1, t2, t3 FROM tri
+  GROUP BY 1, 2, 3
+  ORDER BY count(*) DESC, t1 ASC, t2 ASC, t3 ASC
+  LIMIT 1
+), pos AS (
+  SELECT doc_id, g.i - 1 AS pos, a[g.i] AS tok
+  FROM da CROSS JOIN generate_series(1, 512) g(i)
+  WHERE g.i <= len(a)
+), hits AS (
+  SELECT p1.doc_id, count(*) AS n_occurrences
+  FROM pos p1
+  JOIN ph ON p1.tok = ph.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+             AND p2.tok = ph.t2
+  JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+             AND p3.tok = ph.t3
+  GROUP BY 1
+  ORDER BY n_occurrences DESC, p1.doc_id ASC
+  LIMIT {PHRASE_TOPK}
+)
+SELECT doc_id, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, doc_id ASC)
+         AS rank,
+       (SELECT t1 || ' ' || t2 || ' ' || t3 FROM ph) AS phrase
+FROM hits
+"""
+
+
+QUERIES["phrase_search_topk"] = q_phrase_search_topk
+ORACLES["phrase_search_topk"] = _sql_phrase_search()
+
+
 # ------------------------------------------------ interval union / coverage
 
 #: deterministic interval length: (event_id mod 7 + 1) seconds

@@ -337,3 +337,75 @@ def test_erasure_propagation_audit_matches_naive(spark, sf_dir):
            for r in q_erasure_propagation_audit(spark, sf_dir).collect()}
     assert got == {"event_log": log, "latest_state": state,
                    "daily_activity": daily}
+
+
+# ----------------------------------------------- differential privacy
+
+def test_dp_threshold_table_matches_distribution():
+    """The baked (noise, hex-threshold) literals ARE the truncated
+    discrete-Laplace CDF they claim: P(k) ∝ exp(-|k|) on [-K, K] at
+    eps=1, cumulative probabilities quantized to the 48-bit md5-prefix
+    grid, thresholds strictly increasing and ending at the full mass."""
+    import math
+
+    from photon_spark.queries_governance import DP_K, DP_THRESHOLDS
+
+    ks = list(range(-DP_K, DP_K + 1))
+    w = [math.exp(-abs(k)) for k in ks]
+    z = sum(w)
+    cum = 0.0
+    expect = []
+    for k, p in zip(ks, w):
+        cum += p / z
+        expect.append((k, cum))
+    assert [k for k, _ in DP_THRESHOLDS] == ks
+    grid = 1 << 48
+    for (k, hexthr), (k2, c) in zip(DP_THRESHOLDS[:-1], expect[:-1]):
+        got = int(hexthr, 16)
+        want = c * grid
+        # one grid cell of quantization slack
+        assert abs(got - want) <= 1.5, (k, got, want)
+    assert DP_THRESHOLDS[-1] == (DP_K, "f" * 12)
+    hexes = [t for _, t in DP_THRESHOLDS]
+    assert hexes == sorted(hexes)
+
+
+def _py_noise(key: str, seed: str):
+    import hashlib
+
+    from photon_spark.queries_governance import DP_THRESHOLDS
+    h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:12]
+    for k, t in DP_THRESHOLDS:
+        if h <= t:
+            return k
+    return DP_THRESHOLDS[-1][0]
+
+
+def test_dp_noisy_counts_match_python_draw(spark, sf_dir):
+    from photon_spark.queries_governance import (
+        DP_K, DP_SEED, q_dp_noisy_event_counts)
+
+    rows = q_dp_noisy_event_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = _py_noise(r["event_type"], DP_SEED)
+        assert -DP_K <= r["noise"] <= DP_K
+        assert r["noise"] == n
+        assert r["n_noisy"] == max(r["n_true"] + n, 0)
+
+
+def test_dp_noisy_max_matches_python_argmax(spark, sf_dir):
+    from photon_spark.queries_governance import (
+        DP_RNM_SEED, q_dp_noisy_max_event_type)
+    from photon_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    [winner] = q_dp_noisy_max_event_type(spark, sf_dir).collect()
+    truth = {r["event_type"]: r["n"]
+             for r in _t(spark, sf_dir, "events")
+             .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    scored = sorted(((t, n + _py_noise(t, DP_RNM_SEED))
+                     for t, n in truth.items()),
+                    key=lambda kv: (-kv[1], kv[0]))
+    assert (winner["event_type"], winner["noisy_score"]) == scored[0]

@@ -629,3 +629,38 @@ def test_exact_pctl_sel_boundary_ranks(spark):
     # duplicates straddling rank 50: selection is tie-insensitive
     dup = [1] * 50 + [2] * 50
     assert run(dup) == (1, 2, 2)
+
+
+# ---------------------------------------------------- phrase search
+
+def test_phrase_search_matches_naive(spark, sf_dir):
+    """Top-trigram derivation and per-doc consecutive-occurrence counts
+    match a pure-Python recompute over the same corpus."""
+    from collections import Counter
+
+    from photon_spark.queries_pipeline import (
+        PHRASE_TOPK, q_phrase_search_topk)
+
+    rows = q_phrase_search_topk(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("doc_id", "text").collect()
+    toks = {r["doc_id"]: [t.lower() for t in r["text"].strip().split()]
+            for r in docs}
+    census = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            census[(ts[i], ts[i + 1], ts[i + 2])] += 1
+    # tie-break: highest count, then lexicographically SMALLEST phrase
+    top_n = max(census.values())
+    phrase = min(k for k, v in census.items() if v == top_n)
+    want = {}
+    for d, ts in toks.items():
+        c = sum(1 for i in range(len(ts) - 2)
+                if (ts[i], ts[i + 1], ts[i + 2]) == phrase)
+        if c:
+            want[d] = c
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = expect[:PHRASE_TOPK]
+    assert [(r["doc_id"], r["n_occurrences"]) for r in rows] == expect
+    assert all(r["phrase"] == " ".join(phrase) for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))

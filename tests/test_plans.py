@@ -242,6 +242,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # crossJoin(broadcast(<1-row distinct-bigram count R>)) — the
         # KN continuation denominator, same scalar shape as bigram LM
         "kneser_ney_doc_bits",
+        # crossJoin(broadcast(<1-row derived query phrase>)) — attaches
+        # the phrase string to the top-k result
+        "phrase_search_topk",
         # ann_recall_audit's IVF candidate construction (broadcast
         # 16-row centroid table) reused under the nDCG metric
         "ann_ndcg_audit",
@@ -653,6 +656,9 @@ def test_no_unbounded_global_windows_registry_wide(spark, sf_dir):
         # top-k rank over the posting-intersection survivors of ONE
         # query's terms (docs holding every term — collapses map-side)
         "conjunctive_search_topk": "per-query posting intersection",
+        # rank over the PHRASE_TOPK-row limit (TakeOrderedAndProject
+        # bounds it before the window)
+        "phrase_search_topk": "top-k limit precedes the rank window",
         # RRF fusion ranks the UNION OF TWO TOP-K lists (≤ 2k rows)
         "hybrid_rrf_topk": "union of two top-k lists",
         # RBO: two top-k legs + a fixed RBO_DEPTH-row depth calendar

@@ -764,6 +764,7 @@ _NEWEST_FIRST = [
     "stream_stream_interval_join",
     "phrase_search_topk",
     "dp_noisy_max_event_type",
+    "ann_int8_recall_audit",
 ]
 
 

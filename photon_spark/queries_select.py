@@ -1720,3 +1720,120 @@ QUERIES["corpus_build_e2e"] = q_corpus_build_e2e
 ORACLES["corpus_build_e2e"] = SQL_CORPUS_BUILD_E2E
 QUERIES["ivf_staleness_audit"] = q_ivf_staleness_audit
 ORACLES["ivf_staleness_audit"] = SQL_IVF_STALENESS_AUDIT
+
+
+# ---------------------------------------- int8 quantized-serving recall
+
+def q_ann_int8_recall_audit(spark, sf_dir):
+    """Recall@k of INT8-QUANTIZED scoring against exact float cosine —
+    the eval that decides whether the 4x-cheaper integer tier can serve
+    retrieval (the production int8 GEMM path every vector store offers),
+    complementing the storage-side error audit
+    (embedding_quantize_stats) with the RETRIEVAL consequence of those
+    errors. Same query batch as ann_topk_multi/ann_recall_audit
+    (vec_id % {qmod} == 0), k = {k}.
+
+    Quantized score: both sides quantize symmetrically (scale =
+    max|x|/127, round-half-away), the dot product runs on EXACT int64
+    lattice points (hash-safe — no float GEMM re-association anywhere),
+    and one IEEE multiply by the corpus vector's scale de-quantizes it
+    (the query's scale is constant per query and cannot change ranks,
+    so both engines omit it). Scores round to 6dp before ranking (repo
+    float-parity policy), ties break on vec_id.
+
+    Plan: map-only quantization, broadcast query batch, integer
+    zip_with dot JVM-side, per-query WindowGroupLimit top-k, ids-only
+    recall join. Corpus vectors never shuffle.
+    """.format(qmod=ANN_QMOD, k=ANN_MULTI_K)
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    # nullif guards the all-zeros vector: under ANSI semantics x/0
+    # raises even inside the unselected CASE branch of an array
+    # transform, so divide by NULL instead and coalesce the result
+    qa = F.transform(v, lambda x: F.coalesce(
+        F.round(x / F.nullif(s, F.lit(0.0))), F.lit(0.0))
+        .cast("long"))
+    base = e.select("vec_id", s.alias("xs"), qa.alias("xa"))
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    q = (base.where(is_q)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("xa").alias("qa")))
+    corpus = base.where(~is_q)
+
+    int_dot = F.aggregate(
+        F.zip_with("xa", "qa", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (corpus.crossJoin(F.broadcast(q))
+                    .select("query_id", "vec_id",
+                            F.round(F.col("xs") * int_dot, 6)
+                             .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("vec_id"))
+    int8 = (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= ANN_MULTI_K)
+                  .select("query_id", "vec_id", F.lit(1).alias("hit")))
+
+    exact = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
+    return (exact.join(int8, ["query_id", "vec_id"], "left")
+                 .groupBy("query_id")
+                 .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                       .alias("n_hits"),
+                      F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                              / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
+SQL_ANN_INT8_RECALL_AUDIT = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS xs,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> CAST(round(
+                     x / (list_max(list_transform(v, y -> abs(y)))
+                          / 127.0)) AS BIGINT)) END AS xa
+  FROM base
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, xa AS qa FROM quant
+  WHERE vec_id % {ANN_QMOD} = 0
+), corpus AS (
+  SELECT vec_id, v, xs, xa FROM quant WHERE vec_id % {ANN_QMOD} != 0
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+), dots AS (
+  SELECT q.query_id, c.vec_id, c.xs,
+         sum(c.xa[s.i] * q.qa[s.i]) AS int_dot
+  FROM corpus c CROSS JOIN q CROSS JOIN generate_series(1, 64) s(i)
+  GROUP BY 1, 2, 3
+), int8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(xs * int_dot, 6) DESC, vec_id) AS rank
+    FROM dots) WHERE rank <= {ANN_MULTI_K}
+)
+SELECT e.query_id,
+       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / {ANN_MULTI_K}, 6) AS recall
+FROM exact e
+LEFT JOIN int8 i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
+QUERIES["ann_int8_recall_audit"] = q_ann_int8_recall_audit
+ORACLES["ann_int8_recall_audit"] = SQL_ANN_INT8_RECALL_AUDIT

@@ -216,6 +216,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "mixture_reweight_plan", "mixture_resample",
         # broadcast query BATCH (bounded by the caller's query count)
         "ann_topk_multi",
+        # same broadcast query batch, float + int8 scoring tiers
+        "ann_int8_recall_audit",
         # same broadcast query batch + queries × n_cells probe cross
         "ann_recall_audit",
         # broadcast query batch twice (full-dim + truncated passes)

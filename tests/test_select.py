@@ -697,3 +697,63 @@ def test_ndcg_discount_table_is_shared_literal():
     for i, w in enumerate(NDCG_W):
         assert f"WHEN {i + 1} THEN {w}" in sql
     assert str(NDCG_IDCG) in sql
+
+
+# ------------------------------------------- int8 quantized recall
+
+def test_ann_int8_recall_audit_matches_python(spark, tmp_path):
+    """Full audit on a controlled embeddings table (query at vec_id 0,
+    six corpus vectors; a high-magnitude off-axis coordinate coarsens
+    one vector's quantization grid): per-query hits equal a pure-Python
+    recompute with the same quantize/score/rank/tie rules. (Zero
+    vectors are outside the embedding table's unit-norm data contract —
+    the shared exact-cosine leg rejects them by design.)"""
+    from photon_spark.queries_select import (ANN_MULTI_K,
+                                             q_ann_int8_recall_audit)
+
+    dim = 64
+
+    def vec(lead, fill=0.01, lead2=0.0):
+        v = [fill] * dim
+        v[0], v[1] = lead, lead2
+        return v
+
+    rows = [(0, vec(1.0), 0)]                 # the query (0 % 97 == 0)
+    corpus = {
+        1: vec(0.90), 2: vec(0.80), 3: vec(0.70, lead2=0.9),
+        4: vec(0.60), 5: vec(0.50), 6: vec(0.55, lead2=-0.9),
+    }
+    rows += [(i, v, 1) for i, v in sorted(corpus.items())]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    path = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(path + "/embeddings.parquet")
+
+    got = {r["query_id"]: (r["n_hits"], r["recall"])
+           for r in q_ann_int8_recall_audit(spark, path).collect()}
+
+    # python recompute with the audited rules
+    def quant(v):
+        s = max(abs(x) for x in v) / 127.0
+        if s == 0:
+            return s, [0] * len(v)
+        return s, [round(x / s) for x in v]
+
+    import math
+    q = vec(1.0)
+    _, qa = quant(q)
+    nq = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return 0.0 if n == 0 else sum(a * b for a, b in zip(v, q)) / n / nq
+
+    exact = sorted(corpus, key=lambda i: (-round(cos(corpus[i]), 6), i))
+    exact = set(exact[:ANN_MULTI_K])
+    scored = {}
+    for i, v in corpus.items():
+        s, xa = quant(v)
+        scored[i] = round(s * sum(a * b for a, b in zip(xa, qa)), 6)
+    int8 = sorted(corpus, key=lambda i: (-scored[i], i))[:ANN_MULTI_K]
+    hits = len(exact & set(int8))
+    assert got == {0: (hits, round(hits / ANN_MULTI_K, 6))}

@@ -765,6 +765,7 @@ _NEWEST_FIRST = [
     "phrase_search_topk",
     "dp_noisy_max_event_type",
     "ann_int8_recall_audit",
+    "neyman_allocation_plan",
 ]
 
 

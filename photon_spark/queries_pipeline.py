@@ -3012,3 +3012,95 @@ LIMIT {SKIP_TOPK}
 
 QUERIES["skipgram_lift_topk"] = q_skipgram_lift_topk
 ORACLES["skipgram_lift_topk"] = _sql_skipgram_lift()
+
+
+# ------------------------------------------- Neyman sample allocation
+
+#: total evaluation-set budget the allocation distributes
+NEYMAN_TARGET = 200
+
+
+def q_neyman_allocation_plan(spark, sf_dir):
+    """NEYMAN-OPTIMAL sample allocation over (lang, source) strata —
+    the survey-design operator behind building a fixed-budget eval set
+    from a giant corpus: allocate n_h ∝ N_h·σ_h (stratum size × stddev
+    of the length signal), which minimizes the variance of the
+    estimated corpus mean at a fixed total budget ({target} docs).
+    Uniform and proportional allocation over-sample homogeneous strata;
+    Neyman spends budget where the signal varies.
+
+    Integer-exact end-to-end (the hash-gate design): the variance
+    numerator n·Σx² − (Σx)² is an exact BIGINT per stratum; its sqrt is
+    the ONE float op (IEEE sqrt is correctly rounded — engine-portable),
+    immediately re-quantized to 1e-6 units as the allocation weight;
+    quotas use BIGINT division/modulo ({target}·w DIV total, remainder
+    %), and the leftover budget goes to the largest remainders
+    (rank desc, then stratum key) — the standard largest-remainder
+    method, fully deterministic, Σ alloc = {target} exactly. Note
+    N_h·σ_h = sqrt(n·Σx² − (Σx)²) — the weight needs no division at
+    all.
+
+    Plan: one stratum aggregate; two broadcast 1-row scalars (total
+    weight, allocated floor sum); one rank window over the stratum
+    relation (bounded by the lang × source domain, never the corpus).
+    """.format(target=NEYMAN_TARGET)
+    d = _docs(spark, sf_dir)
+    agg = (d.groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("s1"),
+                  F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2")))
+    var_num = F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1")
+    w = (agg.withColumn(
+        "w_sigma",
+        F.round(F.sqrt(var_num.cast("double")) * 1e6).cast("long")))
+    tot = w.agg(F.sum("w_sigma").alias("tot"))
+    q = (w.crossJoin(F.broadcast(tot))
+          .withColumn("quota_num", F.lit(NEYMAN_TARGET) * F.col("w_sigma"))
+          .withColumn("fl", F.coalesce(
+              F.expr("quota_num div nullif(tot, 0)"), F.lit(0)))
+          .withColumn("rem", F.coalesce(
+              F.expr("quota_num % nullif(tot, 0)"), F.lit(0))))
+    used = q.agg(F.sum("fl").alias("used"),
+                 F.max("tot").alias("t2"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+    return (q.crossJoin(F.broadcast(used))
+             .withColumn("r", F.row_number().over(wr))
+             .select("lang", "source", "n_docs", "w_sigma",
+                     F.when(F.col("t2") == 0, F.lit(0)).otherwise(
+                         F.col("fl")
+                         + F.when(F.col("r") <= F.lit(NEYMAN_TARGET)
+                                  - F.col("used"), 1).otherwise(0))
+                     .cast("long").alias("alloc")))
+
+
+SQL_NEYMAN_ALLOCATION = f"""
+WITH agg AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
+  FROM documents GROUP BY 1, 2
+), w AS (
+  SELECT lang, source, n_docs,
+         CAST(round(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)) * 1e6)
+              AS BIGINT) AS w_sigma
+  FROM agg
+), t AS (SELECT sum(w_sigma) AS tot FROM w),
+q AS (
+  SELECT w.*, t.tot, {NEYMAN_TARGET} * w.w_sigma AS quota_num,
+         coalesce({NEYMAN_TARGET} * w.w_sigma // nullif(t.tot, 0), 0)
+           AS fl,
+         coalesce(({NEYMAN_TARGET} * w.w_sigma) % nullif(t.tot, 0), 0)
+           AS rem
+  FROM w CROSS JOIN t
+), u AS (SELECT sum(fl) AS used FROM q)
+SELECT q.lang, q.source, q.n_docs, q.w_sigma,
+       CAST(CASE WHEN q.tot = 0 THEN 0
+            ELSE q.fl + CASE WHEN row_number() OVER (
+                   ORDER BY q.rem DESC, q.lang ASC, q.source ASC)
+                 <= {NEYMAN_TARGET} - u.used THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc
+FROM q CROSS JOIN u
+"""
+
+
+QUERIES["neyman_allocation_plan"] = q_neyman_allocation_plan
+ORACLES["neyman_allocation_plan"] = SQL_NEYMAN_ALLOCATION

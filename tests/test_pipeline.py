@@ -664,3 +664,52 @@ def test_phrase_search_matches_naive(spark, sf_dir):
     assert [(r["doc_id"], r["n_occurrences"]) for r in rows] == expect
     assert all(r["phrase"] == " ".join(phrase) for r in rows)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ------------------------------------------- Neyman allocation
+
+def test_neyman_allocation_budget_and_proportionality(spark, sf_dir):
+    """Σ alloc == TARGET exactly, every stratum within 1 of its
+    real-valued Neyman quota (the largest-remainder guarantee), and
+    weights equal sqrt(n·Σx² − (Σx)²) recomputed in Python."""
+    import math
+
+    from photon_spark.queries_pipeline import (NEYMAN_TARGET,
+                                               q_neyman_allocation_plan)
+
+    rows = q_neyman_allocation_plan(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == NEYMAN_TARGET
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("lang", "source", "n_chars").collect()
+    agg = {}
+    for r in docs:
+        k = (r["lang"], r["source"])
+        n, s1, s2 = agg.get(k, (0, 0, 0))
+        agg[k] = (n + 1, s1 + r["n_chars"], s2 + r["n_chars"] ** 2)
+    w = {k: round(math.sqrt(n * s2 - s1 * s1) * 1e6)
+         for k, (n, s1, s2) in agg.items()}
+    tot = sum(w.values())
+    for r in rows:
+        k = (r["lang"], r["source"])
+        assert r["w_sigma"] == w[k]
+        quota = NEYMAN_TARGET * w[k] / tot
+        assert abs(r["alloc"] - quota) < 1.0 + 1e-9
+
+
+def test_neyman_allocation_all_constant_strata(spark, tmp_path):
+    """Every stratum constant-length → every weight 0 → the guard
+    allocates nothing rather than dividing by zero or spraying the
+    budget by tie order."""
+    from photon_spark.queries_pipeline import q_neyman_allocation_plan
+
+    df = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 else "de", f"src{i % 3}", 100)
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    path = str(tmp_path / "d")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+    rows = q_neyman_allocation_plan(spark, path).collect()
+    assert rows and all(r["alloc"] == 0 for r in rows)
+    assert all(r["w_sigma"] == 0 for r in rows)

@@ -231,6 +231,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "kmv_source_overlap",
         # crossJoin of three 1-row layout-stat aggregates
         "zorder_skipping_audit",
+        # crossJoin of two 1-row scalars (total weight, floor sum)
+        "neyman_allocation_plan",
         # 1-row violations x checked stat joins per constraint
         "constraint_audit",
         # 1-row triangle x wedge stat join
@@ -672,6 +674,9 @@ def test_no_unbounded_global_windows_registry_wide(spark, sf_dir):
         "revenue_trend": "per-month aggregate (|months| rows)",
         # cumulative sum over the per-day new-user AGGREGATE
         "user_growth_accumulation": "per-day aggregate (|days| rows)",
+        # largest-remainder rank over the per-stratum AGGREGATE
+        "neyman_allocation_plan":
+            "per-stratum aggregate (|lang x source| rows)",
         # Heaps-law curve: cumulative over per-bucket vocab AGGREGATE
         "vocab_growth_curve": "per-bucket aggregate (|buckets| rows)",
     }

@@ -766,6 +766,7 @@ _NEWEST_FIRST = [
     "dp_noisy_max_event_type",
     "ann_int8_recall_audit",
     "neyman_allocation_plan",
+    "markov_text_sample",
 ]
 
 

@@ -704,3 +704,174 @@ ORACLES = {
     "bigram_lm_doc_bits": _sql_bigram_lm_doc_bits(),
     "kneser_ney_doc_bits": _sql_kneser_ney_doc_bits(),
 }
+
+
+# ------------------------------------------- seeded Markov generation
+
+MKV_SAMPLES = 20     #: generated samples per run
+MKV_STEPS = 8        #: continuation steps after the seeded start token
+MKV_SEED = "mkv-r9"  #: rotating the seed re-draws every sample
+
+
+def _hex12_fold(expr_col: str, spark_side: bool) -> str:
+    """Integer value of the first 12 hex chars of an md5, built as a
+    digit fold with PYTHON-PRECOMPUTED power-of-16 literals — both
+    engines evaluate the identical expression, no hex-parse builtin
+    (Spark's conv() has no DuckDB twin) and no float anywhere.
+    ``expr_col`` must already be the 12-char lowercase hex string."""
+    pos = "instr" if spark_side else "strpos"
+    # each power literal casts to BIGINT: small powers would otherwise
+    # parse as INT32 and the digit*power product overflows under ANSI
+    terms = " + ".join(
+        f"({pos}('0123456789abcdef', substring({expr_col}, {i + 1}, 1))"
+        f" - 1) * CAST({16 ** (11 - i)} AS BIGINT)" for i in range(12))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def q_markov_text_sample(spark, sf_dir):
+    """SEEDED MARKOV GENERATION from the corpus bigram LM — the
+    synthetic-data tier: {n} samples, each a start token drawn from the
+    unigram distribution plus up to {k} continuation steps drawn from
+    the per-prefix bigram distribution. Every draw is deterministic and
+    engine-portable: the uniform variate is the integer fold of
+    md5('{seed}:<sample>:<step>') (12 hex chars, Python-literal
+    power-of-16 digit fold — no hex-parse builtin, no float) taken mod
+    the prefix's total count, and the chosen token is the one whose
+    cumulative-count interval [lo, hi) contains the draw — inverse-CDF
+    sampling on EXACT integer counts, the same construction production
+    uses for replayable synthetic corpora (rotate {seed!r} to re-draw).
+
+    Plan: the bigram model builds map-side from per-doc token arrays
+    (no position self-join) and aggregates once; cumulative intervals
+    are per-prefix windows (prefix-keyed, bounded); generation is
+    {k} tiny joins — the 20-row state broadcasts into a prefix-keyed
+    hash join with the interval containment as the join residual, and
+    each state localCheckpoints (20 rows) so the final plan stays flat.
+    A prefix with no outgoing bigram ends its chain early (inner join;
+    deterministic on both engines). The global unigram cum-window runs
+    over the VOCABULARY aggregate (lint-allowlisted).
+    """
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    arr = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    da = d.select(arr.alias("a")).where(F.size("a") >= 1)
+    uni = (da.select(F.explode("a").alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    wg = Window.orderBy("tok")
+    uni_cum = (uni.withColumn(
+        "hi", F.sum("n").over(wg.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+        .withColumn("lo", F.col("hi") - F.col("n")))
+    total = uni.agg(F.sum("n").alias("total"))
+
+    big = (da.where(F.size("a") >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(0), F.size("a") - 2),
+                 lambda i: F.struct(F.col("a")[i].alias("prev"),
+                                    F.col("a")[i + 1].alias("nxt"))))
+                 .alias("g"))
+             .groupBy("g.prev", "g.nxt")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wp = Window.partitionBy("prev").orderBy("nxt")
+    model = (big.withColumn(
+        "hi", F.sum("n").over(wp.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+        .withColumn("lo", F.col("hi") - F.col("n"))
+        .withColumn("ptotal", F.sum("n").over(Window.partitionBy("prev")))
+        .persist())
+
+    def draw(step_expr: str) -> str:
+        h = (f"substring(md5(concat('{MKV_SEED}:', "
+             f"cast(sample_id as string), ':', {step_expr})), 1, 12)")
+        return _hex12_fold(h, spark_side=True)
+
+    samples = spark.range(MKV_SAMPLES).select(
+        F.col("id").alias("sample_id"))
+    s0 = (samples.crossJoin(F.broadcast(total))
+                 .withColumn("draw", F.expr(f"({draw(repr('0'))}) % total")))
+    state = (s0.join(F.broadcast(uni_cum),
+                     (s0.draw >= uni_cum.lo) & (s0.draw < uni_cum.hi))
+               .select("sample_id", F.lit(0).alias("step"), "tok")
+               .localCheckpoint())
+    out = state
+    for t in range(1, MKV_STEPS + 1):
+        dr = F.expr(f"({draw(repr(str(t)))}) % ptotal")
+        nxt = (model.join(F.broadcast(state),
+                          model.prev == state.tok)
+                    .where((dr >= F.col("lo")) & (dr < F.col("hi")))
+                    .select("sample_id", F.lit(t).alias("step"),
+                            F.col("nxt").alias("tok"))
+                    .localCheckpoint())
+        out = out.unionAll(nxt)
+        state = nxt
+    gen = (out.groupBy("sample_id")
+              .agg(F.concat_ws(" ", F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("step", "tok"))),
+                       lambda x: x.tok)).alias("gen_text"),
+                   F.count(F.lit(1)).alias("n_tokens")))
+    gen._photon_cached = [model]
+    return gen
+
+
+q_markov_text_sample.__doc__ = q_markov_text_sample.__doc__.format(
+    n=MKV_SAMPLES, k=MKV_STEPS, seed=MKV_SEED)
+
+
+def _sql_markov_text_sample() -> str:
+    from photon_spark.queries_northstar import _SQL_TOKS
+    fold0 = _hex12_fold(
+        f"substring(md5('{MKV_SEED}:' || sample_id::VARCHAR || ':0'), "
+        "1, 12)", spark_side=False)
+    foldt = _hex12_fold(
+        f"substring(md5('{MKV_SEED}:' || g.sample_id::VARCHAR || ':' || "
+        "(g.step + 1)::VARCHAR), 1, 12)", spark_side=False)
+    return f"""
+WITH RECURSIVE da AS (
+  SELECT list_transform({_SQL_TOKS}, t -> lower(t)) AS a FROM documents
+), uni AS (
+  SELECT a[g.i] AS tok, count(*) AS n
+  FROM da CROSS JOIN generate_series(1, 512) g(i)
+  WHERE g.i <= len(a) GROUP BY 1
+), uni_cum AS (
+  SELECT tok, n,
+         sum(n) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS hi,
+         sum(n) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) - n AS lo
+  FROM uni
+), tot AS (SELECT sum(n) AS total FROM uni),
+big AS (
+  SELECT a[g.i] AS prev, a[g.i + 1] AS nxt, count(*) AS n
+  FROM da CROSS JOIN generate_series(1, 512) g(i)
+  WHERE g.i <= len(a) - 1 GROUP BY 1, 2
+), model AS (
+  SELECT prev, nxt, n,
+         sum(n) OVER (PARTITION BY prev ORDER BY nxt
+                      ROWS UNBOUNDED PRECEDING) AS hi,
+         sum(n) OVER (PARTITION BY prev ORDER BY nxt
+                      ROWS UNBOUNDED PRECEDING) - n AS lo,
+         sum(n) OVER (PARTITION BY prev) AS ptotal
+  FROM big
+), start AS (
+  SELECT s.sample_id, 0 AS step, u.tok
+  FROM range({MKV_SAMPLES}) s(sample_id) CROSS JOIN tot
+  JOIN uni_cum u
+    ON ({fold0}) % tot.total >= u.lo
+   AND ({fold0}) % tot.total < u.hi
+), gen(sample_id, step, tok) AS (
+  SELECT sample_id, step, tok FROM start
+  UNION ALL
+  SELECT g.sample_id, g.step + 1, m.nxt
+  FROM gen g JOIN model m ON m.prev = g.tok
+  WHERE g.step < {MKV_STEPS}
+    AND ({foldt}) % m.ptotal >= m.lo
+    AND ({foldt}) % m.ptotal < m.hi
+)
+SELECT sample_id, string_agg(tok, ' ' ORDER BY step) AS gen_text,
+       count(*) AS n_tokens
+FROM gen GROUP BY 1
+"""
+
+
+QUERIES["markov_text_sample"] = q_markov_text_sample
+ORACLES["markov_text_sample"] = _sql_markov_text_sample()

@@ -260,3 +260,74 @@ def test_kneser_ney_is_proper_distribution(spark, sf_dir):
         assert 0 < num_obs <= B
         for b in seen:  # every observed bigram individually codable
             assert (4 * c12[(w1, b)] - 3) * R + 3 * n1[w1] * r[b] <= B
+
+
+# ------------------------------------------- seeded Markov generation
+
+def test_markov_sample_chains_are_corpus_bigrams(spark, sf_dir):
+    """Every adjacent pair in every generated text is an OBSERVED
+    corpus bigram, the start token exists in the corpus, chains are
+    {start}+{steps} tokens unless a dead-end prefix cut them, and the
+    whole relation is deterministic run-over-run."""
+    from photon_spark.queries_enrich import (MKV_STEPS,
+                                             q_markov_text_sample)
+
+    rows = q_markov_text_sample(spark, sf_dir).collect()
+    assert len(rows) > 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("text").collect()
+    toks = [[t.lower() for t in r["text"].strip().split()] for r in docs]
+    vocab = {t for ts in toks for t in ts}
+    bigrams = {(a, b) for ts in toks for a, b in zip(ts, ts[1:])}
+    for r in rows:
+        ws = r["gen_text"].split(" ")
+        assert r["n_tokens"] == len(ws) <= 1 + MKV_STEPS
+        assert ws[0] in vocab
+        for a, b in zip(ws, ws[1:]):
+            assert (a, b) in bigrams, (r["sample_id"], a, b)
+
+    again = q_markov_text_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_markov_draws_match_python_inverse_cdf(spark, sf_dir):
+    """Sample 0's full chain equals a pure-Python replay of the seeded
+    inverse-CDF construction (md5 digit-fold mod total, cumulative
+    intervals ordered by token)."""
+    import hashlib
+
+    from photon_spark.queries_enrich import (MKV_SEED, MKV_STEPS,
+                                             q_markov_text_sample)
+
+    [r0] = [r for r in q_markov_text_sample(spark, sf_dir).collect()
+            if r["sample_id"] == 0]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("text").collect()
+    toks = [[t.lower() for t in r["text"].strip().split()] for r in docs]
+    uni, big = {}, {}
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big.setdefault(a, {})[b] = big.get(a, {}).get(b, 0) + 1
+
+    def h(s, t):
+        return int(hashlib.md5(
+            f"{MKV_SEED}:{s}:{t}".encode()).hexdigest()[:12], 16)
+
+    def pick(dist, draw):
+        cum = 0
+        for k in sorted(dist):
+            cum += dist[k]
+            if draw < cum:
+                return k
+        raise AssertionError("draw beyond total")
+
+    chain = [pick(uni, h(0, 0) % sum(uni.values()))]
+    for t in range(1, MKV_STEPS + 1):
+        nxt = big.get(chain[-1])
+        if not nxt:
+            break
+        chain.append(pick(nxt, h(0, t) % sum(nxt.values())))
+    assert r0["gen_text"] == " ".join(chain)

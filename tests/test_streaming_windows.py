@@ -358,12 +358,17 @@ def test_stream_stream_join_tight_watermark_is_subset(spark, sf_dir,
     ps = (spark.readStream.schema(p_rel.schema)
           .option("maxFilesPerTrigger", 1).parquet(pdir)
           .withColumn("p_evt", F.timestamp_micros(F.expr("pns div 1000")))
-          .withWatermark("p_evt", "2 hours"))
+          .withWatermark("p_evt", "2 hours")
+          .withColumn("pb", F.explode(F.array(
+              F.expr(f"pns div {RANGE_NS} - 1"),
+              F.expr(f"pns div {RANGE_NS}")))))
     cs = (spark.readStream.schema(c_rel.schema)
           .option("maxFilesPerTrigger", 1).parquet(cdir)
           .withColumn("c_evt", F.timestamp_micros(F.expr("cns div 1000")))
-          .withWatermark("c_evt", "2 hours"))
+          .withWatermark("c_evt", "2 hours")
+          .withColumn("cb", F.expr(f"cns div {RANGE_NS}")))
     j = ps.join(cs, (F.col("user_id") == F.col("c_user"))
+                & (F.col("pb") == F.col("cb"))
                 & (F.col("cns") >= F.col("pns") - F.lit(RANGE_NS))
                 & (F.col("cns") <= F.col("pns")))
     q = (j.select("purchase_id", "user_id", "click_id")

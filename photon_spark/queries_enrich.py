@@ -506,7 +506,15 @@ def q_stream_stream_interval_join(spark, sf_dir):
           .option("path", sink)
           .option("checkpointLocation", os.path.join(base, "ckpt"))
           .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    try:
+        # fail loudly on timeout: a partial sink would silently return
+        # an incomplete (wrong) join result
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream-stream interval join exceeded 300s")
+    finally:
+        if q.isActive:
+            q.stop()
 
     hits = (spark.read.parquet(sink)
             .groupBy("purchase_id")

@@ -1100,6 +1100,17 @@ def q_dp_noisy_max_event_type(spark, sf_dir):
     (event_type, RNM seed); the argmax tie-breaks on event_type so
     equal noisy scores release identically in both engines.
 
+    Privacy accounting (audit metadata): the noise is the SAME
+    two-sided discrete Laplace at the eps=1 scale as the count
+    release — report-noisy-max with two-sided noise at that scale
+    satisfies 2·eps-DP (the eps-DP bound needs one-sided
+    exponential/Gumbel noise), so the released ``epsilon`` is 2.0.
+    The ±DP_K truncation of the draw table additionally
+    makes the guarantee approximate (a tail event is clamped rather
+    than released) — pure-DP claims should use an untruncated
+    mechanism; the truncated table is what keeps the draw
+    engine-portable and hash-gateable.
+
     Plan: one keyed count aggregate, map-side CASE chain, a 1-row
     TakeOrderedAndProject. Constant release size."""
     from photon_spark.queries import _t
@@ -1116,7 +1127,7 @@ def q_dp_noisy_max_event_type(spark, sf_dir):
                        .alias("noisy_score"))
     return (noisy.orderBy(F.desc("noisy_score"), F.asc("event_type"))
                  .limit(1)
-                 .withColumn("epsilon", F.lit(1.0)))
+                 .withColumn("epsilon", F.lit(2.0)))
 
 
 def _sql_dp_noisy_max() -> str:
@@ -1133,7 +1144,7 @@ WITH agg AS (
 SELECT event_type,
        CAST(n_true + CASE {cases} ELSE {DP_K} END AS BIGINT)
          AS noisy_score,
-       CAST(1.0 AS DOUBLE) AS epsilon
+       CAST(2.0 AS DOUBLE) AS epsilon
 FROM drawn
 ORDER BY noisy_score DESC, event_type ASC
 LIMIT 1

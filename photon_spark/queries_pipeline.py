@@ -3043,7 +3043,7 @@ def q_neyman_allocation_plan(spark, sf_dir):
     Plan: one stratum aggregate; two broadcast 1-row scalars (total
     weight, allocated floor sum); one rank window over the stratum
     relation (bounded by the lang × source domain, never the corpus).
-    """.format(target=NEYMAN_TARGET)
+    """
     d = _docs(spark, sf_dir)
     agg = (d.groupBy("lang", "source")
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -3071,6 +3071,10 @@ def q_neyman_allocation_plan(spark, sf_dir):
                          + F.when(F.col("r") <= F.lit(NEYMAN_TARGET)
                                   - F.col("used"), 1).otherwise(0))
                      .cast("long").alias("alloc")))
+
+
+q_neyman_allocation_plan.__doc__ = q_neyman_allocation_plan.__doc__.format(
+    target=NEYMAN_TARGET)
 
 
 SQL_NEYMAN_ALLOCATION = f"""

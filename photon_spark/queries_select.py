@@ -1744,7 +1744,7 @@ def q_ann_int8_recall_audit(spark, sf_dir):
     Plan: map-only quantization, broadcast query batch, integer
     zip_with dot JVM-side, per-query WindowGroupLimit top-k, ids-only
     recall join. Corpus vectors never shuffle.
-    """.format(qmod=ANN_QMOD, k=ANN_MULTI_K)
+    """
     from pyspark.sql import Window
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1783,6 +1783,10 @@ def q_ann_int8_recall_audit(spark, sf_dir):
                        .alias("n_hits"),
                       F.round(F.sum(F.coalesce("hit", F.lit(0)))
                               / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
+q_ann_int8_recall_audit.__doc__ = q_ann_int8_recall_audit.__doc__.format(
+    qmod=ANN_QMOD, k=ANN_MULTI_K)
 
 
 SQL_ANN_INT8_RECALL_AUDIT = f"""

@@ -74,28 +74,32 @@ def cumulative_by_bucket(df: DataFrame, value_col: str, order_col: str,
     order, as an extra ``cum`` column.
 
     Stage 1: shuffle once by ``bucket = order div W``; window-cumsum within
-    each bucket (parallel across buckets). Stage 2: per-bucket totals —
-    ≤ max(order)/W rows — come to the driver, are exclusive-prefix-summed,
-    and rejoin as a broadcast map. Total data moved twice: once keyed by
+    each bucket (parallel across buckets). Stage 2: per-bucket totals are
+    exclusive-prefix-summed with a CONSTANT-bounded driver share
+    (:func:`photon_spark.functions._util.exclusive_prefix_offsets`):
+    ≤PREFIX_FANOUT buckets collect directly (the plan below is then the
+    original one-level form); above that the two-level tree rollup runs
+    the per-bucket prefix DISTRIBUTED and only superbucket totals — a
+    constant — reach the driver. Total data moved twice: once keyed by
     bucket, once a broadcast of O(n/W) longs. At 100 TB pick W so the
-    bucket count stays ~1e5-1e6: the driver pass is trivially cheap and
-    every heavy step is parallel.
+    bucket count stays ~1e5-1e6: every heavy step is parallel and the
+    driver's share never grows with it.
     """
+    from photon_spark.functions._util import exclusive_prefix_offsets
+
     b = df.withColumn("_bucket", (F.col(order_col) / bucket_width)
                       .cast("long"))
     w = (Window.partitionBy("_bucket").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = b.withColumn("_local_cum", F.sum(value_col).over(w))
-    totals = sorted(
-        (r["_bucket"], r["_t"]) for r in
-        b.groupBy("_bucket").agg(F.sum(value_col).alias("_t")).collect())
-    offsets, acc = {}, 0
-    for bucket, tot in totals:
-        offsets[bucket] = acc
-        acc += tot or 0
+    offsets, off_df = exclusive_prefix_offsets(
+        b.groupBy("_bucket").agg(F.sum(value_col).alias("_t")),
+        "_bucket", "_t")
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(k, v) for k, v in offsets.items()], "_bucket long, _offset long")
+    if off_df is None:
+        off_df = spark.createDataFrame(
+            [(k, v) for k, v in offsets.items()],
+            "_bucket long, _offset long")
     return (local.join(F.broadcast(off_df), "_bucket")
                  .withColumn("cum", F.col("_local_cum") + F.col("_offset"))
                  .drop("_bucket", "_local_cum", "_offset"))

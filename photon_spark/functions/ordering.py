@@ -66,33 +66,48 @@ def bucketed_global_rank(df: DataFrame, bucket_col: str,
     (seeded_shuffle, the z-order audit): ``bucket_col`` must be
     order-monotone in the sort key, so ordering by (bucket, order_cols)
     IS the global order. Per-bucket ``row_number`` windows run in
-    parallel; bucket offsets are a ≤|buckets|-row driver rollup
-    re-broadcast as a LONG-keyed literal map (int64 end-to-end — mixed
-    int32/int64 map keys silently return NULL, the bug this shared copy
-    exists to fix exactly once).
+    parallel; bucket offsets come from
+    :func:`photon_spark.functions._util.exclusive_prefix_offsets`, whose
+    driver share is bounded by the CONSTANT PREFIX_FANOUT: ≤fanout
+    buckets ride back as the original LONG-keyed literal map (int64
+    end-to-end — mixed int32/int64 map keys silently return NULL, the
+    bug this shared copy exists to fix exactly once); above it the
+    two-level tree rollup computes the prefix DISTRIBUTED and rejoins
+    as a broadcast, so the kernel scales to any bucket count (band ×
+    bucket composite keys included) with no driver-side literal-map
+    expression bloat.
 
     Rows with a NULL bucket get a NULL rank (they never consume a slot)
     — the caller's signal for bad keys, matching seeded_shuffle's NULL-id
-    contract."""
-    counts = {int(r["b"]): int(r["n"])
-              for r in df.groupBy(F.col(bucket_col).alias("b"))
-                         .agg(F.count(F.lit(1)).alias("n")).collect()
-              if r["b"] is not None}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    if offsets:
-        off_map = F.create_map(
-            *[x for b in sorted(offsets)
-              for x in (F.lit(int(b)).cast("long"),
-                        F.lit(int(offsets[b])).cast("long"))])
-        offset = F.element_at(off_map, F.col(bucket_col).cast("long"))
-    else:  # empty input (or nothing but NULL buckets)
-        offset = F.lit(None).cast("long")
+    contract (NULL misses both the literal map and the LEFT offset
+    join, so the rank is NULL by the same arithmetic)."""
+    from photon_spark.functions._util import exclusive_prefix_offsets
+
+    offsets, off_df = exclusive_prefix_offsets(
+        df.groupBy(F.col(bucket_col).cast("long").alias(bucket_col))
+          .agg(F.count(F.lit(1)).alias("_n")),
+        bucket_col, "_n")
     w = Window.partitionBy(bucket_col).orderBy(*order_cols)
-    return df.withColumn(
-        "global_rank", (offset + F.row_number().over(w) - 1).cast("long"))
+    if off_df is None:
+        if offsets:
+            off_map = F.create_map(
+                *[x for b in sorted(offsets)
+                  for x in (F.lit(int(b)).cast("long"),
+                            F.lit(int(offsets[b])).cast("long"))])
+            offset = F.element_at(off_map, F.col(bucket_col).cast("long"))
+        else:  # empty input (or nothing but NULL buckets)
+            offset = F.lit(None).cast("long")
+        return df.withColumn(
+            "global_rank",
+            (offset + F.row_number().over(w) - 1).cast("long"))
+    return (df.withColumn("_bkt_key", F.col(bucket_col).cast("long"))
+              .join(F.broadcast(off_df.withColumnRenamed(
+                  bucket_col, "_bkt_key")), "_bkt_key", "left")
+              .withColumn(
+                  "global_rank",
+                  (F.col("_offset") + F.row_number().over(w) - 1)
+                  .cast("long"))
+              .drop("_bkt_key", "_offset"))
 
 
 def seeded_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,

@@ -271,6 +271,56 @@ GROUP BY t.stream_name, t.schema_tag, t.field_path, b.n_samples
 
 
 # --------------------------------------------------------------------------
+# A6 (typed-view half, SURVEY §1.4) — the inferred schema applied back to
+# the payload: a per-stream TYPED DataFrame via from_json
+# --------------------------------------------------------------------------
+
+def q_typed_view_stats(spark, sf_dir):
+    """Typed per-stream view: infer the 'purchase' stream's payload
+    schema (sampled — first-10 + ~2%, exactly the schema_inference
+    row), apply it back over the FULL stream as a real struct column
+    (schema_infer.typed_view), and aggregate the TYPED values — count,
+    parse failures, and min/max/sum of the typed ``k`` field. The
+    oracle re-derives the same numbers with explicit JSON casts, so a
+    hash match proves the inferred struct parses every payload to the
+    same typed values a hand-written extraction would (the §1.4
+    "typed views materialized per stream once schema is inferred"
+    promise; chatter fixture common.clj:15-35, schema pins
+    schema_test.clj:41-71).
+
+    Plan: the inference pass is sample-bounded; the typed read is one
+    map-side from_json projection + one 1-row aggregate — no shuffle
+    beyond the aggregate's."""
+    from photon_spark.schema_infer import typed_view
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("event_type").alias("stream_name"),
+                  F.lit(None).cast("string").alias("schema_tag"),
+                  F.col("event_id").alias("order_id"),
+                  F.col("props").alias("payload")))
+    tv = typed_view(ev, "purchase")
+    k = F.col("payload_typed.k")
+    return tv.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("payload_typed").isNull().cast("long"))
+         .alias("n_parse_fail"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.sum(k).alias("k_sum"))
+
+
+SQL_TYPED_VIEW_STATS = """
+SELECT count(*) AS n_events,
+       CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_parse_fail,
+       min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
+       max(json_extract_string(props, '$.k')::BIGINT) AS k_max,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+         AS k_sum
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # A1 — projections: native-reducer tier (count/sum/avg compile to Catalyst
 # aggregates) and the serial ordered-fold kernel itself
 # --------------------------------------------------------------------------
@@ -540,6 +590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_streams": q_distinct_streams,
     "stream_version_totals": q_stream_version_totals,
     "schema_inference": q_schema_inference,
+    "typed_view_stats": q_typed_view_stats,
     "projection_count_all": q_projection_count_all,
     "projection_sum_by_stream": q_projection_sum_by_stream,
     "projection_assoc_fold": q_projection_assoc_fold,
@@ -558,6 +609,7 @@ ORACLES: dict[str, str] = {
     "distinct_streams": SQL_DISTINCT_STREAMS,
     "stream_version_totals": SQL_STREAM_VERSION_TOTALS,
     "schema_inference": SQL_SCHEMA_INFERENCE,
+    "typed_view_stats": SQL_TYPED_VIEW_STATS,
     "projection_count_all": SQL_PROJECTION_COUNT_ALL,
     "projection_sum_by_stream": SQL_PROJECTION_SUM_BY_STREAM,
     "projection_assoc_fold": SQL_PROJECTION_ASSOC_FOLD,
@@ -624,6 +676,11 @@ from photon_spark import queries_training as _tr  # noqa: E402
 
 QUERIES.update(_tr.QUERIES)
 ORACLES.update(_tr.ORACLES)
+
+from photon_spark import queries_store as _st  # noqa: E402
+
+QUERIES.update(_st.QUERIES)
+ORACLES.update(_st.ORACLES)
 
 # --------------------------------------------------------------------------
 # Gate-window ordering
@@ -745,28 +802,46 @@ _DRIVER_CHECKED_R8 = frozenset([
     "zipf_deviation_audit",
 ])
 
+# Round-9 driver window (CORRECTNESS_r09.json — all 50 green).
+_DRIVER_CHECKED_R9 = frozenset([
+    "scd2_history_salted", "session_window_stats_salted",
+    "ranking_rbo_audit", "dedup_cluster_bcubed", "dp_noisy_event_counts",
+    "mutual_knn_pairs_ivf", "cdc_stream_merge_state",
+    "image_jpeg_decode_stats", "dup_graph_bfs_hops",
+    "image_gif_decode_stats", "stream_stream_interval_join",
+    "phrase_search_topk", "dp_noisy_max_event_type",
+    "ann_int8_recall_audit", "neyman_allocation_plan",
+    "markov_text_sample", "media_decode_fallback_audit",
+    "rolling_active_users", "image_decode_stats", "image_resize_stats",
+    "cdc_merge_state", "cdc_time_travel", "cdc_state_diff",
+    "cdc_multi_writer_state", "mutual_knn_pairs", "pareto_front_parts",
+    "scd2_history", "cold_replay", "stream_contents", "time_range_count",
+    "point_lookup", "streams_totals", "distinct_streams",
+    "stream_version_totals", "schema_inference", "projection_count_all",
+    "projection_sum_by_stream", "projection_assoc_fold",
+    "projection_fold_stats", "projection_streaming_fold",
+    "projection_keyed_streaming_fold", "projection_value_lookup",
+    "text_profile", "lang_quality_by_source", "dedup_exact_stats",
+    "ngram_jaccard_pairs", "dedup_clusters", "minhash_near_dups",
+    "simhash_buckets", "ann_topk_bruteforce",
+])
+
 _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
-                   | _DRIVER_CHECKED_R7 | _DRIVER_CHECKED_R8)
+                   | _DRIVER_CHECKED_R7 | _DRIVER_CHECKED_R8
+                   | _DRIVER_CHECKED_R9)
 
 
-# Round-9 window head: brand-new queries first.
+# Round-10 window head: brand-new queries first — the five file-surface
+# rows closing SURVEY §2 (S3/S4 export/import, D1-D3 deletes), the
+# fixed-query-batch recall audit, and the typed per-stream view.
 _NEWEST_FIRST = [
-    "scd2_history_salted",
-    "session_window_stats_salted",
-    "ranking_rbo_audit",
-    "dedup_cluster_bcubed",
-    "dp_noisy_event_counts",
-    "mutual_knn_pairs_ivf",
-    "cdc_stream_merge_state",
-    "image_jpeg_decode_stats",
-    "dup_graph_bfs_hops",
-    "image_gif_decode_stats",
-    "stream_stream_interval_join",
-    "phrase_search_topk",
-    "dp_noisy_max_event_type",
-    "ann_int8_recall_audit",
-    "neyman_allocation_plan",
-    "markov_text_sample",
+    "stream_export_audit",
+    "stream_import_roundtrip",
+    "delete_event_audit",
+    "delete_stream_audit",
+    "store_clean_audit",
+    "ann_recall_audit_fixedq",
+    "typed_view_stats",
 ]
 
 
@@ -774,24 +849,16 @@ _DEFER_PAST_BACKLOG: list = []
 
 
 # Queries whose gated OUTPUT or PLAN changed since their last driver
-# check, so the driver must re-verify them this round (round 9):
-# media_decode_fallback_audit's OUTPUT changed (the mixed fixture grew
-# from three to seven routed classes — real + corrupt JPEG rows, then
-# real + corrupt GIF rows);
-# rolling_active_users gained the short-span empty-calendar guard (plan
-# changed, values unchanged at driver sfs); image_decode_stats /
-# image_resize_stats now route through decode_image_any (values
-# unchanged); the four CDC rows run under the lease protocol (values
-# unchanged); mutual_knn_pairs was refactored through the shared
-# _mutual_pairs_from_graph consumer (plan/values unchanged);
-# pareto_front_parts gained the integer-axis validation (values
-# unchanged); scd2_history shares its oracle with the new salted twin.
+# check, so the driver must re-verify them this round (round 10):
+# dp_noisy_max_event_type's OUTPUT changed (released epsilon corrected
+# 1.0 → 2.0 — report-noisy-max with two-sided noise composes to 2·eps);
+# pair_table_incremental_audit's PLAN changed (base mine staged, the
+# row now measures the incremental UPDATE; values unchanged);
+# stream_stream_interval_join gained the awaitTermination timeout guard
+# (failure-path only, values unchanged).
 _CHANGED_THIS_ROUND = [
-    "media_decode_fallback_audit", "rolling_active_users",
-    "image_decode_stats", "image_resize_stats",
-    "cdc_merge_state", "cdc_time_travel", "cdc_state_diff",
-    "cdc_multi_writer_state", "mutual_knn_pairs", "pareto_front_parts",
-    "scd2_history",
+    "dp_noisy_max_event_type", "pair_table_incremental_audit",
+    "stream_stream_interval_join",
 ]
 
 

@@ -869,6 +869,148 @@ GROUP BY 1
 """
 
 
+# ------------------------------------- ANN recall audit, FIXED query batch
+
+#: size of the fixed evaluation query set — a CONSTANT, not a corpus
+#: fraction, which is what makes the audit corpus-linear
+RECALL_FIXEDQ_K = 8
+
+
+def q_ann_recall_audit_fixedq(spark, sf_dir):
+    """Recall@k with a FIXED-SIZE query batch — the production form of
+    `ann_recall_audit`, making its documented scale caveat real instead
+    of documented: that audit's query set is ``vec_id % {qmod} == 0``,
+    a corpus FRACTION, so a 10x corpus is also 10x queries and the
+    exact side scores 100x pairs (7.2x wall measured, BASELINE.md).
+    A deployed eval pins the query set; here it is the
+    {fk} smallest query-eligible vec_ids — deterministic, corpus-stable
+    under append (new ids are larger), and CONSTANT in corpus size, so
+    both the exact side (|Q|·n) and the IVF side are corpus-LINEAR.
+
+    Same IVF construction, probe selection, rounding, and tie-break
+    rules as `ann_recall_audit` (the caveat fix changes the query
+    relation only), so the two rows differ in exactly the property
+    under test."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
+                                                   ivf_train_cells)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    # the fixed batch: smallest RECALL_FIXEDQ_K query-eligible ids — a
+    # TakeOrdered over the (tiny) query-eligible relation, then broadcast
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv"))
+          .orderBy("query_id").limit(RECALL_FIXEDQ_K))
+    corpus = e.where(~is_q)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+
+    # exact ground truth against the fixed batch: one corpus scan,
+    # |Q| = const cosines per corpus row, WindowGroupLimit rank
+    exact = (corpus.crossJoin(F.broadcast(q))
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("embedding"), F.col("qv")),
+                                   6).alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id"))
+
+    cents = ivf_train_cells(e, RECALL_CELLS)
+    assigned = ivf_assign_cells(corpus, cents)
+    cents_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell_id long, cv array<double>")
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
+                                                F.col("cell_id"))
+    probe = (q.crossJoin(F.broadcast(cents_df))
+              .select("query_id", "cell_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                       .alias("ccos"))
+              .withColumn("prank", F.row_number().over(wp))
+              .where(F.col("prank") <= RECALL_PROBE)
+              .select("query_id", "cell_id"))
+    ivf = (assigned.join(F.broadcast(probe), "cell_id")
+                   .join(F.broadcast(q), "query_id")
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("embedding"), F.col("qv")),
+                                   6).alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id", F.lit(1).alias("hit")))
+
+    return (exact.join(ivf, ["query_id", "vec_id"], "left")
+                 .groupBy("query_id")
+                 .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                       .alias("n_hits"),
+                      F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                              / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
+q_ann_recall_audit_fixedq.__doc__ = q_ann_recall_audit_fixedq.__doc__.format(
+    qmod=ANN_QMOD, fk=RECALL_FIXEDQ_K)
+
+
+SQL_ANN_RECALL_AUDIT_FIXEDQ = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % {ANN_QMOD} = 0
+  ORDER BY vec_id LIMIT {RECALL_FIXEDQ_K}
+), corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {ANN_QMOD} != 0
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c CROSS JOIN q) WHERE rank <= {ANN_MULTI_K}
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM base
+  ORDER BY vec_id LIMIT {RECALL_CELLS}
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, ce.cv) DESC, ce.cell_id
+           ) AS rn
+    FROM corpus c CROSS JOIN cents ce) WHERE rn = 1
+), probe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ce.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, ce.cv), 6) DESC,
+                      ce.cell_id
+           ) AS prank
+    FROM q CROSS JOIN cents ce) WHERE prank <= {RECALL_PROBE}
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rank
+    FROM corpus c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN probe p ON p.cell_id = a.cell_id
+    JOIN q ON q.query_id = p.query_id) WHERE rank <= {ANN_MULTI_K}
+)
+SELECT e.query_id,
+       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / {ANN_MULTI_K}, 6) AS recall
+FROM exact e
+LEFT JOIN ivf i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------ ANN nDCG audit
 
 #: fixed-point DCG discount table: floor(1e6 / log2(rank+1)) for rank
@@ -1608,6 +1750,7 @@ QUERIES = {
     "ann_topk_filtered": q_ann_topk_filtered,
     "containment_pairs": q_containment_pairs,
     "ann_recall_audit": q_ann_recall_audit,
+    "ann_recall_audit_fixedq": q_ann_recall_audit_fixedq,
     "ann_ndcg_audit": q_ann_ndcg_audit,
     "matryoshka_recall_audit": q_matryoshka_recall_audit,
 }
@@ -1628,6 +1771,7 @@ ORACLES = {
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "containment_pairs": _sql_containment_pairs(),
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
+    "ann_recall_audit_fixedq": SQL_ANN_RECALL_AUDIT_FIXEDQ,
     "ann_ndcg_audit": _sql_ann_ndcg_audit(),
     "matryoshka_recall_audit": SQL_MATRYOSHKA_RECALL_AUDIT,
 }

@@ -206,3 +206,92 @@ def get_schema(events: DataFrame, stream_name: str) -> dict:
     rows = (infer_schemas(events.where(F.col("stream_name") == stream_name))
             .collect())
     return {r["schema_tag"]: json.loads(r["schema_json"]) for r in rows}
+
+
+# --------------------------------------------------------------------------
+# Typed per-stream views (SURVEY §1.4): the inferred schema applied back
+# to the payload as a real Spark struct via from_json
+# --------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+_SCALAR_TYPES = {
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    # a field whose samples were all-null parses most safely as string
+    "null": T.StringType(),
+}
+
+
+def typed_struct(schema: dict) -> T.StructType:
+    """Build a Spark StructType from one inferred schema map
+    (:func:`infer_schemas`'s ``{field_path: {"type": ...}}``, dotted
+    paths for nested objects, ``path[]`` entries for array elements).
+
+    Nested objects become nested StructTypes; arrays become ArrayType of
+    the inferred element type (StringType when elements were never
+    sampled); mixed-type fields already reduced to one type upstream.
+    """
+    # group dotted paths into a tree; "[]"-suffixed paths describe the
+    # element type of the array at the unsuffixed path
+    tree: dict = {}
+    for path, info in schema.items():
+        parts = path.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {"children": {}})["children"]
+        leaf = node.setdefault(parts[-1], {"children": {}})
+        leaf["info"] = info
+
+    def build(node: dict):
+        info = node.get("info")
+        kids = node["children"]
+        t = (info or {}).get("type")
+        if t == "object" or (info is None and kids):
+            fields = [T.StructField(k, build(v))
+                      for k, v in sorted(kids.items()) if k != "[]"]
+            return T.StructType(fields)
+        if t == "array":
+            elem = kids.get("[]")
+            return T.ArrayType(build(elem) if elem else T.StringType())
+        return _SCALAR_TYPES.get(t, T.StringType())
+
+    return T.StructType([T.StructField(k, build(v))
+                         for k, v in sorted(tree.items()) if k != "$"])
+
+
+def typed_view(events: DataFrame, stream_name: str,
+               schema_tag: str | None = None,
+               payload_col: str = "payload") -> DataFrame:
+    """The typed per-stream view SURVEY §1.4 maps payloads to: infer the
+    stream's schema (sampled, exactly :func:`infer_schemas`), build the
+    struct, and return the stream's events with the payload parsed into
+    a real ``payload_typed`` struct column — giving users a columnar,
+    predicate-pushable view of a free-form JSON stream (photon's
+    chatter fixture, common.clj:15-35; schema pins schema_test.clj:41+).
+
+    ``schema_tag`` picks one version's schema; default merges all
+    versions (first-seen type wins per field — the same reduction
+    ``_merge_value`` applies within a bucket). Unparseable payloads
+    yield a NULL struct, visible rather than dropped.
+
+    Scale shape: inference cost is bounded by the sample (first-10 +
+    ~2% per bucket); the schema map itself is a driver-side constant
+    (bounded by field count, not rows); the from_json projection is
+    map-side Catalyst over the full stream — no shuffle is added to
+    the read path.
+    """
+    stream = events.where(F.col("stream_name") == stream_name)
+    versions = get_schema(events, stream_name)
+    if schema_tag is not None:
+        merged = versions.get(schema_tag, {})
+    else:
+        merged = {}
+        for tag in sorted(versions):
+            for path, info in versions[tag].items():
+                merged.setdefault(path, info)
+    struct = typed_struct(merged)
+    return stream.withColumn(
+        "payload_typed", F.from_json(F.col(payload_col), struct))

@@ -191,3 +191,74 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     out2 = str(tmp_path / "shards2")
     assert write_training_shards(docs, out2, budget=512,
                                  seqs_per_shard=8) == manifest
+
+
+# ------------------------- constant-bounded prefix rollup (round 10)
+
+def test_exclusive_prefix_offsets_tiers(spark):
+    from pyspark.sql import functions as F
+    from photon_spark.functions._util import exclusive_prefix_offsets
+
+    tot = spark.range(0, 300).select(
+        (F.col("id") * 3).alias("b"), (F.col("id") % 7 + 1).alias("n"))
+    truth, acc = {}, 0
+    for b, n in sorted((3 * i, i % 7 + 1) for i in range(300)):
+        truth[b] = acc
+        acc += n
+
+    # small tier: dict, no distributed relation
+    offsets, off_df = exclusive_prefix_offsets(tot, "b", "n", fanout=512)
+    assert off_df is None
+    assert offsets == truth
+
+    # tree tier (forced by a low fanout): distributed relation, same values
+    offsets2, off_df2 = exclusive_prefix_offsets(tot, "b", "n", fanout=16)
+    assert offsets2 is None
+    got = {r["b"]: r["_offset"] for r in off_df2.collect()}
+    assert got == truth
+
+
+def test_exclusive_prefix_offsets_null_and_empty(spark):
+    from pyspark.sql import functions as F
+    from photon_spark.functions._util import exclusive_prefix_offsets
+
+    rows = [(None, 5), (2, 3), (0, 1)]
+    tot = spark.createDataFrame(rows, "b long, n long")
+    offsets, off_df = exclusive_prefix_offsets(tot, "b", "n")
+    assert off_df is None
+    assert offsets == {0: 0, 2: 1}  # NULL bucket dropped
+
+    empty = spark.createDataFrame([], "b long, n long")
+    offsets, off_df = exclusive_prefix_offsets(empty, "b", "n")
+    assert offsets == {} and off_df is None
+
+
+def test_cumsum_matches_through_tree_tier(docs):
+    """The cumulative kernel's bucket count exceeds a forced-low fanout →
+    tree tier; values must still equal the serial prefix sum."""
+    from pyspark.sql import functions as F
+    import photon_spark.functions._util as U
+    from photon_spark.functions.chunking import cumulative_by_bucket
+
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("v"))
+    orig = U.PREFIX_FANOUT
+    # monkeypatch-free: pass through the default param by shrinking the
+    # module constant consumers read
+    try:
+        U.PREFIX_FANOUT = 8
+        real_fn = U.exclusive_prefix_offsets
+
+        def small_fanout(totals, bucket_col, total_col, fanout=None):
+            return real_fn(totals, bucket_col, total_col, fanout=8)
+
+        U.exclusive_prefix_offsets = small_fanout
+        got = {r["doc_id"]: r["cum"] for r in
+               cumulative_by_bucket(d, "v", "doc_id", 7).collect()}
+    finally:
+        U.PREFIX_FANOUT = orig
+        U.exclusive_prefix_offsets = real_fn
+    rows = sorted(d.collect(), key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        acc += r["v"]
+        assert got[r["doc_id"]] == acc

@@ -115,3 +115,59 @@ def test_inference_is_deterministic(events):
     a = sorted(tuple(r) for r in infer_schemas(events).collect())
     b = sorted(tuple(r) for r in infer_schemas(events).collect())
     assert a == b
+
+
+# ------------------------------------------------- typed views (SURVEY §1.4)
+
+def test_typed_struct_scalars_and_nesting():
+    from pyspark.sql import types as T
+    from photon_spark.schema_infer import typed_struct
+    schema = {
+        "a": {"type": "long", "mode": "required", "count": 2},
+        "b": {"type": "double", "mode": "optional", "count": 1},
+        "c": {"type": "object", "mode": "required", "count": 2},
+        "c.x": {"type": "string", "mode": "required", "count": 2},
+        "c.y": {"type": "boolean", "mode": "optional", "count": 1},
+        "tags": {"type": "array", "mode": "required", "count": 2},
+        "tags[]": {"type": "string", "mode": "optional", "count": 4},
+    }
+    st = typed_struct(schema)
+    by_name = {f.name: f.dataType for f in st.fields}
+    assert by_name["a"] == T.LongType()
+    assert by_name["b"] == T.DoubleType()
+    assert isinstance(by_name["c"], T.StructType)
+    inner = {f.name: f.dataType for f in by_name["c"].fields}
+    assert inner == {"x": T.StringType(), "y": T.BooleanType()}
+    assert by_name["tags"] == T.ArrayType(T.StringType())
+
+
+def test_typed_view_parses_chatter(events):
+    """The §1.4 promise end-to-end on the chatter-style fixture: the
+    inferred struct parses every payload into typed columns (nested
+    object included) without hand-written extraction."""
+    from photon_spark.schema_infer import typed_view
+    tv = typed_view(events, "chatter")
+    rows = {r["order_id"]: r["payload_typed"]
+            for r in tv.select("order_id", "payload_typed").collect()}
+    assert rows[1]["service-id"] == "request://chatter"
+    assert rows[1]["text"] == "msg 0"
+    assert rows[1]["textanalysis"]["aggregateSentiment"] == 40
+    # merged-version view still parses the versioned rows' extra field
+    assert rows[100]["extra"] is True
+    # version-pinned view exposes ONLY that version's fields
+    tv1 = typed_view(events, "chatter", schema_tag="0.0.1")
+    f = {x.name for x in tv1.schema["payload_typed"].dataType.fields}
+    assert f == {"service-id", "extra"}
+
+
+def test_typed_view_null_struct_on_bad_payload(spark):
+    from photon_spark.schema_infer import typed_view
+    rows = [("s", None, 1, json.dumps({"a": 1})),
+            ("s", None, 2, "not json {{")]
+    ev = spark.createDataFrame(
+        rows, "stream_name string, schema_tag string, order_id long, "
+              "payload string")
+    got = {r["order_id"]: r["payload_typed"]
+           for r in typed_view(ev, "s").collect()}
+    assert got[1]["a"] == 1
+    assert got[2] is None or got[2]["a"] is None

@@ -840,6 +840,8 @@ _NEWEST_FIRST = [
     "delete_event_audit",
     "delete_stream_audit",
     "store_clean_audit",
+    "store_expire_audit",
+    "store_compact_audit",
     "ann_recall_audit_fixedq",
     "typed_view_stats",
 ]

@@ -332,12 +332,115 @@ FROM events WHERE event_id < {CLEAN_REINGEST_LT}
 """
 
 
+# --------------------------------------------------------------------------
+# Maintenance: retention expiry and compaction, gated
+# --------------------------------------------------------------------------
+
+#: retention row: expire everything that arrived before this source id
+EXPIRE_AT_ID = 500
+
+
+def q_store_expire_audit(spark, sf_dir):
+    """Retention expiry (`EventStore.expire` — the log-retention pass a
+    100 TB streaming table pays on schedule; on parquet a partition-
+    parallel rewrite, on Delta/Iceberg the same predicate as a metadata
+    DELETE): on a fresh copy of the staged store, expire every event
+    that arrived before the event with source id {at} and return
+    per-stream totals + id checksums plus the removed count.
+
+    Determinism: order_ids are wall-clock stamped, but the staged
+    store's ARRIVAL order is the source event_id order (the same
+    contract the streaming folds' rank-weighted checksums pin), so the
+    cutoff "order_id of source id {at}" removes exactly the events with
+    event_id < {at} — which is what the oracle computes. If arrival
+    order were ever violated, the per-stream id sums would not match
+    and this row would go red."""
+    base = tempfile.mkdtemp(prefix="photon_spark_exp_")
+    try:
+        store = _store_copy(spark, sf_dir, base)
+        # ≤1-row bounded collect: resolve the cutoff order_id
+        cut = (store.read_all()
+               .where(F.col("local_id") == str(EXPIRE_AT_ID))
+               .select("order_id").first())
+        removed = store.expire(cut["order_id"])
+        rows = [(r["stream_name"], int(r["n_events"]), int(r["id_sum"]),
+                 int(removed))
+                for r in _per_stream_totals(store).collect()]
+        return spark.createDataFrame(
+            sorted(rows), "stream_name string, n_events long, "
+                          "id_sum long, n_removed long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+q_store_expire_audit.__doc__ = q_store_expire_audit.__doc__.format(
+    at=EXPIRE_AT_ID)
+
+
+SQL_STORE_EXPIRE_AUDIT = f"""
+SELECT event_type AS stream_name, count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (SELECT count(*) FROM events WHERE event_id < {EXPIRE_AT_ID})
+         AS n_removed
+FROM events WHERE event_id >= {EXPIRE_AT_ID}
+GROUP BY 1
+"""
+
+
+def q_store_compact_audit(spark, sf_dir):
+    """Compaction (`EventStore.compact` — the OPTIMIZE pass that folds
+    streaming ingest's per-micro-batch small files into one sorted file
+    per stream): first FRAGMENT a copy of the staged store by appending
+    three extra micro-batch-sized ingests (so compaction has real work),
+    then compact and return per-stream totals + id checksums + the
+    post-compaction data-file count. Contents must be IDENTICAL to the
+    pre-compaction relation (the oracle computes them from the source
+    table) and the file count must equal the stream count — one sorted
+    file per stream, the layout ingest targets.
+
+    The three fragment batches re-ingest events with id < 300 in three
+    slices, so the oracle adds them once each."""
+    base = tempfile.mkdtemp(prefix="photon_spark_cmp_")
+    try:
+        store = _store_copy(spark, sf_dir, base)
+        frag = _rich_src(spark, sf_dir).where(
+            F.col("local_id").cast("long") < 300)
+        for k in range(3):
+            store.ingest(frag.where(
+                F.col("local_id").cast("long") % 3 == k))
+        n_files = store.compact()
+        rows = [(r["stream_name"], int(r["n_events"]), int(r["id_sum"]),
+                 int(n_files))
+                for r in _per_stream_totals(store).collect()]
+        return spark.createDataFrame(
+            sorted(rows), "stream_name string, n_events long, "
+                          "id_sum long, n_files long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STORE_COMPACT_AUDIT = """
+WITH all_rows AS (
+  SELECT event_type, event_id FROM events
+  UNION ALL
+  SELECT event_type, event_id FROM events WHERE event_id < 300
+)
+SELECT event_type AS stream_name, count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (SELECT count(DISTINCT event_type) FROM events) AS n_files
+FROM all_rows
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "stream_export_audit": q_stream_export_audit,
     "stream_import_roundtrip": q_stream_import_roundtrip,
     "delete_event_audit": q_delete_event_audit,
     "delete_stream_audit": q_delete_stream_audit,
     "store_clean_audit": q_store_clean_audit,
+    "store_expire_audit": q_store_expire_audit,
+    "store_compact_audit": q_store_compact_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -346,4 +449,6 @@ ORACLES: dict[str, str] = {
     "delete_event_audit": SQL_DELETE_EVENT_AUDIT,
     "delete_stream_audit": SQL_DELETE_STREAM_AUDIT,
     "store_clean_audit": SQL_STORE_CLEAN_AUDIT,
+    "store_expire_audit": SQL_STORE_EXPIRE_AUDIT,
+    "store_compact_audit": SQL_STORE_COMPACT_AUDIT,
 }

@@ -843,6 +843,9 @@ _NEWEST_FIRST = [
     "store_expire_audit",
     "store_compact_audit",
     "ann_recall_audit_fixedq",
+    "ann_ndcg_audit_fixedq",
+    "ann_int8_recall_audit_fixedq",
+    "matryoshka_recall_audit_fixedq",
     "typed_view_stats",
 ]
 

@@ -1234,6 +1234,186 @@ GROUP BY 1
 """
 
 
+# ---------------------------- fixed-batch twins of the remaining audits
+#
+# The sampled-query audits (ndcg / int8 / matryoshka, like the recall
+# audit before round 10) take their query batch as a corpus FRACTION
+# (vec_id % ANN_QMOD == 0), so corpus growth multiplies queries AND
+# candidates — the quadratic audit ceiling the verdicts documented.
+# These twins pin the batch to the same constant RECALL_FIXEDQ_K set as
+# ann_recall_audit_fixedq, making every eval side corpus-linear. The
+# metric constructions (grading, probe selection, quantization,
+# truncation, rounding, tie-breaks) are exactly the parents'.
+
+def _fixedq_float(e):
+    """The fixed evaluation batch with FLOAT vectors: the
+    RECALL_FIXEDQ_K smallest query-eligible vec_ids — deterministic,
+    corpus-stable under append, constant in corpus size."""
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    return (e.where(is_q)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qv"))
+             .orderBy("query_id").limit(RECALL_FIXEDQ_K))
+
+
+def _exact_topk_fixed(e, q, with_rank: bool = False):
+    """Exact float-cosine top-k for an EXPLICIT query batch — one
+    corpus scan, |Q|=const cosines per row, WindowGroupLimit rank; the
+    corpus-linear exact side every fixed-batch audit shares."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import cosine
+
+    corpus = e.where(~(F.col("vec_id") % ANN_QMOD == 0))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    r = (corpus.crossJoin(F.broadcast(q))
+               .select("query_id", "vec_id",
+                       F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                        .alias("cosine"))
+               .withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= ANN_MULTI_K))
+    cols = ["query_id", "vec_id"] + (["rank"] if with_rank else [])
+    return r.select(*cols)
+
+
+def _with_fixed_q(sql: str) -> str:
+    """Oracle twin builder: append the fixed-batch LIMIT to the parent
+    oracle's q CTE (which must contain the eligibility predicate exactly
+    once — asserted so a future oracle edit cannot silently desync the
+    twins)."""
+    needle = f"WHERE vec_id % {ANN_QMOD} = 0"
+    assert sql.count(needle) == 1, "q-CTE predicate not unique"
+    return sql.replace(
+        needle, needle + f"\n  ORDER BY vec_id LIMIT {RECALL_FIXEDQ_K}")
+
+
+def q_ann_ndcg_audit_fixedq(spark, sf_dir):
+    """nDCG@k of the IVF tier with the CONSTANT query batch — the
+    production form of `ann_ndcg_audit` (same fixed-point discount
+    table, same probe selection and tie-breaks; only the query relation
+    changes), so ordering quality is monitorable at any corpus size."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
+                                                   ivf_train_cells)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _fixedq_float(e)
+    corpus = e.where(~(F.col("vec_id") % ANN_QMOD == 0))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    exact = (_exact_topk_fixed(e, q, with_rank=True)
+             .select("query_id", "vec_id",
+                     (F.lit(ANN_MULTI_K + 1) - F.col("rank")).alias("rel")))
+
+    cents = ivf_train_cells(e, RECALL_CELLS)
+    assigned = ivf_assign_cells(corpus, cents)
+    cents_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell_id long, cv array<double>")
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
+                                                F.col("cell_id"))
+    probe = (q.crossJoin(F.broadcast(cents_df))
+              .select("query_id", "cell_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                       .alias("ccos"))
+              .withColumn("prank", F.row_number().over(wp))
+              .where(F.col("prank") <= RECALL_PROBE)
+              .select("query_id", "cell_id"))
+    ivf = (assigned.join(F.broadcast(probe), "cell_id")
+                   .join(F.broadcast(q), "query_id")
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("embedding"), F.col("qv")),
+                                   6).alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id", "rank"))
+
+    disc = F.element_at(F.array(*[F.lit(x) for x in NDCG_W]),
+                        F.col("rank").cast("int"))
+    return (ivf.join(exact, ["query_id", "vec_id"], "left")
+               .groupBy("query_id")
+               .agg(F.sum(F.coalesce(F.col("rel"), F.lit(0)) * disc)
+                     .cast("long").alias("dcg_units"),
+                    F.round(F.sum(F.coalesce(F.col("rel"), F.lit(0)) * disc)
+                            / F.lit(NDCG_IDCG), 6).alias("ndcg")))
+
+
+def q_ann_int8_recall_audit_fixedq(spark, sf_dir):
+    """Recall@k of the int8 scoring tier with the CONSTANT query batch —
+    the production form of `ann_int8_recall_audit` (same symmetric
+    quantization, exact int64 lattice dots, dequant and rounding rules;
+    only the query relation changes)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    qa = F.transform(v, lambda x: F.coalesce(
+        F.round(x / F.nullif(s, F.lit(0.0))), F.lit(0.0))
+        .cast("long"))
+    base = e.select("vec_id", s.alias("xs"), qa.alias("xa"))
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    # same id set as _fixedq_float: smallest RECALL_FIXEDQ_K eligible
+    q = (base.where(is_q)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("xa").alias("qa"))
+             .orderBy("query_id").limit(RECALL_FIXEDQ_K))
+    corpus = base.where(~is_q)
+
+    int_dot = F.aggregate(
+        F.zip_with("xa", "qa", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (corpus.crossJoin(F.broadcast(q))
+                    .select("query_id", "vec_id",
+                            F.round(F.col("xs") * int_dot, 6)
+                             .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("vec_id"))
+    int8 = (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= ANN_MULTI_K)
+                  .select("query_id", "vec_id", F.lit(1).alias("hit")))
+
+    exact = _exact_topk_fixed(e, _fixedq_float(e))
+    return (exact.join(int8, ["query_id", "vec_id"], "left")
+                 .groupBy("query_id")
+                 .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                       .alias("n_hits"),
+                      F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                              / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
+def q_matryoshka_recall_audit_fixedq(spark, sf_dir):
+    """Matryoshka-truncation recall with the CONSTANT query batch — the
+    production form of `matryoshka_recall_audit` (same leading-MRL_DIM
+    truncation, exact cosines both sides; only the query relation
+    changes)."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import cosine
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_q = F.col("vec_id") % ANN_QMOD == 0
+    tr = F.slice(F.col("embedding"), 1, MRL_DIM)
+    q = (e.where(is_q)
+          .select(F.col("vec_id").alias("query_id"), tr.alias("qt"))
+          .orderBy("query_id").limit(RECALL_FIXEDQ_K))
+    corpus = e.where(~is_q).select("vec_id", tr.alias("vt"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id"))
+    full = _exact_topk_fixed(e, _fixedq_float(e))
+    short = (corpus.crossJoin(F.broadcast(q))
+                   .select("query_id", "vec_id",
+                           F.round(cosine(F.col("vt"), F.col("qt")), 6)
+                            .alias("cosine"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= ANN_MULTI_K)
+                   .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    return (full.join(short, ["query_id", "vec_id"], "left")
+                .groupBy("query_id")
+                .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                      .alias("n_hits"),
+                     F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                             / F.lit(ANN_MULTI_K), 6).alias("recall")))
+
+
 # ------------------------------------------------- IVF staleness audit
 
 #: the "appended after index build" slice: vec_id % STALE_MOD == STALE_REM
@@ -1752,7 +1932,9 @@ QUERIES = {
     "ann_recall_audit": q_ann_recall_audit,
     "ann_recall_audit_fixedq": q_ann_recall_audit_fixedq,
     "ann_ndcg_audit": q_ann_ndcg_audit,
+    "ann_ndcg_audit_fixedq": q_ann_ndcg_audit_fixedq,
     "matryoshka_recall_audit": q_matryoshka_recall_audit,
+    "matryoshka_recall_audit_fixedq": q_matryoshka_recall_audit_fixedq,
 }
 
 ORACLES = {
@@ -1773,7 +1955,10 @@ ORACLES = {
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "ann_recall_audit_fixedq": SQL_ANN_RECALL_AUDIT_FIXEDQ,
     "ann_ndcg_audit": _sql_ann_ndcg_audit(),
+    "ann_ndcg_audit_fixedq": _with_fixed_q(_sql_ann_ndcg_audit()),
     "matryoshka_recall_audit": SQL_MATRYOSHKA_RECALL_AUDIT,
+    "matryoshka_recall_audit_fixedq": _with_fixed_q(
+        SQL_MATRYOSHKA_RECALL_AUDIT),
 }
 
 
@@ -2018,3 +2203,6 @@ GROUP BY 1
 
 QUERIES["ann_int8_recall_audit"] = q_ann_int8_recall_audit
 ORACLES["ann_int8_recall_audit"] = SQL_ANN_INT8_RECALL_AUDIT
+QUERIES["ann_int8_recall_audit_fixedq"] = q_ann_int8_recall_audit_fixedq
+ORACLES["ann_int8_recall_audit_fixedq"] = _with_fixed_q(
+    SQL_ANN_INT8_RECALL_AUDIT)

@@ -221,7 +221,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # same broadcast query batch + queries × n_cells probe cross
         "ann_recall_audit",
         # identical shape with a CONSTANT-size (≤8-row) broadcast batch
-        "ann_recall_audit_fixedq",
+        "ann_recall_audit_fixedq", "ann_ndcg_audit_fixedq",
+        "ann_int8_recall_audit_fixedq", "matryoshka_recall_audit_fixedq",
         # broadcast query batch twice (full-dim + truncated passes)
         "matryoshka_recall_audit",
         # ann_recall_audit's shape twice (stale + fresh tiers) plus a

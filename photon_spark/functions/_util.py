@@ -51,26 +51,31 @@ def exclusive_prefix_offsets(
         offsets, acc = {}, 0
         for b, tot in sorted((r["_b"], r["_t"]) for r in head):
             offsets[b] = acc
-            acc += tot
+            # an all-NULL value_col bucket sums to NULL — contribute 0,
+            # matching the old cumulative_by_bucket driver loop
+            acc += tot or 0
         return offsets, None
 
     # tree tier: materialize totals once; three consumers read it
     t = t.localCheckpoint(eager=True)
-    # 1-row bounded collect: the max bucket ordinal sets the adaptive
-    # superbucket width (count ≤ fanout by construction)
-    mx = int(t.agg(F.max(bucket_col).alias("m")).first()["m"])
-    width = max(1, (mx + fanout) // fanout)
+    # 1-row bounded collect: the bucket-ordinal RANGE sets the adaptive
+    # superbucket width (count ≤ fanout by construction — anchoring at
+    # min keeps the bound for negative ordinals too)
+    r0 = t.agg(F.min(bucket_col).alias("n"),
+               F.max(bucket_col).alias("m")).first()
+    mn, mx = int(r0["n"]), int(r0["m"])
+    width = max(1, (mx - mn + fanout) // fanout)
     # integer `div`, not `/`: bucket ordinals can be large enough that
     # double-division floor misrounds near exact multiples
     sb = t.withColumn(
-        "_sb", F.expr(f"CAST({bucket_col} AS BIGINT) div {width}"))
+        "_sb", F.expr(f"(CAST({bucket_col} AS BIGINT) - {mn}) div {width}"))
     w = (Window.partitionBy("_sb").orderBy(bucket_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     intra = sb.withColumn(
         "_intra", F.coalesce(F.sum(total_col).over(w), F.lit(0)))
     # ≤fanout-row bounded collect: superbucket totals for the top level
     super_tot = sorted(
-        (int(r["_sb"]), int(r["_t"])) for r in
+        (int(r["_sb"]), int(r["_t"] or 0)) for r in
         sb.groupBy("_sb").agg(F.sum(total_col).alias("_t")).collect())
     offs, acc = [], 0
     for s, tot in super_tot:

@@ -1278,13 +1278,17 @@ def _exact_topk_fixed(e, q, with_rank: bool = False):
 
 def _with_fixed_q(sql: str) -> str:
     """Oracle twin builder: append the fixed-batch LIMIT to the parent
-    oracle's q CTE (which must contain the eligibility predicate exactly
-    once — asserted so a future oracle edit cannot silently desync the
-    twins)."""
-    needle = f"WHERE vec_id % {ANN_QMOD} = 0"
-    assert sql.count(needle) == 1, "q-CTE predicate not unique"
+    oracle's q CTE. The needle is anchored to the CTE-closing paren —
+    the eligibility predicate must be the LAST clause of the q CTE,
+    exactly once — so a future oracle edit that appends a clause after
+    the WHERE (which would otherwise get the LIMIT spliced mid-clause)
+    fails the assert here instead of producing invalid SQL at the gate."""
+    needle = f"WHERE vec_id % {ANN_QMOD} = 0\n)"
+    assert sql.count(needle) == 1, "q-CTE predicate not CTE-final/unique"
     return sql.replace(
-        needle, needle + f"\n  ORDER BY vec_id LIMIT {RECALL_FIXEDQ_K}")
+        needle,
+        f"WHERE vec_id % {ANN_QMOD} = 0"
+        f"\n  ORDER BY vec_id LIMIT {RECALL_FIXEDQ_K}\n)")
 
 
 def q_ann_ndcg_audit_fixedq(spark, sf_dir):

@@ -190,12 +190,16 @@ def q_stream_import_roundtrip(spark, sf_dir):
         replay = store.read_cold(name, ordered=False)
         ids = F.col("local_id").cast("long")
         k = F.get_json_object("payload", "$.k").cast("long")
-        # 1-row bounded collect: the audit row itself
+        # 1-row bounded collect: the audit row itself. The sums are NULL
+        # when the replayed stream is empty or no payload carries '$.k' —
+        # coerce to 0 so the row fails as a hash mismatch, not a driver
+        # TypeError.
         row = (replay.agg(F.count(F.lit(1)).alias("n"),
                           F.sum(ids).alias("ids"),
                           F.sum(k).alias("ks")).first())
         return spark.createDataFrame(
-            [(name, int(row["n"]), int(row["ids"]), int(row["ks"]))],
+            [(name, int(row["n"]), int(row["ids"] or 0),
+              int(row["ks"] or 0))],
             "stream_name string, n_events long, id_sum long, "
             "payload_k_sum long")
     finally:
@@ -313,8 +317,9 @@ def q_store_clean_audit(spark, sf_dir):
         row = (store.read_all()
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum(ids).alias("ids")).first())
+        # NULL sum (empty re-ingest) coerces to 0: hash mismatch, not crash
         return spark.createDataFrame(
-            [(int(n_after), int(row["n"]), int(row["ids"]))],
+            [(int(n_after), int(row["n"]), int(row["ids"] or 0))],
             "n_after_clean long, n_reingested long, id_sum long")
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -235,10 +235,26 @@ def typed_struct(schema: dict) -> T.StructType:
     sampled); mixed-type fields already reduced to one type upstream.
     """
     # group dotted paths into a tree; "[]"-suffixed paths describe the
-    # element type of the array at the unsuffixed path
+    # element type of the array at the unsuffixed path. A trailing "[]"
+    # on a segment expands into a separate "[]" child of the unsuffixed
+    # segment ("c.xs[]" -> ["c","xs","[]"], "xs[][]" -> ["xs","[]","[]"])
+    # so kids.get("[]") below actually finds the element node — without
+    # the expansion every array degraded to array<string> plus a phantom
+    # sibling field literally named "name[]".
+    def _split_path(path: str) -> list[str]:
+        parts: list[str] = []
+        for seg in path.split("."):
+            depth = 0
+            while seg.endswith("[]") and len(seg) > 2:
+                seg = seg[:-2]
+                depth += 1
+            parts.append(seg)
+            parts.extend(["[]"] * depth)
+        return parts
+
     tree: dict = {}
     for path, info in schema.items():
-        parts = path.split(".")
+        parts = _split_path(path)
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {"children": {}})["children"]
@@ -258,8 +274,11 @@ def typed_struct(schema: dict) -> T.StructType:
             return T.ArrayType(build(elem) if elem else T.StringType())
         return _SCALAR_TYPES.get(t, T.StringType())
 
+    # "$" (a top-level non-object doc) and "[]" (elements of a top-level
+    # array doc) have no field name to hang a struct field on — skip both.
     return T.StructType([T.StructField(k, build(v))
-                         for k, v in sorted(tree.items()) if k != "$"])
+                         for k, v in sorted(tree.items())
+                         if k not in ("$", "[]")])
 
 
 def typed_view(events: DataFrame, stream_name: str,

@@ -233,6 +233,45 @@ def test_exclusive_prefix_offsets_null_and_empty(spark):
     assert offsets == {} and off_df is None
 
 
+def test_exclusive_prefix_offsets_null_totals(spark):
+    """A bucket whose value sum is NULL (all-NULL value_col) contributes
+    0 instead of raising TypeError — in both tiers."""
+    from photon_spark.functions._util import exclusive_prefix_offsets
+
+    rows = [(0, 2), (1, None), (2, 5), (3, None), (4, 1)]
+    tot = spark.createDataFrame(rows, "b long, n long")
+    offsets, off_df = exclusive_prefix_offsets(tot, "b", "n")
+    assert off_df is None
+    assert offsets == {0: 0, 1: 2, 2: 2, 3: 7, 4: 7}
+
+    offsets2, off_df2 = exclusive_prefix_offsets(tot, "b", "n", fanout=2)
+    assert offsets2 is None
+    got = {r["b"]: r["_offset"] for r in off_df2.collect()}
+    assert got == {0: 0, 1: 2, 2: 2, 3: 7, 4: 7}
+
+
+def test_exclusive_prefix_offsets_negative_buckets(spark):
+    """Negative bucket ordinals: the superbucket range is anchored at
+    min(bucket), keeping the driver collect ≤ fanout rows and the values
+    equal to the serial prefix sum."""
+    from photon_spark.functions._util import exclusive_prefix_offsets
+
+    rows = [(b, abs(b) % 5 + 1) for b in range(-40, 41, 2)]
+    tot = spark.createDataFrame(rows, "b long, n long")
+    truth, acc = {}, 0
+    for b, n in sorted(rows):
+        truth[b] = acc
+        acc += n
+
+    offsets, off_df = exclusive_prefix_offsets(tot, "b", "n")
+    assert off_df is None and offsets == truth
+
+    offsets2, off_df2 = exclusive_prefix_offsets(tot, "b", "n", fanout=8)
+    assert offsets2 is None
+    got = {r["b"]: r["_offset"] for r in off_df2.collect()}
+    assert got == truth
+
+
 def test_cumsum_matches_through_tree_tier(docs):
     """The cumulative kernel's bucket count exceeds a forced-low fanout →
     tree tier; values must still equal the serial prefix sum."""

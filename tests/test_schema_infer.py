@@ -139,6 +139,58 @@ def test_typed_struct_scalars_and_nesting():
     inner = {f.name: f.dataType for f in by_name["c"].fields}
     assert inner == {"x": T.StringType(), "y": T.BooleanType()}
     assert by_name["tags"] == T.ArrayType(T.StringType())
+    # no phantom sibling field literally named "tags[]"
+    assert "tags[]" not in by_name
+
+
+def test_typed_struct_array_element_types():
+    """Regression: '[]'-suffixed paths must become '[]' children of the
+    unsuffixed segment, not sibling tree nodes — otherwise every array
+    degrades to array<string> and a phantom always-null 'name[]' field
+    pollutes the view."""
+    from pyspark.sql import types as T
+    from photon_spark.schema_infer import typed_struct
+    schema = {
+        "nums": {"type": "array", "mode": "required", "count": 2},
+        "nums[]": {"type": "long", "mode": "optional", "count": 6},
+        "c": {"type": "object", "mode": "required", "count": 2},
+        "c.xs": {"type": "array", "mode": "required", "count": 2},
+        "c.xs[]": {"type": "double", "mode": "optional", "count": 4},
+        # array of objects: no entry for the element itself, only its fields
+        "objs": {"type": "array", "mode": "required", "count": 1},
+        "objs[].k": {"type": "string", "mode": "optional", "count": 3},
+        # array of arrays
+        "mat": {"type": "array", "mode": "required", "count": 1},
+        "mat[]": {"type": "array", "mode": "optional", "count": 2},
+        "mat[][]": {"type": "long", "mode": "optional", "count": 4},
+    }
+    st = typed_struct(schema)
+    by_name = {f.name: f.dataType for f in st.fields}
+    assert set(by_name) == {"nums", "c", "objs", "mat"}
+    assert by_name["nums"] == T.ArrayType(T.LongType())
+    inner = {f.name: f.dataType for f in by_name["c"].fields}
+    assert inner == {"xs": T.ArrayType(T.DoubleType())}
+    assert by_name["objs"] == T.ArrayType(
+        T.StructType([T.StructField("k", T.StringType())]))
+    assert by_name["mat"] == T.ArrayType(T.ArrayType(T.LongType()))
+
+
+def test_typed_view_long_array_end_to_end(spark):
+    """The inferred view parses a long-array payload to real longs."""
+    from pyspark.sql import types as T
+    from photon_spark.schema_infer import typed_view
+    rows = [("s", None, i, json.dumps({"nums": [i, i + 1], "a": i}))
+            for i in range(1, 4)]
+    ev = spark.createDataFrame(
+        rows, "stream_name string, schema_tag string, order_id long, "
+              "payload string")
+    tv = typed_view(ev, "s")
+    dt = tv.schema["payload_typed"].dataType
+    by_name = {f.name: f.dataType for f in dt.fields}
+    assert by_name["nums"] == T.ArrayType(T.LongType())
+    assert "nums[]" not in by_name
+    got = {r["order_id"]: r["payload_typed"] for r in tv.collect()}
+    assert list(got[1]["nums"]) == [1, 2]
 
 
 def test_typed_view_parses_chatter(events):

@@ -876,6 +876,21 @@ def knn_graph_ivf(df: DataFrame, k: int = 3, n_cells: int = 16,
 
     assigned, cents = kmeans_fit(df, k=n_cells, iters=iters,
                                  vec_col=vec_col, id_col=id_col)
+    return knn_graph_from_cells(assigned, cents, df, k=k, n_probe=n_probe,
+                                vec_col=vec_col, id_col=id_col)
+
+
+def knn_graph_from_cells(assigned: DataFrame, cents: list[list[float]],
+                         df: DataFrame, k: int = 3, n_probe: int = 4,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """:func:`knn_graph_ivf` over a PRE-FITTED IVF index — ``assigned``
+    is the (id, vec, cluster_id) relation and ``cents`` the centroid
+    list a prior :func:`clustering.kmeans_fit` produced. This is the
+    production entry: the index is fitted (and persisted) once per
+    corpus, every later graph build pays only the manifest-pruned GEMM +
+    re-verify, exactly the build-once→query-forever split ivf_topk's
+    cell store already has."""
     manifest = sorted(ivf_cell_manifest(cents, n_probe))
     v = assigned.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"),

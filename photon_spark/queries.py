@@ -826,44 +826,60 @@ _DRIVER_CHECKED_R9 = frozenset([
     "simhash_buckets", "ann_topk_bruteforce",
 ])
 
+# Round-10 driver window (CORRECTNESS_r10.json — all 50 green).
+_DRIVER_CHECKED_R10 = frozenset([
+    "stream_export_audit", "stream_import_roundtrip", "delete_event_audit",
+    "delete_stream_audit", "store_clean_audit", "store_expire_audit",
+    "store_compact_audit", "ann_recall_audit_fixedq", "ann_ndcg_audit_fixedq",
+    "ann_int8_recall_audit_fixedq", "matryoshka_recall_audit_fixedq",
+    "typed_view_stats", "dp_noisy_max_event_type",
+    "pair_table_incremental_audit", "stream_stream_interval_join",
+    "cold_replay", "stream_contents", "time_range_count", "point_lookup",
+    "streams_totals", "distinct_streams", "stream_version_totals",
+    "schema_inference", "projection_count_all", "projection_sum_by_stream",
+    "projection_assoc_fold", "projection_fold_stats",
+    "projection_streaming_fold", "projection_keyed_streaming_fold",
+    "projection_value_lookup", "text_profile", "lang_quality_by_source",
+    "dedup_exact_stats", "ngram_jaccard_pairs", "dedup_clusters",
+    "dedup_cluster_bcubed", "minhash_near_dups", "simhash_buckets",
+    "ann_topk_bruteforce", "embedding_near_dup_pairs", "ann_topk_lsh",
+    "ann_topk_ivf", "embedding_quantize_stats", "media_stats",
+    "frame_sample_stats", "repetition_profile", "winnow_overlap_pairs",
+    "tfidf_top_terms", "doc_ngram_novelty", "media_phash_near_dups",
+])
+
 _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
                    | _DRIVER_CHECKED_R7 | _DRIVER_CHECKED_R8
-                   | _DRIVER_CHECKED_R9)
+                   | _DRIVER_CHECKED_R9 | _DRIVER_CHECKED_R10)
 
 
-# Round-10 window head: brand-new queries first — the five file-surface
-# rows closing SURVEY §2 (S3/S4 export/import, D1-D3 deletes), the
-# fixed-query-batch recall audit, and the typed per-stream view.
-_NEWEST_FIRST = [
-    "stream_export_audit",
-    "stream_import_roundtrip",
-    "delete_event_audit",
-    "delete_stream_audit",
-    "store_clean_audit",
-    "store_expire_audit",
-    "store_compact_audit",
-    "ann_recall_audit_fixedq",
-    "ann_ndcg_audit_fixedq",
-    "ann_int8_recall_audit_fixedq",
-    "matryoshka_recall_audit_fixedq",
-    "typed_view_stats",
-]
+# Round-11 window head: no brand-new rows yet (the round retired the four
+# sampled ANN audit parents instead — their fixedq twins, gated and
+# driver-checked in r10, are the production form).
+_NEWEST_FIRST: list = []
 
 
 _DEFER_PAST_BACKLOG: list = []
 
 
 # Queries whose gated OUTPUT or PLAN changed since their last driver
-# check, so the driver must re-verify them this round (round 10):
-# dp_noisy_max_event_type's OUTPUT changed (released epsilon corrected
-# 1.0 → 2.0 — report-noisy-max with two-sided noise composes to 2·eps);
-# pair_table_incremental_audit's PLAN changed (base mine staged, the
-# row now measures the incremental UPDATE; values unchanged);
-# stream_stream_interval_join gained the awaitTermination timeout guard
-# (failure-path only, values unchanged).
+# check, so the driver must re-verify them this round (round 11):
+# lone_late_supplier (PLAN: stacked aggregates over one orderkey
+# exchange replace the aggregate+self-join; values unchanged);
+# copurchase_pairs (PLAN: Apriori prune + orderkey-partitioned distinct;
+# values unchanged); kneser_ney_doc_bits / bigram_lm_doc_bits (PLAN:
+# spread + compacted-relation localCheckpoints; values unchanged);
+# knn_graph_ivf / mutual_knn_pairs_ivf (PLAN: pre-fitted staged IVF
+# index; values unchanged); typed_view_stats (typed_struct array-element
+# fix upstream; values unchanged); stream_import_roundtrip /
+# store_clean_audit (NULL-sum guards, driver-side only);
+# dp_noisy_event_counts (OUTPUT: release metadata corrected to the
+# truncation-honest (eps, delta) label).
 _CHANGED_THIS_ROUND = [
-    "dp_noisy_max_event_type", "pair_table_incremental_audit",
-    "stream_stream_interval_join",
+    "lone_late_supplier", "copurchase_pairs", "kneser_ney_doc_bits",
+    "bigram_lm_doc_bits", "knn_graph_ivf", "mutual_knn_pairs_ivf",
+    "typed_view_stats", "stream_import_roundtrip", "store_clean_audit",
+    "dp_noisy_event_counts",
 ]
 
 

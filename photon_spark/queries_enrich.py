@@ -142,8 +142,12 @@ def q_bigram_lm_doc_bits(spark, sf_dir):
     the scoring join runs compacted-relation × LM — at 100 TB the join
     input is |distinct doc-bigrams|, never the token stream. Bigram
     construction is pure Catalyst array arithmetic (sequence +
-    transform), no UDF."""
-    d = _docs(spark, sf_dir)
+    transform), no UDF. The scan spreads first: a small corpus reads as
+    ONE split, which would serialize the tokenize→explode→aggregate map
+    side on a single core (at 100 TB the scan already has thousands of
+    splits and spread is a no-op)."""
+    from photon_spark.functions._util import spread
+    d = spread(_docs(spark, sf_dir))
     t = (d.select("doc_id", text.tokens("text").alias("t"))
           .where(F.size("t") >= 2))
     bg = t.select(
@@ -151,11 +155,19 @@ def q_bigram_lm_doc_bits(spark, sf_dir):
         F.explode(F.expr(
             "transform(sequence(0, size(t)-2), "
             "i -> struct(t[i] AS w1, t[i+1] AS w2))")).alias("b"))
+    # materialize the compacted doc-bigram relation ONCE (eager local
+    # checkpoint, the _util.exclusive_prefix_offsets pattern): db feeds
+    # the LM tables AND the final scoring join, and without the pin each
+    # consumer can re-derive the tokenize→explode→aggregate chain. Same
+    # for c12, read by c1 and the bits join. Both relations are
+    # |distinct (doc-)bigram types| — far smaller than the token stream.
     db = (bg.select("doc_id", F.col("b.w1").alias("w1"),
                     F.col("b.w2").alias("w2"))
             .groupBy("doc_id", "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("k")))
-    c12 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+            .agg(F.count(F.lit(1)).alias("k"))
+            .localCheckpoint(eager=True))
+    c12 = (db.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+             .localCheckpoint(eager=True))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = (d.select(F.explode(text.tokens("text")).alias("tok"))
           .agg(F.count_distinct("tok").alias("v")))
@@ -636,8 +648,11 @@ def q_kneser_ney_doc_bits(spark, sf_dir):
     re-aggregates from that compacted relation, R broadcasts as one
     row, and the scoring join is |distinct doc-bigrams| × LM. At
     100 TB the token stream is touched once; four small keyed shuffles
-    over the bigram-type relation build the model."""
-    d = _docs(spark, sf_dir)
+    over the bigram-type relation build the model. The scan spreads
+    first (single-split small-corpus guard, no-op at scale — see
+    bigram_lm_doc_bits)."""
+    from photon_spark.functions._util import spread
+    d = spread(_docs(spark, sf_dir))
     t = (d.select("doc_id", text.tokens("text").alias("t"))
           .where(F.size("t") >= 2))
     bg = t.select(
@@ -645,11 +660,16 @@ def q_kneser_ney_doc_bits(spark, sf_dir):
         F.explode(F.expr(
             "transform(sequence(0, size(t)-2), "
             "i -> struct(t[i] AS w1, t[i+1] AS w2))")).alias("b"))
+    # pin the compacted relations once (see bigram_lm_doc_bits): db has
+    # two consumers, c12 four (left, right, big_r, bits) — without the
+    # eager localCheckpoint each branch can re-run the token explode.
     db = (bg.select("doc_id", F.col("b.w1").alias("w1"),
                     F.col("b.w2").alias("w2"))
             .groupBy("doc_id", "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("k")))
-    c12 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+            .agg(F.count(F.lit(1)).alias("k"))
+            .localCheckpoint(eager=True))
+    c12 = (db.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+             .localCheckpoint(eager=True))
     left = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
                                  F.count(F.lit(1)).alias("n1"))
     right = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("r"))

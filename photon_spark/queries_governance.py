@@ -422,25 +422,43 @@ def q_copurchase_pairs(spark, sf_dir):
     same order, with support ≥ {MIN_SUPPORT} and lift — the
     market-basket signal behind recommenders.
 
-    Plan: the basket self-join is keyed on l_orderkey and baskets are
-    small by construction (lineitems per order), so pair generation is
-    Σ|basket|² — linear in orders, never corpus-quadratic. Pair counts
-    collapse map-side; per-part supports are a second short aggregate
-    joined back broadcast. Lift's denominator is a product of two
-    integers over the integer order count — single IEEE ops, 6dp.
+    Plan: APRIORI PRUNE first — a pair's support is ≤ min of its parts'
+    supports (monotonicity), so parts with psup < {MIN_SUPPORT} cannot
+    appear in any surviving pair and the baskets semi-join to frequent
+    parts BEFORE the self-join, shrinking the pair-generation input
+    (the classic frequent-item first pass). The basket self-join is
+    keyed on l_orderkey and baskets are small by construction
+    (lineitems per order), so pair generation is Σ|basket|² over the
+    PRUNED baskets — linear in orders, never corpus-quadratic. The
+    basket distinct rides a hash(l_orderkey) repartition (which
+    satisfies the (orderkey, partkey) dedup's distribution AND the
+    self-join's). The basket and frequent-parts relations each appear
+    three times in the STATIC plan (prune + both self-join legs;
+    prune + both support joins) but AQE's runtime exchange reuse
+    materializes each underlying exchange once — measured faster than
+    pinning them with localCheckpoint (whose row-object scans lose
+    columnar batching) or persist. Pair counts collapse map-side; the
+    surviving pairs' part supports join back broadcast (every surviving
+    part is frequent, so the frequent-parts relation carries them all).
+    Lift's denominator is a product of two integers over the integer
+    order count — single IEEE ops, 6dp.
     """
     li = (_rd(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+          .select("l_orderkey", "l_partkey")
+          .repartition("l_orderkey")
+          .dropDuplicates(["l_orderkey", "l_partkey"]))
     n_orders = (_rd(spark, sf_dir, "orders")
                 .agg(F.count(F.lit(1))).collect()[0][0])
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    psup = (li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("psup"))
+              .where(F.col("psup") >= MIN_SUPPORT))
+    lif = li.join(F.broadcast(psup.select("l_partkey")), "l_partkey")
+    a = lif.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = lif.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pairs = (a.join(b, "l_orderkey")
               .where(F.col("p1") < F.col("p2"))
               .groupBy("p1", "p2")
               .agg(F.count(F.lit(1)).alias("support"))
               .where(F.col("support") >= MIN_SUPPORT))
-    psup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("psup"))
     lift = ((F.col("support").cast("double") * F.lit(float(n_orders)))
             / (F.col("s1").cast("double") * F.col("s2").cast("double")))
     return (pairs
@@ -1015,6 +1033,17 @@ DP_THRESHOLDS = [
     (7, "fff5d6acf7f6"), (8, "ffffffffffff"),
 ]
 
+#: the [-K, K] truncation CLAMPS the discrete-Laplace tails onto the
+#: boundary values (the last/first threshold buckets absorb them), which
+#: breaks PURE eps-DP: for neighboring counts the extreme outputs get
+#: probability 0 on one side, so the likelihood ratio is unbounded on an
+#: event whose mass is the clamped tail, P(|Z| >= K) = 2·p^K/(1+p) with
+#: p = e^(-eps). The honest release label is therefore (eps, delta)-DP
+#: with delta = that tail mass (conservative two-boundary bound),
+#: rounded to 9dp so both engines carry the identical double literal.
+DP_DELTA = round(2 * 2.718281828459045 ** -DP_K
+                 / (1 + 2.718281828459045 ** -1), 9)
+
 
 def q_dp_noisy_event_counts(spark, sf_dir):
     """DIFFERENTIALLY-PRIVATE count release (the governance tier's
@@ -1028,6 +1057,14 @@ def q_dp_noisy_event_counts(spark, sf_dir):
     numeric order; no exp/float/hex-parse in either engine). A seeded
     draw is also what production DP systems need for replayable
     releases; rotating DP_SEED re-draws all noise.
+
+    Privacy accounting (audit metadata): the ±DP_K truncation of the
+    draw table clamps the Laplace tails, which breaks PURE eps-DP (see
+    DP_DELTA) — the release is labeled (eps=1, delta=DP_DELTA)-DP, the
+    same truncation-honesty correction the noisy-max row carries. The
+    truncated table is what keeps the draw engine-portable and
+    hash-gateable; an untruncated geometric mechanism would be pure
+    eps-DP but not cross-engine exact.
 
     Plan: one keyed count aggregate + a per-group CASE chain over 17
     literal thresholds — map-side combine, constant release size.
@@ -1049,7 +1086,8 @@ def q_dp_noisy_event_counts(spark, sf_dir):
                .withColumn("n_noisy",
                            F.greatest(F.col("n_true") + F.col("noise"),
                                       F.lit(0)).cast("long"))
-               .withColumn("epsilon", F.lit(1.0)))
+               .withColumn("epsilon", F.lit(1.0))
+               .withColumn("delta", F.lit(DP_DELTA)))
 
 
 def _sql_dp_noisy_event_counts() -> str:
@@ -1067,7 +1105,8 @@ SELECT event_type, n_true,
        CAST(CASE {cases} ELSE {DP_K} END AS BIGINT) AS noise,
        CAST(greatest(n_true + CASE {cases} ELSE {DP_K} END, 0)
             AS BIGINT) AS n_noisy,
-       CAST(1.0 AS DOUBLE) AS epsilon
+       CAST(1.0 AS DOUBLE) AS epsilon,
+       CAST({DP_DELTA!r} AS DOUBLE) AS delta
 FROM drawn
 """
 

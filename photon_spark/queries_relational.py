@@ -597,29 +597,39 @@ def q_lone_late_supplier(spark, sf_dir):
     orders waiting — on orders served by >1 supplier, exactly one of whom
     shipped late (> 60 days after order date), count the offenses per
     supplier. The EXISTS / NOT-EXISTS double-correlation classic,
-    expressed as two keyed aggregates over the (order, supplier) late-flag
-    relation instead of correlated subqueries — the shape that scales
-    (two shuffles on orderkey, one small supplier join). Time arithmetic
-    is pure epoch-ns integers on both engines (the _t contract)."""
+    expressed as two stacked aggregates over ONE orderkey exchange
+    instead of correlated subqueries (or the aggregate+self-join the r10
+    verdict flagged): lineitem repartitions by l_orderkey at the scan —
+    hash(l_orderkey) satisfies the (orderkey, suppkey) aggregate's AND
+    the per-order aggregate's distribution, so the broadcast orders
+    join, the late-flag fold, and the ns/nl/lone-supplier rollup all run
+    in the same stage with no further shuffle; when nl == 1 the lone
+    late supplier IS max(suppkey where late), so no join back to f is
+    ever needed. Only the tiny per-supplier count shuffles again. Time
+    arithmetic is pure epoch-ns integers on both engines (the _t
+    contract)."""
     from photon_spark.queries import _t
 
-    li = _t(spark, sf_dir, "lineitem") \
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .repartition("l_orderkey"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    f = (li.join(o, li.l_orderkey == o.o_orderkey)
+    f = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
            .groupBy("l_orderkey", "l_suppkey")
            .agg(F.max((F.col("l_shipdate") - F.col("o_orderdate")
                        > _LATE_NS).cast("int")).alias("late")))
-    a = f.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("ns"),
-                                    F.sum("late").alias("nl"))
-    lone = (f.join(a, "l_orderkey")
-             .where((F.col("late") == 1) & (F.col("ns") > 1)
-                    & (F.col("nl") == 1)))
+    a = (f.groupBy("l_orderkey")
+          .agg(F.count(F.lit(1)).alias("ns"),
+               F.sum("late").alias("nl"),
+               F.max(F.when(F.col("late") == 1, F.col("l_suppkey")))
+                .alias("l_suppkey")))
+    lone = a.where((F.col("ns") > 1) & (F.col("nl") == 1))
     s = _rd(spark, sf_dir, "supplier")
     return (lone.groupBy("l_suppkey")
                 .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-                .join(s.select(F.col("s_suppkey").alias("l_suppkey"),
-                               "s_name"), "l_suppkey")
+                .join(F.broadcast(
+                    s.select(F.col("s_suppkey").alias("l_suppkey"),
+                             "s_name")), "l_suppkey")
                 .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",
                         "numwait"))
 

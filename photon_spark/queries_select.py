@@ -1933,11 +1933,16 @@ QUERIES = {
     "corpus_datacard": q_corpus_datacard,
     "ann_topk_filtered": q_ann_topk_filtered,
     "containment_pairs": q_containment_pairs,
-    "ann_recall_audit": q_ann_recall_audit,
+    # The SAMPLED audit parents (q_ann_recall_audit, q_ann_ndcg_audit,
+    # q_matryoshka_recall_audit, q_ann_int8_recall_audit) were RETIRED
+    # from the gate in round 11: their query batch is a corpus FRACTION
+    # (quadratic eval cost — the documented r8/r9 caveat), and the
+    # fixedq twins below are the corpus-linear production form of the
+    # identical metrics. The functions and their oracles remain as the
+    # documented small-n audit tier, pytest-pinned (tests/test_select)
+    # and the base the twins' oracles splice from (_with_fixed_q).
     "ann_recall_audit_fixedq": q_ann_recall_audit_fixedq,
-    "ann_ndcg_audit": q_ann_ndcg_audit,
     "ann_ndcg_audit_fixedq": q_ann_ndcg_audit_fixedq,
-    "matryoshka_recall_audit": q_matryoshka_recall_audit,
     "matryoshka_recall_audit_fixedq": q_matryoshka_recall_audit_fixedq,
 }
 
@@ -1956,11 +1961,8 @@ ORACLES = {
     "corpus_datacard": SQL_CORPUS_DATACARD,
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "containment_pairs": _sql_containment_pairs(),
-    "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "ann_recall_audit_fixedq": SQL_ANN_RECALL_AUDIT_FIXEDQ,
-    "ann_ndcg_audit": _sql_ann_ndcg_audit(),
     "ann_ndcg_audit_fixedq": _with_fixed_q(_sql_ann_ndcg_audit()),
-    "matryoshka_recall_audit": SQL_MATRYOSHKA_RECALL_AUDIT,
     "matryoshka_recall_audit_fixedq": _with_fixed_q(
         SQL_MATRYOSHKA_RECALL_AUDIT),
 }
@@ -2205,8 +2207,8 @@ GROUP BY 1
 """
 
 
-QUERIES["ann_int8_recall_audit"] = q_ann_int8_recall_audit
-ORACLES["ann_int8_recall_audit"] = SQL_ANN_INT8_RECALL_AUDIT
+# the sampled parent (q_ann_int8_recall_audit) is retired from the gate
+# (round 11) — see the registry note above; only the fixedq twin is gated
 QUERIES["ann_int8_recall_audit_fixedq"] = q_ann_int8_recall_audit_fixedq
 ORACLES["ann_int8_recall_audit_fixedq"] = _with_fixed_q(
     SQL_ANN_INT8_RECALL_AUDIT)

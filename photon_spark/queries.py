@@ -853,6 +853,16 @@ _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
                    | _DRIVER_CHECKED_R9 | _DRIVER_CHECKED_R10)
 
 
+# Rows deliberately REMOVED from the gate (not renamed): the sampled ANN
+# audit parents, retired in round 11 — their query batch is a corpus
+# fraction (quadratic eval cost), and their fixedq twins are the gated
+# corpus-linear production form. Functions/oracles/tests remain as the
+# documented small-n audit tier (queries_select.py registry note).
+_RETIRED = frozenset([
+    "ann_recall_audit", "ann_ndcg_audit", "ann_int8_recall_audit",
+    "matryoshka_recall_audit",
+])
+
 # Round-11 window head: no brand-new rows yet (the round retired the four
 # sampled ANN audit parents instead — their fixedq twins, gated and
 # driver-checked in r10, are the production form).

@@ -224,5 +224,11 @@ def test_gate_window_covers_every_unchecked_query():
                 q._DEFER_PAST_BACKLOG):
         ghosts = [n for n in lst if n not in q.QUERIES]
         assert not ghosts, f"window-control names not in registry: {ghosts}"
-    ghosts = [n for n in q._DRIVER_CHECKED if n not in q.QUERIES]
+    # a checked name missing from the registry is a rename (bug) unless
+    # it was deliberately retired and documented in _RETIRED
+    ghosts = [n for n in q._DRIVER_CHECKED
+              if n not in q.QUERIES and n not in q._RETIRED]
     assert not ghosts, f"_DRIVER_CHECKED names not in registry: {ghosts}"
+    # and a _RETIRED name still in the registry is a stale retirement
+    undead = [n for n in q._RETIRED if n in q.QUERIES]
+    assert not undead, f"_RETIRED names still gated: {undead}"

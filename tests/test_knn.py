@@ -62,6 +62,56 @@ def test_knn_graph_ivf_recall_floor(spark, sf_dir):
     assert {i for i, _ in approx} == {i for i, _ in exact}
 
 
+def test_knn_graph_from_cells_equals_fit_then_build(spark, sf_dir):
+    """The staged entry (pre-fitted index) must be value-identical to
+    the one-shot knn_graph_ivf — the round-11 staging split cannot
+    change results."""
+    from photon_spark.functions.clustering import kmeans_fit
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one_shot = set(map(tuple, similarity.knn_graph_ivf(
+        emb, k=3, n_cells=8, n_probe=3).collect()))
+    assigned, cents = kmeans_fit(emb, k=8, iters=2)
+    staged = set(map(tuple, similarity.knn_graph_from_cells(
+        assigned, cents, emb, k=3, n_probe=3).collect()))
+    assert staged == one_shot
+
+
+def test_staged_ivf_reuses_and_invalidates(spark, sf_dir, tmp_path):
+    """_staged_ivf fits once per (corpus stamp, params): a second call
+    for the same corpus returns the SAME staged path without re-fitting;
+    regenerating the corpus in place (new stamp) re-fits."""
+    import os
+    import shutil
+    from photon_spark import queries_northstar as ns
+
+    # copy the corpus so the stamp is ours to mutate
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", d / "embeddings.parquet")
+    before = dict(ns._IVF_INDEXES)
+    try:
+        a1, c1 = ns._staged_ivf(spark, str(d))
+        keys1 = set(ns._IVF_INDEXES) - set(before)
+        assert len(keys1) == 1
+        base1 = ns._IVF_INDEXES[next(iter(keys1))][0]
+        a2, c2 = ns._staged_ivf(spark, str(d))
+        assert ns._IVF_INDEXES[next(iter(keys1))][0] == base1  # reused
+        assert c1 == c2
+        assert a1.count() == a2.count()
+        # in-place regeneration: bump the stamp (mtime changes, file
+        # stays valid) — the memo key must change and a fresh index
+        # must be fitted
+        os.utime(d / "embeddings.parquet", (1, 1))
+        a3, c3 = ns._staged_ivf(spark, str(d))
+        keys2 = set(ns._IVF_INDEXES) - set(before)
+        assert len(keys2) == 2  # new key, new staged fit
+        assert c3 == c1 and a3.count() == a1.count()  # same corpus content
+    finally:
+        for k in set(ns._IVF_INDEXES) - set(before):
+            shutil.rmtree(ns._IVF_INDEXES[k][0], ignore_errors=True)
+            del ns._IVF_INDEXES[k]
+
+
 def test_knn_label_eval_matches_numpy(spark, sf_dir):
     # Full numpy recompute: exact rounded cosines, k nearest with id
     # tie-break, majority vote with lowest-label tie-break.

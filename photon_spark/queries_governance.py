@@ -9,6 +9,8 @@ the gates hold with no float tolerance.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 
@@ -449,9 +451,15 @@ def q_copurchase_pairs(spark, sf_dir):
           .dropDuplicates(["l_orderkey", "l_partkey"]))
     n_orders = (_rd(spark, sf_dir, "orders")
                 .agg(F.count(F.lit(1))).collect()[0][0])
+    # size-gated hints: the frequent-parts relation is bounded by |part|
+    # (200k·sf — nearly ALL parts clear MIN_SUPPORT on TPC-H's uniform
+    # baskets), so a forced broadcast would OOM at a genuine 100×;
+    # _bcast_dim hints only below the cap and lets AQE pick the join
+    # strategy above it
+    from photon_spark.queries_relational import _bcast_dim
     psup = (li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("psup"))
               .where(F.col("psup") >= MIN_SUPPORT))
-    lif = li.join(F.broadcast(psup.select("l_partkey")), "l_partkey")
+    lif = li.join(_bcast_dim(psup.select("l_partkey")), "l_partkey")
     a = lif.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = lif.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pairs = (a.join(b, "l_orderkey")
@@ -462,10 +470,10 @@ def q_copurchase_pairs(spark, sf_dir):
     lift = ((F.col("support").cast("double") * F.lit(float(n_orders)))
             / (F.col("s1").cast("double") * F.col("s2").cast("double")))
     return (pairs
-            .join(F.broadcast(psup.select(F.col("l_partkey").alias("p1"),
-                                          F.col("psup").alias("s1"))), "p1")
-            .join(F.broadcast(psup.select(F.col("l_partkey").alias("p2"),
-                                          F.col("psup").alias("s2"))), "p2")
+            .join(_bcast_dim(psup.select(F.col("l_partkey").alias("p1"),
+                                         F.col("psup").alias("s1"))), "p1")
+            .join(_bcast_dim(psup.select(F.col("l_partkey").alias("p2"),
+                                         F.col("psup").alias("s2"))), "p2")
             .select("p1", "p2", "support", "s1", "s2",
                     F.round(lift, 6).alias("lift"))
             .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
@@ -1041,8 +1049,7 @@ DP_THRESHOLDS = [
 #: p = e^(-eps). The honest release label is therefore (eps, delta)-DP
 #: with delta = that tail mass (conservative two-boundary bound),
 #: rounded to 9dp so both engines carry the identical double literal.
-DP_DELTA = round(2 * 2.718281828459045 ** -DP_K
-                 / (1 + 2.718281828459045 ** -1), 9)
+DP_DELTA = round(2 * math.e ** -DP_K / (1 + math.e ** -1), 9)
 
 
 def q_dp_noisy_event_counts(spark, sf_dir):

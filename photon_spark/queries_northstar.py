@@ -1458,9 +1458,16 @@ def _staged_ivf(spark, sf_dir):
         if not _IVF_INDEXES:
             atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
                                      for p, _ in _IVF_INDEXES.values()])
-        assigned, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K,
-                                     iters=KM_ITERS)
-        assigned.write.mode("overwrite").parquet(os.path.join(base, "cells"))
+        # sweep the tempdir if the fit/write raises — the atexit sweep
+        # only covers directories that made it into _IVF_INDEXES
+        try:
+            assigned, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K,
+                                         iters=KM_ITERS)
+            assigned.write.mode("overwrite").parquet(
+                os.path.join(base, "cells"))
+        except BaseException:
+            shutil.rmtree(base, ignore_errors=True)
+            raise
         got = (base, cents)
         _IVF_INDEXES[key] = got
     base, cents = got

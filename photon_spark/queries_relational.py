@@ -613,8 +613,11 @@ def q_lone_late_supplier(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .repartition("l_orderkey"))
+    # orders is a FACT (1.5M·sf rows) — never force-broadcast it; AQE
+    # broadcasts at test scale on its own, and at scale the SMJ shuffles
+    # only the orders side (li already carries hash(l_orderkey))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    f = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    f = (li.join(o, li.l_orderkey == o.o_orderkey)
            .groupBy("l_orderkey", "l_suppkey")
            .agg(F.max((F.col("l_shipdate") - F.col("o_orderdate")
                        > _LATE_NS).cast("int")).alias("late")))
@@ -627,7 +630,7 @@ def q_lone_late_supplier(spark, sf_dir):
     s = _rd(spark, sf_dir, "supplier")
     return (lone.groupBy("l_suppkey")
                 .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-                .join(F.broadcast(
+                .join(_bcast_dim(
                     s.select(F.col("s_suppkey").alias("l_suppkey"),
                              "s_name")), "l_suppkey")
                 .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",

@@ -863,10 +863,11 @@ _RETIRED = frozenset([
     "matryoshka_recall_audit",
 ])
 
-# Round-11 window head: no brand-new rows yet (the round retired the four
-# sampled ANN audit parents instead — their fixedq twins, gated and
-# driver-checked in r10, are the production form).
-_NEWEST_FIRST: list = []
+# Round-11 window head: the user-level DP release (per-user contribution
+# bounding — the guarantee the event-level DP rows cannot make). The round
+# also retired the four sampled ANN audit parents (their fixedq twins,
+# gated and driver-checked in r10, are the production form).
+_NEWEST_FIRST: list = ["dp_user_bounded_counts"]
 
 
 _DEFER_PAST_BACKLOG: list = []

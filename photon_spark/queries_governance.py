@@ -1199,3 +1199,111 @@ LIMIT 1
 
 QUERIES["dp_noisy_max_event_type"] = q_dp_noisy_max_event_type
 ORACLES["dp_noisy_max_event_type"] = _sql_dp_noisy_max()
+
+
+# ------------------- USER-LEVEL DP: per-user contribution bounding
+
+#: per-user contribution cap — each user's first CAP events (by
+#: event_id) are the only ones that may influence the release
+DP_USER_CAP = 2
+#: seed for this release's noise draws, independent of the other two
+DP_USER_SEED = "dp-user-r11"
+#: with neighbors differing by up to CAP events, the clamp-failure
+#: events widen to the top CAP cells of the truncated support:
+#: delta = 2·p^(K-CAP+1)/(1+p), p = e^(-1) (see DP_DELTA's derivation)
+DP_USER_DELTA = round(2 * math.e ** -(DP_K - DP_USER_CAP + 1)
+                      / (1 + math.e ** -1), 9)
+
+
+def q_dp_user_bounded_counts(spark, sf_dir):
+    """USER-LEVEL differentially-private count release — the release
+    the two event-level DP rows cannot make: `dp_noisy_event_counts`
+    protects one EVENT (sensitivity 1), but a real user contributes
+    many events, so its guarantee degrades by the user's (unbounded)
+    activity. The standard production fix is CONTRIBUTION BOUNDING:
+    keep each user's first {cap} events (deterministic rank by
+    event_id), so add/remove of a whole USER changes the histogram by
+    at most {cap} — and the same truncated discrete-Laplace table at
+    unit scale then gives an (eps={cap}, delta=DP_USER_DELTA)-DP
+    USER-level guarantee (group/sensitivity composition: unit-scale
+    noise at L1-sensitivity C costs C·eps; the clamp-failure tail
+    widens to the top C cells, see DP_USER_DELTA).
+
+    Audit columns keep the unbounded true count AND the bounded count
+    beside the noisy release, so the row also gates the bounding
+    operator itself (a type whose events all fall outside its users'
+    first-{cap} windows releases from 0 — visible, not dropped).
+
+    Plan: ONE user-keyed shuffle (the window rank that every
+    user-level bounding must pay — only (user_id, event_type,
+    event_id) triples move), a map-side-combined count per type, a
+    tiny per-type left join to the unbounded counts, and the literal
+    CASE chain. At 100 TB nothing but the 3-column projection ever
+    shuffles, and the release is constant-size."""
+    from pyspark.sql import Window
+
+    from photon_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    bounded = (e.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= DP_USER_CAP))
+    agg = (bounded.groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n_bounded")))
+    true_agg = (e.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_true")))
+    h = F.substring(F.md5(F.concat(F.col("event_type"),
+                                   F.lit(":" + DP_USER_SEED))), 1, 12)
+    expr = F.lit(DP_THRESHOLDS[-1][0])
+    for k, t in reversed(DP_THRESHOLDS[:-1]):
+        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    return (true_agg.join(agg, "event_type", "left")
+            .select("event_type", "n_true",
+                    F.coalesce("n_bounded", F.lit(0)).cast("long")
+                     .alias("n_bounded"),
+                    expr.cast("long").alias("noise"))
+            .withColumn("n_noisy",
+                        F.greatest(F.col("n_bounded") + F.col("noise"),
+                                   F.lit(0)).cast("long"))
+            .withColumn("epsilon", F.lit(float(DP_USER_CAP)))
+            .withColumn("delta", F.lit(DP_USER_DELTA)))
+
+
+q_dp_user_bounded_counts.__doc__ = q_dp_user_bounded_counts.__doc__.format(
+    cap=DP_USER_CAP)
+
+
+def _sql_dp_user_bounded_counts() -> str:
+    cases = " ".join(
+        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    return f"""
+WITH b AS (
+  SELECT event_type FROM (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS rn
+    FROM events) WHERE rn <= {DP_USER_CAP}
+), agg AS (
+  SELECT event_type, count(*) AS n_bounded FROM b GROUP BY 1
+), t AS (
+  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+), drawn AS (
+  SELECT t.event_type, t.n_true,
+         coalesce(a.n_bounded, 0) AS n_bounded,
+         substring(md5(t.event_type || ':{DP_USER_SEED}'), 1, 12) AS h
+  FROM t LEFT JOIN agg a USING (event_type)
+)
+SELECT event_type, n_true,
+       CAST(n_bounded AS BIGINT) AS n_bounded,
+       CAST(CASE {cases} ELSE {DP_K} END AS BIGINT) AS noise,
+       CAST(greatest(n_bounded + CASE {cases} ELSE {DP_K} END, 0)
+            AS BIGINT) AS n_noisy,
+       CAST({float(DP_USER_CAP)!r} AS DOUBLE) AS epsilon,
+       CAST({DP_USER_DELTA!r} AS DOUBLE) AS delta
+FROM drawn
+"""
+
+
+QUERIES["dp_user_bounded_counts"] = q_dp_user_bounded_counts
+ORACLES["dp_user_bounded_counts"] = _sql_dp_user_bounded_counts()

@@ -409,3 +409,44 @@ def test_dp_noisy_max_matches_python_argmax(spark, sf_dir):
                      for t, n in truth.items()),
                     key=lambda kv: (-kv[1], kv[0]))
     assert (winner["event_type"], winner["noisy_score"]) == scored[0]
+
+
+def test_dp_user_bounded_counts_match_python(spark, sf_dir):
+    """User-level DP release: the bounded counts equal a naive
+    first-CAP-per-user recompute, the noise matches the Python draw at
+    the user seed, and the release metadata reflects the sensitivity
+    (eps = CAP) and the widened clamp tail (delta grows with CAP)."""
+    from photon_spark.queries import _t
+    from photon_spark.queries_governance import (
+        DP_DELTA, DP_K, DP_USER_CAP, DP_USER_DELTA, DP_USER_SEED,
+        q_dp_user_bounded_counts)
+    from pyspark.sql import functions as F
+
+    ev = sorted(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id").collect(),
+        key=lambda r: (r["user_id"], r["event_id"]))
+    seen: dict = {}
+    bounded: dict = {}
+    true_n: dict = {}
+    for r in ev:
+        true_n[r["event_type"]] = true_n.get(r["event_type"], 0) + 1
+        k = seen.get(r["user_id"], 0)
+        if k < DP_USER_CAP:
+            seen[r["user_id"]] = k + 1
+            bounded[r["event_type"]] = bounded.get(r["event_type"], 0) + 1
+
+    rows = q_dp_user_bounded_counts(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(true_n)
+    for r in rows:
+        t = r["event_type"]
+        assert r["n_true"] == true_n[t]
+        assert r["n_bounded"] == bounded.get(t, 0)
+        n = _py_noise(t, DP_USER_SEED)
+        assert -DP_K <= r["noise"] <= DP_K and r["noise"] == n
+        assert r["n_noisy"] == max(r["n_bounded"] + n, 0)
+        assert r["epsilon"] == float(DP_USER_CAP)
+        assert r["delta"] == DP_USER_DELTA
+    # the widened clamp tail: delta_C > delta_1, both < 1e-2
+    assert DP_USER_DELTA > DP_DELTA
+    assert DP_USER_DELTA < 1e-2

@@ -848,49 +848,65 @@ _DRIVER_CHECKED_R10 = frozenset([
     "tfidf_top_terms", "doc_ngram_novelty", "media_phash_near_dups",
 ])
 
+# Round-11 driver window (CORRECTNESS_r11.json — all 50 green).
+_DRIVER_CHECKED_R11 = frozenset([
+    "dp_user_bounded_counts", "lone_late_supplier", "copurchase_pairs",
+    "kneser_ney_doc_bits", "bigram_lm_doc_bits", "knn_graph_ivf",
+    "mutual_knn_pairs_ivf", "typed_view_stats", "stream_import_roundtrip",
+    "store_clean_audit", "dp_noisy_event_counts", "cold_replay",
+    "stream_contents", "time_range_count", "point_lookup",
+    "streams_totals", "distinct_streams", "stream_version_totals",
+    "schema_inference", "projection_count_all", "projection_sum_by_stream",
+    "projection_assoc_fold", "projection_fold_stats",
+    "projection_streaming_fold", "projection_keyed_streaming_fold",
+    "projection_value_lookup", "text_profile", "lang_quality_by_source",
+    "dedup_exact_stats", "ngram_jaccard_pairs", "dedup_clusters",
+    "dedup_cluster_bcubed", "minhash_near_dups", "simhash_buckets",
+    "ann_topk_bruteforce", "embedding_near_dup_pairs", "ann_topk_lsh",
+    "ann_topk_ivf", "embedding_quantize_stats", "media_stats",
+    "frame_sample_stats", "repetition_profile", "winnow_overlap_pairs",
+    "tfidf_top_terms", "doc_ngram_novelty", "media_phash_near_dups",
+    "media_keep_best", "ann_topk_pq", "ivf_pq_topk", "knn_graph",
+])
+
 _DRIVER_CHECKED = (_DRIVER_CHECKED_R1_R5 | _DRIVER_CHECKED_R6
                    | _DRIVER_CHECKED_R7 | _DRIVER_CHECKED_R8
-                   | _DRIVER_CHECKED_R9 | _DRIVER_CHECKED_R10)
+                   | _DRIVER_CHECKED_R9 | _DRIVER_CHECKED_R10
+                   | _DRIVER_CHECKED_R11)
 
 
-# Rows deliberately REMOVED from the gate (not renamed): the sampled ANN
-# audit parents, retired in round 11 — their query batch is a corpus
-# fraction (quadratic eval cost), and their fixedq twins are the gated
+# Rows deliberately REMOVED from the gate (not renamed): the sampled
+# audit parents — the four ANN audits retired in round 11, the IVF
+# staleness audit in round 12 — whose query batch is a corpus fraction
+# (quadratic exact-ground-truth cost); their fixedq twins are the gated
 # corpus-linear production form. Functions/oracles/tests remain as the
 # documented small-n audit tier (queries_select.py registry note).
 _RETIRED = frozenset([
     "ann_recall_audit", "ann_ndcg_audit", "ann_int8_recall_audit",
-    "matryoshka_recall_audit",
+    "matryoshka_recall_audit", "ivf_staleness_audit",
 ])
 
-# Round-11 window head: the user-level DP release (per-user contribution
-# bounding — the guarantee the event-level DP rows cannot make). The round
-# also retired the four sampled ANN audit parents (their fixedq twins,
-# gated and driver-checked in r10, are the production form).
-_NEWEST_FIRST: list = ["dp_user_bounded_counts"]
+# Round-12 window head: the staleness audit's corpus-linear fixedq twin
+# (its sampled parent retired — the last gated row with quadratic exact
+# ground truth) and the user-level DP bounded-sum release (contribution
+# bounding + value clamping + granularity quantization over the same
+# truncated-noise table).
+_NEWEST_FIRST: list = ["ivf_staleness_audit_fixedq", "dp_user_bounded_sum"]
 
 
 _DEFER_PAST_BACKLOG: list = []
 
 
 # Queries whose gated OUTPUT or PLAN changed since their last driver
-# check, so the driver must re-verify them this round (round 11):
-# lone_late_supplier (PLAN: stacked aggregates over one orderkey
-# exchange replace the aggregate+self-join; values unchanged);
-# copurchase_pairs (PLAN: Apriori prune + orderkey-partitioned distinct;
-# values unchanged); kneser_ney_doc_bits / bigram_lm_doc_bits (PLAN:
-# spread + compacted-relation localCheckpoints; values unchanged);
-# knn_graph_ivf / mutual_knn_pairs_ivf (PLAN: pre-fitted staged IVF
-# index; values unchanged); typed_view_stats (typed_struct array-element
-# fix upstream; values unchanged); stream_import_roundtrip /
-# store_clean_audit (NULL-sum guards, driver-side only);
-# dp_noisy_event_counts (OUTPUT: release metadata corrected to the
-# truncation-honest (eps, delta) label).
+# check, so the driver must re-verify them this round (round 12):
+# knn_graph_ivf / mutual_knn_pairs_ivf (PLAN: the staged IVF index now
+# lives in the generation-pointer cell store that ann probes and
+# appends share — graph builds read the persisted live generation;
+# values unchanged); dp_user_bounded_counts (OUTPUT: the DP metadata
+# columns renamed to release_epsilon/release_delta — they label the
+# n_noisy release only, not the audit columns beside it).
 _CHANGED_THIS_ROUND = [
-    "lone_late_supplier", "copurchase_pairs", "kneser_ney_doc_bits",
-    "bigram_lm_doc_bits", "knn_graph_ivf", "mutual_knn_pairs_ivf",
-    "typed_view_stats", "stream_import_roundtrip", "store_clean_audit",
-    "dp_noisy_event_counts",
+    "knn_graph_ivf", "mutual_knn_pairs_ivf", "dp_user_bounded_counts",
 ]
 
 

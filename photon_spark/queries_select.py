@@ -1437,24 +1437,58 @@ def q_ivf_staleness_audit(spark, sf_dir):
     truth, per query. High churn + a stale-fresh recall gap = re-train;
     flat = keep appending.
 
-    Scale shape: both centroid sets are driver-tiny lists; the two cell
-    assignments are map-only Arrow GEMM passes over the corpus joined
-    once on vec_id (co-partitioned id join — at 100 TB, bucket by
-    vec_id and it is shuffle-free); probes and ground-truth sides are
-    the ann_recall_audit shapes (broadcast query batch,
-    WindowGroupLimit rank). Exact ground truth is corpus-quadratic by
-    definition — the documented sampled-query-set caveat applies."""
-    from pyspark.sql import Window
-    from photon_spark.functions.similarity import (cosine,
-                                                   ivf_assign_cells,
-                                                   ivf_train_cells)
-
+    SAMPLED form — the query batch is a corpus FRACTION, so its exact
+    ground truth is corpus-quadratic: retired from the gate in round 12
+    (the same r11 retirement the four ann_*_audit parents got) and kept
+    as the small-n audit tier. The gated production form is
+    :func:`q_ivf_staleness_audit_fixedq`."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     q = (e.where(is_q)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qv")))
-    corpus = e.where(~is_q)
+    exact = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
+    return _ivf_staleness_body(spark, e, q, exact)
+
+
+def q_ivf_staleness_audit_fixedq(spark, sf_dir):
+    """IVF staleness audit with the CONSTANT query batch — the
+    production form of `ivf_staleness_audit` (same stale/fresh centroid
+    tiers, churn measurement and probe rules; only the query relation
+    changes to the fixed {fk}-query batch), making the whole row
+    corpus-LINEAR: churn is two map-only Arrow GEMM passes joined once
+    on vec_id, and the recall legs score |Q|=const cosines per corpus
+    row with WindowGroupLimit ranks — no corpus-quadratic ground truth
+    anywhere. At 100 TB the monitoring cost is O(corpus), which is what
+    lets a real service run this audit on a schedule."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _fixedq_float(e)
+    exact = _exact_topk_fixed(e, q)
+    return _ivf_staleness_body(spark, e, q, exact)
+
+
+q_ivf_staleness_audit_fixedq.__doc__ = (
+    q_ivf_staleness_audit_fixedq.__doc__.format(fk=RECALL_FIXEDQ_K))
+
+
+def _ivf_staleness_body(spark, e, q, exact):
+    """Shared staleness-audit kernel over an EXPLICIT query batch ``q``
+    (query_id, qv) and exact ground-truth relation ``exact``
+    (query_id, vec_id) — the sampled and fixedq forms differ only in
+    those two inputs.
+
+    Scale shape: both centroid sets are driver-tiny lists; the two cell
+    assignments are map-only Arrow GEMM passes over the corpus joined
+    once on vec_id (co-partitioned id join — at 100 TB, bucket by
+    vec_id and it is shuffle-free); probes and recall sides are
+    the ann_recall_audit shapes (broadcast query batch,
+    WindowGroupLimit rank)."""
+    from pyspark.sql import Window
+    from photon_spark.functions.similarity import (cosine,
+                                                   ivf_assign_cells,
+                                                   ivf_train_cells)
+
+    corpus = e.where(~(F.col("vec_id") % ANN_QMOD == 0))
 
     # stale: trained before the appended slice existed (ivf_topk's
     # full-table ORDER BY vec_id LIMIT n convention, minus the slice);
@@ -1507,8 +1541,6 @@ def q_ivf_staleness_audit(spark, sf_dir):
                         .where(F.col("rank") <= ANN_MULTI_K)
                         .select("query_id", "vec_id",
                                 F.lit(1).alias(hit_name)))
-
-    exact = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
 
     def rec(col):
         return F.sum(F.coalesce(col, F.lit(0)))
@@ -2086,8 +2118,16 @@ FROM s3
 
 QUERIES["corpus_build_e2e"] = q_corpus_build_e2e
 ORACLES["corpus_build_e2e"] = SQL_CORPUS_BUILD_E2E
-QUERIES["ivf_staleness_audit"] = q_ivf_staleness_audit
-ORACLES["ivf_staleness_audit"] = SQL_IVF_STALENESS_AUDIT
+# the sampled parent (q_ivf_staleness_audit) is retired from the gate
+# (round 12) — its recall leg's exact ground truth pairs a corpus-
+# FRACTION query batch with the whole corpus (quadratic eval cost, the
+# same caveat that retired the four ann_*_audit parents in round 11);
+# the fixedq twin below is the gated corpus-linear production form.
+# The sampled function, its oracle and its tests remain as the
+# documented small-n audit tier.
+QUERIES["ivf_staleness_audit_fixedq"] = q_ivf_staleness_audit_fixedq
+ORACLES["ivf_staleness_audit_fixedq"] = _with_fixed_q(
+    SQL_IVF_STALENESS_AUDIT)
 
 
 # ---------------------------------------- int8 quantized-serving recall

@@ -226,8 +226,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # broadcast query batch twice (full-dim + truncated passes)
         "matryoshka_recall_audit",
         # ann_recall_audit's shape twice (stale + fresh tiers) plus a
-        # crossJoin(broadcast(<1-row churn aggregate>))
-        "ivf_staleness_audit",
+        # crossJoin(broadcast(<1-row churn aggregate>)); the fixedq twin
+        # swaps in the constant ≤8-row broadcast batch
+        "ivf_staleness_audit", "ivf_staleness_audit_fixedq",
         # broadcast anchor batch (fixed HN_ANCHORS list — 9 rows)
         "hard_negative_mining",
         # source-pair matrix: |sources|² tiny-by-construction cross

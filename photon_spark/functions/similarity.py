@@ -384,7 +384,9 @@ def retrain_ivf_index(spark, path: str, n_cells: int | None = None,
 
 def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
                           vec_col: str = "embedding",
-                          id_col: str = "vec_id"):
+                          id_col: str = "vec_id",
+                          cents: list[tuple[int, list[float]]] | None = None,
+                          assigned: DataFrame | None = None):
     """Materialize the IVF index as CELL-PARTITIONED parquet
     (``batch=base/cell_id=K/`` dirs) — the serving layout behind every
     "probe reads n_probe/n_cells of the data" claim: a probe's cell
@@ -393,13 +395,26 @@ def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
     partition key). The ``batch=`` level is the same OVERWRITE replay
     contract the PairTable uses, so :func:`append_to_ivf_index` can fold
     later batches in idempotently. Returns the centroid list to probe
-    with."""
-    import os
+    with.
+
+    ``cents``: pre-fit (cell_id, vector) centroids — skips the default
+    deterministic training, so an externally-trained index (e.g.
+    clustering.kmeans_fit's Lloyd centroids) lives in the SAME store
+    that appends, probes and graph builds share. ``assigned``: the
+    trainer's own (id, vec, cell_id) base assignment to persist as-is —
+    pass it when the trainer's assignment rule differs from
+    :func:`ivf_assign_cells` (kmeans assigns by L2 to its converged
+    centroids), so the stored base is exactly what the fit produced;
+    appends still use ivf_assign_cells under the FIXED stored
+    centroids, the FAISS add shape."""
     import shutil
 
-    cents = ivf_train_cells(df, n_cells, vec_col, id_col)
+    if cents is None:
+        cents = ivf_train_cells(df, n_cells, vec_col, id_col)
     shutil.rmtree(out_dir, ignore_errors=True)
-    _write_ivf_batch(df, out_dir, "base", cents, vec_col, id_col)
+    if assigned is None:
+        assigned = ivf_assign_cells(df, cents, vec_col, id_col)
+    _write_assigned_batch(assigned, out_dir, "base", vec_col, id_col)
     # persist the training output beside the data: retrain_ivf_index
     # and pointer-resolving probes load centroids from the live
     # generation instead of trusting a caller-held copy to match
@@ -409,10 +424,16 @@ def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
 
 def _write_ivf_batch(df: DataFrame, out_dir: str, tag: str, cents,
                      vec_col: str, id_col: str) -> None:
+    assigned = ivf_assign_cells(df, cents, vec_col, id_col)
+    _write_assigned_batch(assigned, out_dir, tag, vec_col, id_col)
+
+
+def _write_assigned_batch(assigned: DataFrame, out_dir: str, tag: str,
+                          vec_col: str, id_col: str) -> None:
     import os
 
-    assigned = ivf_assign_cells(df, cents, vec_col, id_col)
-    (assigned.repartition("cell_id")
+    (assigned.select(id_col, vec_col, "cell_id")
+     .repartition("cell_id")
      .write.mode("overwrite").partitionBy("cell_id")
      .parquet(os.path.join(out_dir, f"batch={tag}")))
 
@@ -896,6 +917,40 @@ def knn_graph_from_cells(assigned: DataFrame, cents: list[list[float]],
                         F.col(vec_col).alias("v"),
                         F.col("cluster_id").alias("blk"))
     return _knn_graph_blocked(v, manifest, k, df, vec_col, id_col)
+
+
+def knn_graph_from_index(spark, index_dir: str, k: int = 3,
+                         n_probe: int = 4, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """kNN graph over the LIVE generation of a MATERIALIZED IVF index —
+    the one production index lifecycle: probes
+    (:func:`ivf_topk_from_index`), appends (:func:`append_to_ivf_index`),
+    retrains (:func:`retrain_ivf_index`) and graph builds all resolve
+    the same generation pointer, so a graph build sees every batch
+    appended before it (base ∪ batches, cell membership intact) and a
+    retrain's pointer swap moves every consumer atomically. The
+    generation is resolved ONCE here — a build started during a retrain
+    reads the old generation's data with the old generation's own
+    centroids end-to-end, never a mixed pairing.
+
+    The manifest kernel (:func:`ivf_cell_manifest`) addresses cells by
+    POSITION in the centroid list; stored cell ids are arbitrary
+    (ivf_train_cells uses source vec_ids), so the stored ``cell_id`` is
+    remapped through a literal map expression — map-side, no join. The
+    corpus for the exact re-score leg is the index itself, so appended
+    vectors are both graph nodes and candidate neighbors."""
+    cents = sorted(load_ivf_centroids(index_dir))
+    idx = spark.read.parquet(_ivf_data_dir(index_dir))
+    pos = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(c)) for c, _ in cents]),
+            F.array(*[F.lit(i).cast("long") for i in range(len(cents))])),
+        F.col("cell_id").cast("long"))
+    assigned = idx.select(id_col, vec_col, pos.alias("cluster_id"))
+    return knn_graph_from_cells(assigned, [v for _, v in cents],
+                                idx.select(id_col, vec_col), k=k,
+                                n_probe=n_probe, vec_col=vec_col,
+                                id_col=id_col)
 
 
 def ivf_cell_manifest(cents: list[list[float]], n_probe: int) -> set:

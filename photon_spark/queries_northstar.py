@@ -1427,51 +1427,73 @@ FROM pred GROUP BY 1
 
 KNN_IVF_PROBE = 3
 
-#: staged IVF indexes, one per (corpus stamp, k, iters) — see _staged_ivf
-_IVF_INDEXES: dict[tuple, tuple[str, list]] = {}
+#: staged IVF indexes, corpus path -> ((stamp, k, iters), store dir) —
+#: see _staged_ivf
+_IVF_INDEXES: dict[str, tuple[tuple, str]] = {}
+_IVF_SWEEP_REGISTERED = False
 
 
-def _staged_ivf(spark, sf_dir):
-    """Process-scoped STAGED IVF index (cell assignments parquet +
-    centroid list) over the embeddings corpus — fitted ONCE per corpus,
-    the `_staged_pair_table` pattern: in production the k-means index is
-    fitted and persisted once, then every kNN-graph / mutual-kNN build
-    pays only the manifest-pruned GEMM, so the gated rows measure the
-    per-build work. The fit-from-scratch cost stays visible in its own
-    row (`kmeans_embeddings` IS the fit benchmark). Keyed by the corpus
-    content stamp so a regenerated corpus re-fits; tempdirs swept at
-    interpreter exit."""
+def _staged_ivf(spark, sf_dir) -> str:
+    """Process-scoped STAGED IVF index over the embeddings corpus —
+    fitted ONCE per corpus (the `_staged_pair_table` pattern) and
+    materialized into the SAME generation-pointer cell store every
+    other IVF consumer uses (similarity.materialize_ivf_index: the
+    ``batch=base/cell_id=K`` layout with ``_centroids.json`` and the
+    atomic ``_generation`` pointer). ONE index lifecycle: ann probes
+    (ivf_topk_from_index), appends (append_to_ivf_index) and the graph
+    builds here all resolve the same store, so a graph build sees every
+    batch appended before it — pinned in tests/test_knn.py. Returns the
+    store's root directory.
+
+    In production the k-means index is fitted and persisted once, then
+    every kNN-graph / mutual-kNN build pays only the manifest-pruned
+    GEMM; the fit-from-scratch cost stays visible in its own row
+    (`kmeans_embeddings` IS the fit benchmark). Keyed by the corpus
+    content stamp so a regenerated corpus re-fits — the superseded
+    store is deleted on the stamp miss, not left until exit; tempdirs
+    still standing are swept at interpreter exit."""
     import atexit
     import os
     import shutil
     import tempfile
 
+    from photon_spark.functions import similarity
     from photon_spark.functions.clustering import kmeans_fit
     from photon_spark.pair_cache import _corpus_stamp
     from photon_spark.queries_curation import KM_ITERS, KM_K
 
+    global _IVF_SWEEP_REGISTERED
     corpus = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    key = (corpus, _corpus_stamp(corpus), KM_K, KM_ITERS)
-    got = _IVF_INDEXES.get(key)
-    if got is None:
-        base = tempfile.mkdtemp(prefix="photon_ivf_idx_")
-        if not _IVF_INDEXES:
-            atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
-                                     for p, _ in _IVF_INDEXES.values()])
-        # sweep the tempdir if the fit/write raises — the atexit sweep
-        # only covers directories that made it into _IVF_INDEXES
-        try:
-            assigned, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K,
-                                         iters=KM_ITERS)
-            assigned.write.mode("overwrite").parquet(
-                os.path.join(base, "cells"))
-        except BaseException:
-            shutil.rmtree(base, ignore_errors=True)
-            raise
-        got = (base, cents)
-        _IVF_INDEXES[key] = got
-    base, cents = got
-    return spark.read.parquet(os.path.join(base, "cells")), cents
+    key = (_corpus_stamp(corpus), KM_K, KM_ITERS)
+    got = _IVF_INDEXES.get(corpus)
+    if got is not None and got[0] == key:
+        return got[1]
+    if got is not None:
+        # corpus regenerated in place: evict the superseded store NOW
+        shutil.rmtree(got[1], ignore_errors=True)
+        del _IVF_INDEXES[corpus]
+    if not _IVF_SWEEP_REGISTERED:
+        # a flag, not an "is the dict empty" check — a failed first fit
+        # must not re-register a duplicate handler on the next call
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for _, p in _IVF_INDEXES.values()])
+        _IVF_SWEEP_REGISTERED = True
+    base = tempfile.mkdtemp(prefix="photon_ivf_idx_")
+    # sweep the tempdir if the fit/write raises — the atexit sweep
+    # only covers directories that made it into _IVF_INDEXES
+    try:
+        assigned, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K,
+                                     iters=KM_ITERS)
+        similarity.materialize_ivf_index(
+            _emb(spark, sf_dir), base,
+            cents=[(i, [float(x) for x in c])
+                   for i, c in enumerate(cents)],
+            assigned=assigned.withColumnRenamed("cluster_id", "cell_id"))
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    _IVF_INDEXES[corpus] = (key, base)
+    return base
 
 
 def q_knn_graph_ivf(spark, sf_dir):
@@ -1482,12 +1504,14 @@ def q_knn_graph_ivf(spark, sf_dir):
     kernel (margin screen + JVM sequential re-verify) is unchanged.
     The index comes pre-fitted from the staged per-corpus store
     (`_staged_ivf` — fit once, build many; the fit cost is its own row,
-    `kmeans_embeddings`). Deterministic end-to-end, so the oracle
-    rebuilds the identical manifest and graph in SQL. Recall vs the
-    exact graph is pinned in tests."""
-    assigned, cents = _staged_ivf(spark, sf_dir)
-    return similarity.knn_graph_from_cells(
-        assigned, cents, _emb(spark, sf_dir), k=KNN_K,
+    `kmeans_embeddings`), and the build reads the store's LIVE
+    generation (similarity.knn_graph_from_index), so vectors appended
+    through append_to_ivf_index appear in later graph builds — the
+    probe/append/graph consumers share one index. Deterministic
+    end-to-end, so the oracle rebuilds the identical manifest and graph
+    in SQL. Recall vs the exact graph is pinned in tests."""
+    return similarity.knn_graph_from_index(
+        spark, _staged_ivf(spark, sf_dir), k=KNN_K,
         n_probe=KNN_IVF_PROBE)
 
 
@@ -1548,9 +1572,8 @@ def q_mutual_knn_pairs_ivf(spark, sf_dir):
     tests/test_knn.py; here the oracle REBUILDS the same deterministic
     manifest + graph in SQL, so the hash gate proves the pruned tier's
     mutual symmetrization value-for-value."""
-    assigned, cents = _staged_ivf(spark, sf_dir)
-    g = similarity.knn_graph_from_cells(
-        assigned, cents, _emb(spark, sf_dir), k=KNN_K,
+    g = similarity.knn_graph_from_index(
+        spark, _staged_ivf(spark, sf_dir), k=KNN_K,
         n_probe=KNN_IVF_PROBE)
     return _mutual_pairs_from_graph(g)
 

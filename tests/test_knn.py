@@ -78,8 +78,9 @@ def test_knn_graph_from_cells_equals_fit_then_build(spark, sf_dir):
 
 def test_staged_ivf_reuses_and_invalidates(spark, sf_dir, tmp_path):
     """_staged_ivf fits once per (corpus stamp, params): a second call
-    for the same corpus returns the SAME staged path without re-fitting;
-    regenerating the corpus in place (new stamp) re-fits."""
+    for the same corpus returns the SAME store without re-fitting;
+    regenerating the corpus in place (new stamp) re-fits AND evicts the
+    superseded store immediately (not at interpreter exit)."""
     import os
     import shutil
     from photon_spark import queries_northstar as ns
@@ -88,28 +89,52 @@ def test_staged_ivf_reuses_and_invalidates(spark, sf_dir, tmp_path):
     d = tmp_path / "sf"
     d.mkdir()
     shutil.copy(f"{sf_dir}/embeddings.parquet", d / "embeddings.parquet")
-    before = dict(ns._IVF_INDEXES)
+    corpus = os.path.join(os.path.abspath(str(d)), "embeddings.parquet")
+    n = spark.read.parquet(corpus).count()
     try:
-        a1, c1 = ns._staged_ivf(spark, str(d))
-        keys1 = set(ns._IVF_INDEXES) - set(before)
-        assert len(keys1) == 1
-        base1 = ns._IVF_INDEXES[next(iter(keys1))][0]
-        a2, c2 = ns._staged_ivf(spark, str(d))
-        assert ns._IVF_INDEXES[next(iter(keys1))][0] == base1  # reused
-        assert c1 == c2
-        assert a1.count() == a2.count()
+        p1 = ns._staged_ivf(spark, str(d))
+        assert corpus in ns._IVF_INDEXES
+        # the staged store IS the materialized generation layout: the
+        # base batch holds the whole corpus, centroids persist with it
+        idx = spark.read.parquet(similarity._ivf_data_dir(p1))
+        assert idx.count() == n and "cell_id" in idx.columns
+        assert len(similarity.load_ivf_centroids(p1)) > 0
+        p2 = ns._staged_ivf(spark, str(d))
+        assert p2 == p1  # reused, no re-fit
         # in-place regeneration: bump the stamp (mtime changes, file
-        # stays valid) — the memo key must change and a fresh index
-        # must be fitted
+        # stays valid) — a fresh index must be fitted and the
+        # superseded store deleted on the spot
         os.utime(d / "embeddings.parquet", (1, 1))
-        a3, c3 = ns._staged_ivf(spark, str(d))
-        keys2 = set(ns._IVF_INDEXES) - set(before)
-        assert len(keys2) == 2  # new key, new staged fit
-        assert c3 == c1 and a3.count() == a1.count()  # same corpus content
+        p3 = ns._staged_ivf(spark, str(d))
+        assert p3 != p1
+        assert not os.path.exists(p1)  # evicted eagerly
+        assert ns._IVF_INDEXES[corpus][1] == p3
     finally:
-        for k in set(ns._IVF_INDEXES) - set(before):
-            shutil.rmtree(ns._IVF_INDEXES[k][0], ignore_errors=True)
-            del ns._IVF_INDEXES[k]
+        got = ns._IVF_INDEXES.pop(corpus, None)
+        if got is not None:
+            shutil.rmtree(got[1], ignore_errors=True)
+
+
+def test_ivf_store_append_visible_to_graph(spark, sf_dir, tmp_path):
+    """ONE index lifecycle: a kNN-graph build over the materialized
+    store's live generation sees vectors appended after the fit
+    (append_to_ivf_index), both as graph nodes and as candidate
+    neighbors — the store probes, appends and graph builds share."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+    extra_ids = {r.vec_id for r in extra.select("vec_id").collect()}
+    idx = str(tmp_path / "idx")
+    cents = similarity.materialize_ivf_index(base, idx, n_cells=8)
+    g1 = similarity.knn_graph_from_index(spark, idx, k=2, n_probe=3)
+    assert {r.id for r in g1.collect()} == base_ids
+    similarity.append_to_ivf_index(spark, idx, cents, extra, "b1")
+    rows2 = similarity.knn_graph_from_index(spark, idx, k=2,
+                                            n_probe=3).collect()
+    assert {r.id for r in rows2} == base_ids | extra_ids
+    # appended vectors also serve as candidate neighbors of base nodes
+    assert any(r.nbr in extra_ids for r in rows2 if r.id in base_ids)
 
 
 def test_knn_label_eval_matches_numpy(spark, sf_dir):

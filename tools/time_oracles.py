@@ -1,5 +1,13 @@
 """Time oracle_sql() entries on DuckDB at a given sf dir (BASELINE.md
-DuckDB column; same min-of-N method as bench.py).
+DuckDB column).
+
+Each oracle runs ``--runs`` times in one connection; the FIRST run is
+recorded as ``cold`` and the best of the remaining runs as ``warm``.
+Ratio adjudications must cite the WARM column: identical SQL on
+identical data has shown a 20x cold-cache spread on a shared host
+(0.28 s vs 6.15 s across recorded windows), which can flip a 2x
+weak/not-weak call that the warm time decides stably. The suite total
+is the warm sum.
 
 Usage: python tools/time_oracles.py [--sf DIR] [--runs 2] [query ...]
 """
@@ -47,15 +55,18 @@ def main():
         if sql is None:
             print(f"# {name}: no oracle")
             continue
-        best = None
+        times = []
         for _ in range(runs):
             t0 = time.monotonic()
             n = len(con.execute(sql).fetchall())
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)")
-    print(f"# total: {total:.2f}s over {len(names)} oracles")
+            times.append(time.monotonic() - t0)
+        cold = times[0]
+        # warm = best run AFTER the first; with --runs 1 there is no
+        # warm run, so fall back to the cold one rather than lie
+        warm = min(times[1:]) if len(times) > 1 else cold
+        total += warm
+        print(f"# {name}: warm={warm:.3f}s cold={cold:.3f}s ({n} rows)")
+    print(f"# total(warm): {total:.2f}s over {len(names)} oracles")
 
 
 if __name__ == "__main__":

@@ -1232,7 +1232,11 @@ def q_dp_user_bounded_counts(spark, sf_dir):
     Audit columns keep the unbounded true count AND the bounded count
     beside the noisy release, so the row also gates the bounding
     operator itself (a type whose events all fall outside its users'
-    first-{cap} windows releases from 0 — visible, not dropped).
+    first-{cap} windows releases from 0 — visible, not dropped). The
+    (release_epsilon, release_delta) guarantee covers ``n_noisy``
+    ALONE — n_true/n_bounded/noise are exact audit columns a real
+    release omits, which is why the metadata columns carry the
+    ``release_`` prefix.
 
     Plan: ONE user-keyed shuffle (the window rank that every
     user-level bounding must pay — only (user_id, event_type,
@@ -1266,8 +1270,8 @@ def q_dp_user_bounded_counts(spark, sf_dir):
             .withColumn("n_noisy",
                         F.greatest(F.col("n_bounded") + F.col("noise"),
                                    F.lit(0)).cast("long"))
-            .withColumn("epsilon", F.lit(float(DP_USER_CAP)))
-            .withColumn("delta", F.lit(DP_USER_DELTA)))
+            .withColumn("release_epsilon", F.lit(float(DP_USER_CAP)))
+            .withColumn("release_delta", F.lit(DP_USER_DELTA)))
 
 
 q_dp_user_bounded_counts.__doc__ = q_dp_user_bounded_counts.__doc__.format(
@@ -1299,11 +1303,144 @@ SELECT event_type, n_true,
        CAST(CASE {cases} ELSE {DP_K} END AS BIGINT) AS noise,
        CAST(greatest(n_bounded + CASE {cases} ELSE {DP_K} END, 0)
             AS BIGINT) AS n_noisy,
-       CAST({float(DP_USER_CAP)!r} AS DOUBLE) AS epsilon,
-       CAST({DP_USER_DELTA!r} AS DOUBLE) AS delta
+       CAST({float(DP_USER_CAP)!r} AS DOUBLE) AS release_epsilon,
+       CAST({DP_USER_DELTA!r} AS DOUBLE) AS release_delta
 FROM drawn
 """
 
 
 QUERIES["dp_user_bounded_counts"] = q_dp_user_bounded_counts
 ORACLES["dp_user_bounded_counts"] = _sql_dp_user_bounded_counts()
+
+
+# ----------------- USER-LEVEL DP: bounded + clamped + quantized SUM
+
+#: per-event value clamp for the sum release, in integer cents —
+#: [0, 100.00] keeps one heavy event from dominating a user's L1
+DP_VALUE_CAP_CENTS = 10_000
+#: the release granularity AND the user-level L1 sensitivity of the
+#: bounded clamped sum: CAP events x VALUE_CAP cents each
+DP_SUM_GRAIN_CENTS = DP_USER_CAP * DP_VALUE_CAP_CENTS
+#: seed for this release's noise draws, independent of the other three
+DP_USER_SUM_SEED = "dp-user-sum-r12"
+
+
+def q_dp_user_bounded_sum(spark, sf_dir):
+    """USER-LEVEL differentially-private SUM release — the numeric
+    companion to `dp_user_bounded_counts`, built from the three
+    standard production ingredients (the Google DP-SQL "bounded sum"
+    shape): (1) CONTRIBUTION BOUNDING — each user's first
+    {cap} events by event_id, the same deterministic window as the
+    count release; (2) VALUE CLAMPING — each event's value clamped to
+    [0, {vb}] and quantized to integer cents (order-free long sums, the
+    repo float policy), so one whale event cannot blow up the
+    sensitivity; (3) GRANULARITY QUANTIZATION — the bounded clamped
+    sum is floored to units of GRAIN = CAP x VALUE_CAP cents, the
+    whole-user L1 bound. Adding or removing one USER moves the cents
+    sum by at most GRAIN, hence the UNIT total by at most 1, so the
+    same unit-scale truncated discrete-Laplace table releases the unit
+    count at user-level (eps=1, delta=DP_DELTA)-DP; the published
+    estimate ``release_sum`` = noisy units x GRAIN carries quantization
+    error <= GRAIN — the precision/privacy dial (smaller GRAIN = finer
+    estimate but higher eps).
+
+    The (release_epsilon, release_delta) guarantee covers
+    ``release_units``/``release_sum`` ALONE — sum_clamped_cents,
+    sum_bounded_cents, units and noise are exact audit columns gating
+    the clamp, the bounding and the quantization operators themselves;
+    a real release omits them.
+
+    Plan: the count release's plan plus one clamped projection — ONE
+    user-keyed shuffle for the bounding window (4 narrow columns move),
+    two map-side-combined per-type sums joined per-type, the literal
+    CASE chain. Constant release size at any corpus scale."""
+    from pyspark.sql import Window
+
+    from photon_spark.queries import _t
+
+    cents = (F.round(F.least(F.greatest(F.col("value"), F.lit(0.0)),
+                             F.lit(DP_VALUE_CAP_CENTS / 100.0)) * 100)
+             .cast("long"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", cents.alias("v_cents"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    bounded = (ev.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") <= DP_USER_CAP))
+    bs = (bounded.groupBy("event_type")
+                 .agg(F.sum("v_cents").alias("sum_bounded_cents")))
+    cs = (ev.groupBy("event_type")
+            .agg(F.sum("v_cents").alias("sum_clamped_cents")))
+    h = F.substring(F.md5(F.concat(F.col("event_type"),
+                                   F.lit(":" + DP_USER_SUM_SEED))), 1, 12)
+    expr = F.lit(DP_THRESHOLDS[-1][0])
+    for k, t in reversed(DP_THRESHOLDS[:-1]):
+        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    units = F.floor(F.col("sum_bounded_cents")
+                    / F.lit(float(DP_SUM_GRAIN_CENTS))).cast("long")
+    return (cs.join(bs, "event_type", "left")
+            .select("event_type", "sum_clamped_cents",
+                    F.coalesce("sum_bounded_cents", F.lit(0)).cast("long")
+                     .alias("sum_bounded_cents"))
+            .select("event_type", "sum_clamped_cents", "sum_bounded_cents",
+                    units.alias("units"),
+                    expr.cast("long").alias("noise"))
+            .withColumn("release_units",
+                        F.greatest(F.col("units") + F.col("noise"),
+                                   F.lit(0)).cast("long"))
+            .withColumn("release_sum",
+                        F.round(F.col("release_units")
+                                * F.lit(DP_SUM_GRAIN_CENTS / 100.0), 2))
+            .withColumn("release_epsilon", F.lit(1.0))
+            .withColumn("release_delta", F.lit(DP_DELTA)))
+
+
+q_dp_user_bounded_sum.__doc__ = q_dp_user_bounded_sum.__doc__.format(
+    cap=DP_USER_CAP, vb=DP_VALUE_CAP_CENTS / 100.0)
+
+
+def _sql_dp_user_bounded_sum() -> str:
+    cases = " ".join(
+        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    vb = DP_VALUE_CAP_CENTS / 100.0
+    g = DP_SUM_GRAIN_CENTS
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(least(greatest(value, 0.0), {vb}) * 100) AS BIGINT)
+           AS v_cents
+  FROM events
+), b AS (
+  SELECT event_type, v_cents FROM (
+    SELECT event_type, v_cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS rn
+    FROM ev) WHERE rn <= {DP_USER_CAP}
+), bs AS (
+  SELECT event_type, sum(v_cents) AS sum_bounded_cents FROM b GROUP BY 1
+), cs AS (
+  SELECT event_type, sum(v_cents) AS sum_clamped_cents FROM ev GROUP BY 1
+), drawn AS (
+  SELECT cs.event_type,
+         CAST(cs.sum_clamped_cents AS BIGINT) AS sum_clamped_cents,
+         CAST(coalesce(bs.sum_bounded_cents, 0) AS BIGINT)
+           AS sum_bounded_cents,
+         CAST(floor(coalesce(bs.sum_bounded_cents, 0) * 1.0 / {g})
+              AS BIGINT) AS units,
+         substring(md5(cs.event_type || ':{DP_USER_SUM_SEED}'), 1, 12)
+           AS h
+  FROM cs LEFT JOIN bs USING (event_type)
+)
+SELECT event_type, sum_clamped_cents, sum_bounded_cents, units,
+       CAST(CASE {cases} ELSE {DP_K} END AS BIGINT) AS noise,
+       CAST(greatest(units + CASE {cases} ELSE {DP_K} END, 0) AS BIGINT)
+         AS release_units,
+       round(CAST(greatest(units + CASE {cases} ELSE {DP_K} END, 0)
+                  AS BIGINT) * {g} / 100.0, 2) AS release_sum,
+       CAST(1.0 AS DOUBLE) AS release_epsilon,
+       CAST({DP_DELTA!r} AS DOUBLE) AS release_delta
+FROM drawn
+"""
+
+
+QUERIES["dp_user_bounded_sum"] = q_dp_user_bounded_sum
+ORACLES["dp_user_bounded_sum"] = _sql_dp_user_bounded_sum()

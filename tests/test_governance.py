@@ -445,8 +445,69 @@ def test_dp_user_bounded_counts_match_python(spark, sf_dir):
         n = _py_noise(t, DP_USER_SEED)
         assert -DP_K <= r["noise"] <= DP_K and r["noise"] == n
         assert r["n_noisy"] == max(r["n_bounded"] + n, 0)
-        assert r["epsilon"] == float(DP_USER_CAP)
-        assert r["delta"] == DP_USER_DELTA
+        assert r["release_epsilon"] == float(DP_USER_CAP)
+        assert r["release_delta"] == DP_USER_DELTA
     # the widened clamp tail: delta_C > delta_1, both < 1e-2
     assert DP_USER_DELTA > DP_DELTA
     assert DP_USER_DELTA < 1e-2
+
+
+def test_dp_user_bounded_sum_match_python(spark, sf_dir):
+    """User-level DP bounded sum: clamp/bound/quantize equal a naive
+    per-row Python recompute, the unit release uses the Python draw at
+    the sum seed, and the floored unit total moves by at most 1 when
+    any single user is removed (the sensitivity the eps=1 label
+    needs)."""
+    from photon_spark.queries import _t
+    from photon_spark.queries_governance import (
+        DP_DELTA, DP_K, DP_SUM_GRAIN_CENTS, DP_USER_CAP,
+        DP_USER_SUM_SEED, DP_VALUE_CAP_CENTS, q_dp_user_bounded_sum)
+
+    ev = sorted(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "value").collect(),
+        key=lambda r: (r["user_id"], r["event_id"]))
+
+    def cents(v):
+        x = min(max(float(v), 0.0), DP_VALUE_CAP_CENTS / 100.0) * 100
+        # Spark HALF_UP == round-half-away for non-negative values
+        return int(x + 0.5) if x - int(x) >= 0.5 else round(x)
+
+    seen: dict = {}
+    clamped: dict = {}
+    bounded: dict = {}
+    per_user: dict = {}
+    for r in ev:
+        c = cents(r["value"])
+        t = r["event_type"]
+        clamped[t] = clamped.get(t, 0) + c
+        k = seen.get(r["user_id"], 0)
+        if k < DP_USER_CAP:
+            seen[r["user_id"]] = k + 1
+            bounded[t] = bounded.get(t, 0) + c
+            per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + c
+
+    rows = q_dp_user_bounded_sum(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(clamped)
+    total_bounded = sum(bounded.values())
+    for r in rows:
+        t = r["event_type"]
+        assert r["sum_clamped_cents"] == clamped[t]
+        assert r["sum_bounded_cents"] == bounded.get(t, 0)
+        units = bounded.get(t, 0) // DP_SUM_GRAIN_CENTS
+        assert r["units"] == units
+        n = _py_noise(t, DP_USER_SUM_SEED)
+        assert -DP_K <= r["noise"] <= DP_K and r["noise"] == n
+        assert r["release_units"] == max(units + n, 0)
+        assert r["release_sum"] == round(
+            max(units + n, 0) * DP_SUM_GRAIN_CENTS / 100.0, 2)
+        assert r["release_epsilon"] == 1.0
+        assert r["release_delta"] == DP_DELTA
+    # sensitivity check: every user's bounded clamped contribution is
+    # <= GRAIN, so removing any one user moves the floored unit total
+    # of any type by at most 1
+    assert per_user and max(per_user.values()) <= DP_SUM_GRAIN_CENTS
+    for u, c in list(per_user.items())[:20]:
+        before = total_bounded // DP_SUM_GRAIN_CENTS
+        after = (total_bounded - c) // DP_SUM_GRAIN_CENTS
+        assert 0 <= before - after <= 1

@@ -904,9 +904,13 @@ _DEFER_PAST_BACKLOG: list = []
 # appends share — graph builds read the persisted live generation;
 # values unchanged); dp_user_bounded_counts (OUTPUT: the DP metadata
 # columns renamed to release_epsilon/release_delta — they label the
-# n_noisy release only, not the audit columns beside it).
+# n_noisy release only, not the audit columns beside it);
+# copurchase_pairs (PLAN: the order total rides as a broadcast 1-row
+# aggregate instead of a separate driver .collect() job — one Spark
+# action; values unchanged).
 _CHANGED_THIS_ROUND = [
     "knn_graph_ivf", "mutual_knn_pairs_ivf", "dp_user_bounded_counts",
+    "copurchase_pairs",
 ]
 
 

@@ -439,18 +439,23 @@ def q_copurchase_pairs(spark, sf_dir):
     prune + both support joins) but AQE's runtime exchange reuse
     materializes each underlying exchange once — measured faster than
     pinning them with localCheckpoint (whose row-object scans lose
-    columnar batching) or persist. Pair counts collapse map-side; the
-    surviving pairs' part supports join back broadcast (every surviving
-    part is frequent, so the frequent-parts relation carries them all).
-    Lift's denominator is a product of two integers over the integer
-    order count — single IEEE ops, 6dp.
+    columnar batching) or persist; an in-basket array-combination
+    rewrite (collect_set + flatten/transform, no self-join stage) was
+    also measured ~25% SLOWER — ObjectHashAggregate loses to the
+    codegen'd join. The order total rides along as a
+    crossJoin(broadcast(<1-row count>)) instead of a separate driver
+    .collect() job, so the whole row is ONE Spark action. Pair counts
+    collapse map-side; the surviving pairs' part supports join back
+    broadcast (every surviving part is frequent, so the frequent-parts
+    relation carries them all). Lift's denominator is a product of two
+    integers over the integer order count — single IEEE ops, 6dp.
     """
     li = (_rd(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey")
           .repartition("l_orderkey")
           .dropDuplicates(["l_orderkey", "l_partkey"]))
     n_orders = (_rd(spark, sf_dir, "orders")
-                .agg(F.count(F.lit(1))).collect()[0][0])
+                .agg(F.count(F.lit(1)).alias("n_orders")))
     # size-gated hints: the frequent-parts relation is bounded by |part|
     # (200k·sf — nearly ALL parts clear MIN_SUPPORT on TPC-H's uniform
     # baskets), so a forced broadcast would OOM at a genuine 100×;
@@ -467,13 +472,15 @@ def q_copurchase_pairs(spark, sf_dir):
               .groupBy("p1", "p2")
               .agg(F.count(F.lit(1)).alias("support"))
               .where(F.col("support") >= MIN_SUPPORT))
-    lift = ((F.col("support").cast("double") * F.lit(float(n_orders)))
+    lift = ((F.col("support").cast("double")
+             * F.col("n_orders").cast("double"))
             / (F.col("s1").cast("double") * F.col("s2").cast("double")))
     return (pairs
             .join(_bcast_dim(psup.select(F.col("l_partkey").alias("p1"),
                                          F.col("psup").alias("s1"))), "p1")
             .join(_bcast_dim(psup.select(F.col("l_partkey").alias("p2"),
                                          F.col("psup").alias("s2"))), "p2")
+            .crossJoin(F.broadcast(n_orders))
             .select("p1", "p2", "support", "s1", "s2",
                     F.round(lift, 6).alias("lift"))
             .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))

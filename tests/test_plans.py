@@ -235,6 +235,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "kmv_source_overlap",
         # crossJoin of three 1-row layout-stat aggregates
         "zorder_skipping_audit",
+        # crossJoin(broadcast(<1-row order-count aggregate>)) — rides
+        # the lift projection instead of a separate driver job
+        "copurchase_pairs",
         # crossJoin of two 1-row scalars (total weight, floor sum)
         "neyman_allocation_plan",
         # 1-row violations x checked stat joins per constraint

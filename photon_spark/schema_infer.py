@@ -67,6 +67,12 @@ def _sampled(events: DataFrame, payload_col: str, stream_col: str,
 
 
 def _merge_value(schema: dict, path: str, value) -> None:
+    # Path encoding contract: "." joins object fields and a "[]" SUFFIX
+    # marks an array's element type. The suffix is RESERVED — a JSON
+    # field literally named "x[]" is indistinguishable from the element
+    # path of a sibling array "x", and _split_path (typed_struct) folds
+    # it into that array's element type. Every consumer of inferred
+    # paths assumes this encoding; it is owned here, at generation.
     if isinstance(value, dict):
         for k, v in value.items():
             _merge_value(schema, f"{path}.{k}" if path else k, v)

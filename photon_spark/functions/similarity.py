@@ -318,10 +318,21 @@ def _save_ivf_centroids(data_dir: str, cents) -> None:
 def load_ivf_centroids(path: str) -> list[tuple[int, list[float]]]:
     """The LIVE generation's coarse centroids — what every probe must
     rank cells with (a probe pairing fresh centroids with a stale data
-    generation, or vice versa, silently mis-prunes)."""
+    generation, or vice versa, silently mis-prunes).
+
+    Resolves the pointer itself — a consumer that ALSO resolves the
+    pointer for its data read must instead resolve once and call
+    :func:`_load_cents_from_data_dir` on that same directory, or a
+    retrain committing between the two reads pairs one generation's
+    centroids with the other's data."""
+    return _load_cents_from_data_dir(_ivf_data_dir(path))
+
+
+def _load_cents_from_data_dir(data_dir: str) -> list[tuple[int, list[float]]]:
+    """Centroids of a SPECIFIC (already-resolved) generation directory."""
     import json
     import os
-    with open(os.path.join(_ivf_data_dir(path), _IVF_CENTS_FILE)) as f:
+    with open(os.path.join(data_dir, _IVF_CENTS_FILE)) as f:
         return [(int(c), [float(x) for x in v]) for c, v in json.load(f)]
 
 
@@ -382,7 +393,8 @@ def retrain_ivf_index(spark, path: str, n_cells: int | None = None,
     return cents
 
 
-def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
+def materialize_ivf_index(df: DataFrame | None, out_dir: str,
+                          n_cells: int = 16,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
                           cents: list[tuple[int, list[float]]] | None = None,
@@ -406,9 +418,15 @@ def materialize_ivf_index(df: DataFrame, out_dir: str, n_cells: int = 16,
     :func:`ivf_assign_cells` (kmeans assigns by L2 to its converged
     centroids), so the stored base is exactly what the fit produced;
     appends still use ivf_assign_cells under the FIXED stored
-    centroids, the FAISS add shape."""
+    centroids, the FAISS add shape. ``df`` is only read on the paths
+    that need it (training, default assignment) and may be None when
+    both cents and assigned are supplied — passing it then would
+    suggest it gets stored when ``assigned`` is what's persisted."""
     import shutil
 
+    if df is None and (cents is None or assigned is None):
+        raise ValueError("df is required unless both cents and "
+                         "assigned are supplied")
     if cents is None:
         cents = ivf_train_cells(df, n_cells, vec_col, id_col)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -472,12 +490,14 @@ def ivf_topk_from_index(spark, index_dir: str,
 
     The generation pointer is resolved ONCE here, so a probe started
     during a retrain serves the old generation end-to-end (old data
-    with old centroids — never a mixed pairing). Pass ``cents=None``
-    to rank cells with the live generation's own persisted centroids
-    (the safe default once retrains run)."""
+    with old centroids — never a mixed pairing; the cents=None load
+    reads from the already-resolved directory, not through the pointer
+    again). Pass ``cents=None`` to rank cells with the live
+    generation's own persisted centroids (the safe default once
+    retrains run)."""
     live = _ivf_data_dir(index_dir)
     if cents is None:
-        cents = load_ivf_centroids(index_dir)
+        cents = _load_cents_from_data_dir(live)
     idx = spark.read.parquet(live)
     qid = None
     if isinstance(query_vec, int):
@@ -939,8 +959,9 @@ def knn_graph_from_index(spark, index_dir: str, k: int = 3,
     remapped through a literal map expression — map-side, no join. The
     corpus for the exact re-score leg is the index itself, so appended
     vectors are both graph nodes and candidate neighbors."""
-    cents = sorted(load_ivf_centroids(index_dir))
-    idx = spark.read.parquet(_ivf_data_dir(index_dir))
+    live = _ivf_data_dir(index_dir)
+    cents = sorted(_load_cents_from_data_dir(live))
+    idx = spark.read.parquet(live)
     pos = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(int(c)) for c, _ in cents]),

@@ -1059,6 +1059,29 @@ DP_THRESHOLDS = [
 DP_DELTA = round(2 * math.e ** -DP_K / (1 + math.e ** -1), 9)
 
 
+def _noise_expr(key_col, seed: str):
+    """The deterministic truncated discrete-Laplace draw as ONE shared
+    Catalyst expression: first 12 hex chars of md5(key ':' seed) mapped
+    through the precomputed cumulative thresholds by LEXICOGRAPHIC
+    comparison (CASE chain built largest-threshold-down so the smallest
+    matching bound wins bottom-up). One definition across every DP
+    release — the probe_cells rule: a convention change (prefix width,
+    comparison, table shape) can never desynchronize one release's
+    Spark draw from its oracle twin (:func:`_sql_noise_cases`)."""
+    h = F.substring(F.md5(F.concat(key_col, F.lit(":" + seed))), 1, 12)
+    expr = F.lit(DP_THRESHOLDS[-1][0])
+    for k, t in reversed(DP_THRESHOLDS[:-1]):
+        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _sql_noise_cases() -> str:
+    """The oracle twin of :func:`_noise_expr`'s CASE chain, over a
+    column named ``h`` holding the same 12-hex md5 prefix."""
+    return " ".join(
+        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+
+
 def q_dp_noisy_event_counts(spark, sf_dir):
     """DIFFERENTIALLY-PRIVATE count release (the governance tier's
     output side): per event_type, the true count plus truncated
@@ -1088,13 +1111,7 @@ def q_dp_noisy_event_counts(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
-    h = F.substring(F.md5(F.concat(F.col("event_type"),
-                                   F.lit(":" + DP_SEED))), 1, 12)
-    # build the CASE chain from the largest threshold down so the
-    # first (smallest) matching bound wins when evaluated bottom-up
-    expr = F.lit(DP_THRESHOLDS[-1][0])
-    for k, t in reversed(DP_THRESHOLDS[:-1]):
-        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    expr = _noise_expr(F.col("event_type"), DP_SEED)
     return (agg.select("event_type", "n_true",
                        expr.cast("long").alias("noise"))
                .withColumn("n_noisy",
@@ -1105,8 +1122,7 @@ def q_dp_noisy_event_counts(spark, sf_dir):
 
 
 def _sql_dp_noisy_event_counts() -> str:
-    cases = " ".join(
-        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    cases = _sql_noise_cases()
     return f"""
 WITH agg AS (
   SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
@@ -1170,11 +1186,7 @@ def q_dp_noisy_max_event_type(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
-    h = F.substring(F.md5(F.concat(F.col("event_type"),
-                                   F.lit(":" + DP_RNM_SEED))), 1, 12)
-    expr = F.lit(DP_THRESHOLDS[-1][0])
-    for k, t in reversed(DP_THRESHOLDS[:-1]):
-        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    expr = _noise_expr(F.col("event_type"), DP_RNM_SEED)
     noisy = agg.select("event_type",
                        (F.col("n_true") + expr).cast("long")
                        .alias("noisy_score"))
@@ -1184,8 +1196,7 @@ def q_dp_noisy_max_event_type(spark, sf_dir):
 
 
 def _sql_dp_noisy_max() -> str:
-    cases = " ".join(
-        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    cases = _sql_noise_cases()
     return f"""
 WITH agg AS (
   SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
@@ -1264,11 +1275,7 @@ def q_dp_user_bounded_counts(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("n_bounded")))
     true_agg = (e.groupBy("event_type")
                  .agg(F.count(F.lit(1)).alias("n_true")))
-    h = F.substring(F.md5(F.concat(F.col("event_type"),
-                                   F.lit(":" + DP_USER_SEED))), 1, 12)
-    expr = F.lit(DP_THRESHOLDS[-1][0])
-    for k, t in reversed(DP_THRESHOLDS[:-1]):
-        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    expr = _noise_expr(F.col("event_type"), DP_USER_SEED)
     return (true_agg.join(agg, "event_type", "left")
             .select("event_type", "n_true",
                     F.coalesce("n_bounded", F.lit(0)).cast("long")
@@ -1286,8 +1293,7 @@ q_dp_user_bounded_counts.__doc__ = q_dp_user_bounded_counts.__doc__.format(
 
 
 def _sql_dp_user_bounded_counts() -> str:
-    cases = " ".join(
-        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    cases = _sql_noise_cases()
     return f"""
 WITH b AS (
   SELECT event_type FROM (
@@ -1330,6 +1336,14 @@ DP_VALUE_CAP_CENTS = 10_000
 DP_SUM_GRAIN_CENTS = DP_USER_CAP * DP_VALUE_CAP_CENTS
 #: seed for this release's noise draws, independent of the other three
 DP_USER_SUM_SEED = "dp-user-sum-r12"
+#: a user's CAP bounded events can SPAN up to CAP event types, each
+#: moving that type's floored unit count by at most 1 (per-type
+#: contribution <= GRAIN) — so the released per-type vector changes in
+#: <= CAP coordinates by <= 1 unit each, and basic composition over the
+#: independent per-type unit-scale draws prices the release at
+#: eps = CAP x 1 with clamp-failure delta <= CAP x delta_1 (union
+#: bound over the affected types' widened tails)
+DP_USER_SUM_DELTA = round(DP_USER_CAP * DP_DELTA, 9)
 
 
 def q_dp_user_bounded_sum(spark, sf_dir):
@@ -1343,13 +1357,17 @@ def q_dp_user_bounded_sum(spark, sf_dir):
     repo float policy), so one whale event cannot blow up the
     sensitivity; (3) GRANULARITY QUANTIZATION — the bounded clamped
     sum is floored to units of GRAIN = CAP x VALUE_CAP cents, the
-    whole-user L1 bound. Adding or removing one USER moves the cents
-    sum by at most GRAIN, hence the UNIT total by at most 1, so the
-    same unit-scale truncated discrete-Laplace table releases the unit
-    count at user-level (eps=1, delta=DP_DELTA)-DP; the published
-    estimate ``release_sum`` = noisy units x GRAIN carries quantization
-    error <= GRAIN — the precision/privacy dial (smaller GRAIN = finer
-    estimate but higher eps).
+    whole-user L1 bound. Adding or removing one USER moves any single
+    type's cents sum by at most GRAIN, hence that type's UNIT count by
+    at most 1 — but the user's CAP events can SPAN up to CAP types, so
+    the released per-type vector changes in up to CAP coordinates and
+    basic composition over the independent per-type unit-scale draws
+    prices the release at user-level (eps={cap},
+    delta=DP_USER_SUM_DELTA = CAP x delta_1)-DP (see the constant's
+    derivation); the published estimate ``release_sum`` = noisy units x
+    GRAIN carries quantization error <= GRAIN — the precision/privacy
+    dial (smaller GRAIN = finer estimate but more unit sensitivity to
+    buy back with eps).
 
     The (release_epsilon, release_delta) guarantee covers
     ``release_units``/``release_sum`` ALONE — sum_clamped_cents,
@@ -1377,11 +1395,7 @@ def q_dp_user_bounded_sum(spark, sf_dir):
                  .agg(F.sum("v_cents").alias("sum_bounded_cents")))
     cs = (ev.groupBy("event_type")
             .agg(F.sum("v_cents").alias("sum_clamped_cents")))
-    h = F.substring(F.md5(F.concat(F.col("event_type"),
-                                   F.lit(":" + DP_USER_SUM_SEED))), 1, 12)
-    expr = F.lit(DP_THRESHOLDS[-1][0])
-    for k, t in reversed(DP_THRESHOLDS[:-1]):
-        expr = F.when(h <= F.lit(t), F.lit(k)).otherwise(expr)
+    expr = _noise_expr(F.col("event_type"), DP_USER_SUM_SEED)
     units = F.floor(F.col("sum_bounded_cents")
                     / F.lit(float(DP_SUM_GRAIN_CENTS))).cast("long")
     return (cs.join(bs, "event_type", "left")
@@ -1397,8 +1411,8 @@ def q_dp_user_bounded_sum(spark, sf_dir):
             .withColumn("release_sum",
                         F.round(F.col("release_units")
                                 * F.lit(DP_SUM_GRAIN_CENTS / 100.0), 2))
-            .withColumn("release_epsilon", F.lit(1.0))
-            .withColumn("release_delta", F.lit(DP_DELTA)))
+            .withColumn("release_epsilon", F.lit(float(DP_USER_CAP)))
+            .withColumn("release_delta", F.lit(DP_USER_SUM_DELTA)))
 
 
 q_dp_user_bounded_sum.__doc__ = q_dp_user_bounded_sum.__doc__.format(
@@ -1406,8 +1420,7 @@ q_dp_user_bounded_sum.__doc__ = q_dp_user_bounded_sum.__doc__.format(
 
 
 def _sql_dp_user_bounded_sum() -> str:
-    cases = " ".join(
-        f"WHEN h <= '{t}' THEN {k}" for k, t in DP_THRESHOLDS[:-1])
+    cases = _sql_noise_cases()
     vb = DP_VALUE_CAP_CENTS / 100.0
     g = DP_SUM_GRAIN_CENTS
     return f"""
@@ -1443,8 +1456,8 @@ SELECT event_type, sum_clamped_cents, sum_bounded_cents, units,
          AS release_units,
        round(CAST(greatest(units + CASE {cases} ELSE {DP_K} END, 0)
                   AS BIGINT) * {g} / 100.0, 2) AS release_sum,
-       CAST(1.0 AS DOUBLE) AS release_epsilon,
-       CAST({DP_DELTA!r} AS DOUBLE) AS release_delta
+       CAST({float(DP_USER_CAP)!r} AS DOUBLE) AS release_epsilon,
+       CAST({DP_USER_SUM_DELTA!r} AS DOUBLE) AS release_delta
 FROM drawn
 """
 

@@ -1485,7 +1485,7 @@ def _staged_ivf(spark, sf_dir) -> str:
         assigned, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K,
                                      iters=KM_ITERS)
         similarity.materialize_ivf_index(
-            _emb(spark, sf_dir), base,
+            None, base,
             cents=[(i, [float(x) for x in c])
                    for i, c in enumerate(cents)],
             assigned=assigned.withColumnRenamed("cluster_id", "cell_id"))

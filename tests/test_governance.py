@@ -461,7 +461,8 @@ def test_dp_user_bounded_sum_match_python(spark, sf_dir):
     from photon_spark.queries import _t
     from photon_spark.queries_governance import (
         DP_DELTA, DP_K, DP_SUM_GRAIN_CENTS, DP_USER_CAP,
-        DP_USER_SUM_SEED, DP_VALUE_CAP_CENTS, q_dp_user_bounded_sum)
+        DP_USER_SUM_DELTA, DP_USER_SUM_SEED, DP_VALUE_CAP_CENTS,
+        q_dp_user_bounded_sum)
 
     ev = sorted(
         _t(spark, sf_dir, "events")
@@ -476,7 +477,7 @@ def test_dp_user_bounded_sum_match_python(spark, sf_dir):
     seen: dict = {}
     clamped: dict = {}
     bounded: dict = {}
-    per_user: dict = {}
+    per_user_type: dict = {}
     for r in ev:
         c = cents(r["value"])
         t = r["event_type"]
@@ -485,11 +486,11 @@ def test_dp_user_bounded_sum_match_python(spark, sf_dir):
         if k < DP_USER_CAP:
             seen[r["user_id"]] = k + 1
             bounded[t] = bounded.get(t, 0) + c
-            per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + c
+            u = per_user_type.setdefault(r["user_id"], {})
+            u[t] = u.get(t, 0) + c
 
     rows = q_dp_user_bounded_sum(spark, sf_dir).collect()
     assert {r["event_type"] for r in rows} == set(clamped)
-    total_bounded = sum(bounded.values())
     for r in rows:
         t = r["event_type"]
         assert r["sum_clamped_cents"] == clamped[t]
@@ -501,13 +502,29 @@ def test_dp_user_bounded_sum_match_python(spark, sf_dir):
         assert r["release_units"] == max(units + n, 0)
         assert r["release_sum"] == round(
             max(units + n, 0) * DP_SUM_GRAIN_CENTS / 100.0, 2)
-        assert r["release_epsilon"] == 1.0
-        assert r["release_delta"] == DP_DELTA
-    # sensitivity check: every user's bounded clamped contribution is
-    # <= GRAIN, so removing any one user moves the floored unit total
-    # of any type by at most 1
-    assert per_user and max(per_user.values()) <= DP_SUM_GRAIN_CENTS
-    for u, c in list(per_user.items())[:20]:
-        before = total_bounded // DP_SUM_GRAIN_CENTS
-        after = (total_bounded - c) // DP_SUM_GRAIN_CENTS
-        assert 0 <= before - after <= 1
+        assert r["release_epsilon"] == float(DP_USER_CAP)
+        assert r["release_delta"] == DP_USER_SUM_DELTA
+    # sensitivity check on the RELEASED VECTOR (what the eps=CAP label
+    # prices): removing any one user changes each type's floored unit
+    # count by at most 1 (per-type contribution <= GRAIN) and the L1
+    # across the per-type vector by at most CAP (<= CAP types spanned)
+    assert per_user_type
+    assert max(sum(tc.values()) for tc in per_user_type.values()) \
+        <= DP_SUM_GRAIN_CENTS
+    spanning = 0
+    for u, tc in per_user_type.items():
+        l1 = 0
+        for t, c in tc.items():
+            assert c <= DP_SUM_GRAIN_CENTS
+            before = bounded[t] // DP_SUM_GRAIN_CENTS
+            after = (bounded[t] - c) // DP_SUM_GRAIN_CENTS
+            d = before - after
+            assert 0 <= d <= 1
+            l1 += d
+        assert l1 <= DP_USER_CAP
+        if len(tc) > 1:
+            spanning += 1
+    # the composition case is REAL in this data: some user's bounded
+    # events span >1 type, which is exactly why eps = CAP, not 1
+    assert spanning > 0
+    assert DP_USER_SUM_DELTA == round(DP_USER_CAP * DP_DELTA, 9)

@@ -891,7 +891,8 @@ _RETIRED = frozenset([
 # ground truth) and the user-level DP bounded-sum release (contribution
 # bounding + value clamping + granularity quantization over the same
 # truncated-noise table).
-_NEWEST_FIRST: list = ["ivf_staleness_audit_fixedq", "dp_user_bounded_sum"]
+_NEWEST_FIRST: list = ["ivf_staleness_audit_fixedq", "dp_user_bounded_sum",
+                       "dp_user_bounded_mean"]
 
 
 _DEFER_PAST_BACKLOG: list = []

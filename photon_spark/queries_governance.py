@@ -1464,3 +1464,112 @@ FROM drawn
 
 QUERIES["dp_user_bounded_sum"] = q_dp_user_bounded_sum
 ORACLES["dp_user_bounded_sum"] = _sql_dp_user_bounded_sum()
+
+
+# ------------------- USER-LEVEL DP: mean as composed post-processing
+
+#: the mean pairs the two component releases: basic composition adds
+#: their budgets, (eps_count + eps_sum, delta_count + delta_sum)
+DP_USER_MEAN_EPS = float(2 * DP_USER_CAP)
+DP_USER_MEAN_DELTA = round(DP_USER_DELTA + DP_USER_SUM_DELTA, 9)
+
+
+def q_dp_user_bounded_mean(spark, sf_dir):
+    """USER-LEVEL differentially-private MEAN — the textbook DP mean as
+    POST-PROCESSING of the two already-gated component releases:
+    noisy-sum / noisy-count per event_type, each with its own bounding
+    pipeline and independent seed. Post-processing is free, so the
+    release prices at the BASIC COMPOSITION of its inputs —
+    (eps = CAP + CAP, delta = DP_USER_DELTA + DP_USER_SUM_DELTA) —
+    and because the same seeds re-yield the identical draws as the
+    standalone rows, publishing this row alongside them costs no
+    budget beyond that composition (replayable-release determinism
+    doing real accounting work). n_noisy = 0 releases a NULL mean
+    (engine-portable) rather than dividing by zero; release_sum is an
+    exact multiple of GRAIN cents so the single IEEE division + 6dp
+    round is cross-engine stable.
+
+    The (release_epsilon, release_delta) guarantee covers
+    (n_noisy, release_sum, release_mean) jointly; no exact audit
+    columns appear in this row at all — it is shaped like the release
+    a governance tier would actually publish.
+
+    Plan: the union of the two component plans (both are one
+    user-keyed window + tiny per-type aggregates) joined on the
+    constant-size type relation — constant release size at any
+    corpus scale."""
+    counts = q_dp_user_bounded_counts(spark, sf_dir).select(
+        "event_type", "n_noisy")
+    sums = q_dp_user_bounded_sum(spark, sf_dir).select(
+        "event_type", "release_sum")
+    mean = F.round(F.col("release_sum")
+                   / F.nullif(F.col("n_noisy").cast("double"),
+                              F.lit(0.0)), 6)
+    return (counts.join(sums, "event_type")
+            .select("event_type", "n_noisy", "release_sum",
+                    mean.alias("release_mean"))
+            .withColumn("release_epsilon", F.lit(DP_USER_MEAN_EPS))
+            .withColumn("release_delta", F.lit(DP_USER_MEAN_DELTA)))
+
+
+def _sql_dp_user_bounded_mean() -> str:
+    cases = _sql_noise_cases()
+    vb = DP_VALUE_CAP_CENTS / 100.0
+    g = DP_SUM_GRAIN_CENTS
+    return f"""
+WITH cb AS (
+  SELECT event_type FROM (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS rn
+    FROM events) WHERE rn <= {DP_USER_CAP}
+), cagg AS (
+  SELECT event_type, count(*) AS n_bounded FROM cb GROUP BY 1
+), ct AS (
+  SELECT DISTINCT event_type FROM events
+), cdrawn AS (
+  SELECT ct.event_type, coalesce(cagg.n_bounded, 0) AS n_bounded,
+         substring(md5(ct.event_type || ':{DP_USER_SEED}'), 1, 12) AS h
+  FROM ct LEFT JOIN cagg USING (event_type)
+), counts AS (
+  SELECT event_type,
+         CAST(greatest(n_bounded + CASE {cases} ELSE {DP_K} END, 0)
+              AS BIGINT) AS n_noisy
+  FROM cdrawn
+), sev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(least(greatest(value, 0.0), {vb}) * 100) AS BIGINT)
+           AS v_cents
+  FROM events
+), sb AS (
+  SELECT event_type, v_cents FROM (
+    SELECT event_type, v_cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS rn
+    FROM sev) WHERE rn <= {DP_USER_CAP}
+), sagg AS (
+  SELECT event_type, sum(v_cents) AS sum_bounded_cents FROM sb GROUP BY 1
+), sdrawn AS (
+  SELECT ct.event_type,
+         CAST(floor(coalesce(sagg.sum_bounded_cents, 0) * 1.0 / {g})
+              AS BIGINT) AS units,
+         substring(md5(ct.event_type || ':{DP_USER_SUM_SEED}'), 1, 12)
+           AS h
+  FROM ct LEFT JOIN sagg USING (event_type)
+), sums AS (
+  SELECT event_type,
+         round(CAST(greatest(units + CASE {cases} ELSE {DP_K} END, 0)
+                    AS BIGINT) * {g} / 100.0, 2) AS release_sum
+  FROM sdrawn
+)
+SELECT c.event_type, c.n_noisy, s.release_sum,
+       round(s.release_sum / nullif(CAST(c.n_noisy AS DOUBLE), 0.0), 6)
+         AS release_mean,
+       CAST({DP_USER_MEAN_EPS!r} AS DOUBLE) AS release_epsilon,
+       CAST({DP_USER_MEAN_DELTA!r} AS DOUBLE) AS release_delta
+FROM counts c JOIN sums s USING (event_type)
+"""
+
+
+QUERIES["dp_user_bounded_mean"] = q_dp_user_bounded_mean
+ORACLES["dp_user_bounded_mean"] = _sql_dp_user_bounded_mean()

@@ -528,3 +528,30 @@ def test_dp_user_bounded_sum_match_python(spark, sf_dir):
     # events span >1 type, which is exactly why eps = CAP, not 1
     assert spanning > 0
     assert DP_USER_SUM_DELTA == round(DP_USER_CAP * DP_DELTA, 9)
+
+
+def test_dp_user_bounded_mean_is_postprocessing(spark, sf_dir):
+    """The mean row is pure post-processing of the two component
+    releases: identical n_noisy / release_sum values (same seeds, same
+    draws), one division, and the basic-composition budget labels."""
+    from photon_spark.queries_governance import (
+        DP_USER_MEAN_DELTA, DP_USER_MEAN_EPS, DP_USER_SUM_DELTA,
+        DP_USER_DELTA, q_dp_user_bounded_counts, q_dp_user_bounded_mean,
+        q_dp_user_bounded_sum)
+
+    counts = {r["event_type"]: r["n_noisy"]
+              for r in q_dp_user_bounded_counts(spark, sf_dir).collect()}
+    sums = {r["event_type"]: r["release_sum"]
+            for r in q_dp_user_bounded_sum(spark, sf_dir).collect()}
+    rows = q_dp_user_bounded_mean(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(counts) == set(sums)
+    for r in rows:
+        t = r["event_type"]
+        assert r["n_noisy"] == counts[t]
+        assert r["release_sum"] == sums[t]
+        want = (round(sums[t] / counts[t], 6) if counts[t] else None)
+        assert r["release_mean"] == want
+        assert r["release_epsilon"] == DP_USER_MEAN_EPS
+        assert r["release_delta"] == DP_USER_MEAN_DELTA
+    assert DP_USER_MEAN_DELTA == round(DP_USER_DELTA
+                                       + DP_USER_SUM_DELTA, 9)

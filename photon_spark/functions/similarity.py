@@ -233,6 +233,43 @@ def ivf_assign_cells(df: DataFrame, cents: list[tuple[int, list[float]]],
              .withColumn("cell_id", _assign(F.col(vec_col)))
 
 
+def ivf_assign_cells_pair(df: DataFrame,
+                          cents_a: list[tuple[int, list[float]]],
+                          cents_b: list[tuple[int, list[float]]],
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """TWO coarse assignments in ONE Arrow pass — the staleness audit's
+    shape (stale + fresh centroid tiers over the same corpus). Each
+    tier runs the IDENTICAL per-set GEMM + argmax as
+    :func:`ivf_assign_cells` (separate ``m @ cmat`` calls, not a
+    stacked matrix, so the float arithmetic is bit-for-bit the
+    one-tier kernel's); sharing the pass halves the Arrow
+    serialization and lets the churn comparison read both columns off
+    one relation with NO vec_id self-join. Output columns:
+    (id, vec, cell_a, cell_b)."""
+    sets = []
+    for cents in (cents_a, cents_b):
+        cmat = np.array([c[1] for c in cents], dtype=np.float64).T
+        sets.append((cmat, np.linalg.norm(cmat, axis=0),
+                     np.array([c[0] for c in cents], dtype=np.int64)))
+
+    @F.pandas_udf("cell_a long, cell_b long")
+    def _assign2(vs: pd.Series) -> pd.DataFrame:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        out = {}
+        for name, (cmat, cnorm, carr) in zip(("cell_a", "cell_b"), sets):
+            sims = (m @ cmat) / (nrm * cnorm + 1e-300)
+            out[name] = carr[np.argmax(sims, axis=1)]
+        return pd.DataFrame(out)
+
+    return (df.select(F.col(id_col), F.col(vec_col))
+              .withColumn("_c2", _assign2(F.col(vec_col)))
+              .select(id_col, vec_col,
+                      F.col("_c2.cell_a").alias("cell_a"),
+                      F.col("_c2.cell_b").alias("cell_b")))
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float] | int, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

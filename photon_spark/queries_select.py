@@ -1477,88 +1477,113 @@ def _ivf_staleness_body(spark, e, q, exact):
     (query_id, vec_id) — the sampled and fixedq forms differ only in
     those two inputs.
 
-    Scale shape: both centroid sets are driver-tiny lists; the two cell
-    assignments are map-only Arrow GEMM passes over the corpus joined
-    once on vec_id (co-partitioned id join — at 100 TB, bucket by
-    vec_id and it is shuffle-free); probes and recall sides are
-    the ann_recall_audit shapes (broadcast query batch,
-    WindowGroupLimit rank)."""
+    Scale shape: both centroid sets are driver-tiny lists trained from
+    ONE TakeOrdered collect (both are id-prefix selections, so one
+    bounded head of the table yields both — with an exact per-tier
+    fallback if the head is too filtered); both cell assignments run in
+    ONE map-only Arrow GEMM pass whose output relation carries both
+    cell columns, so the churn comparison is a plain aggregate — no
+    vec_id join, no shuffle; probes and recall sides are the
+    ann_recall_audit shapes (broadcast query batch, WindowGroupLimit
+    rank)."""
     from pyspark.sql import Window
     from photon_spark.functions.similarity import (cosine,
-                                                   ivf_assign_cells,
+                                                   ivf_assign_cells_pair,
                                                    ivf_train_cells)
 
     corpus = e.where(~(F.col("vec_id") % ANN_QMOD == 0))
 
     # stale: trained before the appended slice existed (ivf_topk's
     # full-table ORDER BY vec_id LIMIT n convention, minus the slice);
-    # fresh: the same training over everything
-    old = e.where(F.col("vec_id") % STALE_MOD != STALE_REM)
-    cents_stale = ivf_train_cells(old, RECALL_CELLS)
-    cents_fresh = ivf_train_cells(e, RECALL_CELLS)
+    # fresh: the same training over everything. Both selections are
+    # prefixes of the id-sorted table, so one head collect derives
+    # both; the rare head-too-filtered case (synthetic id spaces) falls
+    # back to the per-tier exact query — semantics identical.
+    head = (e.orderBy("vec_id").limit(3 * RECALL_CELLS)
+             .select("vec_id", "embedding").collect())
+    as_cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                for r in head]
+    cents_fresh = as_cents[:RECALL_CELLS]
+    cents_stale = [c for c in as_cents
+                   if c[0] % STALE_MOD != STALE_REM][:RECALL_CELLS]
+    if len(cents_stale) < RECALL_CELLS or len(cents_fresh) < RECALL_CELLS:
+        old = e.where(F.col("vec_id") % STALE_MOD != STALE_REM)
+        cents_stale = ivf_train_cells(old, RECALL_CELLS)
+        cents_fresh = ivf_train_cells(e, RECALL_CELLS)
 
-    # each tier's corpus assignment runs its GEMM ONCE (persisted) and
-    # feeds both consumers — the churn aggregate and the candidate join;
-    # without the persist the map pass would execute 4× (Catalyst does
+    # ONE persisted dual-assignment pass feeds all three consumers (the
+    # churn aggregate and both tiers' candidate joins); without the
+    # persist the map pass would execute per consumer (Catalyst does
     # not deduplicate repeated subtrees). Freed via release_cache.
     from photon_spark.functions.dedup import _own_cache
-    a_stale = ivf_assign_cells(corpus, cents_stale).persist()
-    a_fresh = ivf_assign_cells(corpus, cents_fresh).persist()
-    churned = F.sum(F.when(F.col("cell_stale") != F.col("cell_fresh"), 1)
+    both = ivf_assign_cells_pair(corpus, cents_stale, cents_fresh) \
+        .persist()
+    a_stale = both.select("vec_id", "embedding",
+                          F.col("cell_a").alias("cell_id"))
+    a_fresh = both.select("vec_id", "embedding",
+                          F.col("cell_b").alias("cell_id"))
+    churned = F.sum(F.when(F.col("cell_a") != F.col("cell_b"), 1)
                     .otherwise(0)).cast("long")
-    churn = (a_stale.select("vec_id", F.col("cell_id").alias("cell_stale"))
-             .join(a_fresh.select("vec_id",
-                                  F.col("cell_id").alias("cell_fresh")),
-                   "vec_id")
-             .agg(churned.alias("n_churned"),
-                  F.round(churned / F.count(F.lit(1)), 6)
-                   .alias("churn_rate")))
+    churn = both.agg(churned.alias("n_churned"),
+                     F.round(churned / F.count(F.lit(1)), 6)
+                      .alias("churn_rate"))
 
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("vec_id"))
-    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(),
-                                                F.col("cell_id"))
+    # Both tiers' recall legs run as ONE pipeline: the tiny per-tier
+    # probe tables union with a tier tag, the dual assignment unpivots
+    # map-side into (tier, cell_id) rows, and a single broadcast-join +
+    # rank window scores both tiers' candidates — per-tier semantics
+    # identical to two separate legs (tier is the leading window key),
+    # at half the stage count.
+    wp = Window.partitionBy("tier", "query_id") \
+               .orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    w = Window.partitionBy("tier", "query_id") \
+              .orderBy(F.col("cosine").desc(), F.col("vec_id"))
 
-    def ivf_hits(assigned, cents, hit_name):
+    def probe_for(cents, tier):
         cents_df = spark.createDataFrame(
             [(c, v) for c, v in cents], "cell_id long, cv array<double>")
         # 6dp round-before-rank (repo float-parity policy — see
         # ann_recall_audit for the kernel-disagreement analysis)
-        probe = (q.crossJoin(F.broadcast(cents_df))
-                  .select("query_id", "cell_id",
-                          F.round(cosine(F.col("qv"), F.col("cv")), 6)
-                           .alias("ccos"))
-                  .withColumn("prank", F.row_number().over(wp))
-                  .where(F.col("prank") <= RECALL_PROBE)
-                  .select("query_id", "cell_id"))
-        return (assigned.join(F.broadcast(probe), "cell_id")
-                        .join(F.broadcast(q), "query_id")
-                        .select("query_id", "vec_id",
-                                F.round(cosine(F.col("embedding"),
-                                               F.col("qv")), 6)
-                                 .alias("cosine"))
-                        .withColumn("rank", F.row_number().over(w))
-                        .where(F.col("rank") <= ANN_MULTI_K)
-                        .select("query_id", "vec_id",
-                                F.lit(1).alias(hit_name)))
+        return (q.crossJoin(F.broadcast(cents_df))
+                 .select(F.lit(tier).alias("tier"), "query_id", "cell_id",
+                         F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                          .alias("ccos")))
 
-    def rec(col):
-        return F.sum(F.coalesce(col, F.lit(0)))
+    probes = (probe_for(cents_stale, "s")
+              .unionByName(probe_for(cents_fresh, "f"))
+              .withColumn("prank", F.row_number().over(wp))
+              .where(F.col("prank") <= RECALL_PROBE)
+              .select("tier", "query_id", "cell_id"))
+    unp = (both.select(
+        "vec_id", "embedding",
+        F.explode(F.array(
+            F.struct(F.lit("s").alias("tier"),
+                     F.col("cell_a").alias("cell_id")),
+            F.struct(F.lit("f").alias("tier"),
+                     F.col("cell_b").alias("cell_id")))).alias("tc"))
+        .select("vec_id", "embedding", "tc.tier", "tc.cell_id"))
+    hits = (unp.join(F.broadcast(probes), ["tier", "cell_id"])
+               .join(F.broadcast(q), "query_id")
+               .select("tier", "query_id", "vec_id",
+                       F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                        .alias("cosine"))
+               .withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= ANN_MULTI_K)
+               .select("tier", "query_id", "vec_id"))
+
+    def rec(tier):
+        return F.sum(F.when(F.col("tier") == tier, 1).otherwise(0))
 
     per_q = (exact
-             .join(ivf_hits(a_stale, cents_stale, "hit_s"),
-                   ["query_id", "vec_id"], "left")
-             .join(ivf_hits(a_fresh, cents_fresh, "hit_f"),
-                   ["query_id", "vec_id"], "left")
+             .join(hits, ["query_id", "vec_id"], "left")
              .groupBy("query_id")
-             .agg(rec("hit_s").cast("long").alias("n_hits_stale"),
-                  F.round(rec("hit_s") / F.lit(ANN_MULTI_K), 6)
+             .agg(rec("s").cast("long").alias("n_hits_stale"),
+                  F.round(rec("s") / F.lit(ANN_MULTI_K), 6)
                    .alias("recall_stale"),
-                  rec("hit_f").cast("long").alias("n_hits_fresh"),
-                  F.round(rec("hit_f") / F.lit(ANN_MULTI_K), 6)
+                  rec("f").cast("long").alias("n_hits_fresh"),
+                  F.round(rec("f") / F.lit(ANN_MULTI_K), 6)
                    .alias("recall_fresh")))
-    return _own_cache(per_q.crossJoin(F.broadcast(churn)),
-                      [a_stale, a_fresh])
+    return _own_cache(per_q.crossJoin(F.broadcast(churn)), [both])
 
 
 SQL_IVF_STALENESS_AUDIT = f"""

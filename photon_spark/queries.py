@@ -892,7 +892,7 @@ _RETIRED = frozenset([
 # bounding + value clamping + granularity quantization over the same
 # truncated-noise table).
 _NEWEST_FIRST: list = ["ivf_staleness_audit_fixedq", "dp_user_bounded_sum",
-                       "dp_user_bounded_mean"]
+                       "dp_user_bounded_mean", "dp_user_bounded_quantiles"]
 
 
 _DEFER_PAST_BACKLOG: list = []
@@ -908,10 +908,12 @@ _DEFER_PAST_BACKLOG: list = []
 # n_noisy release only, not the audit columns beside it);
 # copurchase_pairs (PLAN: the order total rides as a broadcast 1-row
 # aggregate instead of a separate driver .collect() job — one Spark
-# action; values unchanged).
+# action; values unchanged); curriculum_order_plan (PLAN: the score
+# relation persists so the profile Arrow pass runs once, not once per
+# rank-kernel consumer; values unchanged).
 _CHANGED_THIS_ROUND = [
     "knn_graph_ivf", "mutual_knn_pairs_ivf", "dp_user_bounded_counts",
-    "copurchase_pairs",
+    "copurchase_pairs", "curriculum_order_plan",
 ]
 
 

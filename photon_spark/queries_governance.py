@@ -1573,3 +1573,165 @@ FROM counts c JOIN sums s USING (event_type)
 
 QUERIES["dp_user_bounded_mean"] = q_dp_user_bounded_mean
 ORACLES["dp_user_bounded_mean"] = _sql_dp_user_bounded_mean()
+
+
+# ---------------- USER-LEVEL DP: quantiles from one histogram release
+
+#: value-domain bucket width in cents; {NB} buckets cover the clamp
+#: range [0, DP_VALUE_CAP_CENTS]
+DP_HIST_BUCKET_CENTS = 625
+DP_HIST_NB = DP_VALUE_CAP_CENTS // DP_HIST_BUCKET_CENTS  # = 16
+#: seed for the histogram cells' draws, independent of the other four
+DP_USER_QUANT_SEED = "dp-user-quant-r12"
+
+
+def q_dp_user_bounded_quantiles(spark, sf_dir):
+    """USER-LEVEL differentially-private QUANTILES — the production way
+    (one DP HISTOGRAM, quantiles as free post-processing) rather than a
+    per-quantile mechanism: the user-bounded events' clamped values
+    bucket into {nb} fixed cells of the clamp domain, EVERY
+    (event_type, bucket) cell releases count+noise — absent cells
+    included, because releasing only non-empty cells leaks which cells
+    were empty — and q25/q50/q75 read off the noisy CDF (smallest
+    bucket whose cumulative reaches ceil(q·total), via exact integer
+    4·cum ≥ q4·total comparisons; NULL when the noisy total is 0). The
+    whole row — total AND all three quantiles, and any other statistic
+    anyone later derives from the same histogram — is covered by ONE
+    (eps=CAP, delta=DP_USER_DELTA) user-level budget: a user's CAP
+    bounded events move the cell vector by L1 ≤ CAP (eps = CAP·1 by
+    composition over the independent unit-scale draws), and the
+    clamp-failure bound is the concentration worst case — all CAP in
+    one cell widens that cell's tail to DP_USER_DELTA, which dominates
+    the spread cases (CAP·DP_DELTA < DP_USER_DELTA at these
+    constants). Quantile error is ± one bucket width ({bw} cents) plus
+    noise — the histogram resolution/privacy dial.
+
+    Plan: the bounding window's one user-keyed shuffle, a
+    (type, bucket) count collapse, the constant {nb}-cell grid built by
+    an explode over the distinct types (no crossJoin), the shared CASE
+    chain per cell, one cumulative window over {nb}-row partitions.
+    Constant release size at any corpus scale."""
+    from pyspark.sql import Window
+
+    from photon_spark.queries import _t
+
+    cents = (F.round(F.least(F.greatest(F.col("value"), F.lit(0.0)),
+                             F.lit(DP_VALUE_CAP_CENTS / 100.0)) * 100)
+             .cast("long"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", cents.alias("v_cents"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    bucket = F.least(
+        F.floor(F.col("v_cents") / F.lit(float(DP_HIST_BUCKET_CENTS))),
+        F.lit(DP_HIST_NB - 1)).cast("long")
+    bounded = (ev.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") <= DP_USER_CAP)
+                 .select("event_type", bucket.alias("bucket")))
+    counts = (bounded.groupBy("event_type", "bucket")
+                     .agg(F.count(F.lit(1)).alias("c")))
+    grid = (ev.select("event_type").distinct()
+              .select("event_type",
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(DP_HIST_NB - 1))).alias("b"))
+              .select("event_type", F.col("b").cast("long").alias("bucket")))
+    key = F.concat(F.col("event_type"), F.lit(":"),
+                   F.col("bucket").cast("string"))
+    cells = (grid.join(counts, ["event_type", "bucket"], "left")
+                 .select("event_type", "bucket",
+                         F.coalesce("c", F.lit(0)).cast("long").alias("n"),
+                         _noise_expr(key, DP_USER_QUANT_SEED)
+                         .cast("long").alias("noise"))
+                 .withColumn("n_noisy",
+                             F.greatest(F.col("n") + F.col("noise"),
+                                        F.lit(0)).cast("long")))
+    wc = (Window.partitionBy("event_type").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+    wt = Window.partitionBy("event_type")
+    j = (cells.withColumn("cum", F.sum("n_noisy").over(wc))
+              .withColumn("total_noisy", F.sum("n_noisy").over(wt)))
+
+    def qv(q4):
+        b = F.min(F.when(
+            (F.col("total_noisy") > 0)
+            & (F.col("cum") * 4 >= F.col("total_noisy") * q4),
+            F.col("bucket")))
+        return F.round((b + 1) * F.lit(DP_HIST_BUCKET_CENTS / 100.0), 2)
+
+    return (j.groupBy("event_type")
+             .agg(F.max("total_noisy").alias("total_noisy"),
+                  qv(1).alias("q25_value"),
+                  qv(2).alias("q50_value"),
+                  qv(3).alias("q75_value"))
+             .withColumn("release_epsilon", F.lit(float(DP_USER_CAP)))
+             .withColumn("release_delta", F.lit(DP_USER_DELTA)))
+
+
+q_dp_user_bounded_quantiles.__doc__ = (
+    q_dp_user_bounded_quantiles.__doc__.format(
+        nb=DP_HIST_NB, bw=DP_HIST_BUCKET_CENTS))
+
+
+def _sql_dp_user_bounded_quantiles() -> str:
+    cases = _sql_noise_cases()
+    vb = DP_VALUE_CAP_CENTS / 100.0
+    bw = DP_HIST_BUCKET_CENTS
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(least(greatest(value, 0.0), {vb}) * 100) AS BIGINT)
+           AS v_cents
+  FROM events
+), b AS (
+  SELECT event_type,
+         least(CAST(floor(v_cents * 1.0 / {bw}) AS BIGINT),
+               {DP_HIST_NB - 1}) AS bucket
+  FROM (
+    SELECT event_type, v_cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS rn
+    FROM ev) WHERE rn <= {DP_USER_CAP}
+), counts AS (
+  SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, gs.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range({DP_HIST_NB})) AS bucket) gs
+), cells AS (
+  SELECT g.event_type, g.bucket,
+         coalesce(c.c, 0) AS n,
+         substring(md5(g.event_type || ':' ||
+                       CAST(g.bucket AS VARCHAR)
+                       || ':{DP_USER_QUANT_SEED}'), 1, 12) AS h
+  FROM grid g LEFT JOIN counts c USING (event_type, bucket)
+), noisy AS (
+  SELECT event_type, bucket,
+         CAST(greatest(n + CASE {cases} ELSE {DP_K} END, 0) AS BIGINT)
+           AS n_noisy
+  FROM cells
+), cdf AS (
+  SELECT event_type, bucket, n_noisy,
+         sum(n_noisy) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_noisy) OVER (PARTITION BY event_type) AS total_noisy
+  FROM noisy
+)
+SELECT event_type,
+       CAST(max(total_noisy) AS BIGINT) AS total_noisy,
+       round((min(CASE WHEN total_noisy > 0 AND cum * 4 >= total_noisy
+                       THEN bucket END) + 1) * {bw} / 100.0, 2)
+         AS q25_value,
+       round((min(CASE WHEN total_noisy > 0 AND cum * 4 >= total_noisy * 2
+                       THEN bucket END) + 1) * {bw} / 100.0, 2)
+         AS q50_value,
+       round((min(CASE WHEN total_noisy > 0 AND cum * 4 >= total_noisy * 3
+                       THEN bucket END) + 1) * {bw} / 100.0, 2)
+         AS q75_value,
+       CAST({float(DP_USER_CAP)!r} AS DOUBLE) AS release_epsilon,
+       CAST({DP_USER_DELTA!r} AS DOUBLE) AS release_delta
+FROM cdf GROUP BY event_type
+"""
+
+
+QUERIES["dp_user_bounded_quantiles"] = q_dp_user_bounded_quantiles
+ORACLES["dp_user_bounded_quantiles"] = _sql_dp_user_bounded_quantiles()

@@ -163,13 +163,28 @@ def q_curriculum_order_plan(spark, sf_dir):
     best-first, with a fresh seeded shuffle WITHIN each band — the
     standard curriculum compromise (ordered difficulty, no intra-band
     ordering bias). Same two-pass bucket design; the band simply prefixes
-    the composite group key (functions/ordering.py)."""
+    the composite group key (functions/ordering.py).
+
+    The (doc_id, score) relation persists before the rank kernel: the
+    kernel's offset pass and its final output BOTH consume it (Catalyst
+    does not deduplicate repeated subtrees), and without the persist the
+    text_profile Arrow pass runs once per consumer — the 2-column score
+    relation is tiny, the lineage it pins is the whole profile pass
+    (the kneser_ney checkpoint rule). The raw docs scan is NOT spread:
+    round-robining the text column costs a full-text exchange, more
+    than the single profile pass it would parallelize (measured — the
+    opposite call from the heavy-tokenize LM rows). Freed via
+    release_cache."""
+    from photon_spark.functions.dedup import _own_cache
+
     d = _docs(spark, sf_dir)
     prof = text.text_profile(d)
-    sc = prof.select("doc_id", _cls_score(prof).alias("score"))
+    sc = (prof.select("doc_id", _cls_score(prof).alias("score"))
+              .persist())
     band = F.lit(BAND_BASE) - F.floor(F.col("score") * F.lit(BAND_SCALE))
-    return seeded_shuffle(sc, "doc_id", seed=SHUFFLE_SEED,
-                          docs_per_shard=DOCS_PER_SHARD, band_col=band)
+    out = seeded_shuffle(sc, "doc_id", seed=SHUFFLE_SEED,
+                         docs_per_shard=DOCS_PER_SHARD, band_col=band)
+    return _own_cache(out, [sc])
 
 
 def _sql_curriculum_order_plan() -> str:

@@ -555,3 +555,72 @@ def test_dp_user_bounded_mean_is_postprocessing(spark, sf_dir):
         assert r["release_delta"] == DP_USER_MEAN_DELTA
     assert DP_USER_MEAN_DELTA == round(DP_USER_DELTA
                                        + DP_USER_SUM_DELTA, 9)
+
+
+def test_dp_user_bounded_quantiles_match_python(spark, sf_dir):
+    """The histogram-quantile release equals a full Python recompute:
+    clamp/bound/bucket per event, per-cell draw at the quant seed over
+    the FULL (type x bucket) grid (absent cells included), CDF walk
+    with the exact integer rule — and every statistic shares the ONE
+    (eps=CAP, DP_USER_DELTA) budget."""
+    from photon_spark.queries import _t
+    from photon_spark.queries_governance import (
+        DP_HIST_BUCKET_CENTS, DP_HIST_NB, DP_USER_CAP, DP_USER_DELTA,
+        DP_USER_QUANT_SEED, DP_VALUE_CAP_CENTS,
+        q_dp_user_bounded_quantiles)
+
+    ev = sorted(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "value").collect(),
+        key=lambda r: (r["user_id"], r["event_id"]))
+
+    def cents(v):
+        x = min(max(float(v), 0.0), DP_VALUE_CAP_CENTS / 100.0) * 100
+        return int(x + 0.5) if x - int(x) >= 0.5 else round(x)
+
+    seen: dict = {}
+    hist: dict = {}
+    types = set()
+    for r in ev:
+        types.add(r["event_type"])
+        k = seen.get(r["user_id"], 0)
+        if k < DP_USER_CAP:
+            seen[r["user_id"]] = k + 1
+            b = min(cents(r["value"]) // DP_HIST_BUCKET_CENTS,
+                    DP_HIST_NB - 1)
+            hist[(r["event_type"], b)] = hist.get(
+                (r["event_type"], b), 0) + 1
+
+    want = {}
+    for t in types:
+        noisy = [max(hist.get((t, b), 0)
+                     + _py_noise(f"{t}:{b}", DP_USER_QUANT_SEED), 0)
+                 for b in range(DP_HIST_NB)]
+        total = sum(noisy)
+        qs = {}
+        for q4, name in ((1, "q25_value"), (2, "q50_value"),
+                         (3, "q75_value")):
+            cum = 0
+            qs[name] = None
+            for b, n in enumerate(noisy):
+                cum += n
+                if total > 0 and cum * 4 >= total * q4:
+                    qs[name] = round(
+                        (b + 1) * DP_HIST_BUCKET_CENTS / 100.0, 2)
+                    break
+        want[t] = (total, qs)
+
+    rows = q_dp_user_bounded_quantiles(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == types
+    for r in rows:
+        total, qs = want[r["event_type"]]
+        assert r["total_noisy"] == total
+        for name in ("q25_value", "q50_value", "q75_value"):
+            assert r[name] == qs[name], (r["event_type"], name)
+        assert r["release_epsilon"] == float(DP_USER_CAP)
+        assert r["release_delta"] == DP_USER_DELTA
+    # quantiles are monotone wherever defined
+    for r in rows:
+        vals = [r["q25_value"], r["q50_value"], r["q75_value"]]
+        defined = [v for v in vals if v is not None]
+        assert defined == sorted(defined)

@@ -484,11 +484,23 @@ def q_stream_stream_interval_join(spark, sf_dir):
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),
                       F.col("ts").alias("cns")))
-    for k in range(3):
-        (p_rel.where(F.col("purchase_id") % 3 == k)
-              .coalesce(1).write.mode("append").parquet(pdir))
-        (c_rel.where(F.col("click_id") % 3 == k)
-              .coalesce(1).write.mode("append").parquet(cdir))
+
+    # The two legs' staging writes are independent jobs — run them from
+    # two driver threads so the second leg back-fills executors the
+    # first leg's single-file writes leave idle (guide §2.6). Per-slice
+    # sequential appends within a leg keep the three-file layout (three
+    # genuine micro-batches per leg) byte-identical to the serial form.
+    def _stage(rel, id_col, dest):
+        for k in range(3):
+            (rel.where(F.col(id_col) % 3 == k)
+                .coalesce(1).write.mode("append").parquet(dest))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_stage, p_rel, "purchase_id", pdir),
+                pool.submit(_stage, c_rel, "click_id", cdir)]
+        for f in futs:
+            f.result()
 
     wm = "30 days"    # > fixture span: nothing evicts, batch ≡ stream
     ps = (spark.readStream.schema(p_rel.schema)
@@ -513,11 +525,21 @@ def q_stream_stream_interval_join(spark, sf_dir):
                 & (F.col("cns") >= F.col("pns") - F.lit(RANGE_NS))
                 & (F.col("cns") <= F.col("pns")))
     sink = os.path.join(base, "sink")
-    q = (j.select("purchase_id", "user_id", "click_id")
-          .writeStream.format("parquet")
-          .option("path", sink)
-          .option("checkpointLocation", os.path.join(base, "ckpt"))
-          .trigger(availableNow=True).start())
+    # State partitions sized from the staged source volume (streaming/
+    # tuning.py): a stream-stream join runs FOUR state stores per
+    # shuffle partition and commits all of them every micro-batch, so
+    # the partition count must track ingested bytes, not the local core
+    # count — the result set is partition-count independent (the same
+    # invariance the multi-core-count bench contract already requires).
+    from photon_spark.streaming.tuning import (dir_bytes, state_partitions,
+                                               stream_shuffle_partitions)
+    with stream_shuffle_partitions(
+            spark, state_partitions(dir_bytes(pdir, cdir))):
+        q = (j.select("purchase_id", "user_id", "click_id")
+              .writeStream.format("parquet")
+              .option("path", sink)
+              .option("checkpointLocation", os.path.join(base, "ckpt"))
+              .trigger(availableNow=True).start())
     try:
         # fail loudly on timeout: a partial sink would silently return
         # an incomplete (wrong) join result
@@ -835,10 +857,17 @@ def q_markov_text_sample(spark, sf_dir):
         F.col("id").alias("sample_id"))
     s0 = (samples.crossJoin(F.broadcast(total))
                  .withColumn("draw", F.expr(f"({draw(repr('0'))}) % total")))
+    # NON-EAGER checkpoints: each step's 20-row state still truncates
+    # the plan (the LogicalRDD swap happens at checkpoint call), but
+    # materialization is deferred to the next step's broadcast-collect
+    # job instead of a dedicated job per step — halving the sequential
+    # job count of the chain (guide §1.2: per-step driver round-trips
+    # are the cost here, not data). The blocks are cached on first
+    # compute, so the final union reads them back, never recomputes.
     state = (s0.join(F.broadcast(uni_cum),
                      (s0.draw >= uni_cum.lo) & (s0.draw < uni_cum.hi))
                .select("sample_id", F.lit(0).alias("step"), "tok")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     out = state
     for t in range(1, MKV_STEPS + 1):
         dr = F.expr(f"({draw(repr(str(t)))}) % ptotal")
@@ -847,7 +876,7 @@ def q_markov_text_sample(spark, sf_dir):
                     .where((dr >= F.col("lo")) & (dr < F.col("hi")))
                     .select("sample_id", F.lit(t).alias("step"),
                             F.col("nxt").alias("tok"))
-                    .localCheckpoint())
+                    .localCheckpoint(eager=False))
         out = out.unionAll(nxt)
         state = nxt
     gen = (out.groupBy("sample_id")

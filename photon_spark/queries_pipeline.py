@@ -1754,11 +1754,20 @@ def q_cdc_stream_merge_state(spark, sf_dir):
            .coalesce(1).write.mode("append").parquet(src))
     t = CdcMergeTable(spark, os.path.join(base, "table"),
                       ["user_id", "event_type"], ["ts", "event_id"])
-    q = (spark.readStream.schema(ev.schema)
-         .option("maxFilesPerTrigger", 1).parquet(src)
-         .writeStream.foreachBatch(t.foreach_batch())
-         .option("checkpointLocation", os.path.join(base, "ckpt"))
-         .trigger(availableNow=True).start())
+    # batch-side shuffle partitions from the changelog volume
+    # (streaming/tuning.py): foreachBatch plans get no AQE, so the
+    # per-batch argmax groupBy inside apply_batch would shuffle at the
+    # raw session count regardless of micro-batch size; the merge is
+    # associative, so the state is partition-count invariant
+    from photon_spark.streaming.tuning import (dir_bytes, state_partitions,
+                                               stream_shuffle_partitions)
+    with stream_shuffle_partitions(
+            spark, state_partitions(dir_bytes(src))):
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(t.foreach_batch())
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .trigger(availableNow=True).start())
     q.awaitTermination(300)
     # two injected at-least-once replays, hash-invariant by argmax:
     # (1) VERBATIM same-id replay — batch 0 re-applies its own content

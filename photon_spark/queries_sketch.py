@@ -268,13 +268,46 @@ def q_kmv_source_overlap(spark, sf_dir):
     from pyspark.sql import Window
     from photon_spark.functions.dedup import _own_cache, shingles_udf
     k = KMV_OV_K
+
+    # One gram-keyed aggregate replaces the old shape's FOUR wide
+    # exchanges over the shingle space ((source, h60) distinct, a
+    # second per-source aggregate for the exact counts, and an h60
+    # SELF-JOIN — two more exchanges — for the exact intersections;
+    # guide §2.4). collect_set dedups map-side, the per-gram source
+    # SETS are ≤ |sources| long, and every downstream relation derives
+    # from this one persisted pass:
+    #   - exact intersections: in-set source pairs, counted per pair —
+    #     the pair explode is bounded by C(|sources|, 2) per gram, so
+    #     the second aggregate's input is pairs, never the gram space;
+    #   - the distinct (source, h60) relation: a map-side explode.
     d = _docs(spark, sf_dir)
-    h = (d.select("source", F.explode(shingles_udf("text")).alias("g"))
-          .select("source", sketches._h60(F.col("g")).alias("h60"))
-          .distinct()).persist()
+    hg = (d.select("source", F.explode(shingles_udf("text")).alias("g"))
+           .select("source", sketches._h60(F.col("g")).alias("h60"))
+           .groupBy("h60")
+           .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+           .persist())
+
+    pair_structs = F.flatten(F.transform(
+        "srcs", lambda a, i: F.transform(
+            F.slice("srcs", i + F.lit(2), F.size("srcs")),
+            lambda b: F.struct(a.alias("source_a"), b.alias("source_b")))))
+    inter = (hg.where(F.size("srcs") >= 2)
+               .select(F.explode(pair_structs).alias("p"))
+               .groupBy("p.source_a", "p.source_b")
+               .agg(F.count(F.lit(1)).alias("exact_intersection")))
+
+    hs = hg.select(F.explode("srcs").alias("source"), "h60")
+
+    # ONE windowed pass per source yields the kept (≤ k smallest) rows
+    # AND, on the row at rank min(n, k), the full per-source summary:
+    # nk = min(n, k), kth = h60 at that rank, n_exact = the partition
+    # count — the old separate per/exact aggregates for free.
     w = Window.partitionBy("source").orderBy("h60")
-    kept = (h.withColumn("rn", F.row_number().over(w))
-             .where(F.col("rn") <= k).drop("rn")).persist()
+    wc = Window.partitionBy("source")
+    ranked = (hs.withColumn("rn", F.row_number().over(w))
+                .withColumn("n_exact", F.count(F.lit(1)).over(wc))
+                .where(F.col("rn") <= k)).persist()
+    kept = ranked.select("source", "h60")
 
     def est(n_kept, kth):
         return F.round(
@@ -282,12 +315,13 @@ def q_kmv_source_overlap(spark, sf_dir):
              .otherwise(F.lit(float(k - 1) * sketches.KMV_DOMAIN)
                         / kth.cast("double")), 2)
 
-    per = kept.groupBy("source").agg(F.count(F.lit(1)).alias("nk"),
-                                     F.max("h60").alias("kth"))
-    per = per.select("source", est(F.col("nk"), F.col("kth")).alias("est"))
-    exact = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    summary = (ranked.where(F.col("rn") == F.least(F.col("n_exact"),
+                                                   F.lit(k)))
+                     .select("source",
+                             est(F.col("rn"), F.col("h60")).alias("est"),
+                             "n_exact"))
 
-    srcs = h.select("source").distinct()
+    srcs = summary.select("source")
     pairs = (srcs.select(F.col("source").alias("source_a"))
                  .join(srcs.select(F.col("source").alias("source_b")),
                        F.col("source_a") < F.col("source_b")))
@@ -305,22 +339,13 @@ def q_kmv_source_overlap(spark, sf_dir):
     mu = mu.select("source_a", "source_b",
                    est(F.col("nk"), F.col("kth")).alias("est_union"))
 
-    inter = (h.select(F.col("source").alias("source_a"), "h60")
-              .join(h.select(F.col("source").alias("source_b"), "h60"),
-                    "h60")
-              .where(F.col("source_a") < F.col("source_b"))
-              .groupBy("source_a", "source_b")
-              .agg(F.count(F.lit(1)).alias("exact_intersection")))
-
     out = (mu
-           .join(per.select(F.col("source").alias("source_a"),
-                            F.col("est").alias("est_a")), "source_a")
-           .join(per.select(F.col("source").alias("source_b"),
-                            F.col("est").alias("est_b")), "source_b")
-           .join(exact.select(F.col("source").alias("source_a"),
-                              F.col("n_exact").alias("n_a")), "source_a")
-           .join(exact.select(F.col("source").alias("source_b"),
-                              F.col("n_exact").alias("n_b")), "source_b")
+           .join(summary.select(F.col("source").alias("source_a"),
+                                F.col("est").alias("est_a"),
+                                F.col("n_exact").alias("n_a")), "source_a")
+           .join(summary.select(F.col("source").alias("source_b"),
+                                F.col("est").alias("est_b"),
+                                F.col("n_exact").alias("n_b")), "source_b")
            .join(inter, ["source_a", "source_b"], "left")
            .na.fill({"exact_intersection": 0})
            .select("source_a", "source_b", "est_union",
@@ -330,7 +355,7 @@ def q_kmv_source_overlap(spark, sf_dir):
                    (F.col("n_a") + F.col("n_b")
                     - F.col("exact_intersection")).alias("exact_union"),
                    "exact_intersection"))
-    return _own_cache(out, [h, kept])
+    return _own_cache(out, [hg, ranked])
 
 
 def _sql_kmv_overlap() -> str:

@@ -234,11 +234,20 @@ class StreamingCorpusIngest:
                       .withWatermark("_arrival", self.exact_dedup_watermark)
                       .dropDuplicatesWithinWatermark(["_content_md5"])
                       .drop("_content_md5", "_arrival"))
-        query = (src.writeStream
-                 .foreachBatch(self._apply_batch)
-                 .option("checkpointLocation", self.checkpoint_dir)
-                 .queryName("photon_spark_corpus_ingest")
-                 .trigger(availableNow=True).start())
+        # State partitions from the drop-dir volume (streaming/
+        # tuning.py): dropDuplicatesWithinWatermark commits one state
+        # store per shuffle partition per micro-batch, and the batch
+        # work inside foreachBatch gets no AQE coalescing — acceptance
+        # is content-keyed, so the result is partition-count invariant.
+        from photon_spark.streaming.tuning import (
+            dir_bytes, state_partitions, stream_shuffle_partitions)
+        with stream_shuffle_partitions(
+                self.spark, state_partitions(dir_bytes(self.source_dir))):
+            query = (src.writeStream
+                     .foreachBatch(self._apply_batch)
+                     .option("checkpointLocation", self.checkpoint_dir)
+                     .queryName("photon_spark_corpus_ingest")
+                     .trigger(availableNow=True).start())
         try:
             if not query.awaitTermination(timeout_sec):
                 raise TimeoutError(

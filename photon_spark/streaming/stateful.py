@@ -241,11 +241,23 @@ class StreamingProjectionRunner:
         total processed count across projections. ``available_now=False``:
         returns the live StreamingQuery immediately.
         """
+        # Micro-batch plans get no AQE, so the fold's range-partition +
+        # sort inside foreachBatch would run at the session's raw
+        # shuffle-partition count regardless of batch size; pin a count
+        # derived from the store's on-disk volume instead (streaming/
+        # tuning.py). The query clones the session at .start(), so the
+        # restore does not affect in-flight batches.
+        from photon_spark.streaming.tuning import (
+            dir_bytes, state_partitions, stream_shuffle_partitions)
+        n_parts = state_partitions(dir_bytes(self.engine.store.path))
         if not available_now:
-            return self._stream_writer().start()
-        query = (self._stream_writer()
-                 .trigger(availableNow=True)
-                 .start())
+            with stream_shuffle_partitions(self.engine.store.spark,
+                                           n_parts):
+                return self._stream_writer().start()
+        with stream_shuffle_partitions(self.engine.store.spark, n_parts):
+            query = (self._stream_writer()
+                     .trigger(availableNow=True)
+                     .start())
         try:
             if not query.awaitTermination(timeout_sec):
                 raise TimeoutError(

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -40,7 +42,6 @@ def main():
     spark = get_spark("photon_spark-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
-    import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")

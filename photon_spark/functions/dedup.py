@@ -834,7 +834,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25,
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.toLocalIterator():
+        # one collect, not toLocalIterator: the iterator fetches shuffle
+        # partitions SEQUENTIALLY (one driver round trip each — dozens of
+        # tiny jobs for a relation the ≤ local_threshold guard already
+        # proved driver-small); a single collect is one job (guide §1.2:
+        # driver round trips dominate small iterative graph steps)
+        for row in edges.collect():
             a, b = row["src"], row["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -939,7 +939,10 @@ def q_ann_recall_audit_fixedq(spark, sf_dir):
                    .where(F.col("rank") <= ANN_MULTI_K)
                    .select("query_id", "vec_id", F.lit(1).alias("hit")))
 
-    return (exact.join(ivf, ["query_id", "vec_id"], "left")
+    # fixedq form: the hinted side is ≤ |Q|·k rows with the CONSTANT
+    # query batch — broadcast beats the post-window SortMergeJoin
+    # (see ann_recall_audit_fixedq); the sampled parent stays un-hinted.
+    return (exact.join(F.broadcast(ivf), ["query_id", "vec_id"], "left")
                  .groupBy("query_id")
                  .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
                        .alias("n_hits"),
@@ -1333,7 +1336,10 @@ def q_ann_ndcg_audit_fixedq(spark, sf_dir):
 
     disc = F.element_at(F.array(*[F.lit(x) for x in NDCG_W]),
                         F.col("rank").cast("int"))
-    return (ivf.join(exact, ["query_id", "vec_id"], "left")
+    # fixedq form: the hinted side is ≤ |Q|·k rows with the CONSTANT
+    # query batch — broadcast beats the post-window SortMergeJoin
+    # (see ann_recall_audit_fixedq); the sampled parent stays un-hinted.
+    return (ivf.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
                .groupBy("query_id")
                .agg(F.sum(F.coalesce(F.col("rel"), F.lit(0)) * disc)
                      .cast("long").alias("dcg_units"),
@@ -1377,7 +1383,9 @@ def q_ann_int8_recall_audit_fixedq(spark, sf_dir):
                   .select("query_id", "vec_id", F.lit(1).alias("hit")))
 
     exact = _exact_topk_fixed(e, _fixedq_float(e))
-    return (exact.join(int8, ["query_id", "vec_id"], "left")
+    # int8 is ≤ |Q|·k rows with the constant fixedq batch — broadcast
+    # (see ann_recall_audit_fixedq)
+    return (exact.join(F.broadcast(int8), ["query_id", "vec_id"], "left")
                  .groupBy("query_id")
                  .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
                        .alias("n_hits"),
@@ -1410,7 +1418,10 @@ def q_matryoshka_recall_audit_fixedq(spark, sf_dir):
                    .withColumn("rank", F.row_number().over(w))
                    .where(F.col("rank") <= ANN_MULTI_K)
                    .select("query_id", "vec_id", F.lit(1).alias("hit")))
-    return (full.join(short, ["query_id", "vec_id"], "left")
+    # fixedq form: the hinted side is ≤ |Q|·k rows with the CONSTANT
+    # query batch — broadcast beats the post-window SortMergeJoin
+    # (see ann_recall_audit_fixedq); the sampled parent stays un-hinted.
+    return (full.join(F.broadcast(short), ["query_id", "vec_id"], "left")
                 .groupBy("query_id")
                 .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
                       .alias("n_hits"),
@@ -1448,7 +1459,7 @@ def q_ivf_staleness_audit(spark, sf_dir):
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qv")))
     exact = q_ann_topk_multi(spark, sf_dir).select("query_id", "vec_id")
-    return _ivf_staleness_body(spark, e, q, exact)
+    return _ivf_staleness_body(spark, e, q, exact, bounded_q=False)
 
 
 def q_ivf_staleness_audit_fixedq(spark, sf_dir):
@@ -1464,18 +1475,23 @@ def q_ivf_staleness_audit_fixedq(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _fixedq_float(e)
     exact = _exact_topk_fixed(e, q)
-    return _ivf_staleness_body(spark, e, q, exact)
+    return _ivf_staleness_body(spark, e, q, exact, bounded_q=True)
 
 
 q_ivf_staleness_audit_fixedq.__doc__ = (
     q_ivf_staleness_audit_fixedq.__doc__.format(fk=RECALL_FIXEDQ_K))
 
 
-def _ivf_staleness_body(spark, e, q, exact):
+def _ivf_staleness_body(spark, e, q, exact, bounded_q: bool = False):
     """Shared staleness-audit kernel over an EXPLICIT query batch ``q``
     (query_id, qv) and exact ground-truth relation ``exact``
     (query_id, vec_id) — the sampled and fixedq forms differ only in
-    those two inputs.
+    those two inputs. ``bounded_q``: True when the query batch is a
+    CONSTANT (fixedq) — only then is the hits relation ≤ 2·|Q|·k rows
+    at any corpus size and safe to broadcast into the recall join; the
+    sampled form's |Q| grows with the corpus, so it keeps the un-hinted
+    join (the r11 review removed exactly this class of forced broadcast
+    on sf-growing relations).
 
     Scale shape: both centroid sets are driver-tiny lists trained from
     ONE TakeOrdered collect (both are id-prefix selections, so one
@@ -1574,8 +1590,15 @@ def _ivf_staleness_body(spark, e, q, exact):
     def rec(tier):
         return F.sum(F.when(F.col("tier") == tier, 1).otherwise(0))
 
+    # fixedq: hits is ≤ 2·|Q|·k rows (two tiers × constant query batch ×
+    # rank cutoff) at ANY corpus size — broadcast makes the recall join
+    # a BroadcastHashJoin instead of a SortMergeJoin with two exchanges
+    # over the similarly-bounded exact relation (guide §3.1: size
+    # estimates after windows are wrong, hint when the bound is
+    # provable). Sampled form: un-hinted (|Q| grows with the corpus).
+    hits_rel = F.broadcast(hits) if bounded_q else hits
     per_q = (exact
-             .join(hits, ["query_id", "vec_id"], "left")
+             .join(hits_rel, ["query_id", "vec_id"], "left")
              .groupBy("query_id")
              .agg(rec("s").cast("long").alias("n_hits_stale"),
                   F.round(rec("s") / F.lit(ANN_MULTI_K), 6)

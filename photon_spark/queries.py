@@ -33,11 +33,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # long too, streams.clj:296): whatever type the reader produced, every
     # timestamp column is normalized to an epoch-ns long here, so downstream
     # integer time arithmetic is engine- and version-stable.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # NTZ→epoch needs a wall-clock interpretation; pin UTC so the value
-    # cannot depend on the harness session's timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    # Construction is memoized per (session, file stamp) — see
+    # relations.plan_memo; the conf pinning happens inside read_base on
+    # the first (miss) read, i.e. before any read it could influence.
+    from photon_spark.relations import _stamp, plan_memo, read_base
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    return plan_memo(
+        spark, ("t_norm", path, _stamp(path)),
+        lambda: _normalize_ts(read_base(spark, sf_dir, name)))
 
 
 def _t_pruned(spark: SparkSession, sf_dir: str, name: str,
@@ -51,9 +54,18 @@ def _t_pruned(spark: SparkSession, sf_dir: str, name: str,
     push; the output relation is identical either way (bounds must be
     µs-aligned — every repo constant is second-aligned — so the
     raw-typed compare is exactly the ns-long compare)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from photon_spark.relations import _stamp, plan_memo, read_base
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    bkey = tuple(sorted((c, lo, hi) for c, (lo, hi) in bounds.items()))
+    return plan_memo(
+        spark, ("t_pruned", path, _stamp(path), bkey),
+        lambda: _t_pruned_build(spark, sf_dir, name, bounds))
+
+
+def _t_pruned_build(spark: SparkSession, sf_dir: str, name: str,
+                    bounds: dict) -> DataFrame:
+    from photon_spark.relations import read_base
+    df = read_base(spark, sf_dir, name)
     types = {f.name: f.dataType.typeName() for f in df.schema.fields}
 
     def _lit(ns: int, typ: str):
@@ -942,5 +954,12 @@ def _gate_order(registry: dict) -> list[str]:
 
 
 _ORDER = _gate_order(QUERIES)
-QUERIES = {n: QUERIES[n] for n in _ORDER}
+# Plan-construction memo: registry entries whose construction is
+# provably side-effect-free reuse their built plan across calls within
+# one session (relations.memo_query — zero construction jobs, no
+# RDD-backed nodes, inputs strictly under sf_dir). Execution is
+# untouched: every action still computes from the parquet inputs.
+from photon_spark.relations import memo_query  # noqa: E402
+
+QUERIES = {n: memo_query(n, QUERIES[n]) for n in _ORDER}
 ORACLES = {n: ORACLES[n] for n in _ORDER if n in ORACLES}

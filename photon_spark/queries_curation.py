@@ -30,11 +30,13 @@ KM_K, KM_ITERS = 8, 2
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "documents")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "embeddings")
 
 
 # ------------------------------------------------------------- chunking

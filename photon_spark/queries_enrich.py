@@ -30,7 +30,8 @@ def _events(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "documents")
 
 
 # ------------------------------------------------------------ as-of join

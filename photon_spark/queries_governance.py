@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import functions as F
+from photon_spark.relations import read_base as _read_base
 
 
 def _events(spark, sf_dir):
@@ -20,7 +21,7 @@ def _events(spark, sf_dir):
 
 
 def _rd(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_base(spark, sf_dir, name)
 
 
 # ------------------------------------------------- constraint audit
@@ -218,7 +219,7 @@ def q_dup_graph_clustering(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_base(spark, sf_dir, "documents")
 
 
 def _sql_clustering() -> str:
@@ -368,7 +369,7 @@ def q_source_diversity(spark, sf_dir):
     then a per-source reduce of short rows; top share via max(c).
     """
     from photon_spark.functions.text import tokens
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_base(spark, sf_dir, "documents")
     toks = (d.select("source", F.explode(
                 F.transform(tokens("text"), lambda t: F.lower(t)))
              .alias("tok"))

@@ -17,11 +17,13 @@ from photon_spark.functions import (dedup, multimodal, quality, similarity,
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "documents")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "embeddings")
 
 
 # -------------------------------------------------------------- shared SQL

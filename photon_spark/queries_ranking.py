@@ -17,10 +17,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from photon_spark.functions import text
+from photon_spark.relations import read_base as _read_base
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "documents")
 
 
 def _events(spark, sf_dir):
@@ -659,7 +661,7 @@ def q_hard_negative_mining(spark, sf_dir):
     partition. Corpus vectors never shuffle.
     """
     from photon_spark.functions.similarity import cosine
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     anchors = (e.where(F.col("vec_id").isin(HN_ANCHORS))
                 .select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").alias("qv"),
@@ -805,7 +807,7 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     bm_rank = bm_top.select(
         "doc_id", F.row_number().over(wb).cast("long").alias("rank_bm25"))
 
-    ann = brute_force_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+    ann = brute_force_topk(_read_base(spark, sf_dir, "embeddings"),
                            RRF_QUERY_ID, k=RRF_DEPTH)
     wa = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     ann_rank = ann.select(
@@ -909,7 +911,7 @@ def q_ranking_rbo_audit(spark, sf_dir):
         "doc_id", F.row_number().over(wb).cast("long").alias("r_bm"))
 
     ann = brute_force_topk(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _read_base(spark, sf_dir, "embeddings"),
         RRF_QUERY_ID, k=RBO_DEPTH)
     wa = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     ann_rank = ann.select(
@@ -1032,7 +1034,7 @@ def q_embedding_gram_int8(spark, sf_dir):
                                 "j": (ju + 1).astype("int64"),
                                 "gram": G[iu, ju]})
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    e = _read_base(spark, sf_dir, "embeddings") \
                   .select("embedding")
     return (e.mapInPandas(gram_partials, schema="i long, j long, gram long")
              .groupBy("i", "j").agg(F.sum("gram").alias("gram")))

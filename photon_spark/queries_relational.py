@@ -13,10 +13,11 @@ integer cents (prices/discounts are 2dp), divided once at the end.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from photon_spark.relations import read_base as _read_base
 
 
 def _rd(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_base(spark, sf_dir, name)
 
 
 #: exact cents: 2dp double -> integer (prices and discounts are 2dp)

@@ -26,6 +26,7 @@ from photon_spark.queries_northstar import (SQL_MINHASH_NEAR_DUPS,
                                             SQL_TEXT_PROFILE, _NUM_HASHES,
                                             _BANDS, _SQL_NORM, _SQL_GRAMS)
 from photon_spark.queries_pipeline import BENCH_MOD, CONTAM_N
+from photon_spark.relations import read_base as _read_base
 
 #: near-dup threshold shared by every miner in this module (matches the
 #: minhash_near_dups gate query)
@@ -50,7 +51,8 @@ BLOOM_K = 3
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_spark.relations import read_base
+    return read_base(spark, sf_dir, "documents")
 
 
 def _near_dup_pairs(spark, sf_dir):
@@ -700,7 +702,7 @@ def q_ann_topk_multi(spark, sf_dir):
     from pyspark.sql import Window
     from photon_spark.functions.similarity import cosine
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     q = (e.where(is_q)
           .select(F.col("vec_id").alias("query_id"),
@@ -760,7 +762,7 @@ def q_ann_recall_audit(spark, sf_dir):
     from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
                                                    ivf_train_cells)
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     q = (e.where(is_q)
           .select(F.col("vec_id").alias("query_id"),
@@ -895,7 +897,7 @@ def q_ann_recall_audit_fixedq(spark, sf_dir):
     from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
                                                    ivf_train_cells)
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     # the fixed batch: smallest RECALL_FIXEDQ_K query-eligible ids — a
     # TakeOrdered over the (tiny) query-eligible relation, then broadcast
@@ -1046,7 +1048,7 @@ def q_ann_ndcg_audit(spark, sf_dir):
     from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
                                                    ivf_train_cells)
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     q = (e.where(is_q)
           .select(F.col("vec_id").alias("query_id"),
@@ -1174,7 +1176,7 @@ def q_matryoshka_recall_audit(spark, sf_dir):
     from pyspark.sql import Window
     from photon_spark.functions.similarity import cosine
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     tr = F.slice(F.col("embedding"), 1, MRL_DIM)
     q = (e.where(is_q)
@@ -1303,7 +1305,7 @@ def q_ann_ndcg_audit_fixedq(spark, sf_dir):
     from photon_spark.functions.similarity import (cosine, ivf_assign_cells,
                                                    ivf_train_cells)
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     q = _fixedq_float(e)
     corpus = e.where(~(F.col("vec_id") % ANN_QMOD == 0))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -1354,7 +1356,7 @@ def q_ann_int8_recall_audit_fixedq(spark, sf_dir):
     only the query relation changes)."""
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     qa = F.transform(v, lambda x: F.coalesce(
@@ -1401,7 +1403,7 @@ def q_matryoshka_recall_audit_fixedq(spark, sf_dir):
     from pyspark.sql import Window
     from photon_spark.functions.similarity import cosine
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     tr = F.slice(F.col("embedding"), 1, MRL_DIM)
     q = (e.where(is_q)
@@ -1453,7 +1455,7 @@ def q_ivf_staleness_audit(spark, sf_dir):
     (the same r11 retirement the four ann_*_audit parents got) and kept
     as the small-n audit tier. The gated production form is
     :func:`q_ivf_staleness_audit_fixedq`."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % ANN_QMOD == 0
     q = (e.where(is_q)
           .select(F.col("vec_id").alias("query_id"),
@@ -1472,7 +1474,7 @@ def q_ivf_staleness_audit_fixedq(spark, sf_dir):
     row with WindowGroupLimit ranks — no corpus-quadratic ground truth
     anywhere. At 100 TB the monitoring cost is O(corpus), which is what
     lets a real service run this audit on a schedule."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     q = _fixedq_float(e)
     exact = _exact_topk_fixed(e, q)
     return _ivf_staleness_body(spark, e, q, exact, bounded_q=True)
@@ -1932,7 +1934,7 @@ def q_ann_topk_filtered(spark, sf_dir):
     engine never scores a vector the filter would drop."""
     from photon_spark.functions.similarity import brute_force_topk
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     return brute_force_topk(e, 0, k=ANN_FILT_K,
                             predicate=F.col("label") == ANN_FILT_LABEL)
 
@@ -2203,7 +2205,7 @@ def q_ann_int8_recall_audit(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_base(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     # nullif guards the all-zeros vector: under ANSI semantics x/0

@@ -15,10 +15,11 @@ from pyspark.sql import functions as F
 
 from photon_spark.functions import sketches
 from photon_spark.functions.text import tokens
+from photon_spark.relations import read_base as _read_base
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_base(spark, sf_dir, "documents")
 
 
 def _source_tokens(spark, sf_dir):
@@ -186,9 +187,9 @@ def q_join_size_estimate(spark, sf_dir):
     two sketches. The exact branch joins only per-key COUNT relations —
     keys and counts, never the fact rows.
     """
-    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = (_read_base(spark, sf_dir, "events")
               .select(F.col("user_id").cast("string").alias("it")))
-    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = (_read_base(spark, sf_dir, "orders")
               .select(F.col("o_custkey").cast("string").alias("it")))
     cma = sketches.countmin_table(e, "it")
     cmb = sketches.countmin_table(o, "it")

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from photon_spark.functions import substring
 from photon_spark.functions.chunking import chunk_docs
 from photon_spark.queries_northstar import _SQL_TOKS
+from photon_spark.relations import read_base as _read_base
 
 #: repeated-span gram length (tokens) — see substring.SPAN_L
 SPAN_L = substring.SPAN_L
@@ -36,7 +37,7 @@ PARA_SIZE = 100
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_base(spark, sf_dir, "documents")
 
 
 # ------------------------------------------------- pairwise maximal spans

@@ -24,6 +24,7 @@ from photon_spark.functions.clustering import (Q, kmeans_fit, member_dist2)
 from photon_spark.functions.ordering import seeded_shuffle
 from photon_spark.queries_curation import KM_ITERS, KM_K
 from photon_spark.queries_northstar import SQL_TEXT_PROFILE
+from photon_spark.relations import read_base as _read_base
 
 #: seeded-shuffle parameters: seed, docs per training shard
 SHUFFLE_SEED, DOCS_PER_SHARD = 42, 64
@@ -38,11 +39,11 @@ PRUNE_DIV = 20
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_base(spark, sf_dir, "documents")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_base(spark, sf_dir, "embeddings")
 
 
 # -------------------------------------------------------- seeded shuffle

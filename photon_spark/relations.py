@@ -1,0 +1,212 @@
+"""Session-scoped memo for base-relation DataFrame construction.
+
+``spark.read.parquet(path)`` costs a reader build, a footer schema read
+and an analysis pass — ~0.1-0.2 s of driver/py4j latency EVERY call.
+The gate registry reads the same handful of immutable corpus tables
+hundreds of times per bench pass, so repeated construction latency (not
+the scan itself) was a measurable slice of every query's wall time
+(optimization guide §1.2: driver round trips dominate small steps).
+
+A DataFrame is a reusable logical plan: building it once per
+(session, path, file-stamp) and handing the same plan object to every
+consumer changes NOTHING about execution — every action still plans,
+optimizes and scans parquet from disk; no data or results are cached —
+it only deletes the repeated driver-side plan construction, exactly the
+way a production engine resolves a warehouse table through its catalog
+once instead of re-listing files per query.
+
+Key safety:
+
+- the session's ``applicationId`` is in the key, so a plan never leaks
+  across SparkSessions (the test suite starts/stops many);
+- the file stamp (mtime+size; entry count + max mtime for directory
+  tables) is in the key, so a corpus regenerated IN PLACE gets a fresh
+  plan instead of a stale schema (same contract as
+  ``pair_cache._corpus_stamp``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _stamp(path: str) -> tuple:
+    try:
+        if os.path.isdir(path):
+            entries = sorted(os.listdir(path))
+            return (len(entries),
+                    max((os.path.getmtime(os.path.join(path, e))
+                         for e in entries), default=0.0))
+        st = os.stat(path)
+        return (st.st_mtime, st.st_size)
+    except OSError:
+        # missing path: let spark.read.parquet raise its own error,
+        # un-memoized
+        return ("missing",)
+
+
+def _app_id(spark: SparkSession) -> str:
+    aid = spark.__dict__.get("_photon_app_id")
+    if aid is None:
+        aid = spark.sparkContext.applicationId
+        spark._photon_app_id = aid
+    return aid
+
+
+def plan_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Generic session-scoped plan-fragment memo: return the DataFrame
+    built by ``build()`` for this (session, key), building at most once.
+    ``build`` must be a pure plan constructor (no side effects, no
+    data materialization) whose output is fully determined by ``key``."""
+    full = (_app_id(spark),) + key
+    df = _MEMO.get(full)
+    if df is None:
+        df = build()
+        _MEMO[full] = df
+    return df
+
+
+#: queries proven unsafe to memoize in this process (side effects,
+#: checkpointed state, or reads outside the immutable sf_dir) — the
+#: safety probe runs once per query, not per call
+_MEMO_DENY: set[str] = set()
+_PROBE_SEQ = 0
+
+
+#: logical-plan leaves that are always safe to re-execute from a stored
+#: plan: file relations (re-scanned every action), literal relations,
+#: and Range. Anything else (LogicalRDD from localCheckpoint /
+#: createDataFrame-over-RDD, streaming relations, ...) denies the memo.
+_SAFE_LITERAL_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
+
+
+def _leaf_file_roots(jplan) -> list[str] | None:
+    """Root paths of every file-relation leaf of an analyzed plan, or
+    ``None`` if the plan has a leaf we can't certify (RDD-backed,
+    streaming, unknown)."""
+    leaves = jplan.collectLeaves()
+    roots: list[str] = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        cls = leaf.getClass().getSimpleName()
+        if cls in _SAFE_LITERAL_LEAVES:
+            continue
+        if cls != "LogicalRelation":
+            return None
+        try:
+            rp = leaf.relation().location().rootPaths()
+        except Exception:
+            return None
+        for j in range(rp.size()):
+            roots.append(rp.apply(j).toString())
+    return roots
+
+
+def memo_query(name: str, fn):
+    """Wrap a registry query so its ANALYZED LOGICAL PLAN is reused
+    across calls when — and only when — reuse is provably equivalent to
+    rebuilding:
+
+    - construction submitted ZERO Spark jobs (no staging writes, no
+      driver-algorithm collects, no streaming runs — those rows must
+      re-run their side effects every invocation, so they are never
+      memoized);
+    - every plan leaf is a file relation rooted under the query's
+      ``sf_dir`` (or a literal/Range). Plans over process-staged
+      tempdir state (IVF cell stores, pair tables, event stores) can be
+      mutated by sibling queries, and RDD-backed leaves
+      (``localCheckpoint``) pin materialized blocks, so both rebuild
+      fresh every call exactly as before.
+
+    On a hit the stored plan is wrapped in a FRESH Dataset
+    (``Dataset.ofRows``), so every call gets its own query execution:
+    new physical planning, new shuffle dependencies, a full
+    recomputation from the parquet inputs. (Returning the same Dataset
+    object would let the scheduler reuse run-1 shuffle map outputs —
+    measured 0.10 s vs 2.27 s on a test shuffle — which is exactly the
+    cross-run result reuse the bench contract forbids; ofRows was
+    verified to re-execute at full cost.) Only the repeated driver-side
+    construction — py4j round trips plus per-operation eager
+    re-analysis, measured 0.3-1.2 s/query at sf0.1 — is skipped. The
+    sf_dir stamp is in the key, so a regenerated corpus invalidates."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sf_real = os.path.realpath(sf_dir)
+        key = (_app_id(spark), "query", name, sf_real, _stamp(sf_real))
+        hit = _MEMO.get(key)
+        if hit is not None:
+            jplan, cached = hit
+            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, jplan)
+            df = DataFrame(jdf, spark)
+            if cached:
+                df._photon_cached = cached
+            return df
+        if name in _MEMO_DENY:
+            return fn(spark, sf_dir)
+        sc = spark.sparkContext
+        global _PROBE_SEQ
+        _PROBE_SEQ += 1
+        # unique per call: the status store keeps finished jobs, so a
+        # reused group name would surface the previous probe's jobs
+        group = f"photon-memo-probe-{name}-{_PROBE_SEQ}"
+        sc.setJobGroup(group, "memo-safety probe")
+        try:
+            df = fn(spark, sf_dir)
+        finally:
+            sc._jsc.clearJobGroup()
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+            if sc.statusTracker().getJobIdsForGroup(group):
+                # NOT a permanent deny: first-call constructions run
+                # one-time warm-up jobs (base-table schema reads,
+                # staging memos). A later clean construction can still
+                # memoize; rows with REAL per-call side effects submit
+                # jobs on every call and never pass.
+                return df
+            jplan = df._jdf.queryExecution().analyzed()
+            roots = _leaf_file_roots(jplan)
+            if roots is None:
+                _MEMO_DENY.add(name)
+                return df
+            pfx = sf_real + os.sep
+
+            def _local(f: str) -> str:
+                if f.startswith("file:"):
+                    f = "/" + f[5:].lstrip("/")
+                return os.path.realpath(f)
+
+            if not all(_local(r).startswith(pfx) for r in roots):
+                _MEMO_DENY.add(name)
+                return df
+        except Exception:
+            _MEMO_DENY.add(name)
+            return df
+        _MEMO[key] = (jplan, list(getattr(df, "_photon_cached", [])) or None)
+        return df
+
+    return wrapped
+
+
+def read_base(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized ``spark.read.parquet(f"{sf_dir}/{name}.parquet")``.
+
+    The two reader confs `_t` historically pinned are set on every MISS
+    (before the read they influence), so first-read semantics are
+    identical whichever caller touches a table first."""
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = ("base", path, _stamp(path))
+    full = (_app_id(spark),) + key
+    df = _MEMO.get(full)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        _MEMO[full] = df
+    return df

@@ -46,4 +46,14 @@ def get_spark(app_name: str = "photon_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Deployment-specific overrides without code changes (e.g. cluster
+    # memory sizing, A/B measurement of planner settings):
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2". Applied last, so they win over
+    # the defaults above. Only read at session build; an existing session
+    # is returned as-is (getOrCreate semantics).
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -1,0 +1,126 @@
+"""Plan-construction memo (photon_spark.relations): the optimization
+must reuse PLANS, never results — these tests pin the safety rules."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark import relations
+from photon_spark.relations import memo_query, plan_memo, read_base
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from photon_spark.session import get_spark
+    return get_spark("test-relations")
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", "s0", 10) for i in range(20)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_read_base_memoizes_per_stamp(spark, corpus):
+    df1 = read_base(spark, corpus, "documents")
+    df2 = read_base(spark, corpus, "documents")
+    assert df1 is df2
+    # regenerating the table in place must invalidate the memo
+    time.sleep(0.02)
+    path = f"{corpus}/documents.parquet"
+    probe = os.path.join(path, "_memo_probe")
+    open(probe, "w").write("x")
+    try:
+        df3 = read_base(spark, corpus, "documents")
+        assert df3 is not df1
+    finally:
+        os.remove(probe)
+
+
+def test_memo_query_pure_plan_reused_not_result(spark, corpus):
+    calls = []
+
+    def q(sp, sf):
+        calls.append(1)
+        return (read_base(sp, sf, "documents")
+                .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+
+    # warm the base-table read so the first wrapped call constructs
+    # with zero jobs (a cold read runs a one-time schema job, which the
+    # probe — correctly — refuses to memoize over)
+    read_base(spark, corpus, "documents").schema
+    w = memo_query("_test_pure", q)
+    d1 = w(spark, corpus)
+    rows1 = sorted(map(tuple, d1.collect()))
+    d2 = w(spark, corpus)
+    # constructor ran once; the hit is a FRESH Dataset over the stored
+    # plan (new query execution → no cross-run shuffle reuse), so the
+    # objects differ while the values are identical
+    assert len(calls) == 1
+    assert d2 is not d1
+    rows2 = sorted(map(tuple, d2.collect()))
+    assert rows1 == rows2 == [("en", 20)]
+
+
+def test_memo_query_side_effecting_never_memoized(spark, corpus):
+    calls = []
+
+    def q(sp, sf):
+        calls.append(1)
+        d = read_base(sp, sf, "documents")
+        d.limit(1).collect()  # a per-call action = per-call side work
+        return d.groupBy("source").count()
+
+    w = memo_query("_test_sideeffect", q)
+    w(spark, corpus)
+    w(spark, corpus)
+    assert len(calls) == 2  # constructor re-ran: jobs during construct
+
+
+def test_memo_query_checkpoint_plan_denied(spark, corpus):
+    def q(sp, sf):
+        return (read_base(sp, sf, "documents")
+                .localCheckpoint(eager=False)
+                .groupBy("lang").count())
+
+    w = memo_query("_test_ckpt", q)
+    d1 = w(spark, corpus)
+    d2 = w(spark, corpus)
+    # LogicalRDD leaf → denied (reusing it would pin materialized blocks)
+    assert "_test_ckpt" in relations._MEMO_DENY
+    assert d1 is not d2
+
+
+def test_memo_query_outside_sf_dir_denied(spark, corpus, tmp_path):
+    other = str(tmp_path / "staged")
+    spark.range(5).write.mode("overwrite").parquet(other)
+    staged = spark.read.parquet(other)  # pre-built, like a staged-store
+    staged.schema                       # relation held by a query module
+
+    def q(sp, sf):
+        return staged.groupBy().count()
+
+    w = memo_query("_test_outside", q)
+    w(spark, corpus)
+    w(spark, corpus)
+    assert "_test_outside" in relations._MEMO_DENY
+
+
+def test_plan_memo_keys_by_session_and_key(spark):
+    built = []
+
+    def build():
+        built.append(1)
+        return spark.range(3)
+
+    a = plan_memo(spark, ("k1",), build)
+    b = plan_memo(spark, ("k1",), build)
+    c = plan_memo(spark, ("k2",), build)
+    assert a is b and a is not c and len(built) == 2

@@ -480,13 +480,26 @@ class EventStore:
     def read_all(self) -> DataFrame:
         if not self._exists():  # empty store reads as an empty relation
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        df = self._read_opts(
-            self.spark.read.schema(self._disk_schema())).load(
-                self._data_dir())
-        # partitionBy writes stream_name as a directory column; enforce
-        # canonical column order.
-        return self._decode(df).select(
-            [f.name for f in EVENT_SCHEMA.fields])
+        # Plan construction is stamp-keyed (relations.plan_memo): any
+        # mutation under the data dir (ingest, delete, compaction,
+        # generation swap) changes the stamp and rebuilds the plan with
+        # a fresh file listing; unchanged stores reuse the constructed
+        # plan and still scan the files on every action.
+        from photon_spark.relations import _stamp, plan_memo
+        data_dir = self._data_dir()
+
+        def build():
+            df = self._read_opts(
+                self.spark.read.schema(self._disk_schema())).load(data_dir)
+            # partitionBy writes stream_name as a directory column;
+            # enforce canonical column order.
+            return self._decode(df).select(
+                [f.name for f in EVENT_SCHEMA.fields])
+
+        return plan_memo(
+            self.spark,
+            ("event_store_read", data_dir, self.fmt, _stamp(data_dir)),
+            build)
 
     def read_cold(self, stream_name: str = ALL_STREAMS, from_: int = 0,
                   limit: int | None = None, ordered: bool = True) -> DataFrame:

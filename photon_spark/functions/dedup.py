@@ -97,6 +97,12 @@ def shingles(col, n: int = 3):
     return shingles_from_tokens(F.split(normalize_text(col), " "), n)
 
 
+#: UDF objects cached per parameter tuple — creating a pandas_udf costs
+#: ~30 ms of signature/type-hint work per call, and the factories below
+#: are invoked by dozens of registry constructions per bench pass
+_UDF_CACHE: dict = {}
+
+
 def shingles_udf(col, n: int = 3):
     """Word n-gram shingles as an Arrow-batched pandas UDF.
 
@@ -108,26 +114,30 @@ def shingles_udf(col, n: int = 3):
     the Python regex uses the explicit ASCII class, keeping the DuckDB
     oracle (RE2, also ASCII ``\\s``) in agreement.
     """
+    fn = _UDF_CACHE.get(("shingles", n))
+    if fn is None:
+        @F.pandas_udf("array<string>")
+        def _sh(texts: pd.Series) -> pd.Series:
+            import re
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            out = []
+            for t in texts:
+                # spaces-only strip: after ws.sub the only ASCII
+                # whitespace left is spaces, and a no-arg strip would
+                # also eat Unicode whitespace that Catalyst
+                # trim/normalize_text keeps
+                t = ws.sub(" ", (t or "").lower()).strip(" ")
+                toks = t.split(" ") if t else []
+                if len(toks) < n:
+                    out.append([])
+                    continue
+                out.append(list(dict.fromkeys(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))))
+            return pd.Series(out)
 
-    @F.pandas_udf("array<string>")
-    def _sh(texts: pd.Series) -> pd.Series:
-        import re
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        out = []
-        for t in texts:
-            # spaces-only strip: after ws.sub the only ASCII whitespace
-            # left is spaces, and a no-arg strip would also eat Unicode
-            # whitespace that Catalyst trim/normalize_text keeps
-            t = ws.sub(" ", (t or "").lower()).strip(" ")
-            toks = t.split(" ") if t else []
-            if len(toks) < n:
-                out.append([])
-                continue
-            out.append(list(dict.fromkeys(
-                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))))
-        return pd.Series(out)
-
-    return _sh(F.col(col) if isinstance(col, str) else col)
+        _UDF_CACHE[("shingles", n)] = fn = _sh
+    return fn(F.col(col) if isinstance(col, str) else col)
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -394,22 +404,25 @@ def minhash_sig_udf(sh_col, num_hashes: int = 16):
     tests) but one vectorized pass instead of ``num_hashes`` interpreted
     higher-order folds per row. Python's hashlib md5 hex == Spark md5 ==
     DuckDB md5 (UTF-8 bytes), so oracle parity is preserved."""
+    fn = _UDF_CACHE.get(("minhash_sig", num_hashes))
+    if fn is None:
+        @F.pandas_udf("array<string>")
+        def _sig(shs: pd.Series) -> pd.Series:
+            import hashlib
+            seeds = [f"{s}:".encode() for s in range(num_hashes)]
+            out = []
+            for sh in shs:
+                if sh is None or len(sh) == 0:
+                    out.append([None] * num_hashes)
+                    continue
+                gs = [g.encode() for g in sh]
+                out.append([min(hashlib.md5(p + g).hexdigest()
+                                for g in gs)
+                            for p in seeds])
+            return pd.Series(out)
 
-    @F.pandas_udf("array<string>")
-    def _sig(shs: pd.Series) -> pd.Series:
-        import hashlib
-        seeds = [f"{s}:".encode() for s in range(num_hashes)]
-        out = []
-        for sh in shs:
-            if sh is None or len(sh) == 0:
-                out.append([None] * num_hashes)
-                continue
-            gs = [g.encode() for g in sh]
-            out.append([min(hashlib.md5(p + g).hexdigest() for g in gs)
-                        for p in seeds])
-        return pd.Series(out)
-
-    return _sig(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
+        _UDF_CACHE[("minhash_sig", num_hashes)] = fn = _sig
+    return fn(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
 
 
 def minhash_band_buckets(sh_df: DataFrame, num_hashes: int = 16,

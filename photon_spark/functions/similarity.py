@@ -514,6 +514,15 @@ def append_to_ivf_index(spark, index_dir: str,
                      vec_col, id_col)
 
 
+def _read_gen(spark, live: str):
+    """Stamp-keyed memoized reader for a resolved generation data dir:
+    appends/retrains change the dir stamp and rebuild the plan, so the
+    captured file listing can never serve a stale generation."""
+    from photon_spark.relations import _stamp, plan_memo
+    return plan_memo(spark, ("ivf_gen", live, _stamp(live)),
+                     lambda: spark.read.parquet(live))
+
+
 def ivf_topk_from_index(spark, index_dir: str,
                         cents: list[tuple[int, list[float]]] | None,
                         query_vec: list[float] | int, k: int = 10,
@@ -535,7 +544,7 @@ def ivf_topk_from_index(spark, index_dir: str,
     live = _ivf_data_dir(index_dir)
     if cents is None:
         cents = _load_cents_from_data_dir(live)
-    idx = spark.read.parquet(live)
+    idx = _read_gen(spark, live)
     qid = None
     if isinstance(query_vec, int):
         qid = query_vec
@@ -998,7 +1007,7 @@ def knn_graph_from_index(spark, index_dir: str, k: int = 3,
     vectors are both graph nodes and candidate neighbors."""
     live = _ivf_data_dir(index_dir)
     cents = sorted(_load_cents_from_data_dir(live))
-    idx = spark.read.parquet(live)
+    idx = _read_gen(spark, live)
     pos = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(int(c)) for c, _ in cents]),

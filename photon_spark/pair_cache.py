@@ -145,7 +145,14 @@ class PairTable:
         own partial partition instead of double-appending, so the
         pairs(A∪B) identity survives retries. Non-atomicity across the
         two writes is likewise healed by the retry (same tag, both dirs
-        rewritten)."""
+        rewritten).
+
+        The writes MUST stay sequential: the pairs relation of an
+        update READS the stored band index (its cross-probe leg), so
+        overlapping it with the bands overwrite of the same retried
+        batch races the read against the delete (observed as
+        FAILED_READ_FILE on a retry run when this was briefly
+        parallelized)."""
         pairs.write.mode("overwrite").parquet(
             os.path.join(self._p("pairs"), f"batch={tag}"))
         bands.write.mode("overwrite").parquet(
@@ -164,7 +171,11 @@ class PairTable:
         # (cross probe, within-batch self-join, index append)
         b_new = dedup.minhash_band_buckets(sh_new, self.num_hashes,
                                            self.bands).persist()
-        b_old = self.spark.read.parquet(self._p("bands"))
+        from photon_spark.relations import _stamp, plan_memo
+        bands_path = self._p("bands")
+        b_old = plan_memo(
+            self.spark, ("pair_bands", bands_path, _stamp(bands_path)),
+            lambda: self.spark.read.parquet(bands_path))
 
         # A RETRIED update finds its own bands already in the store —
         # exclude the batch's own ids from the probe (batch-self pairs
@@ -186,9 +197,22 @@ class PairTable:
         # join in verify_candidate_pairs, breaking the pairs(A∪B)
         # identity. Id-only anti-join (corpus text untouched; cand_ids is
         # broadcast-sized), fail loudly instead.
-        missing = (cand_ids
-                   .join(corpus_docs.select(id_col), id_col, "left_anti")
-                   .limit(5).collect())
+        # The missing-ids guard and the batch-tag head are independent
+        # bounded collects over different relations — overlap them
+        # (guide §2.6) instead of paying two sequential driver round
+        # trips.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_missing = pool.submit(
+                lambda: cand_ids
+                .join(corpus_docs.select(id_col), id_col, "left_anti")
+                .limit(5).collect())
+            f_head = pool.submit(
+                lambda: new_docs.agg(F.min(id_col).alias("mn"),
+                                     F.count(F.lit(1)).alias("n"))
+                .collect()[0])
+            missing = f_missing.result()
+            head = f_head.result()
         if missing:
             raise ValueError(
                 "PairTable.update: corpus_docs is missing indexed docs "
@@ -222,9 +246,8 @@ class PairTable:
         # The batch tag derives from the batch's own ids (min id is
         # unique per batch under the global-id-uniqueness contract), so
         # a RETRY of the same batch reuses its tag and overwrites its
-        # own partitions instead of double-appending.
-        head = new_docs.agg(F.min(id_col).alias("mn"),
-                            F.count(F.lit(1)).alias("n")).collect()[0]
+        # own partitions instead of double-appending. (``head`` was
+        # collected above, overlapped with the missing-ids guard.)
         tag = f"u{head['mn']}-{head['n']}"
         self._write_batch(tag, cross_pairs.unionByName(within_pairs),
                           b_new)
@@ -233,9 +256,16 @@ class PairTable:
 
     def pairs(self) -> DataFrame:
         # drop the batch partition column — consumers see the pure
-        # (lo_id, hi_id, jaccard) relation
-        return (self.spark.read.parquet(self._p("pairs"))
-                .select("lo_id", "hi_id", "jaccard"))
+        # (lo_id, hi_id, jaccard) relation. Plan construction is
+        # stamp-keyed (relations.plan_memo): an update/overwrite of any
+        # batch partition changes the stamp and rebuilds the plan, so
+        # the captured file listing can never go stale.
+        from photon_spark.relations import _stamp, plan_memo
+        path = self._p("pairs")
+        return plan_memo(
+            self.spark, ("pair_pairs", path, _stamp(path)),
+            lambda: (self.spark.read.parquet(path)
+                     .select("lo_id", "hi_id", "jaccard")))
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str,
@@ -258,4 +288,8 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str,
         pairs.write.mode("overwrite").parquet(path)
         dedup.release_cache(pairs)
         _PAIR_TABLES[key] = path
-    return spark.read.parquet(path)
+    # write-once table: the plan (reader construction + file listing)
+    # is memoized per session; every action still scans the parquet
+    from photon_spark.relations import plan_memo
+    return plan_memo(spark, ("near_dup_pairs", path),
+                     lambda: spark.read.parquet(path))

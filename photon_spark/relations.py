@@ -122,6 +122,12 @@ def memo_query(name: str, fn):
       (``localCheckpoint``) pin materialized blocks, so both rebuild
       fresh every call exactly as before.
 
+    The zero-jobs probe tags jobs via a thread-local job group, so jobs
+    a query offloads to driver threads (overlapped staging writes) or
+    to the streaming engine are invisible to it — every such row also
+    reads its staged tempdir state back, so the leaf/file check below
+    is the backstop that actually denies those memos.
+
     On a hit the stored plan is wrapped in a FRESH Dataset
     (``Dataset.ofRows``), so every call gets its own query execution:
     new physical planning, new shuffle dependencies, a full

@@ -289,7 +289,10 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str,
         dedup.release_cache(pairs)
         _PAIR_TABLES[key] = path
     # write-once table: the plan (reader construction + file listing)
-    # is memoized per session; every action still scans the parquet
-    from photon_spark.relations import plan_memo
+    # is memoized per session, and the dir is registered immutable so
+    # consumer-query plans over it qualify for the registry-level plan
+    # memo; every action still scans the parquet
+    from photon_spark.relations import IMMUTABLE_DIRS, plan_memo
+    IMMUTABLE_DIRS.add(os.path.realpath(path))
     return plan_memo(spark, ("near_dup_pairs", path),
                      lambda: spark.read.parquet(path))

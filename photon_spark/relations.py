@@ -76,6 +76,14 @@ def plan_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
 _MEMO_DENY: set[str] = set()
 _PROBE_SEQ = 0
 
+#: realpaths of staged tables whose owner guarantees WRITE-ONCE
+#: contents (e.g. the pair_cache near-dup table, keyed by corpus stamp
+#: and never appended). Plans whose file leaves sit under these dirs
+#: are as safe to reuse as sf_dir reads; every MUTABLE staged store
+#: (event store, incremental pair table, IVF generations) must NOT be
+#: registered here.
+IMMUTABLE_DIRS: set[str] = set()
+
 
 #: logical-plan leaves that are always safe to re-execute from a stored
 #: plan: file relations (re-scanned every action), literal relations,
@@ -188,7 +196,13 @@ def memo_query(name: str, fn):
                     f = "/" + f[5:].lstrip("/")
                 return os.path.realpath(f)
 
-            if not all(_local(r).startswith(pfx) for r in roots):
+            def _allowed(r: str) -> bool:
+                p = _local(r)
+                return (p.startswith(pfx)
+                        or any(p == d or p.startswith(d + os.sep)
+                               for d in IMMUTABLE_DIRS))
+
+            if not all(_allowed(r) for r in roots):
                 _MEMO_DENY.add(name)
                 return df
         except Exception:

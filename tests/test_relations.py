@@ -113,6 +113,29 @@ def test_memo_query_outside_sf_dir_denied(spark, corpus, tmp_path):
     assert "_test_outside" in relations._MEMO_DENY
 
 
+def test_memo_query_immutable_dir_allowed(spark, corpus, tmp_path):
+    staged = str(tmp_path / "write_once")
+    spark.range(7).write.mode("overwrite").parquet(staged)
+    table = spark.read.parquet(staged)
+    table.schema
+    relations.IMMUTABLE_DIRS.add(os.path.realpath(staged))
+    try:
+        calls = []
+
+        def q(sp, sf):
+            calls.append(1)
+            return table.groupBy().count()
+
+        w = memo_query("_test_immutable", q)
+        d1 = w(spark, corpus)
+        d2 = w(spark, corpus)
+        assert len(calls) == 1 and d1 is not d2
+        assert d2.collect()[0][0] == 7
+        assert "_test_immutable" not in relations._MEMO_DENY
+    finally:
+        relations.IMMUTABLE_DIRS.discard(os.path.realpath(staged))
+
+
 def test_plan_memo_keys_by_session_and_key(spark):
     built = []
 

@@ -97,10 +97,22 @@ def shingles(col, n: int = 3):
     return shingles_from_tokens(F.split(normalize_text(col), " "), n)
 
 
-#: UDF objects cached per parameter tuple — creating a pandas_udf costs
-#: ~30 ms of signature/type-hint work per call, and the factories below
-#: are invoked by dozens of registry constructions per bench pass
+#: UDF objects cached per (session, parameter tuple) — creating a
+#: pandas_udf costs ~30 ms of signature/type-hint work per call, and
+#: the factories below are invoked by dozens of registry constructions
+#: per bench pass. The session component matters: a UDF binds its
+#: _judf to the session that first USES it, so a parameter-only cache
+#: would serve a dead session's UDF after a stop/start cycle.
 _UDF_CACHE: dict = {}
+
+
+def _udf_cache_key(*params):
+    from pyspark.sql import SparkSession
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return None  # no active session: don't cache
+    from photon_spark.relations import _app_id
+    return (_app_id(sess),) + params
 
 
 def shingles_udf(col, n: int = 3):
@@ -114,7 +126,8 @@ def shingles_udf(col, n: int = 3):
     the Python regex uses the explicit ASCII class, keeping the DuckDB
     oracle (RE2, also ASCII ``\\s``) in agreement.
     """
-    fn = _UDF_CACHE.get(("shingles", n))
+    ck = _udf_cache_key("shingles", n)
+    fn = _UDF_CACHE.get(ck) if ck else None
     if fn is None:
         @F.pandas_udf("array<string>")
         def _sh(texts: pd.Series) -> pd.Series:
@@ -136,7 +149,9 @@ def shingles_udf(col, n: int = 3):
                     for i in range(len(toks) - n + 1))))
             return pd.Series(out)
 
-        _UDF_CACHE[("shingles", n)] = fn = _sh
+        fn = _sh
+        if ck:
+            _UDF_CACHE[ck] = fn
     return fn(F.col(col) if isinstance(col, str) else col)
 
 
@@ -404,7 +419,8 @@ def minhash_sig_udf(sh_col, num_hashes: int = 16):
     tests) but one vectorized pass instead of ``num_hashes`` interpreted
     higher-order folds per row. Python's hashlib md5 hex == Spark md5 ==
     DuckDB md5 (UTF-8 bytes), so oracle parity is preserved."""
-    fn = _UDF_CACHE.get(("minhash_sig", num_hashes))
+    ck = _udf_cache_key("minhash_sig", num_hashes)
+    fn = _UDF_CACHE.get(ck) if ck else None
     if fn is None:
         @F.pandas_udf("array<string>")
         def _sig(shs: pd.Series) -> pd.Series:
@@ -421,7 +437,9 @@ def minhash_sig_udf(sh_col, num_hashes: int = 16):
                             for p in seeds])
             return pd.Series(out)
 
-        _UDF_CACHE[("minhash_sig", num_hashes)] = fn = _sig
+        fn = _sig
+        if ck:
+            _UDF_CACHE[ck] = fn
     return fn(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
 
 

@@ -211,8 +211,11 @@ class PairTable:
                 lambda: new_docs.agg(F.min(id_col).alias("mn"),
                                      F.count(F.lit(1)).alias("n"))
                 .collect()[0])
+            # check the guard FIRST: if corpus_docs violates the
+            # contract, the diagnostic ValueError below must win over
+            # any unrelated error the head collect might raise
             missing = f_missing.result()
-            head = f_head.result()
+            head = None if missing else f_head.result()
         if missing:
             raise ValueError(
                 "PairTable.update: corpus_docs is missing indexed docs "

@@ -21,8 +21,7 @@ from photon_spark.relations import read_base as _read_base
 
 
 def _docs(spark, sf_dir):
-    from photon_spark.relations import read_base
-    return read_base(spark, sf_dir, "documents")
+    return _read_base(spark, sf_dir, "documents")
 
 
 def _events(spark, sf_dir):

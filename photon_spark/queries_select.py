@@ -51,8 +51,7 @@ BLOOM_K = 3
 
 
 def _docs(spark, sf_dir):
-    from photon_spark.relations import read_base
-    return read_base(spark, sf_dir, "documents")
+    return _read_base(spark, sf_dir, "documents")
 
 
 def _near_dup_pairs(spark, sf_dir):

@@ -19,10 +19,11 @@ Key safety:
 
 - the session's ``applicationId`` is in the key, so a plan never leaks
   across SparkSessions (the test suite starts/stops many);
-- the file stamp (mtime+size; entry count + max mtime for directory
-  tables) is in the key, so a corpus regenerated IN PLACE gets a fresh
-  plan instead of a stale schema (same contract as
-  ``pair_cache._corpus_stamp``).
+- the file stamp (mtime_ns+size; per-entry (name, mtime_ns) for
+  directory tables) is in the key, so a corpus regenerated IN PLACE
+  gets a fresh plan instead of a stale schema (same contract as
+  ``pair_cache._corpus_stamp``, hardened to ns precision so
+  same-second replaces cannot alias).
 """
 
 from __future__ import annotations
@@ -33,20 +34,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple, DataFrame] = {}
 
+#: superseded-stamp and stopped-session entries are unreachable but
+#: retained; a long-lived mutate-read loop would otherwise grow the
+#: dict (and pin JVM plan objects) without bound. Clearing is always
+#: safe — plans rebuild on the next call.
+_MEMO_CAP = 4096
+
+
+def _memo_put(key: tuple, value) -> None:
+    if len(_MEMO) >= _MEMO_CAP:
+        _MEMO.clear()
+    _MEMO[key] = value
+
+
+_STAMP_FAIL_SEQ = 0
+
 
 def _stamp(path: str) -> tuple:
     try:
         if os.path.isdir(path):
+            # first-level (name, mtime_ns) of every entry: catches
+            # appends/deletes (names), in-place partition overwrites
+            # (the rewritten subdir's mtime), at full ns precision so
+            # same-second replaces can't alias
             entries = sorted(os.listdir(path))
-            return (len(entries),
-                    max((os.path.getmtime(os.path.join(path, e))
-                         for e in entries), default=0.0))
+            return tuple(
+                (e, os.stat(os.path.join(path, e)).st_mtime_ns)
+                for e in entries)
         st = os.stat(path)
-        return (st.st_mtime, st.st_size)
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
-        # missing path: let spark.read.parquet raise its own error,
-        # un-memoized
-        return ("missing",)
+        # missing path or racing mutation mid-stat: return a UNIQUE
+        # sentinel so the key can never be hit again — the build (or
+        # its error) happens fresh, and nothing stale is ever served
+        # under an aliased "missing" key
+        global _STAMP_FAIL_SEQ
+        _STAMP_FAIL_SEQ += 1
+        return ("unstampable", _STAMP_FAIL_SEQ)
 
 
 def _app_id(spark: SparkSession) -> str:
@@ -66,7 +90,7 @@ def plan_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
     df = _MEMO.get(full)
     if df is None:
         df = build()
-        _MEMO[full] = df
+        _memo_put(full, df)
     return df
 
 
@@ -208,7 +232,7 @@ def memo_query(name: str, fn):
         except Exception:
             _MEMO_DENY.add(name)
             return df
-        _MEMO[key] = (jplan, list(getattr(df, "_photon_cached", [])) or None)
+        _memo_put(key, (jplan, list(getattr(df, "_photon_cached", [])) or None))
         return df
 
     return wrapped
@@ -228,5 +252,5 @@ def read_base(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        _MEMO[full] = df
+        _memo_put(full, df)
     return df

@@ -53,7 +53,12 @@ def get_spark(app_name: str = "photon_spark", master: str | None = None,
     # is returned as-is (getOrCreate semantics).
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for kv in filter(None, (p.strip() for p in extra.split(";"))):
-        k, _, v = kv.partition("=")
-        if k and v:
-            builder = builder.config(k.strip(), v.strip())
+        k, sep, v = kv.partition("=")
+        if not (sep and k.strip() and v.strip()):
+            # fail LOUDLY: this knob exists for deployment-critical
+            # overrides and A/B measurement — a silently-dropped entry
+            # would measure the default and label it the override
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} is not 'key=value'")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -11,12 +11,6 @@ from photon_spark import relations
 from photon_spark.relations import memo_query, plan_memo, read_base
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from photon_spark.session import get_spark
-    return get_spark("test-relations")
-
-
 @pytest.fixture()
 def corpus(spark, tmp_path):
     sf = str(tmp_path / "sf")

@@ -28,33 +28,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _traced_session(evdir: str):
-    """photon_spark session defaults (mirrors session.get_spark) plus an
-    event log — get_spark's builder can't take extra configs, and configs
-    set after getOrCreate don't reach the event-log subsystem."""
-    from pyspark.sql import SparkSession
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
-        SparkSession.builder.appName("photon_spark-trace")
-        .master(f"local[{cpus}]")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold",
-                str(64 * 1024 * 1024))
-        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM",
-                                                      "8g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", evdir)
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .getOrCreate())
+    """photon_spark session defaults plus an event log, via get_spark's
+    SPARK_GRAFT_EXTRA_CONF hook — so the traced engine configuration can
+    never drift from the one bench.py measures."""
+    extra = (f"spark.eventLog.enabled=true;spark.eventLog.dir={evdir};"
+             "spark.eventLog.compress=false;"
+             "spark.eventLog.rolling.enabled=false")
+    prev = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
+        f"{prev};{extra}" if prev else extra)
+    try:
+        from photon_spark.session import get_spark
+        return get_spark("photon_spark-trace")
+    finally:
+        if prev is None:
+            del os.environ["SPARK_GRAFT_EXTRA_CONF"]
+        else:
+            os.environ["SPARK_GRAFT_EXTRA_CONF"] = prev
 
 
 def _parse(path: str, jobs: dict) -> None:

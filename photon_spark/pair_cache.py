@@ -53,7 +53,12 @@ def _corpus_stamp(path: str) -> tuple:
 
 @atexit.register
 def _cleanup() -> None:
+    from photon_spark.relations import IMMUTABLE_DIRS
     for path in _PAIR_TABLES.values():
+        # de-register BEFORE the delete (realpath of a removed dir may
+        # no longer resolve identically): a later process reusing the
+        # tmp path must never inherit the immutability certificate
+        IMMUTABLE_DIRS.discard(os.path.realpath(path))
         shutil.rmtree(path, ignore_errors=True)
     _PAIR_TABLES.clear()
 
@@ -294,8 +299,10 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str,
     # write-once table: the plan (reader construction + file listing)
     # is memoized per session, and the dir is registered immutable so
     # consumer-query plans over it qualify for the registry-level plan
-    # memo; every action still scans the parquet
-    from photon_spark.relations import IMMUTABLE_DIRS, plan_memo
+    # memo; every action still scans the parquet. The memo key carries
+    # the dir STAMP like every other plan_memo call site (ADVICE r12):
+    # a deleted-and-recreated path can never serve the old file listing.
+    from photon_spark.relations import IMMUTABLE_DIRS, _stamp, plan_memo
     IMMUTABLE_DIRS.add(os.path.realpath(path))
-    return plan_memo(spark, ("near_dup_pairs", path),
+    return plan_memo(spark, ("near_dup_pairs", path, _stamp(path)),
                      lambda: spark.read.parquet(path))

@@ -49,18 +49,33 @@ def _memo_put(key: tuple, value) -> None:
 
 _STAMP_FAIL_SEQ = 0
 
+#: recursion bound for directory stamps. Every staged layout today
+#: writes at most two levels deep (pairs/batch=<tag>/part-*.parquet);
+#: the bound leaves headroom so a future nested layout still
+#: invalidates, instead of silently relying on parent-dir mtimes the
+#: filesystem only updates for entry create/delete — an in-place
+#: same-name rewrite two levels down would otherwise never be seen
+#: (ADVICE r12). Past the bound, the entry's own (mtime_ns, size) is
+#: the fingerprint, which restores exactly the old first-level rule.
+_STAMP_MAX_DEPTH = 4
 
-def _stamp(path: str) -> tuple:
+
+def _stamp(path: str, _depth: int = _STAMP_MAX_DEPTH) -> tuple:
     try:
         if os.path.isdir(path):
-            # first-level (name, mtime_ns) of every entry: catches
-            # appends/deletes (names), in-place partition overwrites
-            # (the rewritten subdir's mtime), at full ns precision so
-            # same-second replaces can't alias
-            entries = sorted(os.listdir(path))
-            return tuple(
-                (e, os.stat(os.path.join(path, e)).st_mtime_ns)
-                for e in entries)
+            # per-entry fingerprint, RECURSIVE to _STAMP_MAX_DEPTH:
+            # catches appends/deletes (names), in-place file replaces at
+            # any covered depth (the file's own mtime_ns + size), at
+            # full ns precision so same-second replaces can't alias
+            out = []
+            for e in sorted(os.listdir(path)):
+                p = os.path.join(path, e)
+                if os.path.isdir(p) and _depth > 1:
+                    out.append((e, _stamp(p, _depth - 1)))
+                else:
+                    st = os.stat(p)
+                    out.append((e, st.st_mtime_ns, st.st_size))
+            return tuple(out)
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
@@ -98,7 +113,17 @@ def plan_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
 #: checkpointed state, or reads outside the immutable sf_dir) — the
 #: safety probe runs once per query, not per call
 _MEMO_DENY: set[str] = set()
-_PROBE_SEQ = 0
+
+
+def _jobs_submitted(sc) -> int:
+    """Monotone count of ALL jobs ever SUBMITTED in this SparkContext,
+    read from the DAGScheduler's job-id allocator. Unlike the status
+    store / status tracker, it is assigned synchronously at submission
+    (no listener-bus lag, no retained-jobs eviction) and sees every
+    driver thread. The caller treats a read failure as jobs-ran (never
+    memoize on uncertainty). py4j converts the AtomicInteger (a
+    java.lang.Number) to a plain int at the boundary."""
+    return int(sc._jsc.sc().dagScheduler().nextJobId())
 
 #: realpaths of staged tables whose owner guarantees WRITE-ONCE
 #: contents (e.g. the pair_cache near-dup table, keyed by corpus stamp
@@ -117,24 +142,35 @@ _SAFE_LITERAL_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
 
 
 def _leaf_file_roots(jplan) -> list[str] | None:
-    """Root paths of every file-relation leaf of an analyzed plan, or
-    ``None`` if the plan has a leaf we can't certify (RDD-backed,
-    streaming, unknown)."""
-    leaves = jplan.collectLeaves()
+    """Root paths of every file-relation leaf of an analyzed plan —
+    INCLUDING leaves inside scalar/IN/EXISTS subquery plans, which
+    ``collectLeaves`` alone does not traverse (ADVICE r12: a plan whose
+    only mutable-state reference sits in a subquery expression must not
+    be certified from the main plan's leaves) — or ``None`` if any leaf
+    can't be certified (RDD-backed, streaming, unknown)."""
     roots: list[str] = []
-    for i in range(leaves.size()):
-        leaf = leaves.apply(i)
-        cls = leaf.getClass().getSimpleName()
-        if cls in _SAFE_LITERAL_LEAVES:
-            continue
-        if cls != "LogicalRelation":
-            return None
-        try:
-            rp = leaf.relation().location().rootPaths()
-        except Exception:
-            return None
-        for j in range(rp.size()):
-            roots.append(rp.apply(j).toString())
+    plans = [jplan]
+    try:
+        subs = jplan.subqueriesAll()
+        for i in range(subs.size()):
+            plans.append(subs.apply(i))
+    except Exception:
+        return None
+    for p in plans:
+        leaves = p.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls in _SAFE_LITERAL_LEAVES:
+                continue
+            if cls != "LogicalRelation":
+                return None
+            try:
+                rp = leaf.relation().location().rootPaths()
+            except Exception:
+                return None
+            for j in range(rp.size()):
+                roots.append(rp.apply(j).toString())
     return roots
 
 
@@ -154,11 +190,16 @@ def memo_query(name: str, fn):
       (``localCheckpoint``) pin materialized blocks, so both rebuild
       fresh every call exactly as before.
 
-    The zero-jobs probe tags jobs via a thread-local job group, so jobs
-    a query offloads to driver threads (overlapped staging writes) or
-    to the streaming engine are invisible to it — every such row also
-    reads its staged tempdir state back, so the leaf/file check below
-    is the backstop that actually denies those memos.
+    The zero-jobs probe reads the DAGScheduler's job-id allocator
+    before and after construction, so it counts jobs submitted from
+    EVERY driver thread (worker-thread staging writes included — the
+    thread-local job-group probe this replaces was blind to them,
+    ADVICE r12) with no job group set or cleared (a harness's own job
+    group survives construction untouched). Jobs an engine thread
+    submits AFTER construction returns remain invisible to any counter
+    — every such row also reads its staged tempdir state back, so the
+    leaf/file check below is the backstop that actually denies those
+    memos.
 
     On a hit the stored plan is wrapped in a FRESH Dataset
     (``Dataset.ofRows``), so every call gets its own query execution:
@@ -189,19 +230,13 @@ def memo_query(name: str, fn):
         if name in _MEMO_DENY:
             return fn(spark, sf_dir)
         sc = spark.sparkContext
-        global _PROBE_SEQ
-        _PROBE_SEQ += 1
-        # unique per call: the status store keeps finished jobs, so a
-        # reused group name would surface the previous probe's jobs
-        group = f"photon-memo-probe-{name}-{_PROBE_SEQ}"
-        sc.setJobGroup(group, "memo-safety probe")
         try:
-            df = fn(spark, sf_dir)
-        finally:
-            sc._jsc.clearJobGroup()
+            before = _jobs_submitted(sc)
+        except Exception:
+            before = None
+        df = fn(spark, sf_dir)
         try:
-            sc._jsc.sc().listenerBus().waitUntilEmpty()
-            if sc.statusTracker().getJobIdsForGroup(group):
+            if before is None or _jobs_submitted(sc) != before:
                 # NOT a permanent deny: first-call constructions run
                 # one-time warm-up jobs (base-table schema reads,
                 # staging memos). A later clean construction can still
@@ -241,16 +276,18 @@ def memo_query(name: str, fn):
 def read_base(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized ``spark.read.parquet(f"{sf_dir}/{name}.parquet")``.
 
-    The two reader confs `_t` historically pinned are set on every MISS
-    (before the read they influence), so first-read semantics are
-    identical whichever caller touches a table first."""
+    The two reader confs `_t` historically pinned are (re-)asserted on
+    EVERY call — hits included — so a caller that flipped either conf
+    mid-session can never be served a plan analyzed under a different
+    setting than the one its own fresh read would have used (ADVICE
+    r12; two cheap conf calls)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     key = ("base", path, _stamp(path))
     full = (_app_id(spark),) + key
     df = _MEMO.get(full)
     if df is None:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         _memo_put(full, df)
     return df

@@ -130,6 +130,107 @@ def test_memo_query_immutable_dir_allowed(spark, corpus, tmp_path):
         relations.IMMUTABLE_DIRS.discard(os.path.realpath(staged))
 
 
+def test_stamp_sees_depth2_inplace_rewrite(tmp_path):
+    # a file rewritten IN PLACE two levels below the stamped dir (same
+    # name → the parent dir's mtime does not move) must change the stamp
+    sub = tmp_path / "table.parquet"
+    sub.mkdir()
+    f = sub / "part-0"
+    f.write_text("v1")
+    s1 = relations._stamp(str(tmp_path))
+    os.utime(f, ns=(1_000_000_000, 1_000_000_000))
+    s2 = relations._stamp(str(tmp_path))
+    assert s1 != s2
+
+
+def test_memo_query_invalidates_on_depth2_rewrite(spark, corpus):
+    calls = []
+
+    def q(sp, sf):
+        calls.append(1)
+        return (read_base(sp, sf, "documents")
+                .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+
+    read_base(spark, corpus, "documents").schema
+    w = memo_query("_test_depth2", q)
+    w(spark, corpus)
+    w(spark, corpus)
+    assert len(calls) == 1
+    # rewrite a leaf data file in place: name unchanged, parent dir
+    # mtime unchanged — only the recursive stamp can see it
+    table = os.path.join(corpus, "documents.parquet")
+    part = next(p for p in os.listdir(table)
+                if p.startswith("part-"))
+    os.utime(os.path.join(table, part),
+             ns=(1_000_000_000, 1_000_000_000))
+    w(spark, corpus)
+    assert len(calls) == 2
+
+
+def test_memo_query_thread_submitted_job_blocks_memo(spark, corpus):
+    # jobs submitted from a worker thread during construction must be
+    # visible to the zero-jobs probe (the job-group probe was blind to
+    # them — ADVICE r12)
+    from concurrent.futures import ThreadPoolExecutor
+
+    calls = []
+
+    def q(sp, sf):
+        calls.append(1)
+        d = read_base(sp, sf, "documents")
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pool.submit(lambda: sp.range(3).collect()).result()
+        return d.groupBy("lang").count()
+
+    read_base(spark, corpus, "documents").schema
+    w = memo_query("_test_threadjob", q)
+    w(spark, corpus)
+    w(spark, corpus)
+    assert len(calls) == 2  # never memoized: every call submits a job
+
+
+def test_memo_query_subquery_leaf_outside_sf_denied(spark, corpus,
+                                                    tmp_path):
+    # the ONLY reference to the outside table sits inside a scalar
+    # subquery — collectLeaves on the main plan misses it; the
+    # subquery-aware walk must deny the memo
+    other = str(tmp_path / "staged_sub")
+    spark.range(5).write.mode("overwrite").parquet(other)
+    staged = spark.read.parquet(other)
+    staged.schema
+
+    def q(sp, sf):
+        read_base(sp, sf, "documents").createOrReplaceTempView(
+            "_t_docs_sub")
+        staged.createOrReplaceTempView("_t_staged_sub")
+        return sp.sql(
+            "SELECT lang, count(*) AS n FROM _t_docs_sub "
+            "WHERE doc_id >= (SELECT min(id) FROM _t_staged_sub) "
+            "GROUP BY lang")
+
+    read_base(spark, corpus, "documents").schema
+    w = memo_query("_test_subquery", q)
+    w(spark, corpus)
+    w(spark, corpus)
+    assert "_test_subquery" in relations._MEMO_DENY
+
+
+def test_memo_query_preserves_caller_job_group(spark, corpus):
+    def q(sp, sf):
+        return read_base(sp, sf, "documents").groupBy("source").count()
+
+    read_base(spark, corpus, "documents").schema
+    sc = spark.sparkContext
+    sc.setJobGroup("_caller_group", "caller-owned")
+    try:
+        w = memo_query("_test_group_kept", q)
+        w(spark, corpus)  # miss path: probe must not clobber the group
+        assert (sc.getLocalProperty("spark.jobGroup.id")
+                == "_caller_group")
+    finally:
+        sc._jsc.clearJobGroup()
+
+
 def test_plan_memo_keys_by_session_and_key(spark):
     built = []
 

@@ -159,11 +159,26 @@ def bucketed_key_window(df: DataFrame, keys: list[str],
     for c in lead_cols:
         loc = loc.withColumn(f"_llead_{c}", F.lead(c).over(w_local))
 
-    rec_cols = list(order_cols) + [c for c in lead_cols
-                                   if c not in order_cols]
-    summary = (d.groupBy(*keys, "_bkt")
-                .agg(F.count(F.lit(1)).alias("_cnt"),
-                     F.min(F.struct(*rec_cols)).alias("_first")))
+    # Per-bucket first record. When every lead column IS the first order
+    # column (the scd2 shape), min(first_ord) alone determines the
+    # handoff value — rows tying on first_ord agree on it by definition,
+    # so the tie-break columns can't change what the consumer extracts.
+    # That keeps the summary a plain-long HashAggregate with map-side
+    # partial combine before its (tiny) exchange; the generic
+    # min(struct(...)) falls back to SortAggregate, which SORTS THE FULL
+    # RELATION inside every scan task before the partial agg — measured
+    # as the dominant summary-branch cost (plans/r13, guide §2.3/§5).
+    first_only = set(lead_cols) <= {first_ord}
+    if first_only:
+        summary = (d.groupBy(*keys, "_bkt")
+                    .agg(F.count(F.lit(1)).alias("_cnt"),
+                         F.min(first_ord).alias("_first")))
+    else:
+        rec_cols = list(order_cols) + [c for c in lead_cols
+                                       if c not in order_cols]
+        summary = (d.groupBy(*keys, "_bkt")
+                    .agg(F.count(F.lit(1)).alias("_cnt"),
+                         F.min(F.struct(*rec_cols)).alias("_first")))
     w_key = Window.partitionBy(*keys).orderBy("_bkt")
     summary = (summary
                .withColumn("_off",
@@ -178,9 +193,10 @@ def bucketed_key_window(df: DataFrame, keys: list[str],
     out = joined.withColumn(rn_col, (F.col("_off") + F.col("_lrn")))
     last_in_bucket = F.col("_lrn") == F.col("_cnt")
     for c in lead_cols:
+        nxt_val = F.col("_nxt") if first_only else F.col("_nxt")[c]
         out = out.withColumn(
             f"_next_{c}",
-            F.when(last_in_bucket, F.col("_nxt")[c])
+            F.when(last_in_bucket, nxt_val)
              .otherwise(F.col(f"_llead_{c}")))
     drop = (["_bkt", "_lrn", "_cnt", "_first", "_off", "_nxt"]
             + [f"_llead_{c}" for c in lead_cols])
@@ -239,9 +255,19 @@ def salted_sessionize(df: DataFrame, key_cols: list[str], ts_col: str,
                               Window.currentRow)
     loc = d.withColumn("_lcum", F.sum(brk_local).over(run))
 
-    summary = (d.groupBy(*key_cols, "_bkt")
-                .agg(F.min(ts_col).alias("_first_ts"),
-                     F.max(ts_col).alias("_last_ts")))
+    # ONE per-(key, bucket) aggregate over loc serves the whole summary:
+    # _first_ts/_last_ts are plain min/max of ts, and the local break
+    # total equals max(_lcum) (the bucket's final running count) — all
+    # grouped by exactly loc's window partitioning, so the aggregate
+    # runs directly on the windowed relation with NO new exchange. This
+    # replaces the previous three-relation shape (a second full scan of
+    # the input for min/max ts, a separate max(_lcum) aggregate over
+    # loc, and the join gluing them) — one scan and one tiny join fewer
+    # at any scale (§2.3/§2.4; plan diff in plans/r13).
+    summary = (loc.groupBy(*key_cols, "_bkt")
+                  .agg(F.min(ts_col).alias("_first_ts"),
+                       F.max(ts_col).alias("_last_ts"),
+                       F.max("_lcum").alias("_ltot")))
     w_key = Window.partitionBy(*key_cols).orderBy("_bkt")
     prev_last = F.lag("_last_ts").over(w_key)
     # was the bucket's provisional first-row break REAL? (no previous
@@ -249,17 +275,7 @@ def salted_sessionize(df: DataFrame, key_cols: list[str], ts_col: str,
     first_brk = F.when(prev_last.isNull()
                        | (F.col("_first_ts") - prev_last > F.lit(gap_ns)),
                        1).otherwise(0)
-    summary = summary.withColumn("_corr", 1 - first_brk)
-    # corrected per-bucket break totals need the LOCAL total, which is
-    # the bucket's max running count — join loc's per-bucket max? No:
-    # local total is also derivable bucket-locally, but it lives in the
-    # data relation; carry it via one more tiny aggregate over loc's
-    # final column-free shape. Cheaper: the local total equals the
-    # count of local breaks = max(_lcum) per bucket — aggregate from
-    # loc (map-side combinable, same (key, bucket) grouping).
-    totals = (loc.groupBy(*key_cols, "_bkt")
-                 .agg(F.max("_lcum").alias("_ltot")))
-    summary = (summary.join(totals, [*key_cols, "_bkt"])
+    summary = (summary.withColumn("_corr", 1 - first_brk)
                .withColumn("_btot", F.col("_ltot") - F.col("_corr"))
                .withColumn("_off",
                            F.coalesce(

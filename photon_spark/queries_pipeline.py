@@ -1749,10 +1749,15 @@ def q_cdc_stream_merge_state(spark, sf_dir):
                                 "photon_cdcstream_")
     src = os.path.join(base, "src")
     # three source files -> three micro-batches (the shaped changelog
-    # is pre-written so the stream reads plain epoch-ns longs)
-    for k in range(3):
-        (ev.where(F.col("event_id") % 3 == k)
-           .coalesce(1).write.mode("append").parquet(src))
+    # is pre-written so the stream reads plain epoch-ns longs). ONE
+    # write job: partitionBy lands each event_id%3 slice in its own
+    # file under _slice=k/ — the previous three append jobs scanned
+    # the changelog once per slice (guide §6: 3 scans -> 1). The
+    # stream reads with recursiveFileLookup, so _slice never becomes
+    # a column and each leaf file is one micro-batch, exactly as the
+    # three flat files were.
+    (ev.withColumn("_slice", F.col("event_id") % 3)
+       .coalesce(1).write.partitionBy("_slice").parquet(src))
     t = CdcMergeTable(spark, os.path.join(base, "table"),
                       ["user_id", "event_type"], ["ts", "event_id"])
     # batch-side shuffle partitions from the changelog volume
@@ -1765,6 +1770,7 @@ def q_cdc_stream_merge_state(spark, sf_dir):
     with stream_shuffle_partitions(
             spark, state_partitions(dir_bytes(src))):
         q = (spark.readStream.schema(ev.schema)
+             .option("recursiveFileLookup", "true")
              .option("maxFilesPerTrigger", 1).parquet(src)
              .writeStream.foreachBatch(t.foreach_batch())
              .option("checkpointLocation", os.path.join(base, "ckpt"))

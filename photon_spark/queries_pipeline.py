@@ -1642,6 +1642,22 @@ def _cdc_changelog_rel(spark, sf_dir):
         F.coalesce(F.col("cents") % 10 == 0, F.lit(False)))
 
 
+def _apply_concurrent(*applies):
+    """Run INDEPENDENT CdcMergeTable batch applies concurrently
+    (guide §2.6 — overlap independent jobs): each apply compacts its
+    own changelog slice and lands it in its own ``batch=<id>``
+    partition (separate output dirs, separate commit protocols), and
+    the merged state is an order-free argmax, so inter-apply order was
+    never part of any row's semantics. Compactions are NOT eligible —
+    ``apply_batch`` itself refuses to run under a compaction lease, so
+    every ``compact()`` stays a barrier between concurrent groups."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(applies)) as pool:
+        futs = [pool.submit(a) for a in applies]
+        for f in futs:
+            f.result()
+
+
 def q_cdc_merge_state(spark, sf_dir):
     """The DURABLE continuous-merge table (streaming/cdc.CdcMergeTable)
     under the hash gate — the PairTable treatment applied to warehouse
@@ -1662,10 +1678,11 @@ def q_cdc_merge_state(spark, sf_dir):
     base = _single_live_tempdir(q_cdc_merge_state, "photon_cdcstate_")
     t = CdcMergeTable(spark, base, ["user_id", "event_type"],
                       ["ts", "event_id"])
-    for k in range(3):
-        t.apply_batch(ev.where(F.col("event_id") % 3 == k), k)
-        if k == 1:
-            t.compact()
+    _apply_concurrent(
+        lambda: t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0),
+        lambda: t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1))
+    t.compact()
+    t.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
     return t.state()
 
 
@@ -1688,8 +1705,9 @@ def q_cdc_time_travel(spark, sf_dir):
     base = _single_live_tempdir(q_cdc_time_travel, "photon_cdctt_")
     t = CdcMergeTable(spark, base, ["user_id", "event_type"],
                       ["ts", "event_id"])
-    t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0)
-    t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1)
+    _apply_concurrent(
+        lambda: t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0),
+        lambda: t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1))
     t.compact()                       # folds 0..1; manifest tag = 1
     t.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
     return t.state_at(1)
@@ -1990,11 +2008,16 @@ def q_cdc_multi_writer_state(spark, sf_dir):
                        ["ts", "event_id"], writer_id=0, n_writers=2)
     w1 = CdcMergeTable(spark, base, ["user_id", "event_type"],
                        ["ts", "event_id"], writer_id=1, n_writers=2)
-    w0.apply_batch(ev.where(F.col("event_id") % 4 == 0), 0)  # global 0
-    w1.apply_batch(ev.where(F.col("event_id") % 4 == 1), 0)  # global 1
+    # the two producers genuinely run CONCURRENTLY (the deployment
+    # shape the docstring sells); compact() stays a barrier because
+    # apply_batch refuses a held lease
+    _apply_concurrent(
+        lambda: w0.apply_batch(ev.where(F.col("event_id") % 4 == 0), 0),
+        lambda: w1.apply_batch(ev.where(F.col("event_id") % 4 == 1), 0))
     w0.compact()                       # folds global 0..1
-    w0.apply_batch(ev.where(F.col("event_id") % 4 == 2), 1)  # global 2
-    w1.apply_batch(ev.where(F.col("event_id") % 4 == 3), 1)  # global 3
+    _apply_concurrent(
+        lambda: w0.apply_batch(ev.where(F.col("event_id") % 4 == 2), 1),
+        lambda: w1.apply_batch(ev.where(F.col("event_id") % 4 == 3), 1))
     return w0.state()
 
 
@@ -2128,8 +2151,9 @@ def q_cdc_state_diff(spark, sf_dir):
                       ["ts", "event_id"])
     t.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0)
     t.compact()                       # fold tag = 0: the old boundary
-    t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1)
-    t.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
+    _apply_concurrent(
+        lambda: t.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1),
+        lambda: t.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2))
     old = t.state_at(0).select(
         F.col("user_id").alias("u"), F.col("event_type").alias("et"),
         F.col("event_id").alias("old_event_id"),

@@ -488,13 +488,15 @@ def q_stream_stream_interval_join(spark, sf_dir):
 
     # The two legs' staging writes are independent jobs — run them from
     # two driver threads so the second leg back-fills executors the
-    # first leg's single-file writes leave idle (guide §2.6). Per-slice
-    # sequential appends within a leg keep the three-file layout (three
-    # genuine micro-batches per leg) byte-identical to the serial form.
+    # first leg's write leaves idle (guide §2.6). ONE write job per
+    # leg: partitionBy lands each id%3 slice in its own file under
+    # _slice=k/ (the cdc_stream_merge_state consolidation — guide §6:
+    # 3 changelog scans per leg -> 1); the stream reads with
+    # recursiveFileLookup, so _slice never becomes a column and each
+    # leaf file is one micro-batch, exactly as the three flat appends.
     def _stage(rel, id_col, dest):
-        for k in range(3):
-            (rel.where(F.col(id_col) % 3 == k)
-                .coalesce(1).write.mode("append").parquet(dest))
+        (rel.withColumn("_slice", F.col(id_col) % 3)
+            .coalesce(1).write.partitionBy("_slice").parquet(dest))
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -505,6 +507,7 @@ def q_stream_stream_interval_join(spark, sf_dir):
 
     wm = "30 days"    # > fixture span: nothing evicts, batch ≡ stream
     ps = (spark.readStream.schema(p_rel.schema)
+          .option("recursiveFileLookup", "true")
           .option("maxFilesPerTrigger", 1).parquet(pdir)
           .withColumn("p_evt", F.timestamp_micros(
               F.expr("pns div 1000")))
@@ -516,6 +519,7 @@ def q_stream_stream_interval_join(spark, sf_dir):
               F.expr(f"pns div {RANGE_NS} - 1"),
               F.expr(f"pns div {RANGE_NS}")))))
     cs = (spark.readStream.schema(c_rel.schema)
+          .option("recursiveFileLookup", "true")
           .option("maxFilesPerTrigger", 1).parquet(cdir)
           .withColumn("c_evt", F.timestamp_micros(
               F.expr("cns div 1000")))

@@ -1654,3 +1654,53 @@ def test_cdc_derive_gc_horizon_from_checkpoints(spark, sf_dir, tmp_path):
         w0.apply_batch(ev.limit(1), 1)  # w0 local 1 -> eff 2 < 3: dead
     w0.apply_batch(ev.limit(1), 2)      # w0 local 2 -> eff 4 >= 3: live
     ev.unpersist()
+
+
+def test_cdc_concurrent_applies_equal_sequential(spark, sf_dir, tmp_path):
+    """Concurrent apply_batch calls to DISTINCT batch ids (the
+    queries_pipeline._apply_concurrent optimization) land exactly the
+    same durable state as the same applies run sequentially — each
+    apply owns its batch=<id> dir and the merged state is an order-free
+    argmax, so thread interleaving must be invisible. Also pins that a
+    compact() lease still refuses an overlapped apply (the barrier the
+    optimization relies on)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pytest as _pytest
+
+    from photon_spark.streaming.cdc import CdcMergeTable
+    ev = _cdc_changelog(spark, sf_dir).cache()
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+
+    seq = CdcMergeTable(spark, str(tmp_path / "seq"), keys, order)
+    seq.apply_batch(ev.where(F.col("event_id") % 3 == 0), 0)
+    seq.apply_batch(ev.where(F.col("event_id") % 3 == 1), 1)
+    seq.compact()
+    seq.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
+
+    con = CdcMergeTable(spark, str(tmp_path / "con"), keys, order)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(con.apply_batch,
+                            ev.where(F.col("event_id") % 3 == k), k)
+                for k in (0, 1)]
+        for f in futs:
+            f.result()
+    con.compact()
+    con.apply_batch(ev.where(F.col("event_id") % 3 == 2), 2)
+
+    s_seq = {tuple(r) for r in seq.state().collect()}
+    s_con = {tuple(r) for r in con.state().collect()}
+    assert s_con == s_seq and s_con
+    # state_at across the fold boundary agrees too
+    a_seq = {tuple(r) for r in seq.state_at(1).collect()}
+    a_con = {tuple(r) for r in con.state_at(1).collect()}
+    assert a_con == a_seq
+
+    # the barrier: an apply during a held compaction lease is refused
+    con._acquire_lease("test", 3600)
+    try:
+        with _pytest.raises(RuntimeError, match="compact"):
+            con.apply_batch(ev.where(F.col("event_id") % 3 == 0), 9)
+    finally:
+        con._release_lease("test")
+    ev.unpersist()
